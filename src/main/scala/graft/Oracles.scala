@@ -1,0 +1,125 @@
+package graft
+
+import graft.sources.Tables.{pricesSql, trendsSql}
+
+/** DuckDB oracle SQL, one entry per SparkEntry.queries key. Each statement is
+  * value-identical (not just semantically equal) to the Spark query: exact
+  * integer aggregation + fixed-order final double casts (see
+  * graft.functions.Num) and identical output column names/aliases.
+  */
+object Oracles {
+
+  private val stockWindowCte: String =
+    s"""WITH $pricesSql,
+       |w AS (
+       |  SELECT ticker, trade_date, close_cents, volume,
+       |         LAG(close_cents) OVER (PARTITION BY ticker ORDER BY trade_date) AS prev_close_cents,
+       |         SUM(close_cents) OVER w7 AS ma7_sum, COUNT(*) OVER w7 AS n7,
+       |         SUM(close_cents) OVER w30 AS ma30_sum, COUNT(*) OVER w30 AS n30,
+       |         MAX(high_cents) OVER w252 AS high52_cents,
+       |         MIN(low_cents) OVER w252 AS low52_cents,
+       |         SUM(volume) OVER w7 AS vol7_sum,
+       |         ROW_NUMBER() OVER (PARTITION BY ticker ORDER BY trade_date DESC) AS recency_rank
+       |  FROM prices
+       |  WINDOW
+       |    w7 AS (PARTITION BY ticker ORDER BY trade_date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+       |    w30 AS (PARTITION BY ticker ORDER BY trade_date ROWS BETWEEN 29 PRECEDING AND CURRENT ROW),
+       |    w252 AS (PARTITION BY ticker ORDER BY trade_date ROWS BETWEEN 251 PRECEDING AND CURRENT ROW)
+       |)""".stripMargin
+
+  val all: Map[String, String] = Map(
+    "fct_stock_prices" ->
+      s"""$stockWindowCte
+         |SELECT ticker, trade_date,
+         |  CAST(close_cents AS DOUBLE) / 100.0 AS close_price,
+         |  CAST(prev_close_cents AS DOUBLE) / 100.0 AS prev_close,
+         |  CAST(close_cents - prev_close_cents AS DOUBLE) / CAST(NULLIF(prev_close_cents, 0) AS DOUBLE) * 100.0 AS daily_change_pct,
+         |  CAST(ma7_sum AS DOUBLE) / CAST(n7 AS DOUBLE) / 100.0 AS ma_7d,
+         |  CAST(ma30_sum AS DOUBLE) / CAST(n30 AS DOUBLE) / 100.0 AS ma_30d,
+         |  CAST(high52_cents AS DOUBLE) / 100.0 AS high_52w,
+         |  CAST(low52_cents AS DOUBLE) / 100.0 AS low_52w,
+         |  CAST(close_cents - low52_cents AS DOUBLE) / CAST(NULLIF(high52_cents - low52_cents, 0) AS DOUBLE) * 100.0 AS position_in_52w_range,
+         |  volume,
+         |  CAST(vol7_sum AS DOUBLE) / CAST(n7 AS DOUBLE) AS avg_volume_7d,
+         |  CASE WHEN close_cents * n30 > ma30_sum THEN 'above_30d_ma'
+         |       WHEN close_cents * n30 < ma30_sum THEN 'below_30d_ma'
+         |       ELSE 'at_30d_ma' END AS ma_trend,
+         |  CASE WHEN volume * n7 * 2 > vol7_sum * 3 THEN 'high_volume'
+         |       WHEN volume * n7 * 2 < vol7_sum THEN 'low_volume'
+         |       ELSE 'normal_volume' END AS volume_trend,
+         |  recency_rank
+         |FROM w""".stripMargin,
+
+    "win_lag1" ->
+      s"""WITH $pricesSql
+         |SELECT ticker, trade_date,
+         |  CAST(close_cents AS DOUBLE) / 100.0 AS close_price,
+         |  CAST(LAG(close_cents) OVER (PARTITION BY ticker ORDER BY trade_date) AS DOUBLE) / 100.0 AS prev_close,
+         |  CAST(close_cents - LAG(close_cents) OVER (PARTITION BY ticker ORDER BY trade_date) AS DOUBLE) / 100.0 AS day_change
+         |FROM prices""".stripMargin,
+
+    "win_lag_n" ->
+      s"""WITH $trendsSql,
+         |w AS (
+         |  SELECT keyword, date, interest,
+         |         LAG(interest, 7) OVER (PARTITION BY keyword ORDER BY date) AS interest_7d_ago,
+         |         LAG(interest, 30) OVER (PARTITION BY keyword ORDER BY date) AS interest_30d_ago
+         |  FROM trends)
+         |SELECT keyword, date, interest, interest_7d_ago, interest_30d_ago,
+         |       interest - interest_7d_ago AS wow_change,
+         |       CAST(interest - interest_7d_ago AS DOUBLE) / CAST(NULLIF(interest_7d_ago, 0) AS DOUBLE) * 100.0 AS wow_change_pct,
+         |       interest - interest_30d_ago AS mom_change
+         |FROM w""".stripMargin,
+
+    "win_rolling_avg" ->
+      s"""$stockWindowCte
+         |SELECT ticker, trade_date,
+         |  CAST(close_cents AS DOUBLE) / 100.0 AS close_price,
+         |  CAST(ma7_sum AS DOUBLE) / CAST(n7 AS DOUBLE) / 100.0 AS ma_7d,
+         |  CAST(ma30_sum AS DOUBLE) / CAST(n30 AS DOUBLE) / 100.0 AS ma_30d
+         |FROM w""".stripMargin,
+
+    "win_rolling_extrema" ->
+      s"""$stockWindowCte
+         |SELECT ticker, trade_date,
+         |  CAST(close_cents AS DOUBLE) / 100.0 AS close_price,
+         |  CAST(high52_cents AS DOUBLE) / 100.0 AS high_52w,
+         |  CAST(low52_cents AS DOUBLE) / 100.0 AS low_52w,
+         |  CAST(close_cents - low52_cents AS DOUBLE) / CAST(NULLIF(high52_cents - low52_cents, 0) AS DOUBLE) * 100.0 AS position_in_52w_range
+         |FROM w""".stripMargin,
+
+    "win_recency_rank" ->
+      s"""$stockWindowCte
+         |SELECT ticker, trade_date,
+         |  CAST(close_cents AS DOUBLE) / 100.0 AS close_price,
+         |  recency_rank
+         |FROM w WHERE recency_rank <= 30""".stripMargin,
+
+    "win_centered" ->
+      s"""WITH $trendsSql
+         |SELECT keyword, date, interest,
+         |       interest >= MAX(interest) OVER (PARTITION BY keyword ORDER BY date ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS is_local_peak
+         |FROM trends""".stripMargin,
+
+    "win_dedup" ->
+      s"""WITH ranked AS (
+         |  SELECT event_id, user_id, event_type, CAST(ts AS DATE) AS event_date, value,
+         |         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+         |                            ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+         |  FROM events)
+         |SELECT event_id, user_id, event_type, event_date, value
+         |FROM ranked WHERE rn = 1""".stripMargin,
+
+    "win_topk_group" ->
+      s"""WITH per_part AS (
+         |  SELECT l_suppkey AS supp, l_partkey AS part,
+         |         SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS revenue_cents
+         |  FROM lineitem GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT supp, part, revenue_cents,
+         |         ROW_NUMBER() OVER (PARTITION BY supp ORDER BY revenue_cents DESC, part) AS part_rank
+         |  FROM per_part)
+         |SELECT supp, part, CAST(revenue_cents AS DOUBLE) / 100.0 AS revenue, part_rank
+         |FROM ranked WHERE part_rank <= 5""".stripMargin
+  )
+}

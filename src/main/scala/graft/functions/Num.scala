@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+/** Cross-engine numeric determinism helpers.
+  *
+  * The driver's correctness gate hash-compares Spark results against DuckDB
+  * running the oracle SQL on the same parquet. Floating-point SUM/AVG are
+  * order-dependent, and both engines aggregate in different orders, so raw
+  * double aggregation can never hash-match. Discipline used engine-wide:
+  *
+  *  1. Money-like doubles are converted ONCE to integer cents via
+  *     `round(x * 100)` — for any double y=x*100 that is not exactly ?.5,
+  *     Spark (HALF_UP on shortest decimal repr) and DuckDB (half away from
+  *     zero on the binary value) agree; when y is exactly ?.5 both round away
+  *     from zero. So the conversion is bit-identical across engines.
+  *  2. All aggregation happens on exact integer (or decimal) types —
+  *     order-independent, overflow-safe via DECIMAL when needed.
+  *  3. Ratios/averages convert the exact aggregates to double at the very
+  *     end with a FIXED operation order, identical in the oracle SQL, so the
+  *     few IEEE ops performed are exact-rounded and identical.
+  *
+  * Reference motivation: the reference rounds display values (e.g.
+  * round(avg(score),1) dbt/models/marts/hacker_news/fct_hn_weekly_stats.sql:10)
+  * — cosmetic rounding of doubles is NOT reproducible across engines, so the
+  * engine emits full-precision deterministic doubles instead.
+  */
+object Num {
+  /** money double -> exact integer cents (see scheme above). */
+  def cents(c: Column): Column = round(c * 100).cast(LongType)
+
+  /** integral-valued double -> exact long. */
+  def asLong(c: Column): Column = round(c).cast(LongType)
+
+  /** integer cents -> double dollars; single exact-rounded division. */
+  def dollars(c: Column): Column = c.cast(DoubleType) / 100.0
+
+  /** exact ints a/b as double; canonical order. NULL if b is 0. */
+  def ratio(num: Column, den: Column): Column =
+    num.cast(DoubleType) / nullif(den, lit(0)).cast(DoubleType)
+
+  /** mean in dollars from (cents sum, count): sum/n/100 in fixed order. */
+  def meanDollars(sumCents: Column, n: Column): Column =
+    sumCents.cast(DoubleType) / nullif(n, lit(0)).cast(DoubleType) / 100.0
+
+  /** percent num/den*100 from exact ints. */
+  def pct(num: Column, den: Column): Column = ratio(num, den) * 100.0
+
+  /** overflow-safe exact sum of squares of an integer-cents column. */
+  def sumSq(centsCol: Column): Column =
+    sum((centsCol * centsCol).cast(DecimalType(38, 0)))
+
+  private def nullif(c: Column, v: Column): Column = when(c === v, null).otherwise(c)
+}

@@ -1,0 +1,180 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+import graft.functions.Num
+
+/** Window-analytic operators (SURVEY.md §2.5). All frames are ROWS-based —
+  * the reference uses trading-day semantics where calendar gaps are
+  * intentional (fct_stock_prices.sql:36-64).
+  *
+  * Scale: each operator windows over `partitionBy(key)` where `key` is the
+  * same key its input was aggregated on, so Catalyst reuses the existing
+  * hash-partitioning — one shuffle total. Per-partition state is a bounded
+  * frame (≤252 rows), safe at any scale factor. Skew: tickers/keywords are
+  * uniformly distributed in the testdata; at 100 TB a hot key would need
+  * salting only for unbounded frames, which none of these use.
+  */
+object Windows {
+
+  private val byTicker = Window.partitionBy("ticker").orderBy("trade_date")
+  private val byTickerDesc = Window.partitionBy("ticker").orderBy(col("trade_date").desc)
+  private val w7 = byTicker.rowsBetween(-6, 0)
+  private val w30 = byTicker.rowsBetween(-29, 0)
+  private val w252 = byTicker.rowsBetween(-251, 0)
+
+  /** Flagship mart: fct_stock_prices semantics (reference
+    * dbt/models/marts/stocks/fct_stock_prices.sql) on the prices adapter —
+    * lag-1 prev close, 7/30-row moving averages, 252-row (52-week) extrema,
+    * recency rank, derived pct-change and trend buckets.
+    */
+  def fctStockPrices(prices: DataFrame): DataFrame = {
+    val withWins = prices
+      .withColumn("prev_close_cents", lag(col("close_cents"), 1).over(byTicker))
+      .withColumn("ma7_sum", sum(col("close_cents")).over(w7))
+      .withColumn("n7", count(lit(1)).over(w7))
+      .withColumn("ma30_sum", sum(col("close_cents")).over(w30))
+      .withColumn("n30", count(lit(1)).over(w30))
+      .withColumn("high52_cents", max(col("high_cents")).over(w252))
+      .withColumn("low52_cents", min(col("low_cents")).over(w252))
+      .withColumn("vol7_sum", sum(col("volume")).over(w7))
+      .withColumn("recency_rank", row_number().over(byTickerDesc))
+
+    withWins.select(
+      col("ticker"),
+      col("trade_date"),
+      Num.dollars(col("close_cents")).as("close_price"),
+      Num.dollars(col("prev_close_cents")).as("prev_close"),
+      // safe_divide semantics (fct_stock_prices.sql:25-28): NULL when no prev
+      (((col("close_cents") - col("prev_close_cents")).cast(DoubleType) /
+        when(col("prev_close_cents") === 0, null)
+          .otherwise(col("prev_close_cents")).cast(DoubleType)) * 100.0)
+        .as("daily_change_pct"),
+      Num.meanDollars(col("ma7_sum"), col("n7")).as("ma_7d"),
+      Num.meanDollars(col("ma30_sum"), col("n30")).as("ma_30d"),
+      Num.dollars(col("high52_cents")).as("high_52w"),
+      Num.dollars(col("low52_cents")).as("low_52w"),
+      // position_in_52w_range (fct_stock_prices.sql:111-115)
+      (((col("close_cents") - col("low52_cents")).cast(DoubleType) /
+        when(col("high52_cents") === col("low52_cents"), null)
+          .otherwise(col("high52_cents") - col("low52_cents")).cast(DoubleType)) * 100.0)
+        .as("position_in_52w_range"),
+      col("volume"),
+      Num.ratio(col("vol7_sum"), col("n7")).as("avg_volume_7d"),
+      // ma_trend bucket (fct_stock_prices.sql:117-123) — exact integer compare:
+      // close > ma30  ⇔  close_cents * n30 > ma30_sum
+      when(col("close_cents") * col("n30") > col("ma30_sum"), "above_30d_ma")
+        .when(col("close_cents") * col("n30") < col("ma30_sum"), "below_30d_ma")
+        .otherwise("at_30d_ma").as("ma_trend"),
+      // volume vs 1.5×/0.5× of 7d avg (fct_stock_prices.sql:125-129):
+      // vol > 1.5*avg ⇔ 2*vol*n7 > 3*sum ; vol < 0.5*avg ⇔ 2*vol*n7 < sum
+      when(col("volume") * col("n7") * 2 > col("vol7_sum") * 3, "high_volume")
+        .when(col("volume") * col("n7") * 2 < col("vol7_sum"), "low_volume")
+        .otherwise("normal_volume").as("volume_trend"),
+      col("recency_rank"))
+  }
+
+  /** `win_lag1` (fct_stock_prices.sql:30-34): prev_close + day-over-day change. */
+  def winLag1(prices: DataFrame): DataFrame =
+    prices
+      .withColumn("prev_close_cents", lag(col("close_cents"), 1).over(byTicker))
+      .select(
+        col("ticker"), col("trade_date"),
+        Num.dollars(col("close_cents")).as("close_price"),
+        Num.dollars(col("prev_close_cents")).as("prev_close"),
+        Num.dollars(col("close_cents") - col("prev_close_cents")).as("day_change"))
+
+  /** `win_lag_n` (fct_keyword_trends.sql:36-46): 7-row WoW / 30-row MoM offsets. */
+  def winLagN(trends: DataFrame): DataFrame = {
+    val byKw = Window.partitionBy("keyword").orderBy("date")
+    trends
+      .withColumn("interest_7d_ago", lag(col("interest"), 7).over(byKw))
+      .withColumn("interest_30d_ago", lag(col("interest"), 30).over(byKw))
+      .select(
+        col("keyword"), col("date"), col("interest"),
+        col("interest_7d_ago"), col("interest_30d_ago"),
+        (col("interest") - col("interest_7d_ago")).as("wow_change"),
+        (Num.ratio(col("interest") - col("interest_7d_ago"), col("interest_7d_ago")) * 100.0)
+          .as("wow_change_pct"),
+        (col("interest") - col("interest_30d_ago")).as("mom_change"))
+  }
+
+  /** `win_rolling_avg` (fct_stock_prices.sql:36-64): 7/30-row trailing means. */
+  def winRollingAvg(prices: DataFrame): DataFrame =
+    prices
+      .withColumn("ma7_sum", sum(col("close_cents")).over(w7))
+      .withColumn("n7", count(lit(1)).over(w7))
+      .withColumn("ma30_sum", sum(col("close_cents")).over(w30))
+      .withColumn("n30", count(lit(1)).over(w30))
+      .select(
+        col("ticker"), col("trade_date"),
+        Num.dollars(col("close_cents")).as("close_price"),
+        Num.meanDollars(col("ma7_sum"), col("n7")).as("ma_7d"),
+        Num.meanDollars(col("ma30_sum"), col("n30")).as("ma_30d"))
+
+  /** `win_rolling_extrema` (fct_stock_prices.sql:66-78): 252-row hi/lo + range position. */
+  def winRollingExtrema(prices: DataFrame): DataFrame =
+    prices
+      .withColumn("high52_cents", max(col("high_cents")).over(w252))
+      .withColumn("low52_cents", min(col("low_cents")).over(w252))
+      .select(
+        col("ticker"), col("trade_date"),
+        Num.dollars(col("close_cents")).as("close_price"),
+        Num.dollars(col("high52_cents")).as("high_52w"),
+        Num.dollars(col("low52_cents")).as("low_52w"),
+        (((col("close_cents") - col("low52_cents")).cast(DoubleType) /
+          when(col("high52_cents") === col("low52_cents"), null)
+            .otherwise(col("high52_cents") - col("low52_cents")).cast(DoubleType)) * 100.0)
+          .as("position_in_52w_range"))
+
+  /** `win_recency_rank` (fct_stock_prices.sql:80-84): latest-first rank, last 30 rows. */
+  def winRecencyRank(prices: DataFrame): DataFrame =
+    prices
+      .withColumn("recency_rank", row_number().over(byTickerDesc))
+      .where(col("recency_rank") <= 30)
+      .select(
+        col("ticker"), col("trade_date"),
+        Num.dollars(col("close_cents")).as("close_price"),
+        col("recency_rank"))
+
+  /** `win_centered` (fct_keyword_trends.sql:48-57): centered-frame local peaks. */
+  def winCentered(trends: DataFrame): DataFrame = {
+    val c7 = Window.partitionBy("keyword").orderBy("date").rowsBetween(-3, 3)
+    trends
+      .withColumn("local_max", max(col("interest")).over(c7))
+      .select(
+        col("keyword"), col("date"), col("interest"),
+        (col("interest") >= col("local_max")).as("is_local_peak"))
+  }
+
+  /** `win_dedup` (stg_hn__comments.sql:6-33): keep-one-per-key by recency
+    * with a deterministic tiebreaker. Key = (user_id, event_type).
+    */
+  def winDedup(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    events
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        to_date(col("ts")).as("event_date"), col("value"))
+  }
+
+  /** `win_topk_group` (fct_sales_by_county.sql:35-50): rank over a grouped
+    * aggregate, keep top 5 parts per supplier by revenue; partkey tiebreak
+    * makes ties deterministic (SURVEY §7.5.5).
+    */
+  def winTopkGroup(lineitem: DataFrame): DataFrame = {
+    val perPart = lineitem
+      .groupBy(col("l_suppkey").as("supp"), col("l_partkey").as("part"))
+      .agg(sum(Num.cents(col("l_extendedprice"))).as("revenue_cents"))
+    val w = Window.partitionBy("supp").orderBy(col("revenue_cents").desc, col("part"))
+    perPart
+      .withColumn("part_rank", row_number().over(w))
+      .where(col("part_rank") <= 5)
+      .select(col("supp"), col("part"), Num.dollars(col("revenue_cents")).as("revenue"),
+        col("part_rank"))
+  }
+}
