@@ -27,8 +27,48 @@ object SparkEntry {
     "win_recency_rank" -> ((s, d) => Windows.winRecencyRank(Tables.prices(s, d))),
     "win_centered" -> ((s, d) => Windows.winCentered(Tables.trends(s, d))),
     "win_dedup" -> ((s, d) => Windows.winDedup(Tables.events(s, d))),
-    "win_topk_group" -> ((s, d) => Windows.winTopkGroup(Tables.lineitem(s, d)))
+    "win_topk_group" -> ((s, d) => Windows.winTopkGroup(Tables.lineitem(s, d))),
+    // §2.4 aggregations
+    "agg_weekly_stats" -> ((s, d) => Aggregates.aggWeeklyStats(Tables.orders(s, d))),
+    "agg_countif" -> ((s, d) => Aggregates.aggCountif(Tables.orders(s, d))),
+    "agg_count_distinct_if" -> ((s, d) => Aggregates.aggCountDistinctIf(Tables.orders(s, d))),
+    "agg_pct_of_count" -> ((s, d) => Aggregates.aggPctOfCount(Tables.orders(s, d))),
+    "agg_stddev" -> ((s, d) => Aggregates.aggStddev(Tables.lineitem(s, d))),
+    "agg_minmax_ts" -> ((s, d) => Aggregates.aggMinmaxTs(Tables.orders(s, d))),
+    "agg_safe_ratio" -> ((s, d) => Aggregates.aggSafeRatio(Tables.lineitem(s, d))),
+    "agg_null_aware_avg" -> ((s, d) => Aggregates.aggNullAwareAvg(Tables.events(s, d))),
+    "agg_cond_max" -> ((s, d) => Aggregates.aggCondMax(Tables.events(s, d))),
+    "agg_multikey" -> ((s, d) => Aggregates.aggMultikey(Tables.lineitem(s, d))),
+    "agg_having" -> ((s, d) => Aggregates.aggHaving(Tables.lineitem(s, d))),
+    "agg_nunique_multi" -> ((s, d) => Aggregates.aggNuniqueMulti(Tables.lineitem(s, d))),
+    "agg_child_count" -> ((s, d) =>
+      Aggregates.aggChildCount(Tables.orders(s, d), Tables.customer(s, d))),
+    "agg_dow_stats" -> ((s, d) => Aggregates.aggDowStats(Tables.orders(s, d))),
+    // §2.2 staging / filters / case
+    "stg_rename" -> ((s, d) => Staging.stgRename(Tables.customer(s, d))),
+    "stg_unit_convert" -> ((s, d) => Staging.stgUnitConvert(Tables.events(s, d))),
+    "filter_null_empty" -> ((s, d) => Staging.filterNullEmpty(Tables.customer(s, d))),
+    "filter_not_true" -> ((s, d) => Staging.filterNotTrue(Tables.events(s, d))),
+    "filter_in_subquery" -> ((s, d) =>
+      Staging.filterInSubquery(Tables.supplier(s, d), Tables.nation(s, d))),
+    "filter_sentinel" -> ((s, d) => Staging.filterSentinel(Tables.part(s, d))),
+    "case_map" -> ((s, d) => Staging.caseMap(Tables.orders(s, d))),
+    "case_ordinal" -> ((s, d) => Staging.caseOrdinal(Tables.orders(s, d))),
+    "case_bucket" -> ((s, d) => Staging.caseBucket(Tables.orders(s, d))),
+    "gender_clean" -> ((s, d) => Staging.genderClean(Tables.customer(s, d))),
+    "flag_derive" -> ((s, d) => Staging.flagDerive(Tables.orders(s, d))),
+    "between_ts" -> ((s, d) => Staging.betweenTs(Tables.orders(s, d))),
+    // §2.8 scalar functions
+    "scan_derived_cols" -> ((s, d) => Scalars.scanDerivedCols(Tables.events(s, d))),
+    "scan_pushdown_param" -> ((s, d) => Scalars.scanPushdownParam(Tables.lineitem(s, d))),
+    "fn_datetime" -> ((s, d) => Scalars.fnDatetime(Tables.orders(s, d))),
+    "fn_timestamp_diff_hour" -> ((s, d) => Scalars.fnTimestampDiffHour(Tables.events(s, d))),
+    // §2.6 sorts / limits
+    "sort_model_output" -> ((s, d) => Sorts.sortModelOutput(Tables.orders(s, d))),
+    "topk_nlargest" -> ((s, d) => Sorts.topkNlargest(Tables.lineitem(s, d))),
+    "limit_param" -> ((s, d) => Sorts.limitParam(Tables.events(s, d)))
   )
 
-  def oracleSql: Map[String, String] = Oracles.all
+  def oracleSql: Map[String, String] =
+    Oracles.all ++ Aggregates.oracles ++ Staging.oracles ++ Scalars.oracles ++ Sorts.oracles
 }

@@ -1,0 +1,312 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+import graft.functions.Num
+
+/** Hash-aggregation operators (SURVEY.md §2.4). All sums run on exact integer
+  * cents (graft.functions.Num) so map-side partial aggregation is both enabled
+  * and order-independent — at 100 TB each groupBy is a single shuffle of
+  * pre-combined partials on the grouping key.
+  *
+  * countDistinct expands to a two-phase aggregate (distinct-then-count) —
+  * fine for the moderate-cardinality keys used here; HLL sketch variants
+  * belong to the extension surface.
+  */
+object Aggregates {
+
+  private def centsPrice = Num.cents(col("o_totalprice"))
+
+  /** `agg_weekly_stats` (fct_hn_weekly_stats.sql:5-17): per-week count, sum,
+    * mean, distinct actors.
+    */
+  def aggWeeklyStats(orders: DataFrame): DataFrame =
+    orders
+      .groupBy(to_date(date_trunc("week", col("o_orderdate"))).as("order_week"))
+      .agg(
+        count(lit(1)).as("order_count"),
+        Num.dollars(sum(centsPrice)).as("total_sales"),
+        Num.meanDollars(sum(centsPrice), count(lit(1))).as("avg_order_value"),
+        countDistinct(col("o_custkey")).as("distinct_customers"))
+
+  /** `agg_countif` (fct_pull_requests.sql:18-27): conditional counts per group. */
+  def aggCountif(orders: DataFrame): DataFrame =
+    orders
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(
+        count(lit(1)).as("order_count"),
+        count(when(col("o_orderstatus") === "F", lit(1))).as("fulfilled_count"),
+        count(when(col("o_orderstatus") === "O", lit(1))).as("open_count"),
+        count(when(centsPrice > 20000000L, lit(1))).as("high_value_count"))
+
+  /** `agg_count_distinct_if` (fct_fda_events_by_gender.sql:45-46):
+    * count(distinct CASE WHEN cond THEN key END) — NULLs drop out.
+    */
+  def aggCountDistinctIf(orders: DataFrame): DataFrame =
+    orders
+      .groupBy(to_date(date_trunc("month", col("o_orderdate"))).as("order_month"))
+      .agg(
+        countDistinct(col("o_custkey")).as("customers"),
+        countDistinct(when(col("o_orderstatus") === "F", col("o_custkey")))
+          .as("fulfilled_customers"),
+        countDistinct(when(centsPrice > 20000000L, col("o_custkey")))
+          .as("high_value_customers"))
+
+  /** `agg_pct_of_count` (fct_hn_keyword_sentiment.sql:29-31): ratio-to-total. */
+  def aggPctOfCount(orders: DataFrame): DataFrame =
+    orders
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(
+        count(lit(1)).as("order_count"),
+        Num.pct(count(when(col("o_orderstatus") === "F", lit(1))), count(lit(1)))
+          .as("pct_fulfilled"))
+
+  /** `agg_stddev` (fct_hn_keyword_sentiment.sql:24-26): sample stddev + mean
+    * magnitude. Closed-form from exact integer moments so both engines produce
+    * the same double (windowless Welford orders differ cross-engine).
+    */
+  def aggStddev(lineitem: DataFrame): DataFrame = {
+    val c = Num.cents(col("l_extendedprice"))
+    lineitem
+      .groupBy(col("l_returnflag").as("return_flag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(c).as("sum_cents"),
+        Num.sumSq(c).as("sumsq"),
+        sum(abs(c)).as("sum_abs_cents"))
+      .select(
+        col("return_flag"), col("n"),
+        sqrt(
+          (col("sumsq").cast(DoubleType) -
+            col("sum_cents").cast(DoubleType) * col("sum_cents").cast(DoubleType) /
+              col("n").cast(DoubleType)) /
+            when(col("n") === 1, null).otherwise(col("n") - 1).cast(DoubleType))
+          ./(100.0).as("stddev_price"),
+        (col("sum_abs_cents").cast(DoubleType) / col("n").cast(DoubleType) / 100.0)
+          .as("avg_magnitude"))
+  }
+
+  /** `agg_minmax_ts` (fct_pull_requests.sql:25): earliest/latest per group. */
+  def aggMinmaxTs(orders: DataFrame): DataFrame =
+    orders
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(
+        min(col("o_orderdate")).as("first_order_at"),
+        max(col("o_orderdate")).as("last_order_at"),
+        count(lit(1)).as("order_count"))
+
+  /** `agg_safe_ratio` (fct_sales_by_county.sql:27): sum/NULLIF(sum,0). */
+  def aggSafeRatio(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_partkey").as("part"))
+      .agg(
+        sum(Num.cents(col("l_extendedprice"))).as("revenue_cents"),
+        sum(Num.asLong(col("l_quantity"))).as("units"))
+      .select(
+        col("part"),
+        Num.dollars(col("revenue_cents")).as("revenue"),
+        col("units"),
+        Num.meanDollars(col("revenue_cents"), col("units")).as("revenue_per_unit"))
+
+  /** `agg_null_aware_avg` (fct_oura_daily.sql:125-135): row-wise average over
+    * only the present components (NULL-aware denominator).
+    */
+  def aggNullAwareAvg(events: DataFrame): DataFrame = {
+    val v = Num.cents(col("value"))
+    def part(t: String) = sum(when(col("event_type") === t, v))
+    def present(c: String) = when(col(c).isNotNull, 1).otherwise(0)
+    events
+      .groupBy(col("user_id"))
+      .agg(
+        part("purchase").as("purchase_cents"),
+        part("signup").as("signup_cents"),
+        part("error").as("error_cents"))
+      .select(
+        col("user_id"),
+        Num.dollars(col("purchase_cents")).as("purchase_total"),
+        Num.dollars(col("signup_cents")).as("signup_total"),
+        Num.dollars(col("error_cents")).as("error_total"),
+        ((coalesce(col("purchase_cents"), lit(0L)) +
+          coalesce(col("signup_cents"), lit(0L)) +
+          coalesce(col("error_cents"), lit(0L))).cast(DoubleType) /
+          when(
+            present("purchase_cents") + present("signup_cents") + present("error_cents") === 0,
+            null)
+            .otherwise(present("purchase_cents") + present("signup_cents") + present("error_cents"))
+            .cast(DoubleType) / 100.0)
+          .as("combined_avg"))
+  }
+
+  /** `agg_cond_max` (fct_oura_daily.sql:27-31): max(CASE WHEN type THEN v END). */
+  def aggCondMax(events: DataFrame): DataFrame = {
+    val v = Num.cents(col("value"))
+    events
+      .groupBy(col("user_id"))
+      .agg(
+        max(when(col("event_type") === "purchase", v)).as("max_purchase_cents"),
+        max(when(col("event_type") === "view", v)).as("max_view_cents"))
+      .select(
+        col("user_id"),
+        Num.dollars(col("max_purchase_cents")).as("max_purchase"),
+        Num.dollars(col("max_view_cents")).as("max_view"))
+  }
+
+  /** `agg_multikey` + `agg_group_ordinal` (fct_sales_monthly.sql:13-33):
+    * two-key grouped metrics (oracle groups by ordinal).
+    */
+  def aggMultikey(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag").as("return_flag"), col("l_linestatus").as("line_status"))
+      .agg(
+        sum(Num.asLong(col("l_quantity"))).as("sum_qty"),
+        Num.dollars(sum(Num.cents(col("l_extendedprice")))).as("sum_base_price"),
+        count(lit(1)).as("count_order"))
+
+  /** `agg_having` (fct_hn_domain_stats.sql:21-25): post-aggregation filter. */
+  def aggHaving(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_partkey").as("part"))
+      .agg(count(lit(1)).as("line_count"),
+        Num.dollars(sum(Num.cents(col("l_extendedprice")))).as("revenue"))
+      .where(col("line_count") >= 35)
+
+  /** `agg_nunique_multi` (fct_top_vendors.sql:22-25): several countDistinct in one agg. */
+  def aggNuniqueMulti(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag").as("return_flag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("distinct_parts"),
+        countDistinct(col("l_suppkey")).as("distinct_suppliers"),
+        countDistinct(col("l_orderkey")).as("distinct_orders"))
+
+  /** `agg_child_count` (fct_issues.sql:14-21,72): self-aggregate counts joined
+    * back to the dimension (left join, missing → 0).
+    */
+  def aggChildCount(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val counts = orders.groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
+    customer
+      .join(counts, customer("c_custkey") === counts("o_custkey"), "left")
+      .select(
+        col("c_custkey").as("customer_id"),
+        col("c_name").as("customer_name"),
+        coalesce(col("cnt"), lit(0L)).as("order_count"),
+        (coalesce(col("cnt"), lit(0L)) > 0).as("has_orders"))
+  }
+
+  /** `agg_pd_describe` (pages/3_Oura_Wellness.py:16-55): day-of-week stats.
+    * ISO weekday (1=Mon..7=Sun): Spark weekday()+1 == DuckDB isodow().
+    */
+  def aggDowStats(orders: DataFrame): DataFrame =
+    orders
+      .groupBy((weekday(col("o_orderdate")) + 1).cast("long").as("iso_dow"))
+      .agg(
+        count(lit(1)).as("order_count"),
+        Num.meanDollars(sum(centsPrice), count(lit(1))).as("avg_order_value"))
+
+  val oracles: Map[String, String] = Map(
+    "agg_weekly_stats" ->
+      """SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS order_week,
+        |       COUNT(*) AS order_count,
+        |       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_sales,
+        |       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 100.0 AS avg_order_value,
+        |       COUNT(DISTINCT o_custkey) AS distinct_customers
+        |FROM orders GROUP BY 1""".stripMargin,
+    "agg_countif" ->
+      """SELECT o_orderpriority AS priority,
+        |       COUNT(*) AS order_count,
+        |       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS fulfilled_count,
+        |       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS open_count,
+        |       COUNT(*) FILTER (WHERE CAST(ROUND(o_totalprice * 100) AS BIGINT) > 20000000) AS high_value_count
+        |FROM orders GROUP BY 1""".stripMargin,
+    "agg_count_distinct_if" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+        |       COUNT(DISTINCT o_custkey) AS customers,
+        |       COUNT(DISTINCT CASE WHEN o_orderstatus = 'F' THEN o_custkey END) AS fulfilled_customers,
+        |       COUNT(DISTINCT CASE WHEN CAST(ROUND(o_totalprice * 100) AS BIGINT) > 20000000 THEN o_custkey END) AS high_value_customers
+        |FROM orders GROUP BY 1""".stripMargin,
+    "agg_pct_of_count" ->
+      """SELECT o_orderpriority AS priority,
+        |       COUNT(*) AS order_count,
+        |       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) * 100.0 AS pct_fulfilled
+        |FROM orders GROUP BY 1""".stripMargin,
+    "agg_stddev" ->
+      """WITH m AS (
+        |  SELECT l_returnflag AS return_flag, COUNT(*) AS n,
+        |         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |         SUM(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS DECIMAL(38,0))) AS sumsq,
+        |         CAST(SUM(ABS(CAST(ROUND(l_extendedprice * 100) AS BIGINT))) AS BIGINT) AS sum_abs_cents
+        |  FROM lineitem GROUP BY 1)
+        |SELECT return_flag, n,
+        |       SQRT((CAST(sumsq AS DOUBLE) - CAST(sum_cents AS DOUBLE) * CAST(sum_cents AS DOUBLE) / CAST(n AS DOUBLE))
+        |            / CAST(NULLIF(n, 1) - 1 AS DOUBLE)) / 100.0 AS stddev_price,
+        |       CAST(sum_abs_cents AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS avg_magnitude
+        |FROM m""".stripMargin,
+    "agg_minmax_ts" ->
+      """SELECT o_orderstatus AS status,
+        |       MIN(o_orderdate) AS first_order_at,
+        |       MAX(o_orderdate) AS last_order_at,
+        |       COUNT(*) AS order_count
+        |FROM orders GROUP BY 1""".stripMargin,
+    "agg_safe_ratio" ->
+      """WITH g AS (
+        |  SELECT l_partkey AS part,
+        |         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |         CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS units
+        |  FROM lineitem GROUP BY 1)
+        |SELECT part,
+        |       CAST(revenue_cents AS DOUBLE) / 100.0 AS revenue,
+        |       units,
+        |       CAST(revenue_cents AS DOUBLE) / CAST(NULLIF(units, 0) AS DOUBLE) / 100.0 AS revenue_per_unit
+        |FROM g""".stripMargin,
+    "agg_null_aware_avg" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |         CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(ROUND(value * 100) AS BIGINT) END) AS BIGINT) AS purchase_cents,
+        |         CAST(SUM(CASE WHEN event_type = 'signup' THEN CAST(ROUND(value * 100) AS BIGINT) END) AS BIGINT) AS signup_cents,
+        |         CAST(SUM(CASE WHEN event_type = 'error' THEN CAST(ROUND(value * 100) AS BIGINT) END) AS BIGINT) AS error_cents
+        |  FROM events GROUP BY 1)
+        |SELECT user_id,
+        |       CAST(purchase_cents AS DOUBLE) / 100.0 AS purchase_total,
+        |       CAST(signup_cents AS DOUBLE) / 100.0 AS signup_total,
+        |       CAST(error_cents AS DOUBLE) / 100.0 AS error_total,
+        |       CAST(COALESCE(purchase_cents, 0) + COALESCE(signup_cents, 0) + COALESCE(error_cents, 0) AS DOUBLE)
+        |         / CAST(NULLIF((CASE WHEN purchase_cents IS NOT NULL THEN 1 ELSE 0 END)
+        |                     + (CASE WHEN signup_cents IS NOT NULL THEN 1 ELSE 0 END)
+        |                     + (CASE WHEN error_cents IS NOT NULL THEN 1 ELSE 0 END), 0) AS DOUBLE) / 100.0 AS combined_avg
+        |FROM g""".stripMargin,
+    "agg_cond_max" ->
+      """SELECT user_id,
+        |       CAST(MAX(CASE WHEN event_type = 'purchase' THEN CAST(ROUND(value * 100) AS BIGINT) END) AS DOUBLE) / 100.0 AS max_purchase,
+        |       CAST(MAX(CASE WHEN event_type = 'view' THEN CAST(ROUND(value * 100) AS BIGINT) END) AS DOUBLE) / 100.0 AS max_view
+        |FROM events GROUP BY 1""".stripMargin,
+    "agg_multikey" ->
+      """SELECT l_returnflag AS return_flag, l_linestatus AS line_status,
+        |       CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+        |       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price,
+        |       COUNT(*) AS count_order
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "agg_having" ->
+      """SELECT l_partkey AS part, COUNT(*) AS line_count,
+        |       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+        |FROM lineitem GROUP BY 1 HAVING COUNT(*) >= 35""".stripMargin,
+    "agg_nunique_multi" ->
+      """SELECT l_returnflag AS return_flag,
+        |       COUNT(DISTINCT l_partkey) AS distinct_parts,
+        |       COUNT(DISTINCT l_suppkey) AS distinct_suppliers,
+        |       COUNT(DISTINCT l_orderkey) AS distinct_orders
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "agg_child_count" ->
+      """WITH counts AS (
+        |  SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY 1)
+        |SELECT c.c_custkey AS customer_id, c.c_name AS customer_name,
+        |       COALESCE(cnt, 0) AS order_count,
+        |       COALESCE(cnt, 0) > 0 AS has_orders
+        |FROM customer c LEFT JOIN counts ON c.c_custkey = counts.o_custkey""".stripMargin,
+    "agg_dow_stats" ->
+      """SELECT isodow(o_orderdate) AS iso_dow,
+        |       COUNT(*) AS order_count,
+        |       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 100.0 AS avg_order_value
+        |FROM orders GROUP BY 1""".stripMargin
+  )
+}
