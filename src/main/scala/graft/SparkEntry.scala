@@ -66,9 +66,38 @@ object SparkEntry {
     // §2.6 sorts / limits
     "sort_model_output" -> ((s, d) => Sorts.sortModelOutput(Tables.orders(s, d))),
     "topk_nlargest" -> ((s, d) => Sorts.topkNlargest(Tables.lineitem(s, d))),
-    "limit_param" -> ((s, d) => Sorts.limitParam(Tables.events(s, d)))
+    "limit_param" -> ((s, d) => Sorts.limitParam(Tables.events(s, d))),
+    // §2.3 joins
+    "join_left_denorm" -> ((s, d) => Joins.joinLeftDenorm(
+      Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))),
+    "join_left_agg" -> ((s, d) => Joins.joinLeftAgg(Tables.orders(s, d), Tables.lineitem(s, d))),
+    "join_full_outer_expr" -> ((s, d) =>
+      Joins.joinFullOuterExpr(Tables.customer(s, d), Tables.supplier(s, d))),
+    "join_full_outer_composite" -> ((s, d) => Joins.joinFullOuterComposite(Tables.lineitem(s, d))),
+    "join_inner_filter" -> ((s, d) => Joins.joinInnerFilter(Tables.lineitem(s, d), Tables.orders(s, d))),
+    "join_semi_recent" -> ((s, d) => Joins.joinSemiRecent(Tables.lineitem(s, d), Tables.orders(s, d))),
+    "join_cross_regex" -> ((s, d) => Joins.joinCrossRegex(s, Tables.part(s, d))),
+    "join_fact_to_story" -> ((s, d) => Joins.joinFactToStory(Tables.lineitem(s, d), Tables.orders(s, d))),
+    "join_value_backref" -> ((s, d) => Joins.joinValueBackref(Tables.supplier(s, d), Tables.nation(s, d))),
+    "join_topk_back" -> ((s, d) => Joins.joinTopkBack(Tables.lineitem(s, d), Tables.part(s, d))),
+    "join_pd_merge" -> ((s, d) => Joins.joinPdMerge(Tables.orders(s, d), Tables.lineitem(s, d))),
+    // §2.7 set ops
+    "union_distinct" -> ((s, d) =>
+      SetOps.unionDistinct(Tables.orders(s, d), Tables.lineitem(s, d), Tables.events(s, d))),
+    "union_all_rollup" -> ((s, d) => SetOps.unionAllRollup(Tables.orders(s, d))),
+    "union_participants" -> ((s, d) => SetOps.unionParticipants(Tables.lineitem(s, d))),
+    // §2.8 arrays / json
+    "arr_literal_unnest" -> ((s, _) => Arrays.arrLiteralUnnest(s)),
+    "struct_arr_lookup" -> ((s, d) => Arrays.structArrLookup(s, Tables.orders(s, d))),
+    "arr_build_filtered" -> ((s, d) => Arrays.arrBuildFiltered(Tables.part(s, d))),
+    "arr_len_default" -> ((s, d) => Arrays.arrLenDefault(Tables.part(s, d))),
+    "arr_explode" -> ((s, d) => Arrays.arrExplode(Tables.part(s, d))),
+    "arr_bool_rollup" -> ((s, d) => Arrays.arrBoolRollup(Tables.part(s, d))),
+    "json_flatten" -> ((s, d) => Arrays.jsonFlatten(Tables.events(s, d))),
+    "pd_explode" -> ((s, d) => Arrays.pdExplode(Tables.documents(s, d)))
   )
 
   def oracleSql: Map[String, String] =
-    Oracles.all ++ Aggregates.oracles ++ Staging.oracles ++ Scalars.oracles ++ Sorts.oracles
+    Oracles.all ++ Aggregates.oracles ++ Staging.oracles ++ Scalars.oracles ++
+      Sorts.oracles ++ Joins.oracles ++ SetOps.oracles ++ Arrays.oracles
 }

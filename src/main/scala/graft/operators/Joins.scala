@@ -1,0 +1,358 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Num
+
+/** Join operators (SURVEY.md §2.3). Every reference join is an equi-join
+  * except the regex theta-join; physical notes:
+  *  - dimension sides (nation/region/supplier, inline lookups) are far below
+  *    autoBroadcastJoinThreshold → Catalyst broadcasts them; no shuffle of the
+  *    fact side. At 100 TB the fact table never re-partitions for these.
+  *  - fact-to-fact joins (orders↔lineitem) shuffle both sides on the join key
+  *    once; AQE handles skew splitting.
+  *  - the cross+regex join broadcasts the tiny keyword table under a nested
+  *    loop — the correct plan for a theta-join with a 3-row build side.
+  */
+object Joins {
+
+  /** `join_left_denorm` (fct_issues.sql:68-72): star denormalization with a
+    * self-join (customer → referrer customer via derived referrer_id).
+    */
+  def joinLeftDenorm(orders: DataFrame, customer: DataFrame,
+      nation: DataFrame, region: DataFrame): DataFrame = {
+    val cust = customer.as("c")
+    val referrer = customer.select(col("c_custkey").as("ref_custkey"),
+      col("c_name").as("ref_name"))
+    orders.as("o")
+      .join(cust, col("o.o_custkey") === col("c.c_custkey"), "left")
+      .join(nation.as("n"), col("c.c_nationkey") === col("n.n_nationkey"), "left")
+      .join(region.as("r"), col("n.n_regionkey") === col("r.r_regionkey"), "left")
+      .join(referrer, expr("c.c_custkey div 10") === col("ref_custkey"), "left")
+      .select(
+        col("o.o_orderkey").as("order_id"),
+        col("c.c_name").as("customer_name"),
+        col("n.n_name").as("nation_name"),
+        col("r.r_name").as("region_name"),
+        col("ref_name").as("referrer_name"))
+  }
+
+  /** `join_left_agg` (fct_pull_requests.sql:94-97): fact LEFT JOIN
+    * pre-aggregated subqueries.
+    */
+  def joinLeftAgg(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val lineStats = lineitem.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("line_count"),
+        sum(Num.cents(col("l_extendedprice"))).as("revenue_cents"))
+    orders
+      .join(lineStats, orders("o_orderkey") === lineStats("l_orderkey"), "left")
+      .select(
+        col("o_orderkey").as("order_id"),
+        col("o_orderstatus").as("status"),
+        coalesce(col("line_count"), lit(0L)).as("line_count"),
+        Num.dollars(coalesce(col("revenue_cents"), lit(0L))).as("line_revenue"))
+  }
+
+  /** `join_full_outer_expr` (dim_users.sql:11-43): cross-system identity
+    * resolution — FULL OUTER on a lowered email expression, coalesced key with
+    * source-prefix fallback, provenance label.
+    */
+  def joinFullOuterExpr(customer: DataFrame, supplier: DataFrame): DataFrame = {
+    val l = customer.select(
+      concat(lit("c_"), col("c_custkey")).as("l_user_id"),
+      concat(lit("user"), col("c_custkey") * 2, lit("@x.com")).as("l_email"),
+      col("c_name").as("l_name"))
+    val g = supplier.select(
+      col("s_suppkey").cast("string").as("g_user_id"),
+      concat(lit("USER"), col("s_suppkey") * 3, lit("@X.COM")).as("g_email"),
+      col("s_name").as("g_name"))
+    l.join(g, lower(col("l_email")) === lower(col("g_email")), "full_outer")
+      .select(
+        coalesce(col("l_user_id"), concat(lit("gh_"), col("g_user_id"))).as("user_key"),
+        coalesce(col("l_name"), col("g_name")).as("display_name"),
+        coalesce(lower(col("l_email")), lower(col("g_email"))).as("email"),
+        when(col("l_user_id").isNotNull && col("g_user_id").isNotNull, "both")
+          .when(col("l_user_id").isNotNull, "linear")
+          .otherwise("github").as("source_system"))
+  }
+
+  /** `join_full_outer_composite` + `union_participants`
+    * (fct_reviewer_activity.sql:43-55): reviewers∪commenters keyed by the
+    * composite (actor, order) — set-union by key via FULL OUTER + coalesce.
+    */
+  def joinFullOuterComposite(lineitem: DataFrame): DataFrame = {
+    val reviews = lineitem.where(col("l_returnflag") === "R")
+      .groupBy(col("l_suppkey").as("rv_actor"), col("l_orderkey").as("rv_order"))
+      .agg(count(lit(1)).as("review_count"))
+    val comments = lineitem.where(col("l_returnflag") === "A")
+      .groupBy(col("l_suppkey").as("cm_actor"), col("l_orderkey").as("cm_order"))
+      .agg(count(lit(1)).as("comment_count"))
+    reviews.join(comments,
+        col("rv_actor") === col("cm_actor") && col("rv_order") === col("cm_order"),
+        "full_outer")
+      .select(
+        coalesce(col("rv_actor"), col("cm_actor")).as("actor_id"),
+        coalesce(col("rv_order"), col("cm_order")).as("order_id"),
+        coalesce(col("review_count"), lit(0L)).as("review_count"),
+        coalesce(col("comment_count"), lit(0L)).as("comment_count"))
+  }
+
+  /** `join_inner_filter` (fct_reviewer_activity.sql:117-120): inner join +
+    * anti-predicate (exclude self-review).
+    */
+  def joinInnerFilter(lineitem: DataFrame, orders: DataFrame): DataFrame =
+    lineitem
+      .join(orders, lineitem("l_orderkey") === orders("o_orderkey"))
+      .where(col("l_suppkey") =!= col("o_custkey") % 100)
+      .select(
+        col("l_orderkey").as("order_id"),
+        col("l_suppkey").as("participant_id"),
+        (col("o_custkey") % 100).as("author_id"))
+
+  /** `join_semi_recent` (data.py:102-125): double left-semi filter against
+    * recently-active actors on both sides of a pair table.
+    */
+  def joinSemiRecent(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    val cutoff = to_timestamp(lit("2001-01-01 00:00:00"))
+    val recentSupp = lineitem.where(col("l_shipdate") >= cutoff)
+      .select(col("l_suppkey")).distinct()
+    val recentCust = orders.where(col("o_orderdate") >= cutoff)
+      .select(col("o_custkey")).distinct()
+    lineitem
+      .join(orders.select("o_orderkey", "o_custkey"),
+        lineitem("l_orderkey") === col("o_orderkey"))
+      .join(recentSupp, Seq("l_suppkey"), "left_semi")
+      .join(recentCust, Seq("o_custkey"), "left_semi")
+      .groupBy(col("l_suppkey").as("supplier_id"), col("o_custkey").as("customer_id"))
+      .agg(count(lit(1)).as("interaction_count"))
+  }
+
+  /** `join_cross_regex` (fct_hn_keyword_trends.sql:59-71): tiny keyword table
+    * × text rows, regex-contains theta-join. Patterns restricted to syntax
+    * with identical semantics in Java regex (Spark) and RE2 (DuckDB).
+    */
+  def joinCrossRegex(spark: SparkSession, part: DataFrame): DataFrame = {
+    import spark.implicits._
+    val keywords = Seq(
+      ("color", "red|blue|green"),
+      ("widgets", "widget|gizmo|gadget"),
+      ("hardware", "bolt|screw|gear"),
+      ("size", "small|big|large")).toDF("keyword", "pattern")
+    part.crossJoin(broadcast(keywords))
+      .where(expr("regexp_like(lower(p_name), pattern)"))
+      .groupBy(col("keyword"))
+      .agg(count(lit(1)).as("part_count"),
+        countDistinct(col("p_brand")).as("brand_count"))
+  }
+
+  /** `join_fact_to_story` (sources/hacker_news.py:335-341): facts joined to a
+    * filtered dimension (comments of top stories).
+    */
+  def joinFactToStory(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    val topOrders = orders.where(Num.cents(col("o_totalprice")) > 30000000L)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    lineitem
+      .join(topOrders, lineitem("l_orderkey") === topOrders("o_orderkey"))
+      .groupBy(col("o_orderkey").as("order_id"))
+      .agg(count(lit(1)).as("line_count"),
+        Num.dollars(sum(Num.cents(col("l_extendedprice")))).as("line_revenue"))
+  }
+
+  /** `join_value_backref` (fct_sector_performance.sql:68-73): join an
+    * aggregate back to detail on (group, value) to recover the argmax row.
+    * `max_by` would collapse this to one agg — kept in join form for oracle
+    * parity with the reference's SQL shape.
+    */
+  def joinValueBackref(supplier: DataFrame, nation: DataFrame): DataFrame = {
+    val best = supplier
+      .groupBy(col("s_nationkey").as("b_nationkey"))
+      .agg(max(Num.cents(col("s_acctbal"))).as("best_balance_cents"))
+    supplier
+      .withColumn("acct_cents", Num.cents(col("s_acctbal")))
+      .join(best, col("s_nationkey") === col("b_nationkey") &&
+        col("acct_cents") === col("best_balance_cents"))
+      .join(nation, col("s_nationkey") === nation("n_nationkey"))
+      .select(
+        col("n_name").as("nation_name"),
+        col("s_name").as("best_supplier"),
+        Num.dollars(col("best_balance_cents")).as("best_balance"))
+  }
+
+  /** `join_topk_back` (fct_sales_by_county.sql:52-56): per-group aggregates
+    * LEFT JOIN the rank-1 row of a windowed sub-aggregate.
+    */
+  def joinTopkBack(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val perPart = lineitem
+      .join(part, lineitem("l_partkey") === part("p_partkey"))
+      .groupBy(col("p_brand").as("brand"), col("p_partkey"), col("p_name"))
+      .agg(sum(Num.cents(col("l_extendedprice"))).as("part_rev_cents"))
+    val brandTotals = perPart.groupBy(col("brand"))
+      .agg(sum(col("part_rev_cents")).as("brand_rev_cents"),
+        count(lit(1)).as("part_count"))
+    val w = Window.partitionBy("brand").orderBy(col("part_rev_cents").desc, col("p_partkey"))
+    val top = perPart.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("brand").as("t_brand"), col("p_name").as("top_part"),
+        col("part_rev_cents").as("top_part_cents"))
+    brandTotals.join(top, col("brand") === col("t_brand"), "left")
+      .select(
+        col("brand"),
+        Num.dollars(col("brand_rev_cents")).as("brand_revenue"),
+        col("part_count"),
+        col("top_part"),
+        Num.dollars(col("top_part_cents")).as("top_part_revenue"))
+  }
+
+  /** `join_pd_merge` (pages/2_GitHub_PRs.py:136,169-171): weekly series outer
+    * merge + fillna(0).
+    */
+  def joinPdMerge(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val placed = orders
+      .groupBy(to_date(date_trunc("week", col("o_orderdate"))).as("week"))
+      .agg(count(lit(1)).as("orders_placed"))
+    val shipped = lineitem
+      .groupBy(to_date(date_trunc("week", col("l_shipdate"))).as("week"))
+      .agg(count(lit(1)).as("lines_shipped"))
+    placed.join(shipped, Seq("week"), "full_outer")
+      .na.fill(0, Seq("orders_placed", "lines_shipped"))
+      .select(col("week"), col("orders_placed"), col("lines_shipped"))
+  }
+
+  val oracles: Map[String, String] = Map(
+    "join_left_denorm" ->
+      """SELECT o.o_orderkey AS order_id,
+        |       c.c_name AS customer_name,
+        |       n.n_name AS nation_name,
+        |       r.r_name AS region_name,
+        |       ref.c_name AS referrer_name
+        |FROM orders o
+        |LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+        |LEFT JOIN customer ref ON c.c_custkey // 10 = ref.c_custkey""".stripMargin,
+    "join_left_agg" ->
+      """WITH line_stats AS (
+        |  SELECT l_orderkey, COUNT(*) AS line_count,
+        |         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |  FROM lineitem GROUP BY 1)
+        |SELECT o_orderkey AS order_id, o_orderstatus AS status,
+        |       COALESCE(line_count, 0) AS line_count,
+        |       CAST(COALESCE(revenue_cents, 0) AS DOUBLE) / 100.0 AS line_revenue
+        |FROM orders LEFT JOIN line_stats ON o_orderkey = l_orderkey""".stripMargin,
+    "join_full_outer_expr" ->
+      """WITH l AS (
+        |  SELECT 'c_' || c_custkey AS l_user_id,
+        |         'user' || (c_custkey * 2) || '@x.com' AS l_email,
+        |         c_name AS l_name
+        |  FROM customer),
+        |g AS (
+        |  SELECT CAST(s_suppkey AS VARCHAR) AS g_user_id,
+        |         'USER' || (s_suppkey * 3) || '@X.COM' AS g_email,
+        |         s_name AS g_name
+        |  FROM supplier)
+        |SELECT COALESCE(l_user_id, 'gh_' || g_user_id) AS user_key,
+        |       COALESCE(l_name, g_name) AS display_name,
+        |       COALESCE(LOWER(l_email), LOWER(g_email)) AS email,
+        |       CASE WHEN l_user_id IS NOT NULL AND g_user_id IS NOT NULL THEN 'both'
+        |            WHEN l_user_id IS NOT NULL THEN 'linear'
+        |            ELSE 'github' END AS source_system
+        |FROM l FULL OUTER JOIN g ON LOWER(l_email) = LOWER(g_email)""".stripMargin,
+    "join_full_outer_composite" ->
+      """WITH reviews AS (
+        |  SELECT l_suppkey AS rv_actor, l_orderkey AS rv_order, COUNT(*) AS review_count
+        |  FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1, 2),
+        |comments AS (
+        |  SELECT l_suppkey AS cm_actor, l_orderkey AS cm_order, COUNT(*) AS comment_count
+        |  FROM lineitem WHERE l_returnflag = 'A' GROUP BY 1, 2)
+        |SELECT COALESCE(rv_actor, cm_actor) AS actor_id,
+        |       COALESCE(rv_order, cm_order) AS order_id,
+        |       COALESCE(review_count, 0) AS review_count,
+        |       COALESCE(comment_count, 0) AS comment_count
+        |FROM reviews FULL OUTER JOIN comments
+        |  ON rv_actor = cm_actor AND rv_order = cm_order""".stripMargin,
+    "join_inner_filter" ->
+      """SELECT l_orderkey AS order_id,
+        |       l_suppkey AS participant_id,
+        |       o_custkey % 100 AS author_id
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_suppkey != o_custkey % 100""".stripMargin,
+    "join_semi_recent" ->
+      """WITH recent_supp AS (
+        |  SELECT DISTINCT l_suppkey FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '2001-01-01 00:00:00'),
+        |recent_cust AS (
+        |  SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+        |SELECT l.l_suppkey AS supplier_id, o.o_custkey AS customer_id,
+        |       COUNT(*) AS interaction_count
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE l.l_suppkey IN (SELECT l_suppkey FROM recent_supp)
+        |  AND o.o_custkey IN (SELECT o_custkey FROM recent_cust)
+        |GROUP BY 1, 2""".stripMargin,
+    "join_cross_regex" ->
+      """WITH keywords AS (
+        |  SELECT * FROM (VALUES
+        |    ('color', 'red|blue|green'),
+        |    ('widgets', 'widget|gizmo|gadget'),
+        |    ('hardware', 'bolt|screw|gear'),
+        |    ('size', 'small|big|large')) AS t(keyword, pattern))
+        |SELECT keyword, COUNT(*) AS part_count,
+        |       COUNT(DISTINCT p_brand) AS brand_count
+        |FROM part CROSS JOIN keywords
+        |WHERE regexp_matches(LOWER(p_name), pattern)
+        |GROUP BY 1""".stripMargin,
+    "join_fact_to_story" ->
+      """WITH top_orders AS (
+        |  SELECT o_orderkey FROM orders
+        |  WHERE CAST(ROUND(o_totalprice * 100) AS BIGINT) > 30000000)
+        |SELECT l_orderkey AS order_id, COUNT(*) AS line_count,
+        |       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS line_revenue
+        |FROM lineitem JOIN top_orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
+    "join_value_backref" ->
+      """WITH best AS (
+        |  SELECT s_nationkey AS b_nationkey,
+        |         MAX(CAST(ROUND(s_acctbal * 100) AS BIGINT)) AS best_balance_cents
+        |  FROM supplier GROUP BY 1)
+        |SELECT n_name AS nation_name, s_name AS best_supplier,
+        |       CAST(best_balance_cents AS DOUBLE) / 100.0 AS best_balance
+        |FROM supplier
+        |JOIN best ON s_nationkey = b_nationkey
+        |         AND CAST(ROUND(s_acctbal * 100) AS BIGINT) = best_balance_cents
+        |JOIN nation ON s_nationkey = n_nationkey""".stripMargin,
+    "join_topk_back" ->
+      """WITH per_part AS (
+        |  SELECT p_brand AS brand, p_partkey, p_name,
+        |         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS part_rev_cents
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1, 2, 3),
+        |brand_totals AS (
+        |  SELECT brand, CAST(SUM(part_rev_cents) AS BIGINT) AS brand_rev_cents,
+        |         COUNT(*) AS part_count
+        |  FROM per_part GROUP BY 1),
+        |top AS (
+        |  SELECT brand AS t_brand, p_name AS top_part, part_rev_cents AS top_part_cents
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY brand
+        |          ORDER BY part_rev_cents DESC, p_partkey) AS rn FROM per_part)
+        |  WHERE rn = 1)
+        |SELECT brand,
+        |       CAST(brand_rev_cents AS DOUBLE) / 100.0 AS brand_revenue,
+        |       part_count, top_part,
+        |       CAST(top_part_cents AS DOUBLE) / 100.0 AS top_part_revenue
+        |FROM brand_totals LEFT JOIN top ON brand = t_brand""".stripMargin,
+    "join_pd_merge" ->
+      """WITH placed AS (
+        |  SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS week,
+        |         COUNT(*) AS orders_placed
+        |  FROM orders GROUP BY 1),
+        |shipped AS (
+        |  SELECT CAST(date_trunc('week', l_shipdate) AS DATE) AS week,
+        |         COUNT(*) AS lines_shipped
+        |  FROM lineitem GROUP BY 1)
+        |SELECT COALESCE(p.week, s.week) AS week,
+        |       COALESCE(orders_placed, 0) AS orders_placed,
+        |       COALESCE(lines_shipped, 0) AS lines_shipped
+        |FROM placed p FULL OUTER JOIN shipped s ON p.week = s.week""".stripMargin
+  )
+}

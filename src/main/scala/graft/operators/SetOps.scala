@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.Num
+
+/** Set operators (SURVEY.md §2.7). No INTERSECT/EXCEPT exists in the
+  * reference; the "rollup" is a hand-built UNION ALL, mapped to unionByName
+  * (NOT Spark rollup()) to preserve the reference's row shape.
+  */
+object SetOps {
+
+  /** `union_distinct` (fct_oura_daily.sql:37-46,137-141): calendar spine —
+    * distinct weeks from three facts unioned, then LEFT JOIN each fact's
+    * weekly aggregate onto the spine (missing weeks stay NULL).
+    */
+  def unionDistinct(orders: DataFrame, lineitem: DataFrame, events: DataFrame): DataFrame = {
+    def weekOf(c: String) = to_date(date_trunc("week", col(c))).as("week")
+    val spine = orders.select(weekOf("o_orderdate"))
+      .union(lineitem.select(weekOf("l_shipdate")))
+      .union(events.select(weekOf("ts")))
+      .distinct()
+    val placed = orders.groupBy(weekOf("o_orderdate"))
+      .agg(count(lit(1)).as("orders_placed"))
+    val shipped = lineitem.groupBy(weekOf("l_shipdate"))
+      .agg(count(lit(1)).as("lines_shipped"))
+    val evs = events.groupBy(weekOf("ts"))
+      .agg(count(lit(1)).as("event_count"))
+    spine
+      .join(placed, Seq("week"), "left")
+      .join(shipped, Seq("week"), "left")
+      .join(evs, Seq("week"), "left")
+      .select(col("week"), col("orders_placed"), col("lines_shipped"), col("event_count"))
+  }
+
+  /** `union_all_rollup` (fct_fda_recalls_by_topic.sql:73-109): per-group
+    * aggregates UNION ALL hand-built rollup rows.
+    */
+  def unionAllRollup(orders: DataFrame): DataFrame = {
+    val cents = Num.cents(col("o_totalprice"))
+    val perPriority = orders.groupBy(col("o_orderpriority").as("priority_group"))
+      .agg(count(lit(1)).as("order_count"),
+        Num.dollars(sum(cents)).as("total_sales"))
+    val urgentAny = orders
+      .where(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .agg(count(lit(1)).as("order_count"),
+        Num.dollars(sum(cents)).as("total_sales"))
+      .withColumn("priority_group", lit("Urgent (Any)"))
+    val allRow = orders
+      .agg(count(lit(1)).as("order_count"),
+        Num.dollars(sum(cents)).as("total_sales"))
+      .withColumn("priority_group", lit("All"))
+    perPriority
+      .unionByName(urgentAny.select("priority_group", "order_count", "total_sales"))
+      .unionByName(allRow.select("priority_group", "order_count", "total_sales"))
+  }
+
+  /** `union_participants` (fct_reviewer_activity.sql:43-55): participant
+    * set-union by key with a role label — the FULL OUTER form of union
+    * (see also [[Joins.joinFullOuterComposite]]).
+    */
+  def unionParticipants(lineitem: DataFrame): DataFrame =
+    Joins.joinFullOuterComposite(lineitem)
+      .withColumn("participant_role",
+        when(col("review_count") > 0 && col("comment_count") > 0, "both")
+          .when(col("review_count") > 0, "reviewer")
+          .otherwise("commenter"))
+
+  val oracles: Map[String, String] = Map(
+    "union_distinct" ->
+      """WITH spine AS (
+        |  SELECT DISTINCT week FROM (
+        |    SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS week FROM orders
+        |    UNION ALL
+        |    SELECT CAST(date_trunc('week', l_shipdate) AS DATE) AS week FROM lineitem
+        |    UNION ALL
+        |    SELECT CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS week FROM events)),
+        |placed AS (
+        |  SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS week,
+        |         COUNT(*) AS orders_placed FROM orders GROUP BY 1),
+        |shipped AS (
+        |  SELECT CAST(date_trunc('week', l_shipdate) AS DATE) AS week,
+        |         COUNT(*) AS lines_shipped FROM lineitem GROUP BY 1),
+        |evs AS (
+        |  SELECT CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS week,
+        |         COUNT(*) AS event_count FROM events GROUP BY 1)
+        |SELECT s.week, orders_placed, lines_shipped, event_count
+        |FROM spine s
+        |LEFT JOIN placed p ON s.week = p.week
+        |LEFT JOIN shipped sh ON s.week = sh.week
+        |LEFT JOIN evs e ON s.week = e.week""".stripMargin,
+    "union_all_rollup" ->
+      """SELECT o_orderpriority AS priority_group, COUNT(*) AS order_count,
+        |       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_sales
+        |FROM orders GROUP BY 1
+        |UNION ALL
+        |SELECT 'Urgent (Any)', COUNT(*),
+        |       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+        |FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |UNION ALL
+        |SELECT 'All', COUNT(*),
+        |       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+        |FROM orders""".stripMargin,
+    "union_participants" ->
+      """WITH reviews AS (
+        |  SELECT l_suppkey AS rv_actor, l_orderkey AS rv_order, COUNT(*) AS review_count
+        |  FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1, 2),
+        |comments AS (
+        |  SELECT l_suppkey AS cm_actor, l_orderkey AS cm_order, COUNT(*) AS comment_count
+        |  FROM lineitem WHERE l_returnflag = 'A' GROUP BY 1, 2),
+        |u AS (
+        |  SELECT COALESCE(rv_actor, cm_actor) AS actor_id,
+        |         COALESCE(rv_order, cm_order) AS order_id,
+        |         COALESCE(review_count, 0) AS review_count,
+        |         COALESCE(comment_count, 0) AS comment_count
+        |  FROM reviews FULL OUTER JOIN comments
+        |    ON rv_actor = cm_actor AND rv_order = cm_order)
+        |SELECT actor_id, order_id, review_count, comment_count,
+        |       CASE WHEN review_count > 0 AND comment_count > 0 THEN 'both'
+        |            WHEN review_count > 0 THEN 'reviewer'
+        |            ELSE 'commenter' END AS participant_role
+        |FROM u""".stripMargin
+  )
+}
