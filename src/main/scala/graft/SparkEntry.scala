@@ -94,10 +94,35 @@ object SparkEntry {
     "arr_explode" -> ((s, d) => Arrays.arrExplode(Tables.part(s, d))),
     "arr_bool_rollup" -> ((s, d) => Arrays.arrBoolRollup(Tables.part(s, d))),
     "json_flatten" -> ((s, d) => Arrays.jsonFlatten(Tables.events(s, d))),
-    "pd_explode" -> ((s, d) => Arrays.pdExplode(Tables.documents(s, d)))
+    "pd_explode" -> ((s, d) => Arrays.pdExplode(Tables.documents(s, d))),
+    // §2.1 ingestion / sinks / driver-side sources
+    "merge_upsert" -> ((s, d) => Merge.mergeUpsertQuery(Tables.events(s, d))),
+    "schema_evolve" -> ((s, d) => Merge.schemaEvolveQuery(Tables.events(s, d))),
+    "load_truncate" -> ((s, d) => Merge.loadTruncateQuery(s, Tables.events(s, d))),
+    "nan_clean" -> ((s, d) => Merge.nanClean(Tables.events(s, d))),
+    "synthetic_pk" -> ((s, d) => Merge.syntheticPk(Tables.events(s, d))),
+    "multiidx_unstack" -> ((s, d) => Merge.multiidxUnstack(Tables.prices(s, d))),
+    "serve_query" -> ((s, d) => Merge.serveQuery(s, Tables.orders(s, d))),
+    "api_paginate_cursor" -> ((s, _) => graft.sources.ApiSource.cursorDf(s)),
+    "api_paginate_link" -> ((s, _) => graft.sources.ApiSource.linkDf(s)),
+    "api_paginate_token" -> ((s, _) => graft.sources.ApiSource.tokenDf(s)),
+    "api_early_stop" -> ((s, _) => graft.sources.ApiSource.earlyStopDf(s)),
+    // §2.9 reshape / serve-layer stats
+    "pivot_assignee" -> ((s, d) => Reshape.pivotAssignee(Tables.orders(s, d), Tables.customer(s, d))),
+    "melt_scores" -> ((s, d) => Reshape.meltScores(Tables.events(s, d))),
+    "norm_first" -> ((s, d) => Reshape.normFirst(Tables.prices(s, d))),
+    "period_compare" -> ((s, d) => Reshape.periodCompare(Tables.events(s, d))),
+    "autocorr" -> ((s, d) => Reshape.autocorr(Tables.trends(s, d))),
+    "stats_tests" -> ((s, d) => Reshape.statsTests(Tables.trends(s, d))),
+    // §2.11 enrichment UDFs
+    "udf_sentiment" -> ((s, d) => Enrich.udfSentiment(Tables.documents(s, d))),
+    "udf_clean_html" -> ((s, d) => Enrich.udfCleanHtml(Tables.part(s, d))),
+    "udf_issue_type" -> ((s, d) => Enrich.udfIssueType(Tables.events(s, d)))
   )
 
   def oracleSql: Map[String, String] =
     Oracles.all ++ Aggregates.oracles ++ Staging.oracles ++ Scalars.oracles ++
-      Sorts.oracles ++ Joins.oracles ++ SetOps.oracles ++ Arrays.oracles
+      Sorts.oracles ++ Joins.oracles ++ SetOps.oracles ++ Arrays.oracles ++
+      Merge.oracles ++ graft.sources.ApiSource.oracles ++ Reshape.oracles ++
+      Enrich.oracles
 }

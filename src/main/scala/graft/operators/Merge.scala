@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Ingestion / sink semantics (SURVEY.md §2.1): the reference's
+  * load-truncate and MERGE-upsert loop (lib/bigquery.py:83-224) re-expressed
+  * as pure DataFrame algebra (no Delta in the offline jar set).
+  *
+  * Scale: the upsert is `target LEFT ANTI source ∪ source` — one shuffle on
+  * the primary key for the anti-join (or zero if both sides are bucketed by
+  * pk), no window/global sort. Idempotent: merge(merge(t,s),s) == merge(t,s)
+  * (property-tested in MergeSpec). Atomicity at the storage layer is
+  * write-to-temp-then-swap (SURVEY §7.5.7): see [[loadTruncate]]'s
+  * overwrite-into-fresh-dir pattern.
+  */
+object Merge {
+
+  /** `merge_upsert` (lib/bigquery.py:128-224): keyed upsert — matched rows
+    * take the source version, unmatched target rows survive, new source rows
+    * insert.
+    */
+  def mergeUpsert(target: DataFrame, source: DataFrame, pk: Seq[String]): DataFrame =
+    target.join(source, pk, "left_anti").unionByName(source)
+
+  /** `schema_evolve` (lib/bigquery.py:175-183): columns in the new batch that
+    * the live table lacks are appended, existing rows read NULL.
+    */
+  def schemaEvolve(existing: DataFrame, batch: DataFrame): DataFrame =
+    existing.unionByName(batch, allowMissingColumns = true)
+
+  /** `load_truncate` (lib/bigquery.py:83-125): full-refresh WRITE_TRUNCATE —
+    * overwrite the sink and read it back.
+    */
+  def loadTruncate(df: DataFrame, spark: SparkSession, path: String): DataFrame = {
+    df.write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+  }
+
+  /** `nan_clean` (sources/stocks.py:149-169): NaN→NULL scrubbing. */
+  def nanClean(events: DataFrame): DataFrame =
+    events
+      .withColumn("raw_value", when(col("value") > 195.0, lit(Double.NaN)).otherwise(col("value")))
+      .select(
+        col("event_id"),
+        when(isnan(col("raw_value")), null).otherwise(col("raw_value")).as("clean_value"),
+        when(isnan(col("raw_value")), null)
+          .otherwise(round(col("raw_value") * 100).cast("long")).as("clean_cents"))
+
+  /** `synthetic_pk` (sources/stocks.py:172): composite natural key synthesis. */
+  def syntheticPk(events: DataFrame): DataFrame =
+    events.select(
+      concat_ws("_", col("user_id"), to_date(col("ts")).cast("string"), col("event_type"))
+        .as("pk"),
+      col("event_id"), col("user_id"), col("event_type"))
+
+  /** `multiidx_unstack` (sources/stocks.py:96-138): wide (ticker, field)
+    * matrix → long records via stack (the yfinance MultiIndex flatten).
+    */
+  def multiidxUnstack(prices: DataFrame): DataFrame =
+    prices.select(
+      col("ticker"), col("trade_date"),
+      expr(
+        "stack(4, 'close', close_cents, 'high', high_cents, 'low', low_cents, 'volume', volume)")
+        .as(Seq("field", "value_cents")))
+
+  /** `serve_query` (data.py:26-408): serve-layer SQL loader — temp-view +
+    * spark.sql text query with a final ORDER BY (result caching is a
+    * `.persist` decision left to the caller, mirroring st.cache_data).
+    */
+  def serveQuery(spark: SparkSession, orders: DataFrame): DataFrame = {
+    orders.createOrReplaceTempView("orders_serve")
+    spark.sql(
+      """SELECT o_orderstatus AS status,
+        |       COUNT(*) AS order_count,
+        |       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_sales
+        |FROM orders_serve GROUP BY 1 ORDER BY status""".stripMargin)
+  }
+
+  // --- query wiring over the testdata (deterministic target/source split) ---
+
+  /** Upsert demo: target = events below 8000, source = events ≥ 6000 with
+    * bumped value (6000-7999 update in place, ≥8000 insert).
+    */
+  def mergeUpsertQuery(events: DataFrame): DataFrame = {
+    val base = events.select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val target = base.where(col("event_id") < 8000)
+    val source = base.where(col("event_id") >= 6000)
+      .withColumn("value", col("value") + 0.5)
+    mergeUpsert(target, source, Seq("event_id"))
+  }
+
+  /** Schema-evolution demo: older rows lack event_type; union pads NULL. */
+  def schemaEvolveQuery(events: DataFrame): DataFrame = {
+    val existing = events.where(col("event_id") < 5000)
+      .select(col("event_id"), col("user_id"), col("value"))
+    val batch = events.where(col("event_id") >= 5000)
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+    schemaEvolve(existing, batch)
+  }
+
+  /** Truncate-load demo: project, overwrite a scratch sink, read back. */
+  def loadTruncateQuery(spark: SparkSession, events: DataFrame): DataFrame =
+    loadTruncate(
+      events.select(col("event_id"), col("user_id"), col("event_type"),
+        to_date(col("ts")).as("event_date")),
+      spark, "/tmp/graft_sink/load_truncate")
+
+  val oracles: Map[String, String] = Map(
+    "merge_upsert" ->
+      """WITH base AS (
+        |  SELECT event_id, user_id, event_type, value FROM events),
+        |target AS (SELECT * FROM base WHERE event_id < 8000),
+        |source AS (
+        |  SELECT event_id, user_id, event_type, value + 0.5 AS value
+        |  FROM base WHERE event_id >= 6000)
+        |SELECT t.* FROM target t
+        |WHERE t.event_id NOT IN (SELECT event_id FROM source)
+        |UNION ALL
+        |SELECT * FROM source""".stripMargin,
+    "schema_evolve" ->
+      """SELECT event_id, user_id, value, CAST(NULL AS VARCHAR) AS event_type
+        |FROM events WHERE event_id < 5000
+        |UNION ALL
+        |SELECT event_id, user_id, value, event_type
+        |FROM events WHERE event_id >= 5000""".stripMargin,
+    "load_truncate" ->
+      """SELECT event_id, user_id, event_type, CAST(ts AS DATE) AS event_date
+        |FROM events""".stripMargin,
+    "nan_clean" ->
+      """WITH s AS (
+        |  SELECT event_id,
+        |         CASE WHEN value > 195.0 THEN 'NaN'::DOUBLE ELSE value END AS raw_value
+        |  FROM events)
+        |SELECT event_id,
+        |       CASE WHEN isnan(raw_value) THEN NULL ELSE raw_value END AS clean_value,
+        |       CASE WHEN isnan(raw_value) THEN NULL
+        |            ELSE CAST(ROUND(raw_value * 100) AS BIGINT) END AS clean_cents
+        |FROM s""".stripMargin,
+    "synthetic_pk" ->
+      """SELECT user_id || '_' || CAST(CAST(ts AS DATE) AS VARCHAR) || '_' || event_type AS pk,
+        |       event_id, user_id, event_type
+        |FROM events""".stripMargin,
+    "multiidx_unstack" ->
+      s"""WITH ${graft.sources.Tables.pricesSql}
+         |SELECT ticker, trade_date, field, value_cents FROM (
+         |  SELECT ticker, trade_date, 'close' AS field, close_cents AS value_cents FROM prices
+         |  UNION ALL
+         |  SELECT ticker, trade_date, 'high', high_cents FROM prices
+         |  UNION ALL
+         |  SELECT ticker, trade_date, 'low', low_cents FROM prices
+         |  UNION ALL
+         |  SELECT ticker, trade_date, 'volume', volume FROM prices)""".stripMargin,
+    "serve_query" ->
+      """SELECT o_orderstatus AS status,
+        |       COUNT(*) AS order_count,
+        |       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_sales
+        |FROM orders GROUP BY 1 ORDER BY status""".stripMargin
+  )
+}

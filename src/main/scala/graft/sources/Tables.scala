@@ -58,7 +58,7 @@ object Tables {
     """prices AS (
       |  SELECT l_suppkey AS ticker,
       |         CAST(l_shipdate AS DATE) AS trade_date,
-      |         SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS close_cents,
+      |         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS close_cents,
       |         MAX(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS high_cents,
       |         MIN(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS low_cents,
       |         CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS volume
