@@ -117,12 +117,31 @@ object SparkEntry {
     // §2.11 enrichment UDFs
     "udf_sentiment" -> ((s, d) => Enrich.udfSentiment(Tables.documents(s, d))),
     "udf_clean_html" -> ((s, d) => Enrich.udfCleanHtml(Tables.part(s, d))),
-    "udf_issue_type" -> ((s, d) => Enrich.udfIssueType(Tables.events(s, d)))
+    "udf_issue_type" -> ((s, d) => Enrich.udfIssueType(Tables.events(s, d))),
+    // extensions: deduplication
+    "dedup_exact" -> ((s, d) => Dedup.dedupExact(Tables.documents(s, d))),
+    "dedup_ngram_jaccard" -> ((s, d) => Dedup.dedupNgramJaccard(Tables.documents(s, d))),
+    "dedup_minhash_lsh" -> ((s, d) => Dedup.dedupMinhashLsh(Tables.documents(s, d))),
+    "dedup_simhash" -> ((s, d) => Dedup.dedupSimhash(Tables.documents(s, d))),
+    "dedup_embedding_cosine" -> ((s, d) => Dedup.dedupEmbeddingCosine(Tables.embeddings(s, d))),
+    // extensions: similarity search
+    "sim_search_bruteforce" -> ((s, d) => Similarity.simSearchBruteforce(Tables.embeddings(s, d))),
+    "sim_search_lsh" -> ((s, d) => Similarity.simSearchLsh(Tables.embeddings(s, d))),
+    // extensions: text analysis
+    "text_langid" -> ((s, d) => TextAnalysis.textLangid(Tables.documents(s, d))),
+    "text_quality" -> ((s, d) => TextAnalysis.textQuality(Tables.documents(s, d))),
+    "text_token_count" -> ((s, d) => TextAnalysis.textTokenCount(Tables.documents(s, d))),
+    "text_fingerprint" -> ((s, d) => TextAnalysis.textFingerprint(Tables.documents(s, d))),
+    // extensions: multimodal columns
+    "mm_metadata" -> ((s, d) => Multimodal.mmMetadata(Tables.documents(s, d))),
+    "mm_decode_stub" -> ((s, d) => Multimodal.mmDecodeStub(Tables.documents(s, d))),
+    "mm_frame_sample" -> ((s, d) => Multimodal.mmFrameSample(Tables.documents(s, d)))
   )
 
   def oracleSql: Map[String, String] =
     Oracles.all ++ Aggregates.oracles ++ Staging.oracles ++ Scalars.oracles ++
       Sorts.oracles ++ Joins.oracles ++ SetOps.oracles ++ Arrays.oracles ++
       Merge.oracles ++ graft.sources.ApiSource.oracles ++ Reshape.oracles ++
-      Enrich.oracles
+      Enrich.oracles ++ Dedup.oracles ++ Similarity.oracles ++
+      TextAnalysis.oracles ++ Multimodal.oracles
 }

@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into Spark's private[sql] Column↔Expression converters (Spark 4
+  * moved `new Column(expr)` behind org.apache.spark.sql.classic). Lives under
+  * the org.apache.spark.sql package purely for access; used by graft's custom
+  * Catalyst expressions.
+  */
+object SqlBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,236 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+import graft.functions.LongDot.long_dot
+
+/** Large-scale deduplication operators — the training-data-pipeline extension
+  * surface (builder brief; BASELINE.json north_star). All variants are
+  * partition-parallel with no driver-side collection:
+  *
+  *  - exact: content-hash groupBy — one shuffle on a 128-bit digest, never on
+  *    the full text (at 100 TB the shuffle carries 32-byte keys, not bodies).
+  *  - MinHash+LSH: shingle → k=16 minhash sigs → 4 bands → candidate pairs
+  *    join on (band, band_hash) — quadratic only within colliding buckets.
+  *  - SimHash: 16-bit signature, nibble-banded candidate join, hamming ≤ 3.
+  *  - n-gram Jaccard: exact 3-gram shingle Jaccard within (lang, length)
+  *    blocks — the verification baseline the sketches approximate.
+  *  - embedding cosine: integer-quantized (1e4) vectors → exact dot via the
+  *    native [[graft.functions.LongDot]] codegen expression.
+  */
+object Dedup {
+
+  /** Raw word token sequence per doc (shared prep). Shingles MUST come from
+    * the raw sequence, not a distinct set — n-gram semantics, and
+    * order-stability across engines (DuckDB list_distinct reorders).
+    */
+  private def tokensCol: Column = split(lower(col("text")), " ")
+
+  /** Word 3-gram shingle set (zip of three shifted slices — no index math,
+    * no sequence(1,0) descending-range edge case).
+    */
+  private def shinglesCol(tokens: Column): Column = {
+    val n = size(tokens) - 2
+    val joined = zip_with(
+      zip_with(slice(tokens, lit(1), n), slice(tokens, lit(2), n),
+        (x, y) => concat(x, lit(" "), y)),
+      slice(tokens, lit(3), n),
+      (xy, z) => concat(xy, lit(" "), z))
+    when(size(tokens) >= 3, array_distinct(joined))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** `dedup_exact`: group on md5(text) — keep lowest doc_id per digest. */
+  def dedupExact(documents: DataFrame): DataFrame =
+    documents
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(
+        min(col("doc_id")).as("keeper_doc_id"),
+        count(lit(1)).as("dup_count"))
+
+  /** `dedup_ngram_jaccard`: exact 3-gram Jaccard ≥ 0.3 between doc pairs,
+    * blocked on (lang, n_chars div 100).
+    *
+    * Computed via an inverted shingle index: explode shingles, self-join on
+    * (block, shingle) to count intersections, recover the union from set
+    * sizes (|A∪B| = |A|+|B|−|A∩B|). Work is proportional to Σ freq² per
+    * shingle — near-linear for rare shingles — instead of the quadratic
+    * all-pairs array scan; pairs sharing zero shingles (jaccard 0) never
+    * materialize. This is the shape that survives 100 TB: one shuffle on the
+    * shingle, one on the pair key.
+    */
+  def dedupNgramJaccard(documents: DataFrame): DataFrame = {
+    val docs = documents.select(
+      col("doc_id"), col("lang"),
+      expr("n_chars div 100").as("len_bucket"),
+      shinglesCol(tokensCol).as("shingles"))
+    val sizes = docs.select(col("doc_id"), size(col("shingles")).cast("long").as("sz"))
+    val inv = docs.select(col("lang"), col("len_bucket"), col("doc_id"),
+      explode(col("shingles")).as("shingle"))
+    val a = inv.select(col("lang"), col("len_bucket"), col("shingle"),
+      col("doc_id").as("doc_id_1"))
+    val b = inv.select(col("lang"), col("len_bucket"), col("shingle"),
+      col("doc_id").as("doc_id_2"))
+    val inter = a.join(b, Seq("lang", "len_bucket", "shingle"))
+      .where(col("doc_id_1") < col("doc_id_2"))
+      .groupBy(col("lang"), col("doc_id_1"), col("doc_id_2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_id_1"), col("sz").as("sz1")), Seq("doc_id_1"))
+      .join(sizes.select(col("doc_id").as("doc_id_2"), col("sz").as("sz2")), Seq("doc_id_2"))
+      .withColumn("uni", col("sz1") + col("sz2") - col("inter"))
+      .withColumn("jaccard", col("inter").cast(DoubleType) / col("uni").cast(DoubleType))
+      .where(col("jaccard") >= 0.3)
+      .select(col("doc_id_1"), col("doc_id_2"), col("lang"), col("jaccard"))
+  }
+
+  private val MinhashK = 16
+  private val P = 2147483647L // 2^31 - 1
+
+  /** k minhash signature columns from exploded shingles. */
+  private def minhashSignatures(documents: DataFrame): DataFrame = {
+    val sh = documents
+      .select(col("doc_id"), col("lang"), explode(shinglesCol(tokensCol)).as("shingle"))
+      .withColumn("x", pmod(xxhash64(col("shingle")), lit(P)))
+    val sigAggs = (0 until MinhashK).map { i =>
+      min(pmod(col("x") * (2 * i + 1) + (i * 12345 + 7), lit(P))).as(s"sig_$i")
+    }
+    sh.groupBy(col("doc_id"), col("lang")).agg(sigAggs.head, sigAggs.tail: _*)
+  }
+
+  /** `dedup_minhash_lsh`: 4 bands × 4 rows; candidates collide on any band
+    * hash within a language; estimated Jaccard = matching signature fraction,
+    * kept at ≥ 0.5. (Sketch-based: no SQL oracle; verified against the exact
+    * n-gram Jaccard baseline in DedupSpec.)
+    */
+  def dedupMinhashLsh(documents: DataFrame): DataFrame = {
+    val sigs = minhashSignatures(documents)
+    val sigArr = array((0 until MinhashK).map(i => col(s"sig_$i")): _*)
+    val withBands = sigs.withColumn("sig", sigArr)
+      .select(col("doc_id"), col("lang"), col("sig"),
+        posexplode(array((0 until 4).map(b =>
+          xxhash64(col(s"sig_${4 * b}"), col(s"sig_${4 * b + 1}"),
+            col(s"sig_${4 * b + 2}"), col(s"sig_${4 * b + 3}"))): _*))
+          .as(Seq("band_idx", "band_hash")))
+    val a = withBands.select(col("lang"), col("band_idx"), col("band_hash"),
+      col("doc_id").as("doc_id_1"), col("sig").as("sig1"))
+    val b = withBands.select(col("lang"), col("band_idx"), col("band_hash"),
+      col("doc_id").as("doc_id_2"), col("sig").as("sig2"))
+    a.join(b, Seq("lang", "band_idx", "band_hash"))
+      .where(col("doc_id_1") < col("doc_id_2"))
+      .select(col("lang"), col("doc_id_1"), col("doc_id_2"), col("sig1"), col("sig2"))
+      .distinct()
+      .withColumn("est_jaccard",
+        (size(filter(zip_with(col("sig1"), col("sig2"), (x, y) => x === y),
+          b => b)).cast(DoubleType) / MinhashK.toDouble))
+      .where(col("est_jaccard") >= 0.5)
+      .select(col("doc_id_1"), col("doc_id_2"), col("lang"), col("est_jaccard"))
+  }
+
+  /** `dedup_simhash`: 16-bit simhash over shingle hashes; nibble-banded
+    * candidate join; near-dup at hamming ≤ 3. (No SQL oracle; see DedupSpec.)
+    */
+  def dedupSimhash(documents: DataFrame): DataFrame = {
+    val sh = documents
+      .select(col("doc_id"), col("lang"), explode(shinglesCol(tokensCol)).as("shingle"))
+      .withColumn("x", pmod(xxhash64(col("shingle")), lit(65536L)))
+    val bitAggs = (0 until 16).map { bit =>
+      sum(when(shiftright(col("x"), bit) % 2 === 1, 1).otherwise(-1)).as(s"b_$bit")
+    }
+    val sig = sh.groupBy(col("doc_id"), col("lang"))
+      .agg(bitAggs.head, bitAggs.tail: _*)
+      .withColumn("simhash",
+        (0 until 16).map(bit =>
+          when(col(s"b_$bit") >= 0, 1L << bit).otherwise(0L)).reduce(_ + _))
+      .select(col("doc_id"), col("lang"), col("simhash"))
+    val banded = sig.select(col("doc_id"), col("lang"), col("simhash"),
+      posexplode(array((0 until 4).map(nib =>
+        shiftright(col("simhash"), nib * 4) % 16): _*)).as(Seq("nib_idx", "nib_val")))
+    val a = banded.select(col("lang"), col("nib_idx"), col("nib_val"),
+      col("doc_id").as("doc_id_1"), col("simhash").as("h1"))
+    val b = banded.select(col("lang"), col("nib_idx"), col("nib_val"),
+      col("doc_id").as("doc_id_2"), col("simhash").as("h2"))
+    a.join(b, Seq("lang", "nib_idx", "nib_val"))
+      .where(col("doc_id_1") < col("doc_id_2"))
+      .select(col("lang"), col("doc_id_1"), col("doc_id_2"), col("h1"), col("h2"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))).cast("long"))
+      .where(col("hamming") <= 3)
+      .select(col("doc_id_1"), col("doc_id_2"), col("lang"), col("hamming"))
+  }
+
+  /** Quantized embedding: ARRAY<BIGINT> of round(x * 1e4). */
+  private[operators] def quantized(embeddings: DataFrame): DataFrame =
+    embeddings.select(
+      col("vec_id"), col("label").cast("long").as("label"),
+      // cast float→double BEFORE scaling: both engines then do one exact
+      // double multiply; float-precision multiply would round differently
+      transform(col("embedding"), x => round(x.cast(DoubleType) * 10000).cast("long")).as("q"))
+
+  private def cosine(dot: Column, n1: Column, n2: Column): Column =
+    dot.cast(DoubleType) / (sqrt(n1.cast(DoubleType)) * sqrt(n2.cast(DoubleType)))
+
+  /** `dedup_embedding_cosine`: near-duplicate vectors (cosine ≥ 0.95) within
+    * a label block, exact integer dot via the LongDot codegen expression.
+    */
+  def dedupEmbeddingCosine(embeddings: DataFrame): DataFrame = {
+    val q = quantized(embeddings).withColumn("norm2", long_dot(col("q"), col("q")))
+    val a = q.select(col("label"), col("vec_id").as("vec_id_1"),
+      col("q").as("q1"), col("norm2").as("n1"))
+    val b = q.select(col("label"), col("vec_id").as("vec_id_2"),
+      col("q").as("q2"), col("norm2").as("n2"))
+    a.join(b, Seq("label"))
+      .where(col("vec_id_1") < col("vec_id_2"))
+      .withColumn("cosine", cosine(long_dot(col("q1"), col("q2")), col("n1"), col("n2")))
+      .where(col("cosine") >= 0.95)
+      .select(col("vec_id_1"), col("vec_id_2"), col("label"), col("cosine"))
+  }
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash,
+        |       MIN(doc_id) AS keeper_doc_id,
+        |       COUNT(*) AS dup_count
+        |FROM documents GROUP BY 1""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, n_chars // 100 AS len_bucket,
+        |         string_split(lower(text), ' ') AS tokens
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, lang, len_bucket,
+        |         list_distinct(list_transform(
+        |           range(1, greatest(len(tokens) - 1, 1)),
+        |           i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS shingles
+        |  FROM toks),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, a.lang,
+        |         CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT) AS inter,
+        |         CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS BIGINT) AS uni
+        |  FROM sh a JOIN sh b
+        |    ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id)
+        |SELECT doc_id_1, doc_id_2, lang,
+        |       CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS jaccard
+        |FROM pairs
+        |WHERE uni > 0 AND CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) >= 0.3""".stripMargin,
+    "dedup_embedding_cosine" ->
+      """WITH q AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |         list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, label, q,
+        |         list_sum(list_transform(list_zip(q, q), p -> p[1] * p[2])) AS norm2
+        |  FROM q),
+        |pairs AS (
+        |  SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2, a.label,
+        |         list_sum(list_transform(list_zip(a.q, b.q), p -> p[1] * p[2])) AS dot,
+        |         a.norm2 AS n1, b.norm2 AS n2
+        |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT vec_id_1, vec_id_2, label,
+        |       CAST(dot AS DOUBLE) / (SQRT(CAST(n1 AS DOUBLE)) * SQRT(CAST(n2 AS DOUBLE))) AS cosine
+        |FROM pairs
+        |WHERE CAST(dot AS DOUBLE) / (SQRT(CAST(n1 AS DOUBLE)) * SQRT(CAST(n2 AS DOUBLE))) >= 0.95""".stripMargin
+  )
+}

@@ -133,14 +133,24 @@ object Joins {
     * with identical semantics in Java regex (Spark) and RE2 (DuckDB).
     */
   def joinCrossRegex(spark: SparkSession, part: DataFrame): DataFrame = {
-    import spark.implicits._
     val keywords = Seq(
       ("color", "red|blue|green"),
       ("widgets", "widget|gizmo|gadget"),
       ("hardware", "bolt|screw|gear"),
-      ("size", "small|big|large")).toDF("keyword", "pattern")
-    part.crossJoin(broadcast(keywords))
-      .where(expr("regexp_like(lower(p_name), pattern)"))
+      ("size", "small|big|large"))
+    // The keyword table is a compile-time constant, so the theta-join unrolls
+    // into one scan with N literal rlike patterns (each compiled once per
+    // task) + explode — same relation as crossJoin(broadcast)+filter, but a
+    // column-typed regex forces per-row Pattern.compile; this form stays in
+    // whole-stage codegen. At 100 TB: one pass over the fact, zero shuffle
+    // before the final tiny aggregation.
+    val matches = filter(
+      array(keywords.map { case (k, p) =>
+        when(lower(col("p_name")).rlike(p), k)
+      }: _*),
+      x => x.isNotNull)
+    part
+      .select(col("p_brand"), explode(matches).as("keyword"))
       .groupBy(col("keyword"))
       .agg(count(lit(1)).as("part_count"),
         countDistinct(col("p_brand")).as("brand_count"))

@@ -1,0 +1,179 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Text-analysis operators for training-data pipelines (builder brief):
+  * language ID, quality scoring, token counting, fingerprinting. All pure
+  * codegen'd expressions over the documents table — at 100 TB these run
+  * entirely inside the scan stage (no shuffle, no UDF serialization).
+  */
+object TextAnalysis {
+
+  private def d(c: Column): Column = c.cast(DoubleType)
+
+  /** `text_langid`: n-gram/marker-profile language ID — score each language
+    * profile by marker-token hits, argmax with deterministic tie order.
+    * (The testdata corpus is synthetic; profiles are marker sets, the same
+    * structure as a char-n-gram profile scorer.)
+    */
+  def textLangid(documents: DataFrame): DataFrame = {
+    val toks = array_distinct(split(lower(col("text")), " "))
+    def score(markers: Seq[String]): Column =
+      size(array_intersect(toks, array(markers.map(lit): _*))).cast("long")
+    val profiles = Seq(
+      "en" -> Seq("the", "a", "fast", "slow", "small", "big"),
+      "de" -> Seq("data", "table", "window", "stream", "hash"),
+      "es" -> Seq("sort", "merge", "join", "order", "group"),
+      "fr" -> Seq("query", "row", "column", "value", "filter"),
+      "zh" -> Seq("spark", "batch", "vector", "key", "line"))
+    val scored = profiles.foldLeft(documents) { case (df, (l, m)) =>
+      df.withColumn(s"score_$l", score(m))
+    }
+    // argmax by (score, lang) encoded as score*8 + alphabetical rank — plain
+    // BIGINT greatest works in both engines (DuckDB lacks struct greatest)
+    val rank = profiles.map(_._1).sorted.zipWithIndex.toMap
+    val encoded = profiles.map { case (l, _) => col(s"score_$l") * 8 + rank(l) }
+    val bestEnc = greatest(encoded: _*)
+    val decode = rank.foldLeft(lit(null).cast("string")) { case (acc, (l, r)) =>
+      when(bestEnc % 8 === r, l).otherwise(acc)
+    }
+    val outCols = Seq(col("doc_id"), col("lang").as("labeled_lang")) ++
+      profiles.map(p => col(s"score_${p._1}")) :+ decode.as("predicted_lang")
+    scored.select(outCols: _*)
+  }
+
+  /** `text_quality`: length / punctuation / stopword / dictionary heuristics
+    * composed into a 0-100 quality score + bucket (reference quality-scoring
+    * recipe re-expressed; exact integer counts, one final double formula).
+    */
+  def textQuality(documents: DataFrame): DataFrame = {
+    val toks = split(lower(col("text")), " ")
+    val nTok = size(toks).cast("long")
+    val stop = size(array_intersect(array_distinct(toks),
+      array(Seq("the", "a", "of", "and").map(lit): _*))).cast("long")
+    val longTok = size(filter(toks, t => length(t) >= 5)).cast("long")
+    documents
+      .withColumn("n_tokens", nTok)
+      .withColumn("n_stopword_kinds", stop)
+      .withColumn("n_long_tokens", longTok)
+      .withColumn("avg_token_len",
+        d(length(col("text")) - nTok + 1) / d(nTok))
+      .withColumn("long_token_ratio", d(col("n_long_tokens")) / d(col("n_tokens")))
+      .withColumn("quality_score",
+        least(lit(100.0), greatest(lit(0.0),
+          d(col("n_tokens")) / 2.0 + d(col("n_stopword_kinds")) * 10.0 +
+            col("long_token_ratio") * 30.0)))
+      .withColumn("quality_bucket",
+        when(col("quality_score") >= 75.0, "high")
+          .when(col("quality_score") >= 40.0, "medium")
+          .otherwise("low"))
+      .select(col("doc_id"), col("n_tokens"), col("n_stopword_kinds"),
+        col("avg_token_len"), col("long_token_ratio"),
+        col("quality_score"), col("quality_bucket"))
+  }
+
+  /** `text_token_count`: whitespace tokens + BPE-ish regex token count
+    * (letters / digits / other-symbol pieces) + chars-per-token.
+    */
+  def textTokenCount(documents: DataFrame): DataFrame = {
+    val bpe = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+    documents.select(
+      col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+      regexp_count(lower(col("text")), lit(bpe)).cast("long").as("bpe_tokens"),
+      length(col("text")).cast("long").as("n_chars_actual"),
+      (d(length(col("text"))) /
+        d(regexp_count(lower(col("text")), lit(bpe)))).as("chars_per_token"))
+  }
+
+  /** `text_fingerprint`: canonicalize (lower, collapse whitespace) then
+    * fingerprint two ways — md5 content digest and a base-31 rolling hash
+    * (mod 2^31-1) folded over the character codes.
+    */
+  def textFingerprint(documents: DataFrame): DataFrame = {
+    val canon = regexp_replace(lower(trim(col("text"))), " +", " ")
+    documents
+      .withColumn("canon", canon)
+      .withColumn("codes",
+        transform(sequence(lit(1), length(col("canon"))),
+          i => ascii(col("canon").substr(i, lit(1))).cast("long")))
+      .select(
+        col("doc_id"),
+        md5(col("canon")).as("fingerprint_md5"),
+        aggregate(col("codes"), lit(0L),
+          (acc, c) => (acc * 31 + c) % 2147483647L).as("fingerprint_rolling"))
+  }
+
+  val oracles: Map[String, String] = Map(
+    "text_langid" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang AS labeled_lang,
+        |         list_distinct(string_split(lower(text), ' ')) AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, labeled_lang,
+        |    CAST(len(list_intersect(toks, ['the','a','fast','slow','small','big'])) AS BIGINT) AS score_en,
+        |    CAST(len(list_intersect(toks, ['data','table','window','stream','hash'])) AS BIGINT) AS score_de,
+        |    CAST(len(list_intersect(toks, ['sort','merge','join','order','group'])) AS BIGINT) AS score_es,
+        |    CAST(len(list_intersect(toks, ['query','row','column','value','filter'])) AS BIGINT) AS score_fr,
+        |    CAST(len(list_intersect(toks, ['spark','batch','vector','key','line'])) AS BIGINT) AS score_zh
+        |  FROM t)
+        |SELECT doc_id, labeled_lang, score_en, score_de, score_es, score_fr, score_zh,
+        |       CASE GREATEST(score_de * 8 + 0, score_en * 8 + 1, score_es * 8 + 2,
+        |                     score_fr * 8 + 3, score_zh * 8 + 4) % 8
+        |         WHEN 0 THEN 'de' WHEN 1 THEN 'en' WHEN 2 THEN 'es'
+        |         WHEN 3 THEN 'fr' WHEN 4 THEN 'zh' END AS predicted_lang
+        |FROM s""".stripMargin,
+    "text_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         string_split(lower(text), ' ') AS toks,
+        |         length(text) AS n_chars_actual
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |         CAST(len(toks) AS BIGINT) AS n_tokens,
+        |         CAST(len(list_intersect(list_distinct(toks), ['the','a','of','and'])) AS BIGINT) AS n_stopword_kinds,
+        |         CAST(len(list_filter(toks, x -> length(x) >= 5)) AS BIGINT) AS n_long_tokens,
+        |         n_chars_actual
+        |  FROM t)
+        |SELECT doc_id, n_tokens, n_stopword_kinds,
+        |       CAST(n_chars_actual - n_tokens + 1 AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS avg_token_len,
+        |       CAST(n_long_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS long_token_ratio,
+        |       LEAST(100.0, GREATEST(0.0,
+        |         CAST(n_tokens AS DOUBLE) / 2.0 + CAST(n_stopword_kinds AS DOUBLE) * 10.0 +
+        |         CAST(n_long_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 30.0)) AS quality_score,
+        |       CASE WHEN LEAST(100.0, GREATEST(0.0,
+        |              CAST(n_tokens AS DOUBLE) / 2.0 + CAST(n_stopword_kinds AS DOUBLE) * 10.0 +
+        |              CAST(n_long_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 30.0)) >= 75.0 THEN 'high'
+        |            WHEN LEAST(100.0, GREATEST(0.0,
+        |              CAST(n_tokens AS DOUBLE) / 2.0 + CAST(n_stopword_kinds AS DOUBLE) * 10.0 +
+        |              CAST(n_long_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 30.0)) >= 40.0 THEN 'medium'
+        |            ELSE 'low' END AS quality_bucket
+        |FROM m""".stripMargin,
+    "text_token_count" ->
+      """SELECT doc_id,
+        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens,
+        |       CAST(length(text) AS BIGINT) AS n_chars_actual,
+        |       CAST(length(text) AS DOUBLE) /
+        |         CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS DOUBLE) AS chars_per_token
+        |FROM documents""".stripMargin,
+    "text_fingerprint" ->
+      """WITH c AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), ' +', ' ', 'g') AS canon
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, canon,
+        |         list_transform(range(1, length(canon) + 1),
+        |                        i -> CAST(ascii(substr(canon, CAST(i AS INTEGER), 1)) AS BIGINT)) AS codes
+        |  FROM c)
+        |SELECT doc_id,
+        |       md5(canon) AS fingerprint_md5,
+        |       list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
+        |                   (acc, x) -> (acc * 31 + x) % 2147483647) AS fingerprint_rolling
+        |FROM k""".stripMargin
+  )
+}
