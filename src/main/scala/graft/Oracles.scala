@@ -16,8 +16,8 @@ object Oracles {
        |         LAG(close_cents) OVER (PARTITION BY ticker ORDER BY trade_date) AS prev_close_cents,
        |         SUM(close_cents) OVER w7 AS ma7_sum, COUNT(*) OVER w7 AS n7,
        |         SUM(close_cents) OVER w30 AS ma30_sum, COUNT(*) OVER w30 AS n30,
-       |         MAX(high_cents) OVER w252 AS high52_cents,
-       |         MIN(low_cents) OVER w252 AS low52_cents,
+       |         MAX(close_cents) OVER w252 AS high52_cents,
+       |         MIN(close_cents) OVER w252 AS low52_cents,
        |         SUM(volume) OVER w7 AS vol7_sum,
        |         ROW_NUMBER() OVER (PARTITION BY ticker ORDER BY trade_date DESC) AS recency_rank
        |  FROM prices

@@ -37,8 +37,8 @@ object Windows {
       .withColumn("n7", count(lit(1)).over(w7))
       .withColumn("ma30_sum", sum(col("close_cents")).over(w30))
       .withColumn("n30", count(lit(1)).over(w30))
-      .withColumn("high52_cents", max(col("high_cents")).over(w252))
-      .withColumn("low52_cents", min(col("low_cents")).over(w252))
+      .withColumn("high52_cents", max(col("close_cents")).over(w252))
+      .withColumn("low52_cents", min(col("close_cents")).over(w252))
       .withColumn("vol7_sum", sum(col("volume")).over(w7))
       .withColumn("recency_rank", row_number().over(byTickerDesc))
 
@@ -117,8 +117,8 @@ object Windows {
   /** `win_rolling_extrema` (fct_stock_prices.sql:66-78): 252-row hi/lo + range position. */
   def winRollingExtrema(prices: DataFrame): DataFrame =
     prices
-      .withColumn("high52_cents", max(col("high_cents")).over(w252))
-      .withColumn("low52_cents", min(col("low_cents")).over(w252))
+      .withColumn("high52_cents", max(col("close_cents")).over(w252))
+      .withColumn("low52_cents", min(col("close_cents")).over(w252))
       .select(
         col("ticker"), col("trade_date"),
         Num.dollars(col("close_cents")).as("close_price"),

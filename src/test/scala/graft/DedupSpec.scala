@@ -1,0 +1,73 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+
+/** Sketch-dedup correctness against crafted near-duplicates: the LSH
+  * candidates must contain every truly-similar pair (these are the operators
+  * without a SQL oracle — this spec is their correctness gate).
+  */
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  private val base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+  private val nearDup = base.replace("today", "tonight")
+  private val unrelated = "completely different words about spark catalyst optimizer plans and shuffles"
+
+  test("exact dedup groups identical texts") {
+    val df = docs((1L, base), (2L, base), (3L, unrelated))
+    val out = Dedup.dedupExact(df).orderBy("keeper_doc_id").collect()
+    assert(out.length == 2)
+    assert(out.head.getLong(1) == 1L && out.head.getLong(2) == 2L)
+  }
+
+  test("ngram jaccard finds the near-dup pair and not the unrelated one") {
+    val df = docs((1L, base), (2L, nearDup), (3L, unrelated))
+    val pairs = Dedup.dedupNgramJaccard(df)
+      .select("doc_id_1", "doc_id_2").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("minhash LSH surfaces high-jaccard pairs") {
+    val df = docs((1L, base), (2L, nearDup), (3L, unrelated), (4L, base + " extra"))
+    val pairs = Dedup.dedupMinhashLsh(df)
+      .select("doc_id_1", "doc_id_2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) || pairs.contains((1L, 4L)),
+      s"expected near-dup candidates, got $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc must not collide")
+  }
+
+  test("simhash: identical docs collide at hamming 0") {
+    val df = docs((1L, base), (2L, base), (3L, unrelated))
+    val out = Dedup.dedupSimhash(df)
+      .select("doc_id_1", "doc_id_2", "hamming").as[(Long, Long, Long)].collect()
+    assert(out.exists(r => r._1 == 1L && r._2 == 2L && r._3 == 0L))
+  }
+
+  test("embedding cosine dedup flags identical vectors") {
+    val e = Seq(
+      (1L, Array(1.0f, 0.0f, 0.5f), 0),
+      (2L, Array(1.0f, 0.0f, 0.5f), 0),
+      (3L, Array(-1.0f, 0.2f, 0.0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val pairs = Dedup.dedupEmbeddingCosine(e)
+      .select("vec_id_1", "vec_id_2").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("bruteforce similarity ranks exact copy first") {
+    val e = Seq(
+      (1L, Array.tabulate(64)(i => i.toFloat / 64), 0),
+      (50L, Array.tabulate(64)(i => i.toFloat / 64), 0), // copy of query 1
+      (60L, Array.tabulate(64)(i => (63 - i).toFloat / 64), 0),
+      (70L, Array.tabulate(64)(i => if (i % 2 == 0) 1.0f else -1.0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val top = Similarity.simSearchBruteforce(e)
+      .where($"query_id" === 1L && $"rank" === 1)
+      .select("neighbor_id").as[Long].collect().head
+    assert(top == 50L)
+  }
+}

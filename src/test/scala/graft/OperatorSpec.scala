@@ -1,0 +1,105 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Per-operator unit tests on tiny in-memory frames — NULL edges the
+  * reference encodes (SURVEY §5.2): IS NOT TRUE, safe divide, least
+  * null-skip, conditional distinct counts, dedup ordering, window frames.
+  */
+class OperatorSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("filter_not_true keeps NULL and false rows (BQ IS NOT TRUE)") {
+    val df = Seq(
+      (1L, 7L, "a", 200.0), // flagged=true  -> dropped
+      (2L, 7L, "a", 120.0), // flagged=NULL  -> kept
+      (3L, 7L, "a", 50.0) //   flagged=false -> kept
+    ).toDF("event_id", "user_id", "event_type", "value")
+    val kept = Staging.filterNotTrue(df).select("event_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L))
+  }
+
+  test("win_dedup keeps latest row per key with id tiebreak") {
+    val df = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 5L, "click", 1.0, "{}"),
+      (2L, Timestamp.valueOf("2024-01-02 10:00:00"), 5L, "click", 2.0, "{}"),
+      (3L, Timestamp.valueOf("2024-01-02 10:00:00"), 5L, "click", 3.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Windows.winDedup(df).collect()
+    assert(out.length == 1 && out.head.getLong(0) == 3L) // same ts -> higher id wins
+  }
+
+  test("rolling average window is ROWS-based with partial leading frames") {
+    val prices = Seq(
+      (1L, "2024-01-01", 100L), (1L, "2024-01-05", 200L), (1L, "2024-01-20", 600L)
+    ).map { case (t, d, c) => (t, java.sql.Date.valueOf(d), c, c, c, 1L) }
+      .toDF("ticker", "trade_date", "close_cents", "high_cents", "low_cents", "volume")
+    val out = Windows.winRollingAvg(prices).orderBy("trade_date")
+      .select("ma_7d").as[Double].collect()
+    // 1.00 ; (1+2)/2 ; (1+2+6)/3 dollars — calendar gaps intentionally ignored
+    assert(out.toSeq == Seq(1.0, 1.5, 3.0))
+  }
+
+  test("agg_count_distinct_if excludes NULLs from the distinct set") {
+    val df = Seq(
+      (1L, 10L, "F", 100.0, "1998-01-01"),
+      (2L, 10L, "O", 100.0, "1998-01-02"),
+      (3L, 11L, "F", 100.0, "1998-01-03"),
+      (4L, 11L, "F", 100.0, "1998-01-04")
+    ).map { case (k, c, s, p, d) =>
+      (k, c, s, p, Timestamp.valueOf(d + " 00:00:00"), "3-MEDIUM")
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate",
+      "o_orderpriority")
+    val out = Aggregates.aggCountDistinctIf(df)
+      .agg(sum("fulfilled_customers")).as[Long].collect().head
+    assert(out == 2L) // custkeys 10 and 11, never double-counted
+  }
+
+  test("least() skips NULLs (fn_datetime earliest_date)") {
+    val df = Seq(
+      (1L, 5L, "O", 10.0, Timestamp.valueOf("1998-05-05 00:00:00"), "5-LOW"),
+      (2L, 5L, "F", 10.0, Timestamp.valueOf("1995-05-05 00:00:00"), "5-LOW")
+    ).toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate",
+      "o_orderpriority")
+    val out = Scalars.fnDatetime(df).orderBy("order_id")
+      .select("earliest_date").as[java.sql.Date].collect()
+    // status O -> maybe_early NULL -> least skips -> 1997-01-01
+    assert(out(0) == java.sql.Date.valueOf("1997-01-01"))
+    // status F -> least(1995-05-05, 1997-01-01) = 1995-05-05
+    assert(out(1) == java.sql.Date.valueOf("1995-05-05"))
+  }
+
+  test("timestamp hour diff truncates toward zero on negatives (BQ semantics)") {
+    val df = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:00:00"), 9L, "a", 0.0, "{}"),
+      (2L, Timestamp.valueOf("2024-01-01 01:30:00"), 9L, "a", 0.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Scalars.fnTimestampDiffHour(df).orderBy("event_id")
+      .select("hours_since_prev", "hours_back").collect()
+    assert(out(0).isNullAt(0) && out(0).isNullAt(1))
+    assert(out(1).getLong(0) == 1L && out(1).getLong(1) == -1L) // -1.5h -> -1, not -2
+  }
+
+  test("sentiment scorer honors contract thresholds") {
+    import graft.operators.Enrich.scoreSentiment
+    assert(scoreSentiment("fast good spark merge ok") ==
+      ((4.0 / 4.0, "POSITIVE", "positive")))
+    assert(scoreSentiment("slow error text here")._3 == "negative")
+    assert(scoreSentiment("short") == ((0.0, "NEUTRAL", "neutral")))
+    val mixed = scoreSentiment("fast slow neutral words here")
+    assert(mixed._1 == 0.0 && mixed._3 == "neutral")
+    // 1000-char truncation: positives beyond the horizon don't count
+    val far = ("x " * 500) + "good good good"
+    assert(scoreSentiment(far)._1 == 0.0)
+  }
+
+  test("LongDot matches reference implementation and handles length skew") {
+    import graft.functions.LongDot.long_dot
+    val df = Seq((Seq(1L, 2L, 3L), Seq(4L, 5L, 6L))).toDF("a", "b")
+    assert(df.select(long_dot(col("a"), col("b"))).as[Long].collect().head == 32L)
+    val skew = Seq((Seq(2L, 3L), Seq(10L, 10L, 99L))).toDF("a", "b")
+    assert(skew.select(long_dot(col("a"), col("b"))).as[Long].collect().head == 50L)
+  }
+}
