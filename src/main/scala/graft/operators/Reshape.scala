@@ -105,25 +105,31 @@ object Reshape {
     */
   def autocorr(trends: DataFrame): DataFrame = {
     val byKw = Window.partitionBy("keyword").orderBy("date")
-    def lagged(k: Int): DataFrame =
-      trends
-        .withColumn("b", lag(col("interest"), k).over(byKw))
-        .where(col("b").isNotNull)
-        .groupBy(col("keyword"))
-        .agg(
-          count(lit(1)).as("n"),
-          sum(col("interest")).as("sa"),
-          sum(col("b")).as("sb"),
-          sum(col("interest") * col("b")).as("sab"),
-          sum(col("interest") * col("interest")).as("saa"),
-          sum(col("b") * col("b")).as("sbb"))
-        .select(
-          col("keyword"), lit(k.toLong).as("lag_k"),
-          ((d(col("n")) * d(col("sab")) - d(col("sa")) * d(col("sb"))) /
-            (sqrt(d(col("n")) * d(col("saa")) - d(col("sa")) * d(col("sa"))) *
-              sqrt(d(col("n")) * d(col("sbb")) - d(col("sb")) * d(col("sb")))))
-            .as("autocorr"))
-    lagged(1).unionByName(lagged(2)).unionByName(lagged(3))
+    // single pass: all three lags in one window projection, all 18 moments in
+    // one aggregation (2 shuffles instead of 6 — union of selects is narrow)
+    val lagged = (1 to 3).foldLeft(trends) { (df, k) =>
+      df.withColumn(s"b$k", lag(col("interest"), k).over(byKw))
+    }
+    val moments = (1 to 3).flatMap { k =>
+      val b = col(s"b$k")
+      Seq(
+        count(b).as(s"n_$k"),
+        sum(when(b.isNotNull, col("interest"))).as(s"sa_$k"),
+        sum(b).as(s"sb_$k"),
+        sum(col("interest") * b).as(s"sab_$k"),
+        sum(when(b.isNotNull, col("interest") * col("interest"))).as(s"saa_$k"),
+        sum(b * b).as(s"sbb_$k"))
+    }
+    val g = lagged.groupBy(col("keyword")).agg(moments.head, moments.tail: _*)
+    def rowFor(k: Int) = g
+      .where(col(s"n_$k") > 0)
+      .select(
+        col("keyword"), lit(k.toLong).as("lag_k"),
+        ((d(col(s"n_$k")) * d(col(s"sab_$k")) - d(col(s"sa_$k")) * d(col(s"sb_$k"))) /
+          (sqrt(d(col(s"n_$k")) * d(col(s"saa_$k")) - d(col(s"sa_$k")) * d(col(s"sa_$k"))) *
+            sqrt(d(col(s"n_$k")) * d(col(s"sbb_$k")) - d(col(s"sb_$k")) * d(col(s"sb_$k")))))
+          .as("autocorr"))
+    rowFor(1).unionByName(rowFor(2)).unionByName(rowFor(3))
   }
 
   /** `stats_tests` (pages/Oura_Investigation.py:91-93,220-221,255-259):
