@@ -43,6 +43,8 @@ object SparkEntry {
     "agg_nunique_multi" -> ((s, d) => Aggregates.aggNuniqueMulti(Tables.lineitem(s, d))),
     "agg_child_count" -> ((s, d) =>
       Aggregates.aggChildCount(Tables.orders(s, d), Tables.customer(s, d))),
+    "agg_group_ordinal" -> ((s, d) => Aggregates.aggGroupOrdinal(Tables.orders(s, d))),
+    "agg_pd_describe" -> ((s, d) => Aggregates.aggPdDescribe(Tables.events(s, d))),
     "agg_dow_stats" -> ((s, d) => Aggregates.aggDowStats(Tables.orders(s, d))),
     // §2.2 staging / filters / case
     "stg_rename" -> ((s, d) => Staging.stgRename(Tables.customer(s, d))),

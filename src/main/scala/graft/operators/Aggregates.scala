@@ -194,7 +194,31 @@ object Aggregates {
         (coalesce(col("cnt"), lit(0L)) > 0).as("has_orders"))
   }
 
-  /** `agg_pd_describe` (pages/3_Oura_Wellness.py:16-55): day-of-week stats.
+  /** `agg_group_ordinal` (fct_pull_requests.sql:26,35): GROUP BY 1, 2 ordinal
+    * grouping — Spark names the columns; the oracle groups by position.
+    */
+  def aggGroupOrdinal(orders: DataFrame): DataFrame =
+    orders
+      .groupBy(col("o_orderstatus").as("status"), col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("order_count"),
+        Num.dollars(sum(centsPrice)).as("total_sales"))
+
+  /** `agg_pd_describe` (pages/2_GitHub_PRs.py:132-186): pandas
+    * groupby-describe — count/mean/min/max per group in one aggregation.
+    */
+  def aggPdDescribe(events: DataFrame): DataFrame = {
+    val v = Num.cents(col("value"))
+    events
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        Num.meanDollars(sum(v), count(lit(1))).as("mean_value"),
+        Num.dollars(min(v)).as("min_value"),
+        Num.dollars(max(v)).as("max_value"),
+        countDistinct(col("user_id")).as("distinct_users"))
+  }
+
+  /** Day-of-week stats (pages/3_Oura_Wellness.py:16-55 DOW analysis).
     * ISO weekday (1=Mon..7=Sun): Spark weekday()+1 == DuckDB isodow().
     */
   def aggDowStats(orders: DataFrame): DataFrame =
@@ -303,6 +327,19 @@ object Aggregates {
         |       COALESCE(cnt, 0) AS order_count,
         |       COALESCE(cnt, 0) > 0 AS has_orders
         |FROM customer c LEFT JOIN counts ON c.c_custkey = counts.o_custkey""".stripMargin,
+    "agg_group_ordinal" ->
+      """SELECT o_orderstatus AS status, o_orderpriority AS priority,
+        |       COUNT(*) AS order_count,
+        |       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_sales
+        |FROM orders GROUP BY 1, 2""".stripMargin,
+    "agg_pd_describe" ->
+      """SELECT event_type,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 100.0 AS mean_value,
+        |       CAST(MIN(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS min_value,
+        |       CAST(MAX(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS max_value,
+        |       COUNT(DISTINCT user_id) AS distinct_users
+        |FROM events GROUP BY 1""".stripMargin,
     "agg_dow_stats" ->
       """SELECT isodow(o_orderdate) AS iso_dow,
         |       COUNT(*) AS order_count,
