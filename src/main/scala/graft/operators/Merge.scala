@@ -99,12 +99,14 @@ object Merge {
     schemaEvolve(existing, batch)
   }
 
-  /** Truncate-load demo: project, overwrite a scratch sink, read back. */
+  /** Truncate-load demo: project, overwrite a scratch sink, read back.
+    * Sink lives under the repo's build dir (never outside the workspace).
+    */
   def loadTruncateQuery(spark: SparkSession, events: DataFrame): DataFrame =
     loadTruncate(
       events.select(col("event_id"), col("user_id"), col("event_type"),
         to_date(col("ts")).as("event_date")),
-      spark, "/tmp/graft_sink/load_truncate")
+      spark, "/root/repo/target/graft_sink/load_truncate")
 
   val oracles: Map[String, String] = Map(
     "merge_upsert" ->
