@@ -50,6 +50,29 @@ object Oracles {
          |  recency_rank
          |FROM w""".stripMargin,
 
+    "fct_keyword_trends" ->
+      s"""WITH $trendsSql,
+         |w AS (
+         |  SELECT keyword, date, interest,
+         |         LAG(interest, 7) OVER bk AS interest_wow,
+         |         LAG(interest, 30) OVER bk AS interest_mom,
+         |         SUM(interest) OVER w7 AS sum7, COUNT(*) OVER w7 AS n7,
+         |         SUM(interest) OVER w30 AS sum30, COUNT(*) OVER w30 AS n30,
+         |         MAX(interest) OVER c7 AS local_max
+         |  FROM trends
+         |  WINDOW
+         |    bk AS (PARTITION BY keyword ORDER BY date),
+         |    w7 AS (PARTITION BY keyword ORDER BY date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+         |    w30 AS (PARTITION BY keyword ORDER BY date ROWS BETWEEN 29 PRECEDING AND CURRENT ROW),
+         |    c7 AS (PARTITION BY keyword ORDER BY date ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING))
+         |SELECT keyword, date, interest,
+         |       interest - interest_wow AS wow_change,
+         |       interest - interest_mom AS mom_change,
+         |       CAST(sum7 AS DOUBLE) / CAST(n7 AS DOUBLE) AS avg_7d,
+         |       CAST(sum30 AS DOUBLE) / CAST(n30 AS DOUBLE) AS avg_30d,
+         |       interest >= local_max AS is_local_peak
+         |FROM w""".stripMargin,
+
     "win_lag1" ->
       s"""WITH $pricesSql
          |SELECT ticker, trade_date,

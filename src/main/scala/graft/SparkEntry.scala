@@ -18,8 +18,9 @@ object SparkEntry {
     Windows.fctStockPrices(Tables.prices(spark, "/root/testdata/sf0.001"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // §2.5 windows
+    // §2.5 windows + marts
     "fct_stock_prices" -> ((s, d) => Windows.fctStockPrices(Tables.prices(s, d))),
+    "fct_keyword_trends" -> ((s, d) => graft.models.Models.fctKeywordTrends(Tables.trends(s, d))),
     "win_lag1" -> ((s, d) => Windows.winLag1(Tables.prices(s, d))),
     "win_lag_n" -> ((s, d) => Windows.winLagN(Tables.trends(s, d))),
     "win_rolling_avg" -> ((s, d) => Windows.winRollingAvg(Tables.prices(s, d))),

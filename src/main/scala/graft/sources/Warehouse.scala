@@ -19,18 +19,36 @@ import graft.functions.Num
 object Warehouse {
 
   def ensureBucketed(spark: SparkSession, sfDir: String, buckets: Int = 8): Unit = {
-    if (!spark.catalog.tableExists("lineitem_bkt")) {
+    freshTable(spark, "lineitem_bkt") {
       Tables.lineitem(spark, sfDir).write
         .format("parquet")
         .bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
         .mode("overwrite").saveAsTable("lineitem_bkt")
     }
-    if (!spark.catalog.tableExists("orders_bkt")) {
+    freshTable(spark, "orders_bkt") {
       Tables.orders(spark, sfDir).write
         .format("parquet")
         .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
         .mode("overwrite").saveAsTable("orders_bkt")
     }
+  }
+
+  /** Create the table unless already registered; an orphaned warehouse
+    * location (fresh in-memory catalog, stale dir from a prior JVM) is
+    * removed first — saveAsTable refuses to reuse it otherwise.
+    */
+  private def freshTable(spark: SparkSession, name: String)(write: => Unit): Unit = {
+    if (!spark.catalog.tableExists(name)) {
+      val whDir = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      val loc = new java.io.File(whDir, name)
+      if (loc.exists()) delete(loc)
+      write
+    }
+  }
+
+  private def delete(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(delete))
+    f.delete()
   }
 
   /** Order revenue via the co-located join: no exchange on either side. */

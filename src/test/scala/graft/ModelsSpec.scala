@@ -1,0 +1,115 @@
+package graft
+
+import java.sql.{Date, Timestamp}
+import org.apache.spark.sql.functions._
+import graft.models.Models
+import graft.quality.Checks
+import graft.quality.Checks._
+
+/** Reference-shaped fixtures (FIXTURES.md §1-2, mirroring the reference's
+  * pytest mocks tests/test_streamlit_pages.py:19-88) driven through the mart
+  * models, with the edge values the reference handles: NULL assignees,
+  * orphan parents, negative review latencies, multi-source days.
+  */
+class ModelsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val asof = to_timestamp(lit("2025-02-01 00:00:00"))
+
+  test("dim_users resolves identity across systems with provenance") {
+    val linear = Seq(
+      ("l1", "Alice@x.com", "Alice"),
+      ("l2", "bob@x.com", "Bob")).toDF("user_id", "email", "name")
+    val github = Seq(
+      ("g1", "alice@X.COM", "alice-gh"),
+      ("g3", "carol@x.com", "Carol")).toDF("user_id", "email", "name")
+    val out = Models.dimUsers(linear, github).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getString(3))).toMap
+    assert(out("l1") == (("Alice", "both"))) // matched case-insensitively, linear name wins
+    assert(out("l2") == (("Bob", "linear")))
+    assert(out("gh_g3") == (("Carol", "github"))) // fallback key prefix
+  }
+
+  test("fct_issues: parent/child flags, active cycle, days since created") {
+    val issues = Seq(
+      ("i1", "DDX-1", "Parent issue", "In Progress", 3.0, "u1", "c1", null,
+        Timestamp.valueOf("2025-01-01 00:00:00"), Seq("bug")),
+      ("i2", "DDX-2", "Child issue", "Todo", 1.0, null, "c1", "i1",
+        Timestamp.valueOf("2025-01-22 00:00:00"), Seq.empty[String])
+    ).toDF("id", "identifier", "title", "state", "estimate", "assignee_id", "cycle_id",
+      "parent_id", "created_at", "labels")
+    val users = Seq(("u1", "Alice")).toDF("user_id", "name")
+    val cycles = Seq(("c1", "Sprint 1",
+      Timestamp.valueOf("2025-01-20 00:00:00"), Timestamp.valueOf("2025-02-03 00:00:00")))
+      .toDF("cycle_id", "name", "starts_at", "ends_at")
+
+    val out = Models.fctIssues(issues, users, cycles, asof)
+    val byId = out.collect().map(r => r.getString(0) -> r).toMap
+    assert(byId("i1").getAs[Boolean]("is_parent") && !byId("i1").getAs[Boolean]("is_child"))
+    assert(byId("i2").getAs[Boolean]("is_child") && byId("i2").getAs[String]("parent_title") == "Parent issue")
+    assert(byId("i2").getAs[String]("assignee_name") == null) // NULL assignee survives left join
+    assert(byId("i1").getAs[Boolean]("is_active_cycle")) // asof inside sprint window
+    assert(byId("i1").getAs[Long]("days_since_created") == 31L)
+    Checks.assertAll(Seq(
+      unique(out, "issue_id"),
+      acceptedRange(out, "child_count", 0, 1e9)))
+  }
+
+  test("fct_pull_requests: conditional counts and negative first-review latency") {
+    val prs = Seq(
+      (10L, "PR ten", "closed", "a1",
+        Timestamp.valueOf("2025-01-01 00:00:00"), Timestamp.valueOf("2025-01-02 00:00:00"),
+        Timestamp.valueOf("2025-01-03 12:30:00"))
+    ).toDF("id", "title", "state", "author_id", "created_at", "ready_for_review_at", "merged_at")
+    val reviews = Seq(
+      (10L, "r1", "APPROVED", Timestamp.valueOf("2025-01-01 06:00:00")), // BEFORE ready_for_review
+      (10L, "r2", "COMMENTED", Timestamp.valueOf("2025-01-02 08:00:00"))
+    ).toDF("pull_request_id", "reviewer_id", "state", "submitted_at")
+    val comments = Seq((10L, "r2")).toDF("pull_request_id", "author_id")
+
+    val row = Models.fctPullRequests(prs, reviews, comments).collect().head
+    assert(row.getAs[Long]("review_count") == 2L)
+    assert(row.getAs[Long]("approved_count") == 1L)
+    assert(row.getAs[Boolean]("merged"))
+    assert(row.getAs[Long]("hours_to_merge") == 60L) // 60.5h truncates toward zero
+    assert(row.getAs[Long]("hours_to_first_review") == -18L) // negative, trunc toward zero
+  }
+
+  test("fct_reviewer_activity excludes self-reviews, unions participants") {
+    val reviews = Seq((10L, "alice"), (10L, "author")).toDF("pull_request_id", "reviewer_id")
+    val comments = Seq((10L, "bob"), (10L, "alice")).toDF("pull_request_id", "author_id")
+    val prs = Seq((10L, "author")).toDF("id", "author_id")
+    val out = Models.fctReviewerActivity(reviews, comments, prs)
+    val parts = out.select("participant_id").as[String].collect().toSet
+    assert(parts == Set("alice", "bob")) // author's own review excluded
+    val alice = out.where($"participant_id" === "alice").collect().head
+    assert(alice.getAs[Long]("review_count") == 1L && alice.getAs[Long]("comment_count") == 1L)
+  }
+
+  test("fct_oura_daily: spine keeps partial days, null-aware combined score") {
+    val sleep = Seq((Date.valueOf("2025-01-01"), 80L), (Date.valueOf("2025-01-02"), 90L))
+      .toDF("day", "score")
+    val readiness = Seq((Date.valueOf("2025-01-01"), 70L)).toDF("day", "score")
+    val activity = Seq((Date.valueOf("2025-01-03"), 60L, 10500L))
+      .toDF("day", "score", "steps")
+    val out = Models.fctOuraDaily(sleep, readiness, activity)
+    val byDay = out.collect().map(r => r.getDate(0).toString -> r).toMap
+    assert(byDay.keySet == Set("2025-01-01", "2025-01-02", "2025-01-03"))
+    assert(byDay("2025-01-01").getAs[Double]("combined_wellness_score") == 75.0) // (80+70)/2
+    assert(byDay("2025-01-02").getAs[Double]("combined_wellness_score") == 90.0) // sleep only
+    assert(byDay("2025-01-03").getAs[String]("activity_category") == "very_active")
+    Checks.assertAll(Seq(unique(out, "day"),
+      acceptedValues(out, "sleep_category", Seq("excellent", "good", "fair", "poor")),
+      acceptedRange(out, "combined_wellness_score", 0, 100)))
+  }
+
+  test("fct_keyword_trends over the testdata trends adapter holds invariants") {
+    val out = Models.fctKeywordTrends(graft.sources.Tables.trends(spark, sf))
+    Checks.assertAll(Seq(
+      unique(out, "keyword", "date"),
+      notNull(out, "interest"),
+      expressionIsTrue(out, "avg7 positive", col("avg_7d") > 0),
+      expressionIsTrue(out, "local peak implies >= own interest",
+        !col("is_local_peak") || col("interest") >= col("avg_7d") - 1e9)))
+  }
+}
