@@ -138,7 +138,9 @@ object SparkEntry {
     // extensions: multimodal columns
     "mm_metadata" -> ((s, d) => Multimodal.mmMetadata(Tables.documents(s, d))),
     "mm_decode_stub" -> ((s, d) => Multimodal.mmDecodeStub(Tables.documents(s, d))),
-    "mm_frame_sample" -> ((s, d) => Multimodal.mmFrameSample(Tables.documents(s, d)))
+    "mm_frame_sample" -> ((s, d) => Multimodal.mmFrameSample(Tables.documents(s, d))),
+    // extensions: composed curation pipeline
+    "pipeline_training_data" -> ((s, d) => Pipeline.trainingDataCuration(Tables.documents(s, d)))
   )
 
   def oracleSql: Map[String, String] =
@@ -146,5 +148,5 @@ object SparkEntry {
       Sorts.oracles ++ Joins.oracles ++ SetOps.oracles ++ Arrays.oracles ++
       Merge.oracles ++ graft.sources.ApiSource.oracles ++ Reshape.oracles ++
       Enrich.oracles ++ Dedup.oracles ++ Similarity.oracles ++
-      TextAnalysis.oracles ++ Multimodal.oracles
+      TextAnalysis.oracles ++ Multimodal.oracles ++ Pipeline.oracles
 }

@@ -95,6 +95,16 @@ class OperatorSpec extends SparkTestBase {
     assert(scoreSentiment(far)._1 == 0.0)
   }
 
+  test("salted two-phase sum equals the direct aggregation") {
+    val df = (1 to 500).map(i => (i % 3L, i.toLong, i.toLong * 10)).toDF("k", "row_id", "v")
+    val salted = graft.operators.Skew.saltedSum(df, col("k"), col("row_id"), col("v"),
+      "k", "total", salts = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val direct = df.groupBy("k").agg(sum("v").as("total"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(salted == direct)
+  }
+
   test("LongDot matches reference implementation and handles length skew") {
     import graft.functions.LongDot.long_dot
     val df = Seq((Seq(1L, 2L, 3L), Seq(4L, 5L, 6L))).toDF("a", "b")
