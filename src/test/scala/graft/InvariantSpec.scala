@@ -39,6 +39,27 @@ class InvariantSpec extends SparkTestBase {
       relationships(li, "l_orderkey", Tables.orders(spark, sf), "o_orderkey")))
   }
 
+  test("aggregate marts hold their dbt-style invariants") {
+    val weekly = graft.operators.Aggregates.aggWeeklyStats(Tables.orders(spark, sf))
+    Checks.assertAll(Seq(
+      unique(weekly, "order_week"),
+      notNull(weekly, "order_week"),
+      expressionIsTrue(weekly, "count positive", col("order_count") > 0),
+      expressionIsTrue(weekly, "avg <= total", col("avg_order_value") <= col("total_sales")),
+      expressionIsTrue(weekly, "distinct <= count",
+        col("distinct_customers") <= col("order_count"))))
+
+    val topk = graft.operators.Joins.joinTopkBack(
+      Tables.lineitem(spark, sf), Tables.part(spark, sf))
+    Checks.assertAll(Seq(
+      unique(topk, "brand"),
+      expressionIsTrue(topk, "top part cannot exceed brand total",
+        col("top_part_revenue") <= col("brand_revenue"))))
+
+    val merged = graft.operators.Merge.mergeUpsertQuery(Tables.events(spark, sf))
+    Checks.assertAll(Seq(unique(merged, "event_id"), notNull(merged, "event_id")))
+  }
+
   test("oura-style spine mart: week unique, counts non-negative") {
     val spine = graft.operators.SetOps.unionDistinct(
       Tables.orders(spark, sf), Tables.lineitem(spark, sf), Tables.events(spark, sf))
