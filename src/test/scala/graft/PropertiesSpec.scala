@@ -1,0 +1,67 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.operators.Windows
+import graft.sources.Tables
+
+/** Property-based checks over the engine's algebra (SURVEY §5.2: generators
+  * for fixture-shaped data + algebraic invariants).
+  */
+class PropertiesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def checkProp(p: Prop, n: Int = 8): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("win_dedup emits exactly one row per key, and it is the max-ordered one") {
+    val gen = Gen.listOfN(40, Gen.zip(
+      Gen.choose(0L, 4L), Gen.choose(0L, 2L), Gen.choose(0L, 86400L * 5)))
+    checkProp(Prop.forAll(gen) { rows =>
+      val df = rows.zipWithIndex.map { case ((u, t, off), i) =>
+        (i.toLong, new Timestamp(1700000000000L + off * 1000), u, s"t$t", 1.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val out = Windows.winDedup(df).collect()
+      val keys = out.map(r => (r.getLong(1), r.getString(2)))
+      val expectKeys = rows.map { case (u, t, _) => (u, s"t$t") }.distinct
+      keys.length == keys.distinct.length && keys.toSet == expectKeys.toSet
+    })
+  }
+
+  test("rolling means stay within the frame's min/max closes") {
+    val fct = Windows.winRollingAvg(Tables.prices(spark, sf))
+      .join(Windows.winRollingExtrema(Tables.prices(spark, sf))
+        .select(col("ticker"), col("trade_date"), col("high_52w"), col("low_52w")),
+        Seq("ticker", "trade_date"))
+    val violations = fct.where(
+      col("ma_7d") > col("high_52w") || col("ma_7d") < col("low_52w") ||
+        col("ma_30d") > col("high_52w") || col("ma_30d") < col("low_52w")).count()
+    assert(violations == 0L)
+  }
+
+  test("sentiment score is bounded, symmetric under polarity swap of counts") {
+    val gen = Gen.listOfN(12, Gen.oneOf("fast", "good", "slow", "error", "word", "x"))
+    checkProp(Prop.forAll(gen) { words =>
+      val text = words.mkString(" ")
+      val (score, label, _) = graft.operators.Enrich.scoreSentiment(text)
+      val bounded = score >= -1.0 && score <= 1.0
+      val labelConsistent =
+        (score > 0 && label == "POSITIVE") || (score < 0 && label == "NEGATIVE") ||
+          (score == 0 && label == "NEUTRAL")
+      bounded && labelConsistent
+    }, n = 20)
+  }
+
+  test("merge upsert output size = |target keys ∪ source keys|") {
+    val gen = Gen.listOfN(25, Gen.choose(0L, 12L))
+    checkProp(Prop.forAll(gen, gen) { (t, s) =>
+      val td = t.distinct.map(k => (k, s"t$k")).toDF("id", "v")
+      val sd = s.distinct.map(k => (k, s"s$k")).toDF("id", "v")
+      val n = graft.operators.Merge.mergeUpsert(td, sd, Seq("id")).count()
+      n == (t.toSet ++ s.toSet).size.toLong
+    })
+  }
+}
