@@ -65,6 +65,7 @@ object SparkEntry {
     "scan_derived_cols" -> ((s, d) => Scalars.scanDerivedCols(Tables.events(s, d))),
     "scan_pushdown_param" -> ((s, d) => Scalars.scanPushdownParam(Tables.lineitem(s, d))),
     "fn_datetime" -> ((s, d) => Scalars.fnDatetime(Tables.orders(s, d))),
+    "fn_string" -> ((s, d) => Scalars.fnString(Tables.customer(s, d))),
     "fn_timestamp_diff_hour" -> ((s, d) => Scalars.fnTimestampDiffHour(Tables.events(s, d))),
     // §2.6 sorts / limits
     "sort_model_output" -> ((s, d) => Sorts.sortModelOutput(Tables.orders(s, d))),
@@ -130,6 +131,7 @@ object SparkEntry {
     // extensions: similarity search
     "sim_search_bruteforce" -> ((s, d) => Similarity.simSearchBruteforce(Tables.embeddings(s, d))),
     "sim_search_lsh" -> ((s, d) => Similarity.simSearchLsh(Tables.embeddings(s, d))),
+    "sim_search_ivf" -> ((s, d) => Similarity.simSearchIvf(Tables.embeddings(s, d))),
     // extensions: text analysis
     "text_langid" -> ((s, d) => TextAnalysis.textLangid(Tables.documents(s, d))),
     "text_quality" -> ((s, d) => TextAnalysis.textQuality(Tables.documents(s, d))),

@@ -67,7 +67,32 @@ object Scalars {
         expr("micros_back div 3600000000").as("hours_back"))
   }
 
+  /** String function family (SURVEY §2.8 string table): lower/upper/trim,
+    * concat with `||` semantics, regexp_contains/extract/replace together.
+    */
+  def fnString(customer: DataFrame): DataFrame =
+    customer.select(
+      col("c_custkey").as("customer_id"),
+      lower(col("c_name")).as("name_lower"),
+      upper(col("c_mktsegment")).as("segment_upper"),
+      trim(concat(lit("  "), col("c_name"), lit("  "))).as("name_trimmed"),
+      concat(lit("cust_"), col("c_custkey"), lit("@"), lower(col("c_mktsegment")))
+        .as("synthetic_email"),
+      col("c_name").rlike("[0-9]{3}").as("has_triple_digit"),
+      regexp_extract(col("c_name"), "#(\\d+)", 1).as("name_number"),
+      regexp_replace(col("c_name"), "[0-9]", "#").as("name_masked"))
+
   val oracles: Map[String, String] = Map(
+    "fn_string" ->
+      """SELECT c_custkey AS customer_id,
+        |       lower(c_name) AS name_lower,
+        |       upper(c_mktsegment) AS segment_upper,
+        |       trim('  ' || c_name || '  ') AS name_trimmed,
+        |       'cust_' || c_custkey || '@' || lower(c_mktsegment) AS synthetic_email,
+        |       regexp_matches(c_name, '[0-9]{3}') AS has_triple_digit,
+        |       regexp_extract(c_name, '#(\d+)', 1) AS name_number,
+        |       regexp_replace(c_name, '[0-9]', '#', 'g') AS name_masked
+        |FROM customer""".stripMargin,
     "scan_derived_cols" ->
       """SELECT event_id,
         |       regexp_extract(props, '"k": (\d+)', 1) AS k_str,

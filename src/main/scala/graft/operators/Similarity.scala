@@ -79,6 +79,70 @@ object Similarity {
         col("cosine"), col("rank"))
   }
 
+  /** `sim_search_ivf`: inverted-file ANN — the centroid-based alternative to
+    * hyperplane LSH (same probe-join shape, learned partitions).
+    *
+    * Mini k-means on the quantized vectors: centroids are re-quantized to
+    * integers each iteration, so cluster assignment is an exact integer
+    * argmin (`||c||² − 2·x·c` at a common scale) via LongDot — deterministic
+    * across runs and partitionings. Only the k×64 centroid model touches the
+    * driver (standard IVF training); all data stays distributed. At scale the
+    * corpus is written `partitionBy(cluster)` and a probe prunes to one
+    * partition.
+    */
+  def simSearchIvf(embeddings: DataFrame, k: Int = 16, iters: Int = 2): DataFrame = {
+    val corpus = prep(embeddings).cache()
+    try {
+      val dim = 64
+      // deterministic init: the k lowest-id vectors
+      var cents: Seq[Array[Long]] = corpus.orderBy("vec_id").limit(k)
+        .select("q").collect().map(_.getSeq[Long](0).toArray).toSeq
+
+      def clusterCol(cs: Seq[Array[Long]]): Column = {
+        val scored = cs.zipWithIndex.map { case (c, cid) =>
+          val cc = c.map(v => v * v).sum
+          struct(
+            (lit(cc) - long_dot(col("q"), typedLit(c.toSeq)) * 2).as("score"),
+            lit(cid.toLong).as("cid"))
+        }
+        least(scored: _*).getField("cid")
+      }
+
+      for (_ <- 1 to iters) {
+        val sums = corpus.withColumn("cluster", clusterCol(cents))
+          .select(col("cluster"), posexplode(col("q")).as(Seq("pos", "v")))
+          .groupBy(col("cluster"), col("pos"))
+          .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+          .collect()
+        val byCluster = sums.groupBy(_.getLong(0))
+        cents = cents.zipWithIndex.map { case (old, cid) =>
+          byCluster.get(cid.toLong) match {
+            case Some(rows) =>
+              val arr = Array.fill(dim)(0L)
+              rows.foreach { r =>
+                arr(r.getInt(1)) = Math.round(r.getLong(2).toDouble / r.getLong(3).toDouble)
+              }
+              arr
+            case None => old // empty cluster keeps its centroid
+          }
+        }
+      }
+
+      val bucketed = corpus.withColumn("cluster", clusterCol(cents))
+      val queries = bucketed.where(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("q").as("qv"), col("norm2").as("qn"),
+          col("cluster"))
+      val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
+      bucketed.join(broadcast(queries), Seq("cluster"))
+        .where(col("vec_id") =!= col("query_id"))
+        .withColumn("cosine", cosine(long_dot(col("q"), col("qv")), col("norm2"), col("qn")))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 5)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cluster"),
+          col("cosine"), col("rank"))
+    } finally corpus.unpersist()
+  }
+
   private val quantCte =
     """q AS (
       |  SELECT vec_id, CAST(label AS BIGINT) AS label,

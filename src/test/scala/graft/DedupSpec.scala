@@ -58,6 +58,21 @@ class DedupSpec extends SparkTestBase {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("IVF similarity: identical vectors share a cluster; copy ranked first") {
+    val e = (0L until 40L).map { i =>
+      // four directional families; per-vector jitter keeps them distinct
+      val base = Array.tabulate(64)(j => ((i % 4) * 16 + j).toFloat / 64 + i * 0.003f)
+      (i, base, (i % 4).toInt)
+    }.toSeq
+      .:+((50L, Array.tabulate(64)(j => j.toFloat / 64), 0)) // exact copy of vec 0
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.simSearchIvf(e, k = 4, iters = 2)
+    val top = out.where($"query_id" === 0L && $"rank" === 1)
+      .select("neighbor_id").as[Long].collect()
+    assert(top.headOption.contains(50L),
+      s"copy must be top neighbor within its IVF cluster, got ${out.collect().toSeq}")
+  }
+
   test("bruteforce similarity ranks exact copy first") {
     val e = Seq(
       (1L, Array.tabulate(64)(i => i.toFloat / 64), 0),
