@@ -32,4 +32,21 @@ class WarehouseSpec extends SparkTestBase {
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
     }
   }
+
+  test("date-partitioned layout turns the ship-date predicate into partition pruning") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toFile.getAbsolutePath
+    Tables.lineitem(spark, sf)
+      .withColumn("ship_year", year(col("l_shipdate")))
+      .write.partitionBy("ship_year").mode("overwrite").parquet(dir)
+
+    val q = spark.read.parquet(dir).where(col("ship_year") === 1997)
+      .agg(count(lit(1)).as("n"))
+    val scan = q.queryExecution.executedPlan.toString()
+    assert(scan.contains("PartitionFilters") && scan.contains("ship_year"),
+      s"expected partition filters in scan:\n$scan")
+
+    val expected = Tables.lineitem(spark, sf)
+      .where(year(col("l_shipdate")) === 1997).count()
+    assert(q.collect().head.getLong(0) == expected)
+  }
 }
