@@ -107,20 +107,26 @@ object Dedup {
   def dedupMinhashLsh(documents: DataFrame): DataFrame = {
     val sigs = minhashSignatures(documents)
     val sigArr = array((0 until MinhashK).map(i => col(s"sig_$i")): _*)
-    val withBands = sigs.withColumn("sig", sigArr)
-      .select(col("doc_id"), col("lang"), col("sig"),
+    val withBands = sigs
+      .select(col("doc_id"), col("lang"),
         posexplode(array((0 until 4).map(b =>
           xxhash64(col(s"sig_${4 * b}"), col(s"sig_${4 * b + 1}"),
             col(s"sig_${4 * b + 2}"), col(s"sig_${4 * b + 3}"))): _*))
           .as(Seq("band_idx", "band_hash")))
     val a = withBands.select(col("lang"), col("band_idx"), col("band_hash"),
-      col("doc_id").as("doc_id_1"), col("sig").as("sig1"))
+      col("doc_id").as("doc_id_1"))
     val b = withBands.select(col("lang"), col("band_idx"), col("band_hash"),
-      col("doc_id").as("doc_id_2"), col("sig").as("sig2"))
-    a.join(b, Seq("lang", "band_idx", "band_hash"))
+      col("doc_id").as("doc_id_2"))
+    // dedup candidates on scalar keys only; signatures re-attach afterwards
+    // (distinct over array columns would dominate the cost)
+    val candidates = a.join(b, Seq("lang", "band_idx", "band_hash"))
       .where(col("doc_id_1") < col("doc_id_2"))
-      .select(col("lang"), col("doc_id_1"), col("doc_id_2"), col("sig1"), col("sig2"))
+      .select(col("lang"), col("doc_id_1"), col("doc_id_2"))
       .distinct()
+    val sigTable = sigs.select(col("doc_id"), sigArr.as("sig"))
+    candidates
+      .join(sigTable.select(col("doc_id").as("doc_id_1"), col("sig").as("sig1")), Seq("doc_id_1"))
+      .join(sigTable.select(col("doc_id").as("doc_id_2"), col("sig").as("sig2")), Seq("doc_id_2"))
       .withColumn("est_jaccard",
         (size(filter(zip_with(col("sig1"), col("sig2"), (x, y) => x === y),
           b => b)).cast(DoubleType) / MinhashK.toDouble))
