@@ -30,7 +30,8 @@ object Explain {
         val bhj = "BroadcastHashJoin".r.findAllIn(plan).length
         val smj = "SortMergeJoin".r.findAllIn(plan).length
         val bnl = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
-        val codegen = "WholeStageCodegen".r.findAllIn(plan).length
+        // formatted mode marks codegen'd operators with "[codegen id : N]"
+        val codegen = "codegen id".r.findAllIn(plan).length
         val pushed = plan.linesIterator
           .filter(l => l.contains("PushedFilters: [") && !l.contains("PushedFilters: []"))
           .size
