@@ -45,7 +45,8 @@ object Similarity {
       .withColumn("cosine", cosine(long_dot(col("q"), col("qv")), col("norm2"), col("qn")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= 5)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cosine"), col("rank"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cosine"),
+        col("rank").cast("long").as("rank"))
   }
 
   /** 8-bit hyperplane bucket: sign bits of dots with deterministic integer
@@ -76,7 +77,7 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= 5)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("bucket"),
-        col("cosine"), col("rank"))
+        col("cosine"), col("rank").cast("long").as("rank"))
   }
 
   /** `sim_search_ivf`: inverted-file ANN — the centroid-based alternative to
@@ -139,7 +140,7 @@ object Similarity {
         .withColumn("rank", row_number().over(w))
         .where(col("rank") <= 5)
         .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cluster"),
-          col("cosine"), col("rank"))
+          col("cosine"), col("rank").cast("long").as("rank"))
     } finally corpus.unpersist()
   }
 

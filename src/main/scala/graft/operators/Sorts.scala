@@ -46,7 +46,7 @@ object Sorts {
       .withColumn("rank_in_day", row_number().over(w))
       .where(col("rank_in_day") <= topN)
       .select(to_date(col("ts")).as("event_date"), col("event_id"),
-        col("value"), col("rank_in_day"))
+        col("value"), col("rank_in_day").cast("long").as("rank_in_day"))
   }
 
   val oracles: Map[String, String] = Map(

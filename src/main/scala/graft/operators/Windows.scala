@@ -73,7 +73,7 @@ object Windows {
       when(col("volume") * col("n7") * 2 > col("vol7_sum") * 3, "high_volume")
         .when(col("volume") * col("n7") * 2 < col("vol7_sum"), "low_volume")
         .otherwise("normal_volume").as("volume_trend"),
-      col("recency_rank"))
+      col("recency_rank").cast("long").as("recency_rank"))
   }
 
   /** `win_lag1` (fct_stock_prices.sql:30-34): prev_close + day-over-day change. */
@@ -137,7 +137,7 @@ object Windows {
       .select(
         col("ticker"), col("trade_date"),
         Num.dollars(col("close_cents")).as("close_price"),
-        col("recency_rank"))
+        col("recency_rank").cast("long").as("recency_rank"))
 
   /** `win_centered` (fct_keyword_trends.sql:48-57): centered-frame local peaks. */
   def winCentered(trends: DataFrame): DataFrame = {
@@ -175,6 +175,6 @@ object Windows {
       .withColumn("part_rank", row_number().over(w))
       .where(col("part_rank") <= 5)
       .select(col("supp"), col("part"), Num.dollars(col("revenue_cents")).as("revenue"),
-        col("part_rank"))
+        col("part_rank").cast("long").as("part_rank"))
   }
 }
