@@ -23,24 +23,32 @@ object Bench {
     spark.range(1000000L).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
 
-    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    val errors = scala.collection.mutable.LinkedHashSet[String]()
+    def once(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          errors += name
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
       (System.nanoTime() - t0) / 1e9
     }
 
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val cold = once(fn)
-      val warm = once(fn)
+      val cold = once(name, fn)
+      val warm = once(name, fn)
       name -> ((cold, warm))
     }
     def fmt(sel: ((Double, Double)) => Double) =
       results.map { case (k, v) => "\"" + k + "\":" + sel(v) }.mkString("{", ",", "}")
     val warmTotal = results.values.map(_._2).sum
     val coldTotal = results.values.map(_._1).sum
+    val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(
       s"""{"metric":"total","value":$warmTotal,"unit":"sec","queries":${fmt(_._2)},""" +
-        s""""cold_total":$coldTotal,"cold_queries":${fmt(_._1)},"sf":"$sfDir"}""")
+        s""""cold_total":$coldTotal,"cold_queries":${fmt(_._1)},""" +
+        s""""errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -16,19 +16,27 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * codegen, which matters when it runs N×Q times inside a similarity
   * self-join. Integer inputs (quantized embeddings) keep the result exact and
   * order-independent — required for cross-engine oracle parity.
+  *
+  * NULL semantics exactly match the HOF form (so the optimizer rewrite in
+  * graft.plans.RewriteHofDotProduct preserves results): unequal lengths or a
+  * NULL element anywhere in the overlapping zip → NULL (zip_with pads with
+  * NULL, the NULL product poisons the sum).
   */
 case class LongDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = LongType
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) return null
     var acc = 0L
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += x.getLong(i) * y.getLong(i)
       i += 1
     }
@@ -41,10 +49,15 @@ case class LongDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
          |long $acc = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $a.getLong($i) * $b.getLong($i);
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += $a.getLong($i) * $b.getLong($i);
+         |  }
          |}
          |${ev.value} = $acc;
        """.stripMargin

@@ -48,9 +48,12 @@ object Num {
   /** percent num/den*100 from exact ints. */
   def pct(num: Column, den: Column): Column = ratio(num, den) * 100.0
 
-  /** overflow-safe exact sum of squares of an integer-cents column. */
+  /** overflow-safe exact sum of squares of an integer-cents column — cast to
+    * decimal BEFORE multiplying (a long×long square silently wraps past
+    * ~3.04e9 cents).
+    */
   def sumSq(centsCol: Column): Column =
-    sum((centsCol * centsCol).cast(DecimalType(38, 0)))
+    sum(centsCol.cast(DecimalType(19, 0)) * centsCol.cast(DecimalType(19, 0)))
 
   private def nullif(c: Column, v: Column): Column = when(c === v, null).otherwise(c)
 }

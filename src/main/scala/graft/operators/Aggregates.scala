@@ -258,7 +258,7 @@ object Aggregates {
       """WITH m AS (
         |  SELECT l_returnflag AS return_flag, COUNT(*) AS n,
         |         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
-        |         SUM(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS DECIMAL(38,0))) AS sumsq,
+        |         SUM(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS DECIMAL(19,0)) * CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS DECIMAL(19,0))) AS sumsq,
         |         CAST(SUM(ABS(CAST(ROUND(l_extendedprice * 100) AS BIGINT))) AS BIGINT) AS sum_abs_cents
         |  FROM lineitem GROUP BY 1)
         |SELECT return_flag, n,

@@ -105,7 +105,9 @@ object Dedup {
     * n-gram Jaccard baseline in DedupSpec.)
     */
   def dedupMinhashLsh(documents: DataFrame): DataFrame = {
-    val sigs = minhashSignatures(documents)
+    // cached: referenced by the band explode AND both sig re-attach joins —
+    // uncached, the shingle-explode + 16-min aggregation would run 3×
+    val sigs = minhashSignatures(documents).cache()
     val sigArr = array((0 until MinhashK).map(i => col(s"sig_$i")): _*)
     val withBands = sigs
       .select(col("doc_id"), col("lang"),

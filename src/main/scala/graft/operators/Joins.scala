@@ -161,7 +161,7 @@ object Joins {
     */
   def joinFactToStory(lineitem: DataFrame, orders: DataFrame): DataFrame = {
     val topOrders = orders.where(Num.cents(col("o_totalprice")) > 30000000L)
-      .select(col("o_orderkey"), col("o_totalprice"))
+      .select(col("o_orderkey"))
     lineitem
       .join(topOrders, lineitem("l_orderkey") === topOrders("o_orderkey"))
       .groupBy(col("o_orderkey").as("order_id"))

@@ -94,8 +94,12 @@ object Multimodal {
     mediaTable(documents)
       .withColumn("n_frames",
         expr(s"(meta.n_bytes + $frameSize - 1) div $frameSize"))
+      // guard n_frames=0: sequence(0,-1) would yield a DESCENDING [0,-1]
+      .withColumn("frames",
+        when(col("n_frames") > 0, sequence(lit(0L), col("n_frames") - 1))
+          .otherwise(array().cast("array<bigint>")))
       .select(col("media_id"), col("meta.n_bytes").as("n_bytes"),
-        posexplode(sequence(lit(0L), col("n_frames") - 1)).as(Seq("frame_pos", "frame_idx")))
+        posexplode(col("frames")).as(Seq("frame_pos", "frame_idx")))
       .where(col("frame_idx") % every === 0)
       .select(col("media_id"), col("n_bytes"), col("frame_idx").cast("long").as("frame_idx"),
         (col("frame_idx") * frameSize).cast("long").as("frame_offset"))

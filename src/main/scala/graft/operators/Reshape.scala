@@ -15,6 +15,13 @@ object Reshape {
 
   private def d(c: Column): Column = c.cast(DoubleType)
 
+  /** zero → NULL denominator guard: Spark's double divide-by-zero yields
+    * NULL but DuckDB's IEEE default yields inf/NaN — guarding both sides
+    * with NULLIF keeps degenerate groups (single point, zero variance)
+    * cross-engine identical.
+    */
+  private def safeDen(c: Column): Column = when(c === 0.0, null).otherwise(c)
+
   /** `pivot_assignee` (pages/1_Linear_Issues.py:209-240): pivot_table with
     * row totals — groupBy().pivot().sum() + total column.
     */
@@ -96,7 +103,7 @@ object Reshape {
       (d(col("cur_cents")) / d(col("cur_n")) / 100.0).as("current_avg"),
       (d(col("prior_cents")) / d(col("prior_n")) / 100.0).as("prior_avg"),
       ((d(col("cur_cents")) / d(col("cur_n")) - d(col("prior_cents")) / d(col("prior_n")))
-        / (d(col("prior_cents")) / d(col("prior_n"))) * 100.0).as("pct_change"))
+        / safeDen(d(col("prior_cents")) / d(col("prior_n"))) * 100.0).as("pct_change"))
   }
 
   /** `autocorr` (pages/Oura_Investigation.py:309-335): lag-1..3
@@ -126,7 +133,7 @@ object Reshape {
       .select(
         col("keyword"), lit(k.toLong).as("lag_k"),
         ((d(col(s"n_$k")) * d(col(s"sab_$k")) - d(col(s"sa_$k")) * d(col(s"sb_$k"))) /
-          (sqrt(d(col(s"n_$k")) * d(col(s"saa_$k")) - d(col(s"sa_$k")) * d(col(s"sa_$k"))) *
+          safeDen(sqrt(d(col(s"n_$k")) * d(col(s"saa_$k")) - d(col(s"sa_$k")) * d(col(s"sa_$k"))) *
             sqrt(d(col(s"n_$k")) * d(col(s"sbb_$k")) - d(col(s"sb_$k")) * d(col(s"sb_$k")))))
           .as("autocorr"))
     rowFor(1).unionByName(rowFor(2)).unionByName(rowFor(3))
@@ -157,7 +164,7 @@ object Reshape {
         sum(when(!col("is_weekend"), col("interest"))).as("s2"),
         Num.sumSq(when(!col("is_weekend"), col("interest"))).as("q2"))
     val slope = (d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
-      (d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx")))
+      safeDen(d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx")))
     val m1 = d(col("s1")) / d(col("n1"))
     val m2 = d(col("s2")) / d(col("n2"))
     val v1 = (d(col("q1")) - d(col("s1")) * d(col("s1")) / d(col("n1"))) / (d(col("n1")) - 1.0)
@@ -167,9 +174,9 @@ object Reshape {
       slope.as("slope"),
       ((d(col("sy")) - slope * d(col("sx"))) / d(col("n"))).as("intercept"),
       ((d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
-        (sqrt(d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))) *
+        safeDen(sqrt(d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))) *
           sqrt(d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy"))))).as("r_value"),
-      ((m1 - m2) / sqrt(v1 / d(col("n1")) + v2 / d(col("n2")))).as("weekend_t_stat"))
+      ((m1 - m2) / safeDen(sqrt(v1 / d(col("n1")) + v2 / d(col("n2"))))).as("weekend_t_stat"))
   }
 
   private val trendsCte = graft.sources.Tables.trendsSql
@@ -228,7 +235,7 @@ object Reshape {
         |  CAST(cur_cents AS DOUBLE) / CAST(cur_n AS DOUBLE) / 100.0 AS current_avg,
         |  CAST(prior_cents AS DOUBLE) / CAST(prior_n AS DOUBLE) / 100.0 AS prior_avg,
         |  (CAST(cur_cents AS DOUBLE) / CAST(cur_n AS DOUBLE) - CAST(prior_cents AS DOUBLE) / CAST(prior_n AS DOUBLE))
-        |    / (CAST(prior_cents AS DOUBLE) / CAST(prior_n AS DOUBLE)) * 100.0 AS pct_change
+        |    / NULLIF(CAST(prior_cents AS DOUBLE) / CAST(prior_n AS DOUBLE), 0.0) * 100.0 AS pct_change
         |FROM g""".stripMargin,
     "autocorr" -> {
       def block(k: Int) =
@@ -250,8 +257,8 @@ object Reshape {
          |  FROM lagged WHERE b IS NOT NULL GROUP BY 1, 2)
          |SELECT keyword, CAST(lag_k AS BIGINT) AS lag_k,
          |  (CAST(n AS DOUBLE) * CAST(sab AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)) /
-         |  (SQRT(CAST(n AS DOUBLE) * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) *
-         |   SQRT(CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))) AS autocorr
+         |  NULLIF(SQRT(CAST(n AS DOUBLE) * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) *
+         |   SQRT(CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)), 0.0) AS autocorr
          |FROM m""".stripMargin
     },
     "stats_tests" ->
@@ -269,23 +276,23 @@ object Reshape {
          |         CAST(SUM(interest * interest) AS BIGINT) AS syy,
          |         COUNT(CASE WHEN is_weekend THEN 1 END) AS n1,
          |         CAST(SUM(CASE WHEN is_weekend THEN interest END) AS BIGINT) AS s1,
-         |         SUM(CASE WHEN is_weekend THEN CAST(interest * interest AS DECIMAL(38,0)) END) AS q1,
+         |         SUM(CASE WHEN is_weekend THEN CAST(interest AS DECIMAL(19,0)) * CAST(interest AS DECIMAL(19,0)) END) AS q1,
          |         COUNT(CASE WHEN NOT is_weekend THEN 1 END) AS n2,
          |         CAST(SUM(CASE WHEN NOT is_weekend THEN interest END) AS BIGINT) AS s2,
          |         SUM(CASE WHEN NOT is_weekend THEN CAST(interest * interest AS DECIMAL(38,0)) END) AS q2
          |  FROM t GROUP BY 1)
          |SELECT keyword, n,
          |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
-         |    (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+         |    NULLIF(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0) AS slope,
          |  (CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
-         |    (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * CAST(sx AS DOUBLE))
+         |    NULLIF(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0)) * CAST(sx AS DOUBLE))
          |    / CAST(n AS DOUBLE) AS intercept,
          |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
-         |    (SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
-         |     SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r_value,
+         |    NULLIF(SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+         |     SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 0.0) AS r_value,
          |  ((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) - (CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))) /
-         |    SQRT(((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0)) / CAST(n1 AS DOUBLE)
-         |       + ((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0)) / CAST(n2 AS DOUBLE)) AS weekend_t_stat
+         |    NULLIF(SQRT(((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0)) / CAST(n1 AS DOUBLE)
+         |       + ((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0)) / CAST(n2 AS DOUBLE)), 0.0) AS weekend_t_stat
          |FROM g""".stripMargin
   )
 }

@@ -39,9 +39,12 @@ object Checks {
     CheckResult(s"accepted_range($c)",
       df.where(col(c).isNotNull && (col(c) < lo || col(c) > hi)).count())
 
-  /** dbt_utils `expression_is_true` */
+  /** dbt_utils `expression_is_true`: violations are rows where the
+    * expression is FALSE; NULL rows pass, matching dbt's generated
+    * `WHERE NOT (expr)` (NULL is not true → not selected).
+    */
   def expressionIsTrue(df: DataFrame, name: String, e: Column): CheckResult =
-    CheckResult(s"expression_is_true($name)", df.where(!coalesce(e, lit(false))).count())
+    CheckResult(s"expression_is_true($name)", df.where(!e).count())
 
   /** dbt `relationships`: every non-null fk value exists in the parent. */
   def relationships(child: DataFrame, fk: String, parent: DataFrame, pk: String): CheckResult = {

@@ -66,7 +66,11 @@ object Sessionize {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.last + gapMs)
+              // clamp above the watermark: setTimeoutTimestamp rejects
+              // timestamps <= watermark (a very late batch would otherwise
+              // kill the query instead of closing the session next trigger)
+              val wm = state.getCurrentWatermarkMs()
+              state.setTimeoutTimestamp(math.max(s.last + gapMs, wm + 1))
             }
             closed.reverseIterator
           }

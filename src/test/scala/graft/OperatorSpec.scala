@@ -105,11 +105,13 @@ class OperatorSpec extends SparkTestBase {
     assert(salted == direct)
   }
 
-  test("LongDot matches reference implementation and handles length skew") {
+  test("LongDot matches HOF dot semantics incl. NULL on length mismatch") {
     import graft.functions.LongDot.long_dot
     val df = Seq((Seq(1L, 2L, 3L), Seq(4L, 5L, 6L))).toDF("a", "b")
     assert(df.select(long_dot(col("a"), col("b"))).as[Long].collect().head == 32L)
+    // unequal lengths → NULL, exactly like aggregate(zip_with(...)) where
+    // zip_with pads with NULL and the NULL product poisons the sum
     val skew = Seq((Seq(2L, 3L), Seq(10L, 10L, 99L))).toDF("a", "b")
-    assert(skew.select(long_dot(col("a"), col("b"))).as[Long].collect().head == 50L)
+    assert(skew.select(long_dot(col("a"), col("b"))).collect().head.isNullAt(0))
   }
 }
