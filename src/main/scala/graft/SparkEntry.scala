@@ -42,6 +42,7 @@ object SparkEntry {
     "agg_multikey" -> ((s, d) => Aggregates.aggMultikey(Tables.lineitem(s, d))),
     "agg_having" -> ((s, d) => Aggregates.aggHaving(Tables.lineitem(s, d))),
     "agg_nunique_multi" -> ((s, d) => Aggregates.aggNuniqueMulti(Tables.lineitem(s, d))),
+    "agg_approx_distinct" -> ((s, d) => Aggregates.aggApproxDistinct(Tables.lineitem(s, d))),
     "agg_child_count" -> ((s, d) =>
       Aggregates.aggChildCount(Tables.orders(s, d), Tables.customer(s, d))),
     "agg_group_ordinal" -> ((s, d) => Aggregates.aggGroupOrdinal(Tables.orders(s, d))),

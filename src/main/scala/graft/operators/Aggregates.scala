@@ -180,6 +180,19 @@ object Aggregates {
         countDistinct(col("l_suppkey")).as("distinct_suppliers"),
         countDistinct(col("l_orderkey")).as("distinct_orders"))
 
+  /** Scale path for distinct counts: HyperLogLog sketches (1% rsd) instead
+    * of the expand-based exact distinct — constant memory per group, one
+    * shuffle of fixed-size sketches. No SQL oracle (Spark/DuckDB sketches
+    * differ); AggregatesSpec bounds the error against the exact counts.
+    */
+  def aggApproxDistinct(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag").as("return_flag"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), rsd = 0.01).as("approx_parts"),
+        approx_count_distinct(col("l_suppkey"), rsd = 0.01).as("approx_suppliers"),
+        approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("approx_orders"))
+
   /** `agg_child_count` (fct_issues.sql:14-21,72): self-aggregate counts joined
     * back to the dimension (left join, missing → 0).
     */

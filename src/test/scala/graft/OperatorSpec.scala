@@ -95,6 +95,20 @@ class OperatorSpec extends SparkTestBase {
     assert(scoreSentiment(far)._1 == 0.0)
   }
 
+  test("approx distinct stays within the configured error of exact counts") {
+    val li = graft.sources.Tables.lineitem(spark, sf)
+    val approx = Aggregates.aggApproxDistinct(li).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val exact = Aggregates.aggNuniqueMulti(li).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    exact.foreach { case (k, (p, s, o)) =>
+      val (ap, as_, ao) = approx(k)
+      def close(a: Long, e: Long) = math.abs(a - e) <= math.max(5L, (e * 0.05).toLong)
+      assert(close(ap, p) && close(as_, s) && close(ao, o),
+        s"approx too far for $k: approx=${approx(k)} exact=${exact(k)}")
+    }
+  }
+
   test("salted two-phase sum equals the direct aggregation") {
     val df = (1 to 500).map(i => (i % 3L, i.toLong, i.toLong * 10)).toDF("k", "row_id", "v")
     val salted = graft.operators.Skew.saltedSum(df, col("k"), col("row_id"), col("v"),
