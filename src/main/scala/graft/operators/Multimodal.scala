@@ -1,8 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing (builder brief): media as opaque BINARY columns
   * with typed metadata, decode/feature-extract as batched per-partition
@@ -43,44 +42,75 @@ object Multimodal {
         .when(col("meta.n_bytes") >= 200, "medium")
         .otherwise("small").as("size_bucket"))
 
-  /** Decoded-feature schema produced by the stub decoder. */
-  val decodedSchema: StructType = StructType(Seq(
-    StructField("media_id", LongType, nullable = false),
-    StructField("n_bytes", LongType, nullable = false),
-    StructField("head_byte", LongType, nullable = false),
-    StructField("byte_checksum", LongType, nullable = false),
-    StructField("fake_feature", ArrayType(DoubleType), nullable = false)))
+  /** Hex-digit value of a 1-char column from `hex(binary)` output (0-9A-F). */
+  private def hexVal(c: Column): Column =
+    when(ascii(c) >= 65, ascii(c) - 55).otherwise(ascii(c) - 48)
 
-  /** STUB decoder: stands in for image/audio decode (libs absent in this
-    * container). Deterministic pure function of the payload bytes; a real
-    * deployment swaps `decodeOne` for the codec call — the batching,
-    * schema, and partition layout stay identical.
-    */
-  private def decodeOne(id: Long, payload: Array[Byte]): Row = {
-    var checksum = 0L
-    var i = 0
-    while (i < payload.length) { checksum = (checksum + (payload(i) & 0xff)) % 65536; i += 1 }
-    val head = if (payload.isEmpty) 0L else (payload(0) & 0xff).toLong
-    // fake 4-dim "embedding" from byte stats — placeholder for model output
-    val feat = Array(
-      payload.length.toDouble,
-      head.toDouble,
-      checksum.toDouble,
-      (checksum % 7).toDouble)
-    Row(id, payload.length.toLong, head, checksum, feat)
-  }
+  /** Byte value at 0-based offset `i` of a hex-encoded binary string. */
+  private def byteAt(hx: Column, i: Column): Column =
+    (hexVal(hx.substr(i * 2 + 1, lit(1))) * 16 +
+      hexVal(hx.substr(i * 2 + 2, lit(1)))).cast("long")
 
-  /** `mm_decode_stub`: batched per-partition decode over the binary column
-    * (mapPartitions ≈ mapInPandas batch shape; no SQL oracle — stub features,
-    * rows-only check + MultimodalSpec).
+  /** `mm_decode_stub`: the decode/feature-extract stage as a pure Catalyst
+    * expression chain over the BINARY column — stays in whole-stage codegen,
+    * never leaves Tungsten rows, and is fully oracle-checkable. The "decode"
+    * is a deterministic STUB (byte-stat features; the container has no media
+    * codecs): a real deployment swaps the feature expressions for a codec
+    * call via [[mmDecodeBatched]]'s typed per-partition shape — schema and
+    * partition layout stay identical. Features are emitted as scalar DOUBLE
+    * columns (not an array) so every output column is sortable/hashable.
     */
   def mmDecodeStub(documents: DataFrame): DataFrame = {
     val media = mediaTable(documents)
+    val hx = hex(col("payload"))
+    media
+      .withColumn("n_bytes", col("meta.n_bytes"))
+      .withColumn("head_byte",
+        when(col("n_bytes") > 0, byteAt(hx, lit(0))).otherwise(0L))
+      .withColumn("byte_checksum",
+        when(col("n_bytes") > 0,
+          aggregate(sequence(lit(0L), col("n_bytes") - 1), lit(0L),
+            (acc, i) => acc + byteAt(hx, i)) % 65536)
+          .otherwise(0L))
+      .select(
+        col("media_id"), col("n_bytes"), col("head_byte"), col("byte_checksum"),
+        // fake 4-dim "embedding" from byte stats — placeholder for model output
+        col("n_bytes").cast("double").as("feat_len"),
+        col("head_byte").cast("double").as("feat_head"),
+        col("byte_checksum").cast("double").as("feat_checksum"),
+        (col("byte_checksum") % 7).cast("double").as("feat_mod"))
+  }
+
+  /** Decoded media row for the typed codec-boundary variant. */
+  final case class DecodedMedia(
+      media_id: Long, n_bytes: Long, head_byte: Long, byte_checksum: Long,
+      feat_len: Double, feat_head: Double, feat_checksum: Double, feat_mod: Double)
+
+  /** The codec-boundary shape for a REAL decoder: typed per-partition batches
+    * over (id, payload) with encoders — the Spark-4 JVM analog of
+    * `mapInPandas` batching. Kept alongside the Catalyst chain because an
+    * actual image/audio codec is an opaque native call that cannot be an
+    * expression; MultimodalSpec asserts this variant is row-identical to
+    * [[mmDecodeStub]]. Streams partitions (no collect); Tungsten-encoded at
+    * both boundaries, so no RDD round-trip.
+    */
+  def mmDecodeBatched(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
-    val rdd = media.select(col("media_id"), col("payload")).rdd.mapPartitions { it =>
-      it.map(r => decodeOne(r.getLong(0), r.getAs[Array[Byte]](1)))
-    }
-    spark.createDataFrame(rdd, decodedSchema)
+    import spark.implicits._
+    mediaTable(documents)
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          var checksum = 0L
+          var i = 0
+          while (i < payload.length) { checksum = (checksum + (payload(i) & 0xff)) % 65536; i += 1 }
+          val head = if (payload.isEmpty) 0L else (payload(0) & 0xff).toLong
+          DecodedMedia(id, payload.length.toLong, head, checksum,
+            payload.length.toDouble, head.toDouble, checksum.toDouble, (checksum % 7).toDouble)
+        }
+      }
+      .toDF()
   }
 
   /** `mm_frame_sample`: frame/segment sampling plumbing — split each payload
@@ -106,6 +136,36 @@ object Multimodal {
   }
 
   val oracles: Map[String, String] = Map(
+    "mm_decode_stub" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, encode(text) AS b FROM documents),
+        |h AS (
+        |  SELECT media_id, CAST(octet_length(b) AS BIGINT) AS n_bytes, hex(b) AS hx FROM m),
+        |d AS (
+        |  SELECT media_id, n_bytes,
+        |         CASE WHEN n_bytes > 0 THEN
+        |           (CASE WHEN ascii(substr(hx, 1, 1)) >= 65
+        |                 THEN ascii(substr(hx, 1, 1)) - 55
+        |                 ELSE ascii(substr(hx, 1, 1)) - 48 END) * 16
+        |           + (CASE WHEN ascii(substr(hx, 2, 1)) >= 65
+        |                   THEN ascii(substr(hx, 2, 1)) - 55
+        |                   ELSE ascii(substr(hx, 2, 1)) - 48 END)
+        |         ELSE 0 END AS head_byte,
+        |         CAST(COALESCE(list_sum(list_transform(range(0, n_bytes), i ->
+        |           (CASE WHEN ascii(substr(hx, CAST(2*i+1 AS INT), 1)) >= 65
+        |                 THEN ascii(substr(hx, CAST(2*i+1 AS INT), 1)) - 55
+        |                 ELSE ascii(substr(hx, CAST(2*i+1 AS INT), 1)) - 48 END) * 16
+        |           + (CASE WHEN ascii(substr(hx, CAST(2*i+2 AS INT), 1)) >= 65
+        |                   THEN ascii(substr(hx, CAST(2*i+2 AS INT), 1)) - 55
+        |                   ELSE ascii(substr(hx, CAST(2*i+2 AS INT), 1)) - 48 END))), 0)
+        |           % 65536 AS BIGINT) AS byte_checksum
+        |  FROM h)
+        |SELECT media_id, n_bytes, CAST(head_byte AS BIGINT) AS head_byte, byte_checksum,
+        |       CAST(n_bytes AS DOUBLE) AS feat_len,
+        |       CAST(head_byte AS DOUBLE) AS feat_head,
+        |       CAST(byte_checksum AS DOUBLE) AS feat_checksum,
+        |       CAST(byte_checksum % 7 AS DOUBLE) AS feat_mod
+        |FROM d""".stripMargin,
     "mm_metadata" ->
       """SELECT doc_id AS media_id,
         |       'text/plain' AS mime,
