@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 import graft.functions.Num
@@ -185,13 +185,54 @@ object Aggregates {
     * shuffle of fixed-size sketches. No SQL oracle (Spark/DuckDB sketches
     * differ); AggregatesSpec bounds the error against the exact counts.
     */
-  def aggApproxDistinct(lineitem: DataFrame): DataFrame =
-    lineitem
-      .groupBy(col("l_returnflag").as("return_flag"))
+  def aggApproxDistinct(lineitem: DataFrame): DataFrame = {
+    import graft.functions.PortableHash
+    // Portable HyperLogLog, m=4096 buckets (rel. error ~1.6%): h is a uniform
+    // 32-bit md5-derived hash; bucket = h mod m; w = h div m (20 uniform
+    // bits); rho = leading-zero rank of w computed EXACTLY as
+    // 21 - bitlength(w) via bin() — no floating log2, which rounds
+    // differently across engines. The estimator keeps everything integer
+    // (T = sum of 2^(25-reg), empty buckets reg=0) until one final double
+    // division; the standard linear-counting branch (raw <= 2.5m and empty
+    // buckets exist) uses ln() on identical double inputs in a fixed op
+    // order, so the result matches the DuckDB oracle bit for bit.
+    // Shape: explode 3 (key,hash) pairs/row -> two partial-agg'd shuffles of
+    // at most groups x 3 x 4096 rows after map-side combine -> scale-safe.
+    def h(c: Column) = PortableHash.hash32(c.cast("string"))
+    val keyed = lineitem.select(
+      col("l_returnflag").as("return_flag"),
+      explode(map(
+        lit("parts"), h(col("l_partkey")),
+        lit("suppliers"), h(col("l_suppkey")),
+        lit("orders"), h(col("l_orderkey")))).as(Seq("key_type", "h")))
+    val regs = keyed
+      .select(col("return_flag"), col("key_type"),
+        pmod(col("h"), lit(4096L)).as("bucket"),
+        expr("h div 4096").as("w"))
+      .withColumn("rho",
+        when(col("w") === 0, 21L).otherwise(lit(21L) - length(bin(col("w")))))
+      .groupBy(col("return_flag"), col("key_type"), col("bucket"))
+      .agg(max(col("rho")).as("mreg"))
+    val alpha = lit(0.7213) / (lit(1) + lit(1.079) / lit(4096))
+    val ests = regs
+      .groupBy(col("return_flag"), col("key_type"))
       .agg(
-        approx_count_distinct(col("l_partkey"), rsd = 0.01).as("approx_parts"),
-        approx_count_distinct(col("l_suppkey"), rsd = 0.01).as("approx_suppliers"),
-        approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("approx_orders"))
+        (sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(25 - mreg AS INT))")) +
+          (lit(4096L) - count(lit(1))) * lit(1L << 25)).as("t"),
+        (lit(4096L) - count(lit(1))).as("v"))
+      .withColumn("raw", alpha * 4096 * 4096 * lit(1L << 25) / col("t").cast("double"))
+      .withColumn("est",
+        when(col("raw") <= 10240.0 && col("v") > 0,
+          floor(lit(4096) * log(lit(4096.0) / col("v"))))
+          .otherwise(floor(col("raw"))).cast("long"))
+    ests.groupBy(col("return_flag"))
+      .pivot("key_type", Seq("parts", "suppliers", "orders"))
+      .agg(first(col("est")))
+      .select(col("return_flag"),
+        col("parts").as("approx_parts"),
+        col("suppliers").as("approx_suppliers"),
+        col("orders").as("approx_orders"))
+  }
 
   /** `agg_child_count` (fct_issues.sql:14-21,72): self-aggregate counts joined
     * back to the dimension (left join, missing → 0).
@@ -241,7 +282,52 @@ object Aggregates {
         count(lit(1)).as("order_count"),
         Num.meanDollars(sum(centsPrice), count(lit(1))).as("avg_order_value"))
 
+  /** Portable-HLL oracle: mirrors aggApproxDistinct step for step (same hash,
+    * same integer registers, same single final double division).
+    */
+  private val approxDistinctOracle: String = {
+    val h = graft.functions.PortableHash.duckSql("v")
+    s"""WITH k AS (
+       |  SELECT l_returnflag AS return_flag, 'parts' AS key_type,
+       |         CAST(l_partkey AS VARCHAR) AS v FROM lineitem
+       |  UNION ALL
+       |  SELECT l_returnflag, 'suppliers', CAST(l_suppkey AS VARCHAR) FROM lineitem
+       |  UNION ALL
+       |  SELECT l_returnflag, 'orders', CAST(l_orderkey AS VARCHAR) FROM lineitem),
+       |hx AS (
+       |  SELECT return_flag, key_type, $h AS h FROM k),
+       |b AS (
+       |  SELECT return_flag, key_type, h % 4096 AS bucket, h // 4096 AS w FROM hx),
+       |r AS (
+       |  SELECT return_flag, key_type, bucket,
+       |         MAX(CASE WHEN w = 0 THEN 21 ELSE 21 - length(bin(w)) END) AS mreg
+       |  FROM b GROUP BY 1, 2, 3),
+       |t AS (
+       |  SELECT return_flag, key_type,
+       |         CAST(SUM(CAST(1 AS BIGINT) << CAST(25 - mreg AS INT))
+       |              + (4096 - COUNT(*)) * 33554432 AS BIGINT) AS t,
+       |         CAST(4096 - COUNT(*) AS BIGINT) AS v
+       |  FROM r GROUP BY 1, 2),
+       |raws AS (
+       |  SELECT return_flag, key_type, v,
+       |         (CAST(0.7213 AS DOUBLE) / (1 + CAST(1.079 AS DOUBLE) / 4096))
+       |           * 4096 * 4096 * 33554432 / CAST(t AS DOUBLE) AS raw
+       |  FROM t),
+       |e AS (
+       |  SELECT return_flag, key_type,
+       |         CAST(CASE WHEN raw <= 10240.0 AND v > 0
+       |                   THEN FLOOR(4096 * ln(CAST(4096 AS DOUBLE) / v))
+       |                   ELSE FLOOR(raw) END AS BIGINT) AS est
+       |  FROM raws)
+       |SELECT return_flag,
+       |       MAX(CASE WHEN key_type = 'parts' THEN est END) AS approx_parts,
+       |       MAX(CASE WHEN key_type = 'suppliers' THEN est END) AS approx_suppliers,
+       |       MAX(CASE WHEN key_type = 'orders' THEN est END) AS approx_orders
+       |FROM e GROUP BY 1""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "agg_approx_distinct" -> approxDistinctOracle,
     "agg_weekly_stats" ->
       """SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS order_week,
         |       COUNT(*) AS order_count,

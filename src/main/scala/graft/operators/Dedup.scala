@@ -88,11 +88,27 @@ object Dedup {
   private val MinhashK = 16
   private val P = 2147483647L // 2^31 - 1
 
+  /** Shingle hash in [0, P): portable md5-derived by default (exactly
+    * reproducible by the DuckDB oracle); xxhash64 as the cheaper 100-TB
+    * fast path (same distribution class, not oracle-checkable).
+    */
+  private def shingleHash(fastHash: Boolean): Column = {
+    val h = if (fastHash) xxhash64(col("shingle"))
+            else graft.functions.PortableHash.hash32(col("shingle"))
+    pmod(h, lit(P))
+  }
+
+  /** Band hash: portable arithmetic combine of 4 signature values (all < P,
+    * so products stay under 2^53 — exact in both engines).
+    */
+  private def bandHash(s0: Column, s1: Column, s2: Column, s3: Column): Column =
+    pmod(s0 * 1000003L + s1 * 999983L + s2 * 757L + s3 * 131L, lit(P))
+
   /** k minhash signature columns from exploded shingles. */
-  private def minhashSignatures(documents: DataFrame): DataFrame = {
+  private def minhashSignatures(documents: DataFrame, fastHash: Boolean): DataFrame = {
     val sh = documents
       .select(col("doc_id"), col("lang"), explode(shinglesCol(tokensCol)).as("shingle"))
-      .withColumn("x", pmod(xxhash64(col("shingle")), lit(P)))
+      .withColumn("x", shingleHash(fastHash))
     val sigAggs = (0 until MinhashK).map { i =>
       min(pmod(col("x") * (2 * i + 1) + (i * 12345 + 7), lit(P))).as(s"sig_$i")
     }
@@ -101,18 +117,18 @@ object Dedup {
 
   /** `dedup_minhash_lsh`: 4 bands × 4 rows; candidates collide on any band
     * hash within a language; estimated Jaccard = matching signature fraction,
-    * kept at ≥ 0.5. (Sketch-based: no SQL oracle; verified against the exact
-    * n-gram Jaccard baseline in DedupSpec.)
+    * kept at ≥ 0.5. Oracle-exact via [[graft.functions.PortableHash]];
+    * also verified against the exact n-gram Jaccard baseline in DedupSpec.
     */
-  def dedupMinhashLsh(documents: DataFrame): DataFrame = {
+  def dedupMinhashLsh(documents: DataFrame, fastHash: Boolean = false): DataFrame = {
     // cached: referenced by the band explode AND both sig re-attach joins —
     // uncached, the shingle-explode + 16-min aggregation would run 3×
-    val sigs = minhashSignatures(documents).cache()
+    val sigs = minhashSignatures(documents, fastHash).cache()
     val sigArr = array((0 until MinhashK).map(i => col(s"sig_$i")): _*)
     val withBands = sigs
       .select(col("doc_id"), col("lang"),
         posexplode(array((0 until 4).map(b =>
-          xxhash64(col(s"sig_${4 * b}"), col(s"sig_${4 * b + 1}"),
+          bandHash(col(s"sig_${4 * b}"), col(s"sig_${4 * b + 1}"),
             col(s"sig_${4 * b + 2}"), col(s"sig_${4 * b + 3}"))): _*))
           .as(Seq("band_idx", "band_hash")))
     val a = withBands.select(col("lang"), col("band_idx"), col("band_hash"),
@@ -137,12 +153,13 @@ object Dedup {
   }
 
   /** `dedup_simhash`: 16-bit simhash over shingle hashes; nibble-banded
-    * candidate join; near-dup at hamming ≤ 3. (No SQL oracle; see DedupSpec.)
+    * candidate join; near-dup at hamming ≤ 3. Oracle-exact via
+    * [[graft.functions.PortableHash]]; recall checked in DedupSpec.
     */
-  def dedupSimhash(documents: DataFrame): DataFrame = {
+  def dedupSimhash(documents: DataFrame, fastHash: Boolean = false): DataFrame = {
     val sh = documents
       .select(col("doc_id"), col("lang"), explode(shinglesCol(tokensCol)).as("shingle"))
-      .withColumn("x", pmod(xxhash64(col("shingle")), lit(65536L)))
+      .withColumn("x", pmod(shingleHash(fastHash), lit(65536L)))
     val bitAggs = (0 until 16).map { bit =>
       sum(when(shiftright(col("x"), bit) % 2 === 1, 1).otherwise(-1)).as(s"b_$bit")
     }
@@ -195,7 +212,89 @@ object Dedup {
       .select(col("vec_id_1"), col("vec_id_2"), col("label"), col("cosine"))
   }
 
+  /** Shared oracle CTEs: shingle sets → exploded → portable hash in [0, P).
+    * Mirrors `tokensCol`/`shinglesCol`/`shingleHash` exactly.
+    */
+  private val hashedShingleCtes: String = {
+    val h = graft.functions.PortableHash.duckSql("shingle")
+    s"""toks AS (
+       |  SELECT doc_id, lang, string_split(lower(text), ' ') AS tokens
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, lang,
+       |         list_distinct(list_transform(
+       |           range(1, greatest(len(tokens) - 1, 1)),
+       |           i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS shingles
+       |  FROM toks),
+       |hx AS (
+       |  SELECT doc_id, lang, UNNEST(shingles) AS shingle FROM sh),
+       |xs AS (
+       |  SELECT doc_id, lang, $h % 2147483647 AS x FROM hx)""".stripMargin
+  }
+
+  private val minhashOracle: String = {
+    val sigCols = (0 until MinhashK).map(i =>
+      s"MIN((x * ${2 * i + 1} + ${i * 12345 + 7}) % 2147483647) AS sig_$i").mkString(",\n         ")
+    val bandCases = (0 until 4).map { b =>
+      s"WHEN ${b} THEN (sig_${4 * b} * 1000003 + sig_${4 * b + 1} * 999983 + " +
+        s"sig_${4 * b + 2} * 757 + sig_${4 * b + 3} * 131) % 2147483647"
+    }.mkString("\n           ")
+    val matchTerms = (0 until MinhashK).map(i =>
+      s"(CASE WHEN s1.sig_$i = s2.sig_$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH $hashedShingleCtes,
+       |sig AS (
+       |  SELECT doc_id, lang,
+       |         $sigCols
+       |  FROM xs GROUP BY doc_id, lang),
+       |bands AS (
+       |  SELECT doc_id, lang, b.band_idx,
+       |         CASE b.band_idx
+       |           $bandCases
+       |         END AS band_hash
+       |  FROM sig CROSS JOIN (SELECT UNNEST(range(0, 4)) AS band_idx) b),
+       |cand AS (
+       |  SELECT DISTINCT a.lang, a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+       |  FROM bands a JOIN bands b
+       |    ON a.lang = b.lang AND a.band_idx = b.band_idx
+       |   AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+       |est AS (
+       |  SELECT c.doc_id_1, c.doc_id_2, c.lang,
+       |         CAST($matchTerms AS DOUBLE) / 16 AS est_jaccard
+       |  FROM cand c
+       |  JOIN sig s1 ON s1.doc_id = c.doc_id_1
+       |  JOIN sig s2 ON s2.doc_id = c.doc_id_2)
+       |SELECT doc_id_1, doc_id_2, lang, est_jaccard
+       |FROM est WHERE est_jaccard >= 0.5""".stripMargin
+  }
+
+  private val simhashOracle: String = {
+    val bitTerms = (0 until 16).map(b =>
+      s"(CASE WHEN SUM(CASE WHEN (x >> $b) % 2 = 1 THEN 1 ELSE -1 END) >= 0 " +
+        s"THEN CAST(1 AS BIGINT) << $b ELSE 0 END)").mkString("\n         + ")
+    s"""WITH $hashedShingleCtes,
+       |sig AS (
+       |  SELECT doc_id, lang,
+       |         $bitTerms AS simhash
+       |  FROM (SELECT doc_id, lang, x % 65536 AS x FROM xs)
+       |  GROUP BY doc_id, lang),
+       |banded AS (
+       |  SELECT doc_id, lang, simhash, nib.nib_idx,
+       |         (simhash >> CAST(nib.nib_idx * 4 AS INT)) % 16 AS nib_val
+       |  FROM sig CROSS JOIN (SELECT UNNEST(range(0, 4)) AS nib_idx) nib),
+       |cand AS (
+       |  SELECT DISTINCT a.lang, a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+       |         a.simhash AS h1, b.simhash AS h2
+       |  FROM banded a JOIN banded b
+       |    ON a.lang = b.lang AND a.nib_idx = b.nib_idx
+       |   AND a.nib_val = b.nib_val AND a.doc_id < b.doc_id)
+       |SELECT doc_id_1, doc_id_2, lang,
+       |       CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(h1, h2)) <= 3""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "dedup_minhash_lsh" -> minhashOracle,
+    "dedup_simhash" -> simhashOracle,
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash,
         |       MIN(doc_id) AS keeper_doc_id,

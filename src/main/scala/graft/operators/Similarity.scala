@@ -49,26 +49,36 @@ object Similarity {
         col("rank").cast("long").as("rank"))
   }
 
-  /** 8-bit hyperplane bucket: sign bits of dots with deterministic integer
-    * planes plane_j[d] = ((j*131 + d*37) mod 19) - 9.
+  /** Deterministic integer hyperplanes plane_j[d] = ((j*131 + d*37) mod 19) - 9,
+    * precomputed host-side and embedded as `typedLit` constants — evaluated
+    * once at plan time instead of re-materializing 8 x 64-element arrays per
+    * row (the round-1 bench hotspot in this query).
     */
-  private def bucketCol: Column = {
-    val bits = (0 until 8).map { j =>
-      val plane = transform(sequence(lit(0), lit(63)),
-        dIdx => ((lit(j * 131) + dIdx * 37) % 19 - 9).cast("long"))
-      when(long_dot(col("q"), plane) >= 0, 1L << j).otherwise(0L)
-    }
-    bits.reduce(_ + _)
-  }
+  private val Planes: Seq[Seq[Long]] =
+    (0 until 8).map(j => (0 until 64).map(d => ((j * 131 + d * 37) % 19 - 9).toLong))
+
+  /** 8-bit hyperplane bucket: sign bits of dots with the 8 planes. */
+  private def bucketCol: Column =
+    Planes.zipWithIndex.map { case (p, j) =>
+      when(long_dot(col("q"), typedLit(p)) >= 0, 1L << j).otherwise(0L)
+    }.reduce(_ + _)
 
   /** `sim_search_lsh`: bucketed ANN — queries compare only against corpus
-    * vectors in their hyperplane bucket; exact cosine within bucket, top-5.
+    * vectors in their hyperplane bucket, plus (multi-probe) the 8 buckets at
+    * hamming distance 1 — the standard recall fix for hash-boundary misses
+    * without touching more than 9/256 of the bucket space. Exact cosine
+    * within probed buckets, top-5. Probes explode on the tiny broadcast query
+    * side only; the corpus is scanned once and each corpus vector matches at
+    * most one probe per query (buckets are disjoint).
     */
-  def simSearchLsh(embeddings: DataFrame): DataFrame = {
+  def simSearchLsh(embeddings: DataFrame, multiProbe: Boolean = true): DataFrame = {
     val corpus = prep(embeddings).withColumn("bucket", bucketCol)
+    val nProbes = if (multiProbe) 9 else 1
+    val probeFlips = array((0 until nProbes).map(f =>
+      lit(if (f == 0) 0L else 1L << (f - 1))): _*)
     val queries = corpus.where(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("q").as("qv"), col("norm2").as("qn"),
-        col("bucket"))
+        explode(transform(probeFlips, f => col("bucket").bitwiseXOR(f))).as("bucket"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("vec_id"))
     corpus.join(broadcast(queries), Seq("bucket"))
@@ -121,7 +131,9 @@ object Similarity {
             case Some(rows) =>
               val arr = Array.fill(dim)(0L)
               rows.foreach { r =>
-                arr(r.getInt(1)) = Math.round(r.getLong(2).toDouble / r.getLong(3).toDouble)
+                // round-half-up via exact integer floor-div (no double divide:
+                // the oracle's (2s+n)//(2n) floor-division matches bit-for-bit)
+                arr(r.getInt(1)) = Math.floorDiv(2 * r.getLong(2) + r.getLong(3), 2 * r.getLong(3))
               }
               arr
             case None => old // empty cluster keeps its centroid
@@ -184,17 +196,81 @@ object Similarity {
          |queries AS (
          |  SELECT vec_id AS query_id, q AS qv, norm2 AS qn, bucket
          |  FROM bucketed WHERE vec_id < 10),
+         |probes AS (
+         |  SELECT query_id, qv, qn,
+         |         CASE WHEN f.f = 0 THEN bucket
+         |              ELSE xor(bucket, CAST(1 AS BIGINT) << CAST(f.f - 1 AS INT)) END AS bucket
+         |  FROM queries CROSS JOIN (SELECT UNNEST(range(0, 9)) AS f) f),
          |scored AS (
-         |  SELECT queries.query_id, b.vec_id AS neighbor_id, b.bucket,
-         |         CAST(list_sum(list_transform(list_zip(b.q, queries.qv), p -> p[1] * p[2])) AS DOUBLE)
-         |           / (SQRT(CAST(b.norm2 AS DOUBLE)) * SQRT(CAST(queries.qn AS DOUBLE))) AS cosine
-         |  FROM bucketed b JOIN queries ON b.bucket = queries.bucket
-         |  WHERE b.vec_id != queries.query_id),
+         |  SELECT p.query_id, b.vec_id AS neighbor_id, b.bucket,
+         |         CAST(list_sum(list_transform(list_zip(b.q, p.qv), z -> z[1] * z[2])) AS DOUBLE)
+         |           / (SQRT(CAST(b.norm2 AS DOUBLE)) * SQRT(CAST(p.qn AS DOUBLE))) AS cosine
+         |  FROM bucketed b JOIN probes p ON b.bucket = p.bucket
+         |  WHERE b.vec_id != p.query_id),
          |ranked AS (
          |  SELECT query_id, neighbor_id, bucket, cosine,
          |         ROW_NUMBER() OVER (PARTITION BY query_id
          |                            ORDER BY cosine DESC, neighbor_id) AS rank
          |  FROM scored)
-         |SELECT query_id, neighbor_id, bucket, cosine, rank FROM ranked WHERE rank <= 5""".stripMargin
+         |SELECT query_id, neighbor_id, bucket, cosine, rank FROM ranked WHERE rank <= 5""".stripMargin,
+    "sim_search_ivf" -> ivfOracle
   )
+
+  /** One k-means iteration in SQL: assign each vector to the argmin centroid
+    * (exact integer score ||c||^2 - 2 x.c, ties to lowest cid via the
+    * score*32+cid encoding — matches Spark's least-of-struct), then update
+    * centroids with exact integer round-half-up (2s+n)//(2n); empty clusters
+    * keep their previous centroid. Mirrors simSearchIvf's driver loop.
+    */
+  private def ivfIterSql(i: Int, prev: String): String =
+    s"""s$i AS (
+       |  SELECT n.vec_id, n.q, c.cid,
+       |         list_sum(list_transform(c.q, x -> x * x))
+       |         - 2 * list_sum(list_transform(list_zip(n.q, c.q), p -> p[1] * p[2])) AS score
+       |  FROM n CROSS JOIN $prev c),
+       |a$i AS (
+       |  SELECT vec_id, q,
+       |         CAST(((MIN(score * 32 + cid) % 32) + 32) % 32 AS BIGINT) AS cluster
+       |  FROM s$i GROUP BY vec_id, q),
+       |u$i AS (
+       |  SELECT cluster, d.d, SUM(q[CAST(d.d + 1 AS INT)]) AS s, COUNT(*) AS cnt
+       |  FROM a$i CROSS JOIN (SELECT UNNEST(range(0, 64)) AS d) d
+       |  GROUP BY 1, 2),
+       |c$i AS (
+       |  SELECT p.cid, COALESCE(u.qq, p.q) AS q
+       |  FROM $prev p LEFT JOIN (
+       |    SELECT cluster AS cid, list((2 * s + cnt) // (2 * cnt) ORDER BY d) AS qq
+       |    FROM u$i GROUP BY 1) u ON u.cid = p.cid)""".stripMargin
+
+  private def ivfOracle: String =
+    s"""WITH $quantCte,
+       |c0 AS (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, q
+       |  FROM (SELECT vec_id, q FROM n ORDER BY vec_id LIMIT 16)),
+       |${ivfIterSql(1, "c0")},
+       |${ivfIterSql(2, "c1")},
+       |s3 AS (
+       |  SELECT n.vec_id, n.q, n.norm2, c.cid,
+       |         list_sum(list_transform(c.q, x -> x * x))
+       |         - 2 * list_sum(list_transform(list_zip(n.q, c.q), p -> p[1] * p[2])) AS score
+       |  FROM n CROSS JOIN c2 c),
+       |fin AS (
+       |  SELECT vec_id, q, norm2,
+       |         CAST(((MIN(score * 32 + cid) % 32) + 32) % 32 AS BIGINT) AS cluster
+       |  FROM s3 GROUP BY vec_id, q, norm2),
+       |queries AS (
+       |  SELECT vec_id AS query_id, q AS qv, norm2 AS qn, cluster
+       |  FROM fin WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT qr.query_id, f.vec_id AS neighbor_id, f.cluster,
+       |         CAST(list_sum(list_transform(list_zip(f.q, qr.qv), z -> z[1] * z[2])) AS DOUBLE)
+       |           / (SQRT(CAST(f.norm2 AS DOUBLE)) * SQRT(CAST(qr.qn AS DOUBLE))) AS cosine
+       |  FROM fin f JOIN queries qr ON f.cluster = qr.cluster
+       |  WHERE f.vec_id != qr.query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cluster, cosine,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id
+       |                            ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, cluster, cosine, rank FROM ranked WHERE rank <= 5""".stripMargin
 }

@@ -73,6 +73,28 @@ class DedupSpec extends SparkTestBase {
       s"copy must be top neighbor within its IVF cluster, got ${out.collect().toSeq}")
   }
 
+  test("multi-probe LSH recall >= single-probe recall vs bruteforce truth") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val truth = pairs(Similarity.simSearchBruteforce(emb))
+    val single = pairs(Similarity.simSearchLsh(emb, multiProbe = false))
+    val multi = pairs(Similarity.simSearchLsh(emb, multiProbe = true))
+    val rSingle = (truth & single).size.toDouble / truth.size
+    val rMulti = (truth & multi).size.toDouble / truth.size
+    assert(rMulti >= rSingle, s"multi-probe recall $rMulti < single-probe $rSingle")
+    assert(rMulti > 0.0, "multi-probe found none of the true top-5 neighbors")
+  }
+
+  test("minhash fast-hash path (xxhash64) finds the same near-dup pair") {
+    val df = docs((1L, base), (2L, nearDup), (3L, unrelated), (4L, base + " extra"))
+    val pairs = Dedup.dedupMinhashLsh(df, fastHash = true)
+      .select("doc_id_1", "doc_id_2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) || pairs.contains((1L, 4L)),
+      s"expected near-dup candidates, got $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc must not collide")
+  }
+
   test("bruteforce similarity ranks exact copy first") {
     val e = Seq(
       (1L, Array.tabulate(64)(i => i.toFloat / 64), 0),
