@@ -143,7 +143,25 @@ object SparkEntry {
     "mm_decode_stub" -> ((s, d) => Multimodal.mmDecodeStub(Tables.documents(s, d))),
     "mm_frame_sample" -> ((s, d) => Multimodal.mmFrameSample(Tables.documents(s, d))),
     // extensions: composed curation pipeline
-    "pipeline_training_data" -> ((s, d) => Pipeline.trainingDataCuration(Tables.documents(s, d)))
+    "pipeline_training_data" -> ((s, d) => Pipeline.trainingDataCuration(Tables.documents(s, d))),
+    // round-2 mart compositions (VERDICT.md Missing #1)
+    "fct_sales_by_county" -> ((s, d) => graft.models.Marts.fctSalesByCounty(
+      graft.models.Marts.sales(Tables.lineitem(s, d), Tables.orders(s, d), Tables.customer(s, d),
+        Tables.nation(s, d), Tables.part(s, d), Tables.supplier(s, d)))),
+    "fct_top_vendors" -> ((s, d) => graft.models.Marts.fctTopVendors(
+      graft.models.Marts.sales(Tables.lineitem(s, d), Tables.orders(s, d), Tables.customer(s, d),
+        Tables.nation(s, d), Tables.part(s, d), Tables.supplier(s, d)))),
+    "dim_users" -> ((s, d) => graft.models.Marts.dimUsers(Tables.customer(s, d), Tables.supplier(s, d))),
+    "fct_sector_performance" -> ((s, d) => graft.models.Marts.fctSectorPerformance(
+      Tables.prices(s, d), Tables.supplier(s, d), Tables.nation(s, d))),
+    // round-2 full-width regex-battery marts (VERDICT.md Missing #2)
+    "int_fda_reactions" -> ((s, d) => graft.models.TextMarts.intFdaReactions(
+      graft.models.TextMarts.fdaEvents(Tables.events(s, d)))),
+    "fct_fda_events_by_reaction" -> ((s, d) => graft.models.TextMarts.fctFdaEventsByReaction(
+      graft.models.TextMarts.fdaEvents(Tables.events(s, d)))),
+    "int_hn_keywords" -> ((s, d) => graft.models.TextMarts.intHnKeywords(Tables.documents(s, d))),
+    "fct_hn_keyword_sentiment" -> ((s, d) =>
+      graft.models.TextMarts.fctHnKeywordSentiment(Tables.documents(s, d)))
   )
 
   def oracleSql: Map[String, String] =
@@ -151,5 +169,6 @@ object SparkEntry {
       Sorts.oracles ++ Joins.oracles ++ SetOps.oracles ++ Arrays.oracles ++
       Merge.oracles ++ graft.sources.ApiSource.oracles ++ Reshape.oracles ++
       Enrich.oracles ++ Dedup.oracles ++ Similarity.oracles ++
-      TextAnalysis.oracles ++ Multimodal.oracles ++ Pipeline.oracles
+      TextAnalysis.oracles ++ Multimodal.oracles ++ Pipeline.oracles ++
+      graft.models.Marts.oracles ++ graft.models.TextMarts.oracles
 }

@@ -48,6 +48,35 @@ object Num {
   /** percent num/den*100 from exact ints. */
   def pct(num: Column, den: Column): Column = ratio(num, den) * 100.0
 
+  /** Deterministic double -> fixed-point 2^-20 grid: floor(x*2^20 + 0.5) as
+    * BIGINT (round-half-up toward +inf; floor and the IEEE multiply/add are
+    * exact-rounded and identical across engines). Quantized values are exact
+    * multiples of 2^-20 with bounded magnitude, so their integer sums are
+    * order-independent — this is how derived doubles (pct changes, scores)
+    * become exactly averageable. NULL propagates.
+    * Oracle twin: CAST(FLOOR(x * 1048576.0 + 0.5) AS BIGINT).
+    */
+  def fix20(c: Column): Column = floor(c * 1048576.0 + 0.5).cast(LongType)
+
+  /** fixed-point 2^-20 sum + count -> double mean, fixed op order.
+    * Oracle twin: CAST(SUM(q) AS DOUBLE)/CAST(NULLIF(n,0) AS DOUBLE)/1048576.0.
+    */
+  def meanFix20(sumQ: Column, n: Column): Column =
+    sumQ.cast(DoubleType) / nullif(n, lit(0)).cast(DoubleType) / 1048576.0
+
+  /** 2^-10 variant for bounded scores in [-1,1]: squares stay < 2^22, so
+    * n*sum(q^2) moments fit BIGINT at any realistic group size — enables
+    * exact closed-form stddev. Oracle twin scale: 1024.0.
+    */
+  def fix10(c: Column): Column = floor(c * 1024.0 + 0.5).cast(LongType)
+
+  /** sample stddev from 2^-10 fixed-point moments (n, sum q, sum q^2):
+    * sqrt((n*sq - s^2)/(n*(n-1)))/1024 in fixed op order; NULL when n < 2.
+    */
+  def stddevFix10(n: Column, s: Column, sq: Column): Column =
+    sqrt((n * sq - s * s).cast(DoubleType) /
+      nullif(n * (n - lit(1)), lit(0)).cast(DoubleType)) / 1024.0
+
   /** overflow-safe exact sum of squares of an integer-cents column — cast to
     * decimal BEFORE multiplying (a long×long square silently wraps past
     * ~3.04e9 cents).

@@ -112,4 +112,101 @@ class ModelsSpec extends SparkTestBase {
       expressionIsTrue(out, "local peak implies >= own interest",
         !col("is_local_peak") || col("interest") >= col("avg_7d") - 1e9)))
   }
+
+  test("FDA battery word-boundary traps: BRASH/COUGHING/FEVERISH do not match") {
+    val fda = Seq(
+      (1L, "BRASH, COUGHING, FEVERISH", "Other", "Male", 2024L),
+      (2L, "RASH, COUGH, FEVER", "Other", "Male", 2024L)
+    ).toDF("report_number", "reactions", "outcomes", "gender", "event_year")
+    val out = graft.models.TextMarts.intFdaReactions(fda).collect()
+      .map(r => r.getAs[Long]("report_number") -> r).toMap
+    assert(!out(1L).getAs[Boolean]("is_rash") && !out(1L).getAs[Boolean]("is_cough") &&
+      !out(1L).getAs[Boolean]("is_fever"), "trap words must not match \\b patterns")
+    assert(out(1L).getAs[String]("reaction_categories") == "Other")
+    assert(out(2L).getAs[Boolean]("is_rash") && out(2L).getAs[Boolean]("is_cough") &&
+      out(2L).getAs[Boolean]("is_fever"))
+    assert(out(2L).getAs[Long]("reaction_count") == 3L)
+  }
+
+  test("FDA fct: rollup counts bound individual categories; pct in range") {
+    // assert on collected rows: stacking Checks' extra aggregations on top of
+    // the 5-distinct-agg Expand plan blows planning memory in the shared
+    // test JVM (the query itself is driver-verified at sf0.01)
+    val rows = graft.models.TextMarts.fctFdaEventsByReaction(
+      graft.models.TextMarts.fdaEvents(graft.sources.Tables.events(spark, sf))).collect()
+    assert(rows.map(_.getAs[String]("reaction")).distinct.length == rows.length)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("female_count") + r.getAs[Long]("male_count") <=
+        r.getAs[Long]("event_count"))
+      val pct = r.getAs[Double]("hospitalization_pct")
+      assert(pct >= 0.0 && pct <= 100.0)
+    }
+    assert(rows.length >= 30, "battery should surface >= 30 distinct reactions")
+  }
+
+  test("HN keyword battery traps: metadata/pineapple/frustrated/devops do not match") {
+    val docs = Seq(
+      (1L, "reading metadata about pineapple while frustrated with devops"),
+      (2L, "meta ships an apple rust dev tool")
+    ).toDF("doc_id", "text")
+    // adapter appends vocab terms; isolate battery behavior via raw matcher
+    val kws = graft.models.TextMarts.keywords
+    def matches(t: String): Set[String] =
+      kws.filter { case (_, p) => java.util.regex.Pattern.compile(p).matcher(t).find() }
+        .map(_._1).toSet
+    val trapHits = matches("reading metadata about pineapple while frustrated with devops")
+    assert(!trapHits.contains("Meta") && !trapHits.contains("Apple") &&
+      !trapHits.contains("Rust") && !trapHits.contains("Developer"), s"traps hit: $trapHits")
+    val realHits = matches("meta ships an apple rust dev tool")
+    assert(realHits.contains("Meta") && realHits.contains("Apple") &&
+      realHits.contains("Rust") && realHits.contains("Developer"))
+  }
+
+  test("fct_hn_keyword_sentiment invariants over testdata") {
+    val rows = graft.models.TextMarts.fctHnKeywordSentiment(
+      graft.sources.Tables.documents(spark, sf)).collect()
+    assert(rows.map(r => (r.getAs[String]("keyword"), r.getAs[java.sql.Date]("day")))
+      .distinct.length == rows.length)
+    rows.foreach { r =>
+      val (pos, neg, neu) = (r.getAs[Double]("positive_pct"),
+        r.getAs[Double]("negative_pct"), r.getAs[Double]("neutral_pct"))
+      assert(pos >= 0 && pos <= 100)
+      assert(math.abs(pos + neg + neu - 100.0) < 1e-9, s"pct split $pos+$neg+$neu")
+      assert(r.getAs[Double]("avg_sentiment") >= r.getAs[Double]("min_sentiment") - 0.001)
+      assert(r.getAs[Double]("avg_sentiment") <= r.getAs[Double]("max_sentiment") + 0.001)
+    }
+    assert(rows.map(_.getAs[String]("keyword")).distinct.length >= 40,
+      "battery should surface >= 40 distinct keywords")
+  }
+
+  test("sector performance: counts partition tickers; sentiment consistent") {
+    val rows = graft.models.Marts.fctSectorPerformance(
+      graft.sources.Tables.prices(spark, sf),
+      graft.sources.Tables.supplier(spark, sf),
+      graft.sources.Tables.nation(spark, sf)).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("gainers") + r.getAs[Long]("losers") +
+        r.getAs[Long]("unchanged") <= r.getAs[Long]("ticker_count"))
+      val pctMa = r.getAs[Double]("pct_above_30d_ma")
+      assert(pctMa >= 0 && pctMa <= 100)
+      assert(Seq("bullish", "bearish", "neutral").contains(r.getAs[String]("sector_sentiment")))
+      assert(r.getAs[Double]("best_performer_pct") >= r.getAs[Double]("worst_performer_pct"))
+    }
+  }
+
+  test("dim_users: provenance and key fallback") {
+    val rows = graft.models.Marts.dimUsers(
+      graft.sources.Tables.customer(spark, sf), graft.sources.Tables.supplier(spark, sf))
+      .collect()
+    assert(rows.map(_.getAs[String]("user_id")).distinct.length == rows.length)
+    rows.foreach { r =>
+      assert(r.getAs[String]("display_name") != null)
+      val src = r.getAs[String]("source")
+      assert(Seq("both", "linear", "github").contains(src))
+      if (src == "github") assert(r.getAs[String]("user_id").startsWith("gh_"))
+    }
+    assert(rows.count(_.getAs[String]("source") == "both") > 0,
+      "email overlap must produce 'both' rows")
+  }
 }
