@@ -24,15 +24,20 @@ object Bench {
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
 
     val errors = scala.collection.mutable.LinkedHashSet[String]()
+    // a failed run contributes null (not its partial elapsed time) so the
+    // headline `value` only sums successful executions
     def once(name: String,
-        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
+      try {
+        fn(spark, sfDir).count()
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch {
         case e: Throwable =>
           errors += name
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          None
       }
-      (System.nanoTime() - t0) / 1e9
     }
 
     val results = SparkEntry.queries.map { case (name, fn) =>
@@ -40,15 +45,21 @@ object Bench {
       val warm = once(name, fn)
       name -> ((cold, warm))
     }
-    def fmt(sel: ((Double, Double)) => Double) =
-      results.map { case (k, v) => "\"" + k + "\":" + sel(v) }.mkString("{", ",", "}")
-    val warmTotal = results.values.map(_._2).sum
-    val coldTotal = results.values.map(_._1).sum
+    def fmt(sel: ((Option[Double], Option[Double])) => Option[Double]) =
+      results.map { case (k, v) =>
+        "\"" + k + "\":" + sel(v).map(_.toString).getOrElse("null")
+      }.mkString("{", ",", "}")
+    val warmTotal = results.values.flatMap(_._2).sum
+    val coldTotal = results.values.flatMap(_._1).sum
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(
+    val json =
       s"""{"metric":"total","value":$warmTotal,"unit":"sec","queries":${fmt(_._2)},""" +
         s""""cold_total":$coldTotal,"cold_queries":${fmt(_._1)},""" +
-        s""""errors":$errJson,"sf":"$sfDir"}""")
+        s""""errors":$errJson,"sf":"$sfDir"}"""
+    // stdout AND a file: a driver that captures (and truncates) stdout can
+    // still parse the full timings from BENCH.json
+    println(json)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), json + "\n")
     spark.stop()
   }
 }

@@ -129,6 +129,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, d) => Dedup.dedupMinhashLsh(Tables.documents(s, d))),
     "dedup_simhash" -> ((s, d) => Dedup.dedupSimhash(Tables.documents(s, d))),
     "dedup_embedding_cosine" -> ((s, d) => Dedup.dedupEmbeddingCosine(Tables.embeddings(s, d))),
+    "dedup_embedding_lsh" -> ((s, d) => Dedup.dedupEmbeddingLsh(Tables.embeddings(s, d))),
     // extensions: similarity search
     "sim_search_bruteforce" -> ((s, d) => Similarity.simSearchBruteforce(Tables.embeddings(s, d))),
     "sim_search_lsh" -> ((s, d) => Similarity.simSearchLsh(Tables.embeddings(s, d))),
@@ -161,7 +162,10 @@ object SparkEntry {
       graft.models.TextMarts.fdaEvents(Tables.events(s, d)))),
     "int_hn_keywords" -> ((s, d) => graft.models.TextMarts.intHnKeywords(Tables.documents(s, d))),
     "fct_hn_keyword_sentiment" -> ((s, d) =>
-      graft.models.TextMarts.fctHnKeywordSentiment(Tables.documents(s, d)))
+      graft.models.TextMarts.fctHnKeywordSentiment(Tables.documents(s, d))),
+    // §2.10 streaming end-state, oracle-checked against the batch MERGE
+    "stream_upsert_endstate" -> ((s, d) =>
+      graft.streaming.IncrementalSync.streamUpsertEndstate(s, d))
   )
 
   def oracleSql: Map[String, String] =
@@ -170,5 +174,6 @@ object SparkEntry {
       Merge.oracles ++ graft.sources.ApiSource.oracles ++ Reshape.oracles ++
       Enrich.oracles ++ Dedup.oracles ++ Similarity.oracles ++
       TextAnalysis.oracles ++ Multimodal.oracles ++ Pipeline.oracles ++
-      graft.models.Marts.oracles ++ graft.models.TextMarts.oracles
+      graft.models.Marts.oracles ++ graft.models.TextMarts.oracles ++
+      graft.streaming.IncrementalSync.oracles
 }

@@ -292,7 +292,52 @@ object Dedup {
        |FROM cand WHERE bit_count(xor(h1, h2)) <= 3""".stripMargin
   }
 
+  /** `dedup_embedding_lsh`: the 100-TB blocking for embedding near-dup —
+    * pairs compared only inside hyperplane buckets ([[Similarity.bucketCol]])
+    * instead of inside `label` blocks, so the quadratic work is bounded by
+    * the largest BUCKET (expected N/256), not by an externally supplied
+    * label. At scale the corpus is written `partitionBy(bucket)`, making
+    * each bucket's self-join a partition-local operation. The label-blocked
+    * [[dedupEmbeddingCosine]] stays as the exact-baseline query; DedupSpec
+    * measures this variant's recall against an unblocked all-pairs truth.
+    */
+  def dedupEmbeddingLsh(embeddings: DataFrame): DataFrame = {
+    val q = quantized(embeddings)
+      .withColumn("norm2", long_dot(col("q"), col("q")))
+      .withColumn("bucket", Similarity.bucketCol)
+    val a = q.select(col("bucket"), col("vec_id").as("vec_id_1"),
+      col("q").as("q1"), col("norm2").as("n1"))
+    val b = q.select(col("bucket"), col("vec_id").as("vec_id_2"),
+      col("q").as("q2"), col("norm2").as("n2"))
+    a.join(b, Seq("bucket"))
+      .where(col("vec_id_1") < col("vec_id_2"))
+      .withColumn("cosine", cosine(long_dot(col("q1"), col("q2")), col("n1"), col("n2")))
+      .where(col("cosine") >= 0.95)
+      .select(col("vec_id_1"), col("vec_id_2"), col("bucket"), col("cosine"))
+  }
+
+  private val embeddingLshOracle: String =
+    s"""WITH ${Similarity.quantCte},
+       |planes AS (
+       |  SELECT j, list_transform(range(0, 64), d -> (j * 131 + d * 37) % 19 - 9) AS plane
+       |  FROM range(0, 8) t(j)),
+       |bucketed AS (
+       |  SELECT n.vec_id, n.q, n.norm2,
+       |         CAST(SUM(CASE WHEN list_sum(list_transform(list_zip(n.q, p.plane), z -> z[1] * z[2])) >= 0
+       |                  THEN 1 << CAST(p.j AS INTEGER) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM n CROSS JOIN planes p
+       |  GROUP BY n.vec_id, n.q, n.norm2),
+       |pairs AS (
+       |  SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2, a.bucket,
+       |         CAST(list_sum(list_transform(list_zip(a.q, b.q), z -> z[1] * z[2])) AS DOUBLE)
+       |           / (SQRT(CAST(a.norm2 AS DOUBLE)) * SQRT(CAST(b.norm2 AS DOUBLE))) AS cosine
+       |  FROM bucketed a JOIN bucketed b
+       |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |SELECT vec_id_1, vec_id_2, bucket, cosine
+       |FROM pairs WHERE cosine >= 0.95""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "dedup_embedding_lsh" -> embeddingLshOracle,
     "dedup_minhash_lsh" -> minhashOracle,
     "dedup_simhash" -> simhashOracle,
     "dedup_exact" ->

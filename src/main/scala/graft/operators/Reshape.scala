@@ -30,16 +30,20 @@ object Reshape {
       .join(customer, orders("o_custkey") === customer("c_custkey"))
       .select(col("c_mktsegment").as("segment"), col("o_orderpriority").as("priority"),
         Num.cents(col("o_totalprice")).as("cents"))
-    val wide = joined
-      .groupBy(col("segment"))
-      .pivot("priority",
-        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
-      .agg(sum(col("cents")))
+    def pivotCents(grouped: DataFrame): DataFrame = grouped
       .withColumnRenamed("1-URGENT", "urgent_cents")
       .withColumnRenamed("2-HIGH", "high_cents")
       .withColumnRenamed("3-MEDIUM", "medium_cents")
       .withColumnRenamed("4-NOT SPECIFIED", "not_specified_cents")
       .withColumnRenamed("5-LOW", "low_cents")
+    val priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    val perSegment = pivotCents(joined.groupBy(col("segment"))
+      .pivot("priority", priorities).agg(sum(col("cents"))))
+    // margins row (pandas pivot_table(margins=True), pages/1_Linear_Issues
+    // .py:209-240): column totals over all segments, keyed 'All'
+    val marginsRow = pivotCents(joined.groupBy(lit("All").as("segment"))
+      .pivot("priority", priorities).agg(sum(col("cents"))))
+    val wide = perSegment.unionByName(marginsRow)
     wide.select(
       col("segment"),
       Num.dollars(col("urgent_cents")).as("urgent"),
@@ -194,7 +198,15 @@ object Reshape {
         |    CAST(SUM(cents) FILTER (WHERE priority = '3-MEDIUM') AS BIGINT) AS medium_cents,
         |    CAST(SUM(cents) FILTER (WHERE priority = '4-NOT SPECIFIED') AS BIGINT) AS not_specified_cents,
         |    CAST(SUM(cents) FILTER (WHERE priority = '5-LOW') AS BIGINT) AS low_cents
-        |  FROM j GROUP BY 1)
+        |  FROM j GROUP BY 1
+        |  UNION ALL
+        |  SELECT 'All' AS segment,
+        |    CAST(SUM(cents) FILTER (WHERE priority = '1-URGENT') AS BIGINT),
+        |    CAST(SUM(cents) FILTER (WHERE priority = '2-HIGH') AS BIGINT),
+        |    CAST(SUM(cents) FILTER (WHERE priority = '3-MEDIUM') AS BIGINT),
+        |    CAST(SUM(cents) FILTER (WHERE priority = '4-NOT SPECIFIED') AS BIGINT),
+        |    CAST(SUM(cents) FILTER (WHERE priority = '5-LOW') AS BIGINT)
+        |  FROM j)
         |SELECT segment,
         |  CAST(urgent_cents AS DOUBLE) / 100.0 AS urgent,
         |  CAST(high_cents AS DOUBLE) / 100.0 AS high,

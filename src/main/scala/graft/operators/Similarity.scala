@@ -58,7 +58,7 @@ object Similarity {
     (0 until 8).map(j => (0 until 64).map(d => ((j * 131 + d * 37) % 19 - 9).toLong))
 
   /** 8-bit hyperplane bucket: sign bits of dots with the 8 planes. */
-  private def bucketCol: Column =
+  private[operators] def bucketCol: Column =
     Planes.zipWithIndex.map { case (p, j) =>
       when(long_dot(col("q"), typedLit(p)) >= 0, 1L << j).otherwise(0L)
     }.reduce(_ + _)
@@ -156,7 +156,7 @@ object Similarity {
     } finally corpus.unpersist()
   }
 
-  private val quantCte =
+  private[operators] val quantCte =
     """q AS (
       |  SELECT vec_id, CAST(label AS BIGINT) AS label,
       |         list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS q

@@ -63,12 +63,20 @@ object IncrementalSync {
             Merge.mergeUpsert(spark.read.parquet(targetPath), latest, Seq(pk))
           else latest
         // write-to-temp-then-swap: never overwrite the file being read
-        // (SURVEY §7.5.7 read-before-overwrite trap)
-        val tmp = targetPath + ".tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        val t = new java.io.File(targetPath)
-        delete(t)
-        new java.io.File(tmp).renameTo(t)
+        // (SURVEY §7.5.7 read-before-overwrite trap). The swap is move-based
+        // and failure-checked: the live dir is moved aside (not deleted)
+        // before the new one moves in, so a crash mid-swap leaves either the
+        // old or the new table on disk, never neither; Files.move throws on
+        // failure instead of renameTo's silently-ignored boolean.
+        import java.nio.file.{Files, Paths, StandardCopyOption}
+        val tmp = Paths.get(targetPath + ".tmp")
+        val live = Paths.get(targetPath)
+        val old = Paths.get(targetPath + ".old")
+        merged.write.mode("overwrite").parquet(tmp.toString)
+        if (Files.exists(old)) delete(old.toFile)
+        if (Files.exists(live)) Files.move(live, old, StandardCopyOption.ATOMIC_MOVE)
+        Files.move(tmp, live, StandardCopyOption.ATOMIC_MOVE)
+        if (Files.exists(old)) delete(old.toFile)
         ()
       }
       .start()
@@ -80,4 +88,68 @@ object IncrementalSync {
     if (f.isDirectory) f.listFiles().foreach(delete)
     f.delete()
   }
+
+  /** `stream_upsert_endstate` (§2.10 driver-checkable row): the full
+    * streaming sync driven end-to-end — two parquet drops (initial load,
+    * then updated versions of overlapping keys with a later event time)
+    * ingested by two AvailableNow runs over one checkpoint — then the final
+    * table projected to the batch columns. The oracle is the batch
+    * `merge_upsert` SQL verbatim: the streaming path must land the exact
+    * same end state the idempotent batch MERGE produces.
+    *
+    * Drop timestamps are synthetic constants (day 1 / day 2) so the
+    * watermark horizon is deterministic; in production the horizon is a
+    * freshness SLA choice, not a correctness knob, because the foreachBatch
+    * upsert stays idempotent for any replay.
+    */
+  def streamUpsertEndstate(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.Tables
+    val base = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val scratch = "target/stream_scratch/" +
+      sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+    delete(new java.io.File(scratch))
+    val srcDir = s"$scratch/drops"
+    val target = s"$scratch/table"
+    val ckpt = s"$scratch/ckpt"
+    new java.io.File(srcDir).mkdirs()
+
+    val drop1 = base.where(col("event_id") < 8000)
+      .withColumn("ts", to_timestamp(lit("2025-01-01 00:00:00")))
+    val drop2 = base.where(col("event_id") >= 6000)
+      .withColumn("value", col("value") + 0.5)
+      .withColumn("ts", to_timestamp(lit("2025-01-02 00:00:00")))
+
+    // land a drop as a single parquet file inside the watched directory
+    def land(df: DataFrame, name: String): Unit = {
+      val tmp = s"$scratch/stage_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file in $tmp"))
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$srcDir/$name.parquet"))
+      delete(new java.io.File(tmp))
+    }
+
+    land(drop1, "drop1")
+    syncOnce(spark, drop1.schema, srcDir, target, ckpt, "event_id", "ts")
+    land(drop2, "drop2")
+    syncOnce(spark, drop1.schema, srcDir, target, ckpt, "event_id", "ts")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+  }
+
+  /** Oracle: identical to the batch `merge_upsert` query — the point. */
+  val oracles: Map[String, String] = Map(
+    "stream_upsert_endstate" ->
+      """WITH base AS (
+        |  SELECT event_id, user_id, event_type, value FROM events),
+        |target AS (SELECT * FROM base WHERE event_id < 8000),
+        |source AS (
+        |  SELECT event_id, user_id, event_type, value + 0.5 AS value
+        |  FROM base WHERE event_id >= 6000)
+        |SELECT t.* FROM target t
+        |WHERE t.event_id NOT IN (SELECT event_id FROM source)
+        |UNION ALL
+        |SELECT * FROM source""".stripMargin)
 }

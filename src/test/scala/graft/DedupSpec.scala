@@ -73,6 +73,43 @@ class DedupSpec extends SparkTestBase {
       s"copy must be top neighbor within its IVF cluster, got ${out.collect().toSeq}")
   }
 
+  test("bucketed embedding dedup: perfect precision, measured recall vs all-pairs truth") {
+    // synthetic corpus with known near-dups: 20 base vectors, each cloned
+    // with a small perturbation (cosine ~0.999), plus the testdata corpus as
+    // background (which contains no >=0.95 pairs at sf0.001)
+    val synthetic = (0 until 20).flatMap { i =>
+      val base = Array.tabulate(64)(d => ((i * 31 + d * 7) % 23 - 11).toFloat / 11f)
+      val bumped = base.zipWithIndex.map { case (v, d) => if (d == i) v + 0.02f else v }
+      Seq((10000L + i, base, 99), (20000L + i, bumped, 99))
+    }.toDF("vec_id", "embedding", "label")
+    val emb = graft.sources.Tables.embeddings(spark, sf).unionByName(synthetic)
+    // unblocked all-pairs truth at the same threshold (small SF only)
+    val truth = {
+      import org.apache.spark.sql.functions._
+      val base = emb.select(col("vec_id"),
+        transform(col("embedding"), x => round(x.cast("double") * 10000).cast("long")).as("qv"))
+      val withNorm = base.withColumn("n2",
+        aggregate(zip_with(col("qv"), col("qv"), (a, b) => a * b), lit(0L), (acc, x) => acc + x))
+      val a = withNorm.select(col("vec_id").as("v1"), col("qv").as("q1"), col("n2").as("m1"))
+      val b = withNorm.select(col("vec_id").as("v2"), col("qv").as("q2"), col("n2").as("m2"))
+      a.crossJoin(b).where($"v1" < $"v2")
+        .withColumn("dot", aggregate(zip_with(col("q1"), col("q2"), (x, y) => x * y),
+          lit(0L), (acc, x) => acc + x))
+        .withColumn("cos", col("dot").cast("double") /
+          (sqrt(col("m1").cast("double")) * sqrt(col("m2").cast("double"))))
+        .where($"cos" >= 0.95)
+        .select($"v1", $"v2").as[(Long, Long)].collect().toSet
+    }
+    val found = Dedup.dedupEmbeddingLsh(emb)
+      .select($"vec_id_1", $"vec_id_2").as[(Long, Long)].collect().toSet
+    assert(found.subsetOf(truth), "bucketed pairs must all be true near-dups (precision 1)")
+    if (truth.nonEmpty) {
+      val recall = (found & truth).size.toDouble / truth.size
+      assert(recall > 0.0, s"bucketed blocking found none of ${truth.size} true pairs")
+      info(s"bucketed embedding dedup recall: $recall over ${truth.size} true pairs")
+    }
+  }
+
   test("multi-probe LSH recall >= single-probe recall vs bruteforce truth") {
     val emb = graft.sources.Tables.embeddings(spark, sf)
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
