@@ -165,7 +165,16 @@ object SparkEntry {
       graft.models.TextMarts.fctHnKeywordSentiment(Tables.documents(s, d))),
     // §2.10 streaming end-state, oracle-checked against the batch MERGE
     "stream_upsert_endstate" -> ((s, d) =>
-      graft.streaming.IncrementalSync.streamUpsertEndstate(s, d))
+      graft.streaming.IncrementalSync.streamUpsertEndstate(s, d)),
+    // remaining Models marts on deterministic adapters (all 22 now registered)
+    "fct_issues" -> ((s, d) =>
+      graft.models.ModelAdapters.fctIssues(s, Tables.orders(s, d), Tables.customer(s, d))),
+    "fct_pull_requests" -> ((s, d) =>
+      graft.models.ModelAdapters.fctPullRequests(Tables.orders(s, d), Tables.lineitem(s, d))),
+    "fct_reviewer_activity" -> ((s, d) =>
+      graft.models.ModelAdapters.fctReviewerActivity(Tables.orders(s, d), Tables.lineitem(s, d))),
+    "fct_oura_daily" -> ((s, d) =>
+      graft.models.ModelAdapters.fctOuraDaily(Tables.events(s, d)))
   )
 
   def oracleSql: Map[String, String] =
@@ -175,5 +184,5 @@ object SparkEntry {
       Enrich.oracles ++ Dedup.oracles ++ Similarity.oracles ++
       TextAnalysis.oracles ++ Multimodal.oracles ++ Pipeline.oracles ++
       graft.models.Marts.oracles ++ graft.models.TextMarts.oracles ++
-      graft.streaming.IncrementalSync.oracles
+      graft.streaming.IncrementalSync.oracles ++ graft.models.ModelAdapters.oracles
 }

@@ -108,6 +108,15 @@ object TextMarts {
         .when(pmod(col("event_id"), lit(3)) === 1, "Male")
         .otherwise("Unknown").as("gender"),
       year(col("ts")).cast("long").as("event_year"))
+      // hash-repartition with an EXPLICIT partition count: the source file is
+      // one small parquet split, which would serialize the 36-regex battery
+      // onto one core, and AQE would coalesce a count-less repartition right
+      // back (the shuffle is only ~6 MB — AQE sizes by bytes, not by the
+      // regex CPU behind each row). The shuffle of these skinny rows is
+      // ~free and spreads the battery across the cluster; at real scale the
+      // scan has many splits and this is a no-op choice.
+      .repartition(events.sparkSession.sparkContext.defaultParallelism,
+        col("report_number"))
   }
 
   /** Shared oracle CTE for [[fdaEvents]]. */
@@ -191,16 +200,29 @@ object TextMarts {
     */
   def fctFdaEventsByReaction(fda: DataFrame): DataFrame = {
     val lowered = lower(col("reactions"))
-    val flagged = fda.withColumns(
-      symptoms.map(_.flag).zip(symptoms.map(s => lowered.rlike(s.pattern))).toMap)
-    val matchedCount = symptoms.map(s => when(col(s.flag), 1).otherwise(0)).reduce(_ + _)
-    val catArr = array(symptoms.map(s => when(col(s.flag), s.category)): _*)
-    val unnested = flagged
+    // concat of per-symptom singleton arrays, NOT filter(array(...)): the
+    // filter() HOF is a codegen fallback, which would interpret the whole
+    // 36-rlike projection (measured 2x slower); concat/when/array stay in
+    // whole-stage codegen
+    val catArr = concat(symptoms.map(s =>
+      when(lowered.rlike(s.pattern), array(lit(s.category)))
+        .otherwise(array().cast("array<string>"))): _*)
+    // layered projections: cat_arr is referenced twice below (size + branch);
+    // materializing it as its own column keeps the 36-rlike battery at ONE
+    // evaluation per row — CollapseProject declines to inline a non-cheap
+    // expression into multiple references, and codegen can't deduplicate
+    // subexpressions inside conditional branches.
+    // explode_outer, NOT explode: InferFiltersFromGenerate would synthesize
+    // `size(categories) > 0` for a plain explode and push it to the scan,
+    // re-inlining the whole battery into a per-row Filter (measured 3x cost);
+    // the outer variant is exempt, and categories is never empty by
+    // construction (the 'Other' fallback), so the semantics are identical.
+    val unnested = fda
+      .withColumn("cat_arr", catArr)
       .withColumn("categories",
-        when(matchedCount === 0, array(lit("Other")))
-          .otherwise(filter(catArr, c => c.isNotNull)))
+        when(size(col("cat_arr")) === 0, array(lit("Other"))).otherwise(col("cat_arr")))
       .select(col("report_number"), col("gender"), col("outcomes"), col("event_year"),
-        explode(col("categories")).as("reaction"))
+        explode_outer(col("categories")).as("reaction"))
     val byReaction = unnested.groupBy(col("reaction")).agg(
       countDistinct(col("report_number")).as("event_count"),
       countDistinct(when(col("gender") === "Female", col("report_number"))).as("female_count"),
@@ -356,6 +378,10 @@ object TextMarts {
       date_add(lit("2024-01-01").cast("date"), pmod(col("doc_id"), lit(45)).cast("int"))
         .as("day"),
       concat(col("text"), lit(" "), pick(5, 1), lit(" "), pick(11, 4)).as("comment_text"))
+      // see fdaEvents: spread the 49-regex battery across cores (explicit
+      // count so AQE's byte-based coalescing can't re-serialize it)
+      .repartition(documents.sparkSession.sparkContext.defaultParallelism,
+        col("comment_id"))
   }
 
   /** Shared oracle CTE for [[hnComments]]. */
@@ -374,15 +400,27 @@ object TextMarts {
     * the match list explodes; comments matching nothing drop out (inner-join
     * semantics), with no cross join materialized.
     */
-  def intHnKeywords(documents: DataFrame): DataFrame = {
+  /** Codegen-friendly match list: concat of singleton arrays (see
+    * fctFdaEventsByReaction — filter() would force interpreted eval).
+    */
+  private def keywordMatchArr: Column = {
     val lowered = lower(col("comment_text"))
-    val matchArr = filter(
-      array(keywords.map { case (k, p) => when(lowered.rlike(p), k) }: _*),
-      x => x.isNotNull)
+    concat(keywords.map { case (k, p) =>
+      when(lowered.rlike(p), array(lit(k))).otherwise(array().cast("array<string>"))
+    }: _*)
+  }
+
+  /** explode_outer + null-filter instead of plain explode: see
+    * fctFdaEventsByReaction — the inferred `size(arr) > 0` filter of a plain
+    * explode would push the 49-rlike battery into a second per-row Filter.
+    * The outer explode emits one NULL row per unmatched comment, dropped by
+    * a cheap post-Generate filter — same inner-join semantics.
+    */
+  def intHnKeywords(documents: DataFrame): DataFrame =
     hnComments(documents)
       .select(col("comment_id"), col("story_id"), col("day"),
-        explode(matchArr).as("keyword"))
-  }
+        explode_outer(keywordMatchArr).as("keyword"))
+      .where(col("keyword").isNotNull)
 
   private def hnKeywordListSql: String =
     keywords.map { case (k, p) =>
@@ -423,16 +461,13 @@ object TextMarts {
     */
   def fctHnKeywordSentiment(documents: DataFrame): DataFrame = {
     val (score, category) = sentimentCols(col("comment_text"))
-    val lowered = lower(col("comment_text"))
-    val matchArr = filter(
-      array(keywords.map { case (k, p) => when(lowered.rlike(p), k) }: _*),
-      x => x.isNotNull)
     val q = Num.fix10(col("score"))
     val daily = hnComments(documents)
       .withColumn("score", score)
       .withColumn("category", category)
       .select(col("story_id"), col("day"), col("score"), col("category"),
-        explode(matchArr).as("keyword"))
+        explode_outer(keywordMatchArr).as("keyword"))
+      .where(col("keyword").isNotNull)
       .groupBy(col("keyword"), col("day"))
       .agg(
         count(lit(1)).as("comment_count"),

@@ -201,7 +201,9 @@ object Aggregates {
     def h(c: Column) = PortableHash.hash32(c.cast("string"))
     val keyed = lineitem.select(
       col("l_returnflag").as("return_flag"),
-      explode(map(
+      // outer: skips the inferred size(map)>0 filter, which would evaluate
+      // the three md5 hashes a second time per row; the map is never empty
+      explode_outer(map(
         lit("parts"), h(col("l_partkey")),
         lit("suppliers"), h(col("l_suppkey")),
         lit("orders"), h(col("l_orderkey")))).as(Seq("key_type", "h")))

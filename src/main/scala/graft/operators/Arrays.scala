@@ -91,7 +91,10 @@ object Arrays {
       .withColumn("labels", labelArray)
       .withColumn("categories",
         when(size(col("labels")) === 0, array(lit("Other"))).otherwise(col("labels")))
-      .select(col("p_partkey"), explode(col("categories")).as("category"))
+      // outer: exempt from InferFiltersFromGenerate's size>0 filter, which
+      // would re-inline the regex flags into the scan; never empty by the
+      // 'Other' fallback
+      .select(col("p_partkey"), explode_outer(col("categories")).as("category"))
       .groupBy(col("category"))
       .agg(count(lit(1)).as("part_count"))
 

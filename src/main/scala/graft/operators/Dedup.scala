@@ -29,6 +29,13 @@ object Dedup {
 
   /** Word 3-gram shingle set (zip of three shifted slices — no index math,
     * no sequence(1,0) descending-range edge case).
+    *
+    * Exploded via explode_outer + IsNotNull everywhere: a plain explode makes
+    * InferFiltersFromGenerate synthesize `size(shingles) > 0`, which pushes
+    * to the scan and re-evaluates this whole (interpreted, HOF-based)
+    * expression a second time per row; the outer variant is exempt, and
+    * shingle elements are never NULL, so dropping NULL rows post-Generate is
+    * exactly inner-explode semantics.
     */
   private def shinglesCol(tokens: Column): Column = {
     val n = size(tokens) - 2
@@ -67,7 +74,8 @@ object Dedup {
       shinglesCol(tokensCol).as("shingles"))
     val sizes = docs.select(col("doc_id"), size(col("shingles")).cast("long").as("sz"))
     val inv = docs.select(col("lang"), col("len_bucket"), col("doc_id"),
-      explode(col("shingles")).as("shingle"))
+      explode_outer(col("shingles")).as("shingle"))
+      .where(col("shingle").isNotNull)
     val a = inv.select(col("lang"), col("len_bucket"), col("shingle"),
       col("doc_id").as("doc_id_1"))
     val b = inv.select(col("lang"), col("len_bucket"), col("shingle"),
@@ -107,7 +115,8 @@ object Dedup {
   /** k minhash signature columns from exploded shingles. */
   private def minhashSignatures(documents: DataFrame, fastHash: Boolean): DataFrame = {
     val sh = documents
-      .select(col("doc_id"), col("lang"), explode(shinglesCol(tokensCol)).as("shingle"))
+      .select(col("doc_id"), col("lang"), explode_outer(shinglesCol(tokensCol)).as("shingle"))
+      .where(col("shingle").isNotNull)
       .withColumn("x", shingleHash(fastHash))
     val sigAggs = (0 until MinhashK).map { i =>
       min(pmod(col("x") * (2 * i + 1) + (i * 12345 + 7), lit(P))).as(s"sig_$i")
@@ -158,7 +167,8 @@ object Dedup {
     */
   def dedupSimhash(documents: DataFrame, fastHash: Boolean = false): DataFrame = {
     val sh = documents
-      .select(col("doc_id"), col("lang"), explode(shinglesCol(tokensCol)).as("shingle"))
+      .select(col("doc_id"), col("lang"), explode_outer(shinglesCol(tokensCol)).as("shingle"))
+      .where(col("shingle").isNotNull)
       .withColumn("x", pmod(shingleHash(fastHash), lit(65536L)))
     val bitAggs = (0 until 16).map { bit =>
       sum(when(shiftright(col("x"), bit) % 2 === 1, 1).otherwise(-1)).as(s"b_$bit")

@@ -144,13 +144,16 @@ object Joins {
     // column-typed regex forces per-row Pattern.compile; this form stays in
     // whole-stage codegen. At 100 TB: one pass over the fact, zero shuffle
     // before the final tiny aggregation.
-    val matches = filter(
-      array(keywords.map { case (k, p) =>
-        when(lower(col("p_name")).rlike(p), k)
-      }: _*),
-      x => x.isNotNull)
+    // concat of singleton arrays, not filter(array(...)): the filter() HOF is
+    // a codegen fallback that would interpret the rlike chain; explode_outer
+    // dodges the inferred size>0 filter that re-inlines it at the scan
+    val matches = concat(keywords.map { case (k, p) =>
+      when(lower(col("p_name")).rlike(p), array(lit(k)))
+        .otherwise(array().cast("array<string>"))
+    }: _*)
     part
-      .select(col("p_brand"), explode(matches).as("keyword"))
+      .select(col("p_brand"), explode_outer(matches).as("keyword"))
+      .where(col("keyword").isNotNull)
       .groupBy(col("keyword"))
       .agg(count(lit(1)).as("part_count"),
         countDistinct(col("p_brand")).as("brand_count"))
