@@ -74,7 +74,12 @@ object Marts {
     * store coverage and the top revenue category per county (deterministic
     * category tiebreak added — the reference's rank() join can fan out).
     */
-  def fctSalesByCounty(sales: DataFrame): DataFrame = {
+  def fctSalesByCounty(salesIn: DataFrame): DataFrame = {
+    // cache: the county rollup AND the top-category rank both consume the
+    // 6-table sales staging join — uncached it would run twice (the
+    // reference materializes stg_iowa_liquor__sales as a table for the same
+    // reason; dbt_project.yml staging policy)
+    val sales = salesIn.cache()
     val countySales = sales.groupBy(col("county")).agg(
       sum(col("sale_cents")).as("sale_cents_sum"),
       sum(col("bottles")).as("total_bottles"),
@@ -104,7 +109,8 @@ object Marts {
   /** fct_top_vendors (fct_top_vendors.sql:9-56): vendor rollup with product/
     * store coverage, average bottle price, top revenue product per vendor.
     */
-  def fctTopVendors(sales: DataFrame): DataFrame = {
+  def fctTopVendors(salesIn: DataFrame): DataFrame = {
+    val sales = salesIn.cache() // see fctSalesByCounty
     val vendorSales = sales.groupBy(col("vendor_name")).agg(
       sum(col("sale_cents")).as("sale_cents_sum"),
       sum(col("bottles")).as("total_bottles"),
@@ -216,10 +222,16 @@ object Marts {
         (col("close_cents") - col("low52_cents")).cast(DoubleType) /
           when(col("high52_cents") === col("low52_cents"), null)
             .otherwise(col("high52_cents") - col("low52_cents")).cast(DoubleType) * 100.0)
-      .withColumn("best_rn", row_number().over(Window.partitionBy("sector")
-        .orderBy(col("chg_pct").desc_nulls_last, col("ticker"))))
-      .withColumn("worst_rn", row_number().over(Window.partitionBy("sector")
-        .orderBy(col("chg_pct").asc_nulls_last, col("ticker"))))
+      // rank within (sector, trade_date) — the aggregation's grain — so every
+      // output row names the best/worst ticker of ITS OWN group (a
+      // sector-only partition would leave NULL tickers on all but one
+      // date-group when tickers' latest days differ)
+      .withColumn("best_rn", row_number().over(
+        Window.partitionBy("sector", "trade_date")
+          .orderBy(col("chg_pct").desc_nulls_last, col("ticker"))))
+      .withColumn("worst_rn", row_number().over(
+        Window.partitionBy("sector", "trade_date")
+          .orderBy(col("chg_pct").asc_nulls_last, col("ticker"))))
     val agg = scored.groupBy(col("sector"), col("trade_date")).agg(
       countDistinct(col("ticker")).as("ticker_count"),
       sum(Num.fix20(col("chg_pct"))).as("chg_q_sum"),
@@ -378,8 +390,8 @@ object Marts {
          |  FROM latest),
          |rn AS (
          |  SELECT *,
-         |         ROW_NUMBER() OVER (PARTITION BY sector ORDER BY chg_pct DESC NULLS LAST, ticker) AS best_rn,
-         |         ROW_NUMBER() OVER (PARTITION BY sector ORDER BY chg_pct ASC NULLS LAST, ticker) AS worst_rn
+         |         ROW_NUMBER() OVER (PARTITION BY sector, trade_date ORDER BY chg_pct DESC NULLS LAST, ticker) AS best_rn,
+         |         ROW_NUMBER() OVER (PARTITION BY sector, trade_date ORDER BY chg_pct ASC NULLS LAST, ticker) AS worst_rn
          |  FROM scored),
          |agg AS (
          |  SELECT sector, trade_date,

@@ -101,7 +101,10 @@ object ModelAdapters {
         pmod(sum(round(col("value")).cast("long")), lit(15000L)).as("steps"))
 
   def fctOuraDaily(events: DataFrame): DataFrame =
-    Models.fctOuraDaily(sleep(events), readiness(events), activity(events))
+    // cached: each daily aggregate feeds BOTH the union spine and its own
+    // left join — uncached, the three aggregations would each run twice
+    Models.fctOuraDaily(sleep(events).cache(), readiness(events).cache(),
+      activity(events).cache())
 
   // ---- oracles ------------------------------------------------------------
 
@@ -140,7 +143,7 @@ object ModelAdapters {
       |reviews AS (
       |  SELECT l_orderkey AS pull_request_id, l_suppkey AS reviewer_id,
       |         CASE WHEN l_returnflag = 'R' THEN 'APPROVED' ELSE 'COMMENTED' END AS state,
-      |         l_shipdate AS submitted_at
+      |         CAST(l_shipdate AS TIMESTAMP) AS submitted_at
       |  FROM lineitem),
       |comments AS (
       |  SELECT l_orderkey AS pull_request_id, l_suppkey + 1000 AS author_id

@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DoubleType
 import graft.functions.Num
 
 /** The reference's regex-battery marts at full pattern width (round-1 verdict
-  * Missing #2): the 36-pattern FDA symptom battery
+  * Missing #2): the full 35-pattern FDA symptom battery (every regexp_contains in the reference)
   * (int_fda__food_event_reactions.sql:35-79) and the 49-row HN keyword table
   * (int_hn__comment_keywords.sql:20-83), each battery defined ONCE as data and
   * compiled into BOTH the Spark flags and the DuckDB oracle SQL — so the
@@ -32,7 +32,7 @@ object TextMarts {
 
   final case class Symptom(flag: String, pattern: String, category: String, group: String)
 
-  /** The reference's full 36-pattern battery, in source order
+  /** The reference's full battery — all 35 regexp_contains patterns, in source order
     * (int_fda__food_event_reactions.sql:35-79).
     */
   val symptoms: Seq[Symptom] = Seq(
@@ -109,7 +109,7 @@ object TextMarts {
         .otherwise("Unknown").as("gender"),
       year(col("ts")).cast("long").as("event_year"))
       // hash-repartition with an EXPLICIT partition count: the source file is
-      // one small parquet split, which would serialize the 36-regex battery
+      // one small parquet split, which would serialize the 35-regex battery
       // onto one core, and AQE would coalesce a count-less repartition right
       // back (the shuffle is only ~6 MB — AQE sizes by bytes, not by the
       // regex CPU behind each row). The shuffle of these skinny rows is
@@ -142,7 +142,7 @@ object TextMarts {
     Seq("gastrointestinal", "allergic", "respiratory", "cardiovascular",
       "neurological", "systemic")
 
-  /** int_fda__food_event_reactions (:35-177): all 36 regex flags, matched-
+  /** int_fda__food_event_reactions (:35-177): all 35 regex flags, matched-
     * category list (as a sortable string + count; 'Other' when none), and the
     * 6 group rollup flags + has_other.
     */
@@ -462,12 +462,17 @@ object TextMarts {
   def fctHnKeywordSentiment(documents: DataFrame): DataFrame = {
     val (score, category) = sentimentCols(col("comment_text"))
     val q = Num.fix10(col("score"))
+    // sentiment AFTER the explode: its filter() HOFs are CodegenFallback, and
+    // computed alongside the battery they would drag the 49 rlikes into the
+    // same interpreted projection; the Generate is a collapse barrier, so the
+    // battery stays codegen below and the HOF runs on the (smaller) matched
+    // rows above
     val daily = hnComments(documents)
-      .withColumn("score", score)
-      .withColumn("category", category)
-      .select(col("story_id"), col("day"), col("score"), col("category"),
+      .select(col("story_id"), col("day"), col("comment_text"),
         explode_outer(keywordMatchArr).as("keyword"))
       .where(col("keyword").isNotNull)
+      .withColumn("score", score)
+      .withColumn("category", category)
       .groupBy(col("keyword"), col("day"))
       .agg(
         count(lit(1)).as("comment_count"),

@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   */
 object Arrays {
 
-  /** Flag family on part names (mirrors the 36-regex symptom flags of
+  /** Flag family on part names (mirrors the symptom-flag battery of
     * int_fda__food_event_reactions.sql:35-79, scaled to the testdata corpus).
     */
   private def flags(df: DataFrame): DataFrame = {

@@ -40,9 +40,17 @@ object Reshape {
     val perSegment = pivotCents(joined.groupBy(col("segment"))
       .pivot("priority", priorities).agg(sum(col("cents"))))
     // margins row (pandas pivot_table(margins=True), pages/1_Linear_Issues
-    // .py:209-240): column totals over all segments, keyed 'All'
-    val marginsRow = pivotCents(joined.groupBy(lit("All").as("segment"))
-      .pivot("priority", priorities).agg(sum(col("cents"))))
+    // .py:209-240): column totals over all segments, keyed 'All'. A global
+    // agg (not groupBy(lit)): SQL's no-GROUP-BY aggregate emits exactly one
+    // row even on empty input, and the oracle must agree
+    val marginsRow = joined.agg(
+      sum(when(col("priority") === "1-URGENT", col("cents"))).as("urgent_cents"),
+      sum(when(col("priority") === "2-HIGH", col("cents"))).as("high_cents"),
+      sum(when(col("priority") === "3-MEDIUM", col("cents"))).as("medium_cents"),
+      sum(when(col("priority") === "4-NOT SPECIFIED", col("cents"))).as("not_specified_cents"),
+      sum(when(col("priority") === "5-LOW", col("cents"))).as("low_cents"))
+      .select(lit("All").as("segment"), col("urgent_cents"), col("high_cents"),
+        col("medium_cents"), col("not_specified_cents"), col("low_cents"))
     val wide = perSegment.unionByName(marginsRow)
     wide.select(
       col("segment"),

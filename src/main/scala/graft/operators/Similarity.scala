@@ -131,9 +131,12 @@ object Similarity {
             case Some(rows) =>
               val arr = Array.fill(dim)(0L)
               rows.foreach { r =>
-                // round-half-up via exact integer floor-div (no double divide:
-                // the oracle's (2s+n)//(2n) floor-division matches bit-for-bit)
-                arr(r.getInt(1)) = Math.floorDiv(2 * r.getLong(2) + r.getLong(3), 2 * r.getLong(3))
+                // exact integer round-half via TRUNCATING division (Scala /):
+                // DuckDB `//` also truncates toward zero in this build
+                // ((-7)//6 = -1, not floor's -2), so (2s+n)/(2n) is
+                // bit-identical cross-engine for BOTH signs of the sum —
+                // Math.floorDiv would diverge on negative dimension sums
+                arr(r.getInt(1)) = (2 * r.getLong(2) + r.getLong(3)) / (2 * r.getLong(3))
               }
               arr
             case None => old // empty cluster keeps its centroid
@@ -219,7 +222,8 @@ object Similarity {
   /** One k-means iteration in SQL: assign each vector to the argmin centroid
     * (exact integer score ||c||^2 - 2 x.c, ties to lowest cid via the
     * score*32+cid encoding — matches Spark's least-of-struct), then update
-    * centroids with exact integer round-half-up (2s+n)//(2n); empty clusters
+    * centroids with exact integer (2s+n)//(2n) — truncating division in
+    * BOTH engines (DuckDB `//` truncates like Scala `/`); empty clusters
     * keep their previous centroid. Mirrors simSearchIvf's driver loop.
     */
   private def ivfIterSql(i: Int, prev: String): String =

@@ -114,9 +114,12 @@ object IncrementalSync {
     val ckpt = s"$scratch/ckpt"
     new java.io.File(srcDir).mkdirs()
 
+    // bounded drops: the sync semantics (keys 6000-7999 overlap and must be
+    // replaced) are identical at every SF, without rewriting the whole table
+    // through the streaming sink at large SF
     val drop1 = base.where(col("event_id") < 8000)
       .withColumn("ts", to_timestamp(lit("2025-01-01 00:00:00")))
-    val drop2 = base.where(col("event_id") >= 6000)
+    val drop2 = base.where(col("event_id") >= 6000 && col("event_id") < 20000)
       .withColumn("value", col("value") + 0.5)
       .withColumn("ts", to_timestamp(lit("2025-01-02 00:00:00")))
 
@@ -147,7 +150,7 @@ object IncrementalSync {
         |target AS (SELECT * FROM base WHERE event_id < 8000),
         |source AS (
         |  SELECT event_id, user_id, event_type, value + 0.5 AS value
-        |  FROM base WHERE event_id >= 6000)
+        |  FROM base WHERE event_id >= 6000 AND event_id < 20000)
         |SELECT t.* FROM target t
         |WHERE t.event_id NOT IN (SELECT event_id FROM source)
         |UNION ALL
