@@ -185,7 +185,7 @@ object Aggregates {
     * shuffle of fixed-size sketches. No SQL oracle (Spark/DuckDB sketches
     * differ); AggregatesSpec bounds the error against the exact counts.
     */
-  def aggApproxDistinct(lineitem: DataFrame): DataFrame = {
+  def aggApproxDistinct(lineitem: DataFrame, fastHash: Boolean = false): DataFrame = {
     import graft.functions.PortableHash
     // Portable HyperLogLog, m=4096 buckets (rel. error ~1.6%): h is a uniform
     // 32-bit md5-derived hash; bucket = h mod m; w = h div m (20 uniform
@@ -198,7 +198,11 @@ object Aggregates {
     // order, so the result matches the DuckDB oracle bit for bit.
     // Shape: explode 3 (key,hash) pairs/row -> two partial-agg'd shuffles of
     // at most groups x 3 x 4096 rows after map-side combine -> scale-safe.
-    def h(c: Column) = PortableHash.hash32(c.cast("string"))
+    // fastHash: xxhash64 folded to 32 bits — the 100-TB path (same registers
+    // and estimator, ~10x cheaper hash, not oracle-reproducible)
+    def h(c: Column) =
+      if (fastHash) pmod(xxhash64(c), lit(1L << 32))
+      else PortableHash.hash32(c.cast("string"))
     val keyed = lineitem.select(
       col("l_returnflag").as("return_flag"),
       // outer: skips the inferred size(map)>0 filter, which would evaluate

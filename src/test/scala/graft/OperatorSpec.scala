@@ -107,6 +107,15 @@ class OperatorSpec extends SparkTestBase {
       assert(close(ap, p) && close(as_, s) && close(ao, o),
         s"approx too far for $k: approx=${approx(k)} exact=${exact(k)}")
     }
+    // the xxhash64 fast path holds the same error bound
+    val fast = Aggregates.aggApproxDistinct(li, fastHash = true).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    exact.foreach { case (k, (p, s, o)) =>
+      val (ap, as_, ao) = fast(k)
+      def close(a: Long, e: Long) = math.abs(a - e) <= math.max(5L, (e * 0.05).toLong)
+      assert(close(ap, p) && close(as_, s) && close(ao, o),
+        s"fast-hash approx too far for $k: approx=${fast(k)} exact=${exact(k)}")
+    }
   }
 
   test("salted two-phase sum equals the direct aggregation") {
