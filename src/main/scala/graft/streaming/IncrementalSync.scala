@@ -135,10 +135,22 @@ object IncrementalSync {
       delete(new java.io.File(tmp))
     }
 
-    land(drop1, "drop1")
-    syncOnce(spark, drop1.schema, srcDir, target, ckpt, "event_id", "ts")
-    land(drop2, "drop2")
-    syncOnce(spark, drop1.schema, srcDir, target, ckpt, "event_id", "ts")
+    // scope the stream's state-store/shuffle partition count down for the
+    // demo-sized drops: each dropDuplicates state partition pays per-commit
+    // file I/O on every micro-batch, so 32 session partitions mean 64 store
+    // commits for two runs of ~20k rows (~4s of pure overhead measured); a
+    // production deployment sizes this to the real drop volume instead.
+    // The first run freezes the count into the checkpoint, so set it before
+    // both runs and restore after.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      land(drop1, "drop1")
+      syncOnce(spark, drop1.schema, srcDir, target, ckpt, "event_id", "ts")
+      land(drop2, "drop2")
+      syncOnce(spark, drop1.schema, srcDir, target, ckpt, "event_id", "ts")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    spark.read.parquet(target)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
   }
 
