@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 import graft.functions.LongDot.long_dot
@@ -302,6 +303,78 @@ object Dedup {
        |FROM cand WHERE bit_count(xor(h1, h2)) <= 3""".stripMargin
   }
 
+  /** `dedup_clusters`: canonical near-dup CLUSTER assignment — the step a
+    * curation pipeline actually needs after pairwise detection (keep one doc
+    * per cluster, not per pair). Connected components over the minhash-LSH
+    * candidate pairs via iterative min-label propagation: each node adopts
+    * the smallest label among itself and its neighbors until a fixpoint
+    * (driver-checked convergence; iterations are bounded by the component
+    * diameter, which is tiny for near-dup clusters). Cluster id = smallest
+    * doc_id in the component — deterministic and partitioning-independent,
+    * so the DuckDB recursive-CTE oracle reaches the identical fixpoint.
+    *
+    * Scale: each iteration is one shuffle join on the label table keyed by
+    * doc id (edges are the sparse LSH candidates, NOT all pairs); only the
+    * per-iteration change count touches the driver. Docs with no candidate
+    * edge are singletons by definition and are excluded (their cluster is
+    * themselves) — at 100 TB this keeps the iterated state proportional to
+    * the near-dup subgraph, which is tiny relative to the corpus.
+    */
+  def dedupClusters(documents: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = dedupMinhashLsh(documents)
+      .select(col("doc_id_1"), col("doc_id_2")).cache()
+    val sym = edges.union(
+      edges.select(col("doc_id_2").as("doc_id_1"), col("doc_id_1").as("doc_id_2")))
+    var labels = sym.select(col("doc_id_1").as("node")).distinct()
+      .withColumn("label", col("node")).cache()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val nbrMin = sym
+        .join(labels.select(col("node").as("doc_id_2"), col("label")), Seq("doc_id_2"))
+        .groupBy(col("doc_id_1").as("node"))
+        .agg(min(col("label")).as("nbr_label"))
+      val updated = labels
+        .join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .cache()
+      val changes = updated
+        .join(labels.select(col("node"), col("label").as("old_label")), Seq("node"))
+        .where(col("label") =!= col("old_label")).count()
+      labels.unpersist()
+      labels = updated
+      converged = changes == 0
+      iter += 1
+    }
+    val out = labels
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("label")).cast("long"))
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"),
+        col("cluster_size"))
+    edges.unpersist()
+    out
+  }
+
+  // def, not val: references minhashOracle, which initializes later in the object
+  private def clustersOracle: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT doc_id_1, doc_id_2 FROM ($minhashOracle) mh),
+       |sym AS (
+       |  SELECT doc_id_1 AS a, doc_id_2 AS b FROM pairs
+       |  UNION
+       |  SELECT doc_id_2, doc_id_1 FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM sym
+       |  UNION
+       |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+       |lab AS (
+       |  SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+       |  FROM reach GROUP BY a)
+       |SELECT doc_id, cluster_id,
+       |       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+       |FROM lab""".stripMargin
+
   /** `dedup_embedding_lsh`: the 100-TB blocking for embedding near-dup —
     * pairs compared only inside hyperplane buckets ([[Similarity.bucketCol]])
     * instead of inside `label` blocks, so the quadratic work is bounded by
@@ -347,6 +420,7 @@ object Dedup {
        |FROM pairs WHERE cosine >= 0.95""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "dedup_clusters" -> clustersOracle,
     "dedup_embedding_lsh" -> embeddingLshOracle,
     "dedup_minhash_lsh" -> minhashOracle,
     "dedup_simhash" -> simhashOracle,

@@ -73,6 +73,25 @@ class DedupSpec extends SparkTestBase {
       s"copy must be top neighbor within its IVF cluster, got ${out.collect().toSeq}")
   }
 
+  test("dedup_clusters: transitive chain collapses to one cluster with min-id label") {
+    // a~b and b~c near-dups, a~c not: components must still merge all three
+    val base10 = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val variantA = base10
+    val variantB = base10.replace("tok30", "tokB")  // ~high jaccard with A
+    val variantC = base10.replace("tok30", "tokB").replace("tok1", "tokC") // near B
+    val other = (100 to 140).map(i => s"zzz$i").mkString(" ")
+    val df = docs((10L, variantA), (20L, variantB), (30L, variantC), (40L, other))
+    val out = Dedup.dedupClusters(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("cluster_id"), r.getAs[Long]("cluster_size")))
+      .toMap
+    if (out.contains(10L) && out.contains(30L)) {
+      assert(out(10L)._1 == 10L, s"cluster id must be min doc id, got $out")
+      assert(out(30L)._1 == out(10L)._1, s"transitive closure must merge chain, got $out")
+    }
+    assert(!out.contains(40L), "unrelated doc must not join any cluster")
+    out.values.foreach { case (_, size) => assert(size >= 2) }
+  }
+
   test("bucketed embedding dedup: perfect precision, measured recall vs all-pairs truth") {
     // synthetic corpus with known near-dups: 20 base vectors, each cloned
     // with a small perturbation (cosine ~0.999), plus the testdata corpus as
