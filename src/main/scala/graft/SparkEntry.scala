@@ -146,6 +146,7 @@ object SparkEntry {
     "mm_frame_sample" -> ((s, d) => Multimodal.mmFrameSample(Tables.documents(s, d))),
     // extensions: composed curation pipeline
     "pipeline_training_data" -> ((s, d) => Pipeline.trainingDataCuration(Tables.documents(s, d))),
+    "pipeline_curation_v2" -> ((s, d) => Pipeline.trainingDataCurationV2(Tables.documents(s, d))),
     // round-2 mart compositions (VERDICT.md Missing #1)
     "fct_sales_by_county" -> ((s, d) => graft.models.Marts.fctSalesByCounty(
       graft.models.Marts.sales(Tables.lineitem(s, d), Tables.orders(s, d), Tables.customer(s, d),

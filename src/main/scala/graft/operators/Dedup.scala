@@ -357,7 +357,7 @@ object Dedup {
   }
 
   // def, not val: references minhashOracle, which initializes later in the object
-  private def clustersOracle: String =
+  private[operators] def clustersOracle: String =
     s"""WITH RECURSIVE pairs AS (
        |  SELECT doc_id_1, doc_id_2 FROM ($minhashOracle) mh),
        |sym AS (
