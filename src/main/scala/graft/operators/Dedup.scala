@@ -321,39 +321,49 @@ object Dedup {
     * the near-dup subgraph, which is tiny relative to the corpus.
     */
   def dedupClusters(documents: DataFrame, maxIters: Int = 20): DataFrame = {
-    val edges = dedupMinhashLsh(documents)
-      .select(col("doc_id_1"), col("doc_id_2")).cache()
-    val sym = edges.union(
-      edges.select(col("doc_id_2").as("doc_id_1"), col("doc_id_1").as("doc_id_2")))
-    var labels = sym.select(col("doc_id_1").as("node")).distinct()
-      .withColumn("label", col("node")).cache()
-    var converged = false
-    var iter = 0
-    while (!converged && iter < maxIters) {
-      val nbrMin = sym
-        .join(labels.select(col("node").as("doc_id_2"), col("label")), Seq("doc_id_2"))
-        .groupBy(col("doc_id_1").as("node"))
-        .agg(min(col("label")).as("nbr_label"))
-      val updated = labels
-        .join(nbrMin, Seq("node"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        .cache()
-      val changes = updated
-        .join(labels.select(col("node"), col("label").as("old_label")), Seq("node"))
-        .where(col("label") =!= col("old_label")).count()
-      labels.unpersist()
-      labels = updated
-      converged = changes == 0
-      iter += 1
-    }
-    val out = labels
-      .withColumn("cluster_size",
-        count(lit(1)).over(Window.partitionBy("label")).cast("long"))
-      .select(col("node").as("doc_id"), col("label").as("cluster_id"),
-        col("cluster_size"))
-    edges.unpersist()
-    out
+    val spark = documents.sparkSession
+    // the iterated state is the sparse candidate subgraph (hundreds of rows
+    // per million docs), so run the loop at a partition count sized to it —
+    // session-level 32-partition shuffles would pay ~10x task overhead per
+    // iteration for no parallelism gain (restored after; at real scale size
+    // this to the subgraph, not the corpus)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val edges = dedupMinhashLsh(documents)
+        .select(col("doc_id_1"), col("doc_id_2")).cache()
+      val sym = edges.union(
+        edges.select(col("doc_id_2").as("doc_id_1"), col("doc_id_1").as("doc_id_2")))
+      var labels = sym.select(col("doc_id_1").as("node")).distinct()
+        .withColumn("label", col("node")).cache()
+      var converged = false
+      var iter = 0
+      while (!converged && iter < maxIters) {
+        val nbrMin = sym
+          .join(labels.select(col("node").as("doc_id_2"), col("label")), Seq("doc_id_2"))
+          .groupBy(col("doc_id_1").as("node"))
+          .agg(min(col("label")).as("nbr_label"))
+        // keep old_label in the cached iterate: the convergence check is then
+        // a filter-count on the SAME materialized data, not a second join
+        val updated = labels
+          .join(nbrMin, Seq("node"), "left")
+          .select(col("node"), col("label").as("old_label"),
+            least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+          .cache()
+        val changes = updated.where(col("label") =!= col("old_label")).count()
+        labels.unpersist()
+        labels = updated.select(col("node"), col("label"))
+        converged = changes == 0
+        iter += 1
+      }
+      val out = labels
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy("label")).cast("long"))
+        .select(col("node").as("doc_id"), col("label").as("cluster_id"),
+          col("cluster_size"))
+      edges.unpersist()
+      out
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
   // def, not val: references minhashOracle, which initializes later in the object
