@@ -43,6 +43,11 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       val cold = once(name, fn)
       val warm = once(name, fn)
+      // drop this query's cached relations before the next query: operators
+      // cache intra-query reused staging (by design), and 120 queries of
+      // accumulated blocks otherwise evict each other mid-iteration, turning
+      // later measurements into recompute storms
+      spark.catalog.clearCache()
       name -> ((cold, warm))
     }
     def fmt(sel: ((Option[Double], Option[Double])) => Option[Double]) =
