@@ -147,6 +147,14 @@ object SparkEntry {
     // extensions: composed curation pipeline
     "pipeline_training_data" -> ((s, d) => Pipeline.trainingDataCuration(Tables.documents(s, d))),
     "pipeline_curation_v2" -> ((s, d) => Pipeline.trainingDataCurationV2(Tables.documents(s, d))),
+    // round-3 curation surface: redaction, contamination, sampling, packing
+    "pii_redact" -> ((s, d) => Curation.piiRedact(Tables.documents(s, d))),
+    "contamination_check" -> ((s, d) => Curation.contaminationCheck(Tables.documents(s, d))),
+    "sample_stratified" -> ((s, d) => Curation.sampleStratified(Tables.documents(s, d))),
+    "split_train_test" -> ((s, d) => Curation.splitTrainTest(Tables.documents(s, d))),
+    "lang_balance_sample" -> ((s, d) => Curation.langBalanceSample(Tables.documents(s, d))),
+    "embed_quantize" -> ((s, d) => Curation.embedQuantize(Tables.embeddings(s, d))),
+    "token_pack" -> ((s, d) => Curation.tokenPack(Tables.documents(s, d))),
     // round-2 mart compositions (VERDICT.md Missing #1)
     "fct_sales_by_county" -> ((s, d) => graft.models.Marts.fctSalesByCounty(
       graft.models.Marts.sales(Tables.lineitem(s, d), Tables.orders(s, d), Tables.customer(s, d),
@@ -185,6 +193,7 @@ object SparkEntry {
       Merge.oracles ++ graft.sources.ApiSource.oracles ++ Reshape.oracles ++
       Enrich.oracles ++ Dedup.oracles ++ Similarity.oracles ++
       TextAnalysis.oracles ++ Multimodal.oracles ++ Pipeline.oracles ++
+      Curation.oracles ++
       graft.models.Marts.oracles ++ graft.models.TextMarts.oracles ++
       graft.streaming.IncrementalSync.oracles ++ graft.models.ModelAdapters.oracles
 }

@@ -64,18 +64,25 @@ object Num {
   def meanFix20(sumQ: Column, n: Column): Column =
     sumQ.cast(DoubleType) / nullif(n, lit(0)).cast(DoubleType) / 1048576.0
 
-  /** 2^-10 variant for bounded scores in [-1,1]: squares stay < 2^22, so
-    * n*sum(q^2) moments fit BIGINT at any realistic group size — enables
-    * exact closed-form stddev. Oracle twin scale: 1024.0.
+  /** 2^-10 variant for bounded scores in [-1,1]: squares stay < 2^22 so the
+    * per-row terms and their BIGINT sums are safe to ~2^41 rows per group.
+    * Oracle twin scale: 1024.0.
     */
   def fix10(c: Column): Column = floor(c * 1024.0 + 0.5).cast(LongType)
 
   /** sample stddev from 2^-10 fixed-point moments (n, sum q, sum q^2):
     * sqrt((n*sq - s^2)/(n*(n-1)))/1024 in fixed op order; NULL when n < 2.
+    * The n*sq and s*s products grow as n^2·2^20 — past ~3M rows per group
+    * they overflow BIGINT — so the moments are combined in DECIMAL(38,0)
+    * (safe to ~10^9 rows per group); oracle twin uses HUGEINT the same way.
+    * The decimal→double conversion is exact-rounded in both engines and the
+    * test-scale values are < 2^53, so exactness is unchanged.
     */
-  def stddevFix10(n: Column, s: Column, sq: Column): Column =
-    sqrt((n * sq - s * s).cast(DoubleType) /
-      nullif(n * (n - lit(1)), lit(0)).cast(DoubleType)) / 1024.0
+  def stddevFix10(n: Column, s: Column, sq: Column): Column = {
+    val d38 = DecimalType(38, 0)
+    sqrt((n.cast(d38) * sq.cast(d38) - s.cast(d38) * s.cast(d38)).cast(DoubleType) /
+      nullif(n.cast(d38) * (n - lit(1)).cast(d38), lit(0)).cast(DoubleType)) / 1024.0
+  }
 
   /** overflow-safe exact sum of squares of an integer-cents column — cast to
     * decimal BEFORE multiplying (a long×long square silently wraps past

@@ -555,8 +555,8 @@ object TextMarts {
        |fin AS (
        |  SELECT keyword, day, comment_count, story_count,
        |         CAST(s AS DOUBLE) / CAST(comment_count AS DOUBLE) / 1024.0 AS avg_sentiment,
-       |         SQRT(CAST(comment_count * sq - s * s AS DOUBLE)
-       |              / CAST(NULLIF(comment_count * (comment_count - 1), 0) AS DOUBLE)) / 1024.0 AS sentiment_stddev,
+       |         SQRT(CAST(CAST(comment_count AS HUGEINT) * sq - CAST(s AS HUGEINT) * s AS DOUBLE)
+       |              / CAST(NULLIF(CAST(comment_count AS HUGEINT) * (comment_count - 1), 0) AS DOUBLE)) / 1024.0 AS sentiment_stddev,
        |         CAST(sm AS DOUBLE) / CAST(comment_count AS DOUBLE) / 1024.0 AS avg_magnitude,
        |         CAST(pos_n AS DOUBLE) / CAST(NULLIF(comment_count, 0) AS DOUBLE) * 100.0 AS positive_pct,
        |         CAST(neg_n AS DOUBLE) / CAST(NULLIF(comment_count, 0) AS DOUBLE) * 100.0 AS negative_pct,

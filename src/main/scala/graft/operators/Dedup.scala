@@ -306,19 +306,25 @@ object Dedup {
   /** `dedup_clusters`: canonical near-dup CLUSTER assignment — the step a
     * curation pipeline actually needs after pairwise detection (keep one doc
     * per cluster, not per pair). Connected components over the minhash-LSH
-    * candidate pairs via iterative min-label propagation: each node adopts
-    * the smallest label among itself and its neighbors until a fixpoint
-    * (driver-checked convergence; iterations are bounded by the component
-    * diameter, which is tiny for near-dup clusters). Cluster id = smallest
-    * doc_id in the component — deterministic and partitioning-independent,
-    * so the DuckDB recursive-CTE oracle reaches the identical fixpoint.
+    * candidate pairs via min-label propagation WITH pointer jumping: each
+    * round a node adopts min(its label, its neighbors' labels, the label of
+    * its label). The label-of-label shortcut doubles the propagation
+    * distance per round, so convergence is O(log diameter) — a diameter-2^20
+    * chain resolves in ~20 rounds, where plain one-hop propagation (the
+    * round-2 implementation) needed diameter rounds and could silently exit
+    * at maxIters with labels that were not yet the component minimum.
+    * Non-convergence now throws instead of returning wrong clusters.
+    * Cluster id = smallest doc_id in the component — deterministic and
+    * partitioning-independent, so the DuckDB recursive-CTE oracle reaches
+    * the identical fixpoint.
     *
-    * Scale: each iteration is one shuffle join on the label table keyed by
-    * doc id (edges are the sparse LSH candidates, NOT all pairs); only the
-    * per-iteration change count touches the driver. Docs with no candidate
-    * edge are singletons by definition and are excluded (their cluster is
-    * themselves) — at 100 TB this keeps the iterated state proportional to
-    * the near-dup subgraph, which is tiny relative to the corpus.
+    * Scale: each round is two shuffle joins keyed by doc id over the sparse
+    * candidate subgraph (edges are LSH candidates, NOT all pairs); only the
+    * per-round change count touches the driver. Docs with no candidate edge
+    * are singletons by definition and are excluded — at 100 TB the iterated
+    * state stays proportional to the near-dup subgraph. The returned frame
+    * is localCheckpoint-materialized so every loop cache can be unpersisted
+    * before returning (no leaked cache entries for library callers).
     */
   def dedupClusters(documents: DataFrame, maxIters: Int = 20): DataFrame = {
     val spark = documents.sparkSession
@@ -343,26 +349,49 @@ object Dedup {
           .join(labels.select(col("node").as("doc_id_2"), col("label")), Seq("doc_id_2"))
           .groupBy(col("doc_id_1").as("node"))
           .agg(min(col("label")).as("nbr_label"))
-        // keep old_label in the cached iterate: the convergence check is then
-        // a filter-count on the SAME materialized data, not a second join
-        val updated = labels
+        val oneHop = labels
           .join(nbrMin, Seq("node"), "left")
           .select(col("node"), col("label").as("old_label"),
-            least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-          .cache()
+            least(col("label"), coalesce(col("nbr_label"), col("label"))).as("cand"))
+        // pointer jump: labels are themselves node ids of this subgraph, so
+        // look up the candidate label's OWN label and adopt it (l(x) <= x
+        // always — labels only decrease). This is what turns O(diameter)
+        // into O(log diameter). Skipped on the first round, where labels are
+        // still the identity and the lookup could only return cand itself.
+        val jumped =
+          if (iter == 0) oneHop.select(col("node"), col("old_label"), col("cand").as("label"))
+          else oneHop
+            .join(labels.select(col("node").as("cand"), col("label").as("cand_label")),
+              Seq("cand"), "left")
+            .select(col("node"), col("old_label"),
+              least(col("cand"), coalesce(col("cand_label"), col("cand"))).as("label"))
+        // keep old_label in the cached iterate: the convergence check is a
+        // filter-count on the SAME materialized data, not a second join
+        val updated = jumped.cache()
         val changes = updated.where(col("label") =!= col("old_label")).count()
         labels.unpersist()
         labels = updated.select(col("node"), col("label"))
         converged = changes == 0
         iter += 1
       }
-      val out = labels
+      if (!converged) {
+        labels.unpersist()
+        edges.unpersist()
+        throw new IllegalStateException(
+          s"dedupClusters: min-label propagation did not converge in $maxIters " +
+            "pointer-jumping rounds (component diameter > 2^" + maxIters + " is " +
+            "not plausible — indicates an edge-generation bug)")
+      }
+      // materialize with truncated lineage so the loop caches can be released
+      // NOW — previously the final iterate's cache entry leaked to callers
+      val finalLabels = labels.localCheckpoint(true)
+      labels.unpersist()
+      edges.unpersist()
+      finalLabels
         .withColumn("cluster_size",
           count(lit(1)).over(Window.partitionBy("label")).cast("long"))
         .select(col("node").as("doc_id"), col("label").as("cluster_id"),
           col("cluster_size"))
-      edges.unpersist()
-      out
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 

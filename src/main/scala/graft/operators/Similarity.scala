@@ -222,9 +222,11 @@ object Similarity {
   /** One k-means iteration in SQL: assign each vector to the argmin centroid
     * (exact integer score ||c||^2 - 2 x.c, ties to lowest cid via the
     * score*32+cid encoding — matches Spark's least-of-struct), then update
-    * centroids with exact integer (2s+n)//(2n) — truncating division in
-    * BOTH engines (DuckDB `//` truncates like Scala `/`); empty clusters
-    * keep their previous centroid. Mirrors simSearchIvf's driver loop.
+    * centroids with exact integer (2s+n)/(2n) truncated toward zero — the
+    * negative branch is sign-guarded (CASE on 2s+n) so the oracle matches
+    * Scala `/` whether a DuckDB build truncates or floors `//`; empty
+    * clusters keep their previous centroid. Mirrors simSearchIvf's driver
+    * loop.
     */
   private def ivfIterSql(i: Int, prev: String): String =
     s"""s$i AS (
@@ -243,7 +245,9 @@ object Similarity {
        |c$i AS (
        |  SELECT p.cid, COALESCE(u.qq, p.q) AS q
        |  FROM $prev p LEFT JOIN (
-       |    SELECT cluster AS cid, list((2 * s + cnt) // (2 * cnt) ORDER BY d) AS qq
+       |    SELECT cluster AS cid,
+       |           list(CASE WHEN 2 * s + cnt >= 0 THEN (2 * s + cnt) // (2 * cnt)
+       |                     ELSE -((-(2 * s + cnt)) // (2 * cnt)) END ORDER BY d) AS qq
        |    FROM u$i GROUP BY 1) u ON u.cid = p.cid)""".stripMargin
 
   private def ivfOracle: String =

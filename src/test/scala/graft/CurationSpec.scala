@@ -1,0 +1,106 @@
+package graft
+
+import graft.operators.Curation
+import org.apache.spark.sql.functions._
+
+/** Behavioral gates for the round-3 curation surface (redaction,
+  * contamination, sampling, packing) on crafted inputs — the SQL oracles
+  * prove engine-exactness; these prove the SEMANTICS are the intended ones.
+  */
+class CurationSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String, String, String)*) =
+    rows.map { case (id, t, lang, src) => (id, t, lang, src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("pii_redact scrubs every injected PII class and counts them") {
+    val df = docs((7L, "hello world", "en", "src0"))
+    val row = Curation.piiRedact(df).collect().head
+    val clean = row.getAs[String]("clean_text")
+    assert(row.getAs[Long]("n_emails") == 1 && clean.contains("<EMAIL>"))
+    assert(row.getAs[Long]("n_ssns") == 1 && clean.contains("<SSN>"))
+    assert(row.getAs[Long]("n_phones") == 1 && clean.contains("<PHONE>"))
+    assert(row.getAs[Long]("n_ips") == 1 && clean.contains("<IP>"))
+    assert(!clean.contains("@example.com") && !clean.contains("555-"))
+    assert(clean.startsWith("hello world"))
+  }
+
+  test("contamination_check finds benchmark n-gram overlap and only that") {
+    // doc 0 (0 % 97 == 0) is the benchmark; doc 1 contains one of its
+    // 3-grams, doc 2 shares no 3-gram
+    val df = docs(
+      (0L, "alpha beta gamma delta", "en", "src0"),
+      (1L, "x y alpha beta gamma z", "en", "src0"),
+      (2L, "alpha x beta y gamma z", "en", "src0"))
+    val out = Curation.contaminationCheck(df).collect()
+    assert(out.map(_.getLong(0)).toSet == Set(1L))
+    val r = out.head
+    assert(r.getAs[Long]("shared_shingles") == 1) // exactly "alpha beta gamma"
+    assert(r.getAs[Long]("n_shingles") == 4)
+  }
+
+  test("stratified sample keeps en at ~10% and others at ~50%, deterministically") {
+    val df = docs((0L until 400L).map(i =>
+      (i, s"doc $i", if (i % 2 == 0) "en" else "de", "src0")): _*)
+    val out = Curation.sampleStratified(df)
+    val byLang = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(byLang.getOrElse("en", 0L) < byLang("de"),
+      s"en must be downsampled harder: $byLang")
+    // deterministic: same input -> same rows
+    assert(out.collect().toSet == Curation.sampleStratified(df).collect().toSet)
+  }
+
+  test("train/test split is exhaustive, disjoint and hash-stable under growth") {
+    val small = docs((0L until 100L).map(i => (i, s"d$i", "en", "s")): _*)
+    val big = docs((0L until 300L).map(i => (i, s"d$i", "en", "s")): _*)
+    val s1 = Curation.splitTrainTest(small).as[(Long, Long, String)].collect().toMap2
+    val s2 = Curation.splitTrainTest(big).as[(Long, Long, String)].collect().toMap2
+    assert(s1.forall { case (id, sp) => s2(id) == sp }, "split must not move when corpus grows")
+    assert(s2.values.toSet.subsetOf(Set("train", "validation", "test")))
+  }
+
+  test("lang balance brings every language to ~the smallest language's size") {
+    val df = docs((0L until 600L).map(i =>
+      (i, s"doc $i", if (i < 500) "en" else "fr", "src0")): _*)
+    val out = Curation.langBalanceSample(df).groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    val (en, fr) = (out.getOrElse("en", 0L).toDouble, out.getOrElse("fr", 0L).toDouble)
+    assert(math.abs(en - fr) / math.max(en, fr) < 0.5,
+      s"balanced counts should be comparable, got en=$en fr=$fr")
+  }
+
+  test("embed_quantize: unit-norm output, saturation only at the extremes") {
+    val emb = Seq(
+      (1L, Array(3.0f, 4.0f) ++ Array.fill(62)(0.0f), 0),
+      (2L, Array.fill(64)(0.0f), 0) // zero vector -> NULL quantization
+    ).toDF("vec_id", "embedding", "label")
+    val rows = Curation.embedQuantize(emb).orderBy("vec_id").collect()
+    val r1 = rows(0)
+    // normalized (0.6, 0.8, 0...) * 127 -> 76, 102 (floor(x+.5))
+    assert(r1.getAs[Long]("q0") == 76L && r1.getAs[Long]("q1") == 102L)
+    assert(r1.getAs[Long]("n_saturated") == 0L)
+    assert(math.abs(r1.getAs[Double]("l2_norm") - 5.0) < 1e-9)
+    assert(rows(1).isNullAt(rows(1).fieldIndex("q0")), "zero vector must yield NULLs")
+  }
+
+  test("token_pack: offsets are contiguous per source and chunks consistent") {
+    val df = docs(
+      (1L, Seq.fill(300)("w").mkString(" "), "en", "a"),
+      (2L, Seq.fill(300)("w").mkString(" "), "en", "a"),
+      (3L, Seq.fill(10)("w").mkString(" "), "en", "b"))
+    val out = Curation.tokenPack(df).orderBy("source", "doc_id").collect()
+    val (d1, d2, d3) = (out(0), out(1), out(2))
+    assert(d1.getAs[Long]("start_offset") == 0L && d2.getAs[Long]("start_offset") == 300L)
+    assert(d1.getAs[Long]("first_chunk") == 0L && d1.getAs[Long]("last_chunk") == 0L)
+    assert(!d1.getAs[Boolean]("spans_boundary"))
+    // doc2 spans tokens [300, 600) -> chunks 0 and 1
+    assert(d2.getAs[Long]("first_chunk") == 0L && d2.getAs[Long]("last_chunk") == 1L)
+    assert(d2.getAs[Boolean]("spans_boundary"))
+    assert(d3.getAs[Long]("start_offset") == 0L, "source b packs independently")
+  }
+
+  private implicit class ToMap2(self: Array[(Long, Long, String)]) {
+    def toMap2: Map[Long, String] = self.map(t => t._1 -> t._3).toMap
+  }
+}
