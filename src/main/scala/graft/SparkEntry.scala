@@ -155,6 +155,7 @@ object SparkEntry {
     "lang_balance_sample" -> ((s, d) => Curation.langBalanceSample(Tables.documents(s, d))),
     "embed_quantize" -> ((s, d) => Curation.embedQuantize(Tables.embeddings(s, d))),
     "token_pack" -> ((s, d) => Curation.tokenPack(Tables.documents(s, d))),
+    "sessionize_batch" -> ((s, d) => graft.streaming.Sessionize.sessionizeBatch(Tables.events(s, d))),
     // round-2 mart compositions (VERDICT.md Missing #1)
     "fct_sales_by_county" -> ((s, d) => graft.models.Marts.fctSalesByCounty(
       graft.models.Marts.sales(Tables.lineitem(s, d), Tables.orders(s, d), Tables.customer(s, d),
@@ -195,5 +196,6 @@ object SparkEntry {
       TextAnalysis.oracles ++ Multimodal.oracles ++ Pipeline.oracles ++
       Curation.oracles ++
       graft.models.Marts.oracles ++ graft.models.TextMarts.oracles ++
-      graft.streaming.IncrementalSync.oracles ++ graft.models.ModelAdapters.oracles
+      graft.streaming.IncrementalSync.oracles ++ graft.streaming.Sessionize.oracles ++
+      graft.models.ModelAdapters.oracles
 }

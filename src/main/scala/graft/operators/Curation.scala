@@ -93,24 +93,30 @@ object Curation {
     * applies).
     */
   def contaminationCheck(documents: DataFrame, n: Int = 3): DataFrame = {
-    val docs = documents.select(
-      col("doc_id"),
-      nGrams(split(lower(col("text")), " "), n).as("shingles"))
+    // tokens staged through their own projection: an inline split would be
+    // re-evaluated per element_at reference inside the nGrams lambda (no CSE
+    // in interpreted HOFs — see Dedup.withTokens, measured 11x)
+    val docs = documents
+      .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+      .select(col("doc_id"), nGrams(col("toks"), n).as("shingles"))
     // explode_outer + IsNotNull: the plain explode would make
     // InferFiltersFromGenerate re-evaluate the HOF shingle expression at the
     // scan (see Dedup.shinglesCol note)
-    def exploded(df: DataFrame): DataFrame =
-      df.select(col("doc_id"), explode_outer(col("shingles")).as("shingle"))
-        .where(col("shingle").isNotNull)
-    val bench = exploded(docs.where(col("doc_id") % 97 === 0))
-      .select(col("shingle")).distinct()
-    val eval_ = docs.where(col("doc_id") % 97 =!= 0)
-    val sizes = eval_.select(col("doc_id"), size(col("shingles")).cast("long").as("n_shingles"))
-    exploded(eval_)
+    val bench = docs.where(col("doc_id") % 97 === 0)
+      .select(explode_outer(col("shingles")).as("shingle"))
+      .where(col("shingle").isNotNull)
+      .distinct()
+    // ONE pass over the eval corpus: the (interpreted, HOF-based) shingle
+    // array materializes once per row in the projection, and its size rides
+    // the exploded rows into the aggregation key — no second evaluation, no
+    // sizes join afterwards
+    docs.where(col("doc_id") % 97 =!= 0)
+      .withColumn("n_shingles", size(col("shingles")).cast("long"))
+      .select(col("doc_id"), col("n_shingles"), explode_outer(col("shingles")).as("shingle"))
+      .where(col("shingle").isNotNull)
       .join(broadcast(bench), Seq("shingle"))
-      .groupBy(col("doc_id"))
+      .groupBy(col("doc_id"), col("n_shingles"))
       .agg(count(lit(1)).as("shared_shingles"))
-      .join(sizes, Seq("doc_id"))
       .select(col("doc_id"), col("n_shingles"), col("shared_shingles"),
         (col("shared_shingles").cast(DoubleType) /
           col("n_shingles").cast(DoubleType)).as("contamination_rate"))

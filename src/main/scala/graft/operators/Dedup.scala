@@ -28,6 +28,17 @@ object Dedup {
     */
   private def tokensCol: Column = split(lower(col("text")), " ")
 
+  /** Stage tokens through their OWN projection before any shingle HOF
+    * references them: interpreted higher-order functions perform no common-
+    * subexpression elimination, so an inline `split(lower(text))` referenced
+    * five times inside [[shinglesCol]] re-tokenizes the document five times
+    * per row (measured 11x slower at sf0.1). CollapseProject will not merge
+    * the projections back — the alias is referenced multiple times and the
+    * expression is non-cheap.
+    */
+  private def withTokens(documents: DataFrame, keep: Column*): DataFrame =
+    documents.select(keep :+ tokensCol.as("toks"): _*)
+
   /** Word 3-gram shingle set (zip of three shifted slices — no index math,
     * no sequence(1,0) descending-range edge case).
     *
@@ -69,10 +80,10 @@ object Dedup {
     * shingle, one on the pair key.
     */
   def dedupNgramJaccard(documents: DataFrame): DataFrame = {
-    val docs = documents.select(
-      col("doc_id"), col("lang"),
-      expr("n_chars div 100").as("len_bucket"),
-      shinglesCol(tokensCol).as("shingles"))
+    val docs = withTokens(documents,
+      col("doc_id"), col("lang"), expr("n_chars div 100").as("len_bucket"))
+      .select(col("doc_id"), col("lang"), col("len_bucket"),
+        shinglesCol(col("toks")).as("shingles"))
     val sizes = docs.select(col("doc_id"), size(col("shingles")).cast("long").as("sz"))
     val inv = docs.select(col("lang"), col("len_bucket"), col("doc_id"),
       explode_outer(col("shingles")).as("shingle"))
@@ -115,8 +126,8 @@ object Dedup {
 
   /** k minhash signature columns from exploded shingles. */
   private def minhashSignatures(documents: DataFrame, fastHash: Boolean): DataFrame = {
-    val sh = documents
-      .select(col("doc_id"), col("lang"), explode_outer(shinglesCol(tokensCol)).as("shingle"))
+    val sh = withTokens(documents, col("doc_id"), col("lang"))
+      .select(col("doc_id"), col("lang"), explode_outer(shinglesCol(col("toks"))).as("shingle"))
       .where(col("shingle").isNotNull)
       .withColumn("x", shingleHash(fastHash))
     val sigAggs = (0 until MinhashK).map { i =>
@@ -167,8 +178,8 @@ object Dedup {
     * [[graft.functions.PortableHash]]; recall checked in DedupSpec.
     */
   def dedupSimhash(documents: DataFrame, fastHash: Boolean = false): DataFrame = {
-    val sh = documents
-      .select(col("doc_id"), col("lang"), explode_outer(shinglesCol(tokensCol)).as("shingle"))
+    val sh = withTokens(documents, col("doc_id"), col("lang"))
+      .select(col("doc_id"), col("lang"), explode_outer(shinglesCol(col("toks"))).as("shingle"))
       .where(col("shingle").isNotNull)
       .withColumn("x", pmod(shingleHash(fastHash), lit(65536L)))
     val bitAggs = (0 until 16).map { bit =>
@@ -336,12 +347,22 @@ object Dedup {
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try {
+      // Lineage discipline — the core of making ANY iterative DataFrame
+      // algorithm viable: every iterate is `localCheckpoint(eager=true)`'d,
+      // which materializes it AND replaces its logical plan with a leaf.
+      // Without this the round-k plan embeds the round-(k-1) plan once per
+      // reference (3x here), so the LOGICAL TREE grows ~6x per round even
+      // though cached data backs every leaf — measured at sf0.1: a 60 MB
+      // plan string by round 3, with analysis/optimization (not data!)
+      // costing seconds per round and dominating the query.
       val edges = dedupMinhashLsh(documents)
         .select(col("doc_id_1"), col("doc_id_2")).cache()
       val sym = edges.union(
         edges.select(col("doc_id_2").as("doc_id_1"), col("doc_id_1").as("doc_id_2")))
+        .localCheckpoint(true) // one evaluation of the LSH pipeline, then a leaf
+      edges.unpersist()
       var labels = sym.select(col("doc_id_1").as("node")).distinct()
-        .withColumn("label", col("node")).cache()
+        .withColumn("label", col("node")).localCheckpoint(true)
       var converged = false
       var iter = 0
       while (!converged && iter < maxIters) {
@@ -365,29 +386,25 @@ object Dedup {
               Seq("cand"), "left")
             .select(col("node"), col("old_label"),
               least(col("cand"), coalesce(col("cand_label"), col("cand"))).as("label"))
-        // keep old_label in the cached iterate: the convergence check is a
-        // filter-count on the SAME materialized data, not a second join
-        val updated = jumped.cache()
+        // materialize + truncate; old_label rides along so the convergence
+        // check is a filter-count on the SAME materialized leaf, not a join
+        val updated = jumped.localCheckpoint(true)
         val changes = updated.where(col("label") =!= col("old_label")).count()
-        labels.unpersist()
+        if (sys.env.contains("GRAFT_CLUSTERS_DEBUG"))
+          System.err.println(s"[clusters] iter=$iter changes=$changes")
         labels = updated.select(col("node"), col("label"))
         converged = changes == 0
         iter += 1
       }
-      if (!converged) {
-        labels.unpersist()
-        edges.unpersist()
+      if (!converged)
         throw new IllegalStateException(
           s"dedupClusters: min-label propagation did not converge in $maxIters " +
             "pointer-jumping rounds (component diameter > 2^" + maxIters + " is " +
             "not plausible — indicates an edge-generation bug)")
-      }
-      // materialize with truncated lineage so the loop caches can be released
-      // NOW — previously the final iterate's cache entry leaked to callers
-      val finalLabels = labels.localCheckpoint(true)
-      labels.unpersist()
-      edges.unpersist()
-      finalLabels
+      // no .cache() survives this method: intermediate checkpoint blocks are
+      // released by the ContextCleaner as their RDDs go out of scope, and
+      // the returned frame reads the final (tiny) checkpointed iterate
+      labels
         .withColumn("cluster_size",
           count(lit(1)).over(Window.partitionBy("label")).cast("long"))
         .select(col("node").as("doc_id"), col("label").as("cluster_id"),

@@ -2,6 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -76,4 +77,60 @@ object Sessionize {
           }
         })
   }
+
+  /** `sessionize_batch`: the declarative batch twin of [[sessionize]] — the
+    * same gap rule (a session breaks when the inter-event gap exceeds
+    * `gapMinutes`), expressed as lag → new-session flag → running sum →
+    * group. SessionizeSpec asserts the two implementations agree on closed
+    * sessions, and the DuckDB oracle proves this one exactly.
+    *
+    * Scale: ONE shuffle total — the window partitions by user_id, and the
+    * following groupBy(user_id, session_idx) is satisfied by the same hash
+    * partitioning (user_id is a prefix), so Catalyst plans no second
+    * exchange. Per-user state is O(1) (lag-1 + running sum); session ids are
+    * per-user ordinals, deterministic under any partitioning. Gap timestamps
+    * compare in exact integer microseconds.
+    */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gapUs = gapMinutes * 60L * 1000000L
+    events
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(order))
+      .withColumn("new_session",
+        (col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapUs).cast("long"))
+      .withColumn("session_idx",
+        sum(col("new_session")).over(
+          order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        (max(unix_micros(col("ts"))) - min(unix_micros(col("ts")))).as("duration_us"))
+  }
+
+  val oracles: Map[String, String] = Map(
+    "sessionize_batch" ->
+      """WITH l AS (
+        |  SELECT user_id, ts, event_id,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN prev_ts IS NULL
+        |                   OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+        |              THEN 1 ELSE 0 END AS ns
+        |  FROM l),
+        |s AS (
+        |  SELECT user_id, ts,
+        |         SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM f)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |       MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       CAST(MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS BIGINT) AS duration_us
+        |FROM s GROUP BY user_id, session_idx""".stripMargin
+  )
 }

@@ -43,4 +43,18 @@ class PlanAuditSpec extends SparkTestBase {
     assert(arrayFilterCount(df) == 0,
       "a filter() HOF in the category plan forces interpreted eval")
   }
+
+  test("sessionize_batch plans exactly one exchange (groupBy reuses the window's partitioning)") {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = graft.streaming.Sessionize.sessionizeBatch(Tables.events(spark, sf))
+      val exchanges = df.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.size == 1,
+        s"expected hash(user_id) to satisfy groupBy(user_id, session_idx); got " +
+          s"${exchanges.size} exchanges:\n${df.queryExecution.executedPlan}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
 }

@@ -54,6 +54,33 @@ class SessionizeSpec extends SparkTestBase {
         s.session_start == Timestamp.valueOf("2024-01-01 10:00:00") &&
           s.session_end == Timestamp.valueOf("2024-01-01 10:10:00") && s.n_events == 2),
         s"expected first session of user 9 closed, got ${closed.toSeq}")
+
+      // the declarative batch twin must agree on every CLOSED session
+      // (streaming holds the final open session of each user in state)
+      val batchIn = Seq(
+        (0L, Timestamp.valueOf("2024-01-01 10:00:00"), 9L),
+        (1L, Timestamp.valueOf("2024-01-01 10:10:00"), 9L),
+        (2L, Timestamp.valueOf("2024-01-01 14:00:00"), 9L),
+        (3L, Timestamp.valueOf("2024-01-02 10:00:00"), 7L)
+      ).toDF("event_id", "ts", "user_id")
+      val batch = Sessionize.sessionizeBatch(batchIn)
+        .select("user_id", "session_start", "session_end", "n_events")
+        .as[(Long, Timestamp, Timestamp, Long)].collect()
+        .map(t => UserSession(t._1, t._2, t._3, t._4.toInt)).toSet
+      assert(closed.toSet.subsetOf(batch),
+        s"closed streaming sessions ${closed.toSeq} must appear in batch ${batch.toSeq}")
     } finally query.stop()
+  }
+
+  test("sessionize_batch breaks sessions strictly past the gap") {
+    val df = Seq(
+      (0L, Timestamp.valueOf("2024-01-01 10:00:00"), 1L),
+      (1L, Timestamp.valueOf("2024-01-01 10:30:00"), 1L), // exactly 30min: same session
+      (2L, Timestamp.valueOf("2024-01-01 11:00:01"), 1L)  // 30min 1s: new session
+    ).toDF("event_id", "ts", "user_id")
+    val out = Sessionize.sessionizeBatch(df).orderBy("session_idx")
+      .select("session_idx", "n_events", "duration_us")
+      .as[(Long, Long, Long)].collect()
+    assert(out.toSeq == Seq((1L, 2L, 30L * 60 * 1000000), (2L, 1L, 0L)))
   }
 }
