@@ -355,6 +355,11 @@ object Dedup {
       // though cached data backs every leaf — measured at sf0.1: a 60 MB
       // plan string by round 3, with analysis/optimization (not data!)
       // costing seconds per round and dominating the query.
+      // Cluster caveat: localCheckpoint truncates lineage, so a lost
+      // executor cannot recompute its blocks — on a real cluster set
+      // `spark.sparkContext.setCheckpointDir` and swap in reliable
+      // `.checkpoint()` (same plan-truncation effect, HDFS-backed blocks);
+      // local[*] has no executor loss, so the cheap variant is correct here.
       val edges = dedupMinhashLsh(documents)
         .select(col("doc_id_1"), col("doc_id_2")).cache()
       val sym = edges.union(
