@@ -96,17 +96,76 @@ object TextAnalysis {
     val canon = regexp_replace(lower(trim(col("text"))), " +", " ")
     documents
       .withColumn("canon", canon)
-      .withColumn("codes",
-        transform(sequence(lit(1), length(col("canon"))),
-          i => ascii(col("canon").substr(i, lit(1))).cast("long")))
       .select(
         col("doc_id"),
         md5(col("canon")).as("fingerprint_md5"),
-        aggregate(col("codes"), lit(0L),
-          (acc, c) => (acc * 31 + c) % 2147483647L).as("fingerprint_rolling"))
+        // native codegen expression — the HOF fold it replaces (boxed
+        // per-char array + CodegenFallback) is kept as the semantic twin in
+        // OperatorSpec
+        graft.functions.RollingHash.rolling_hash(col("canon")).as("fingerprint_rolling"))
+  }
+
+  /** `text_repetition`: intra-document repetition signals — the standard
+    * repetition filters a pretraining quality pass applies per document
+    * (fraction of tokens that are the single most frequent token, fraction
+    * of duplicated word 2-grams, fraction held by the most frequent 2-gram).
+    * Highly repetitive documents (boilerplate, keyword stuffing, decode
+    * loops) score high and get dropped upstream of training.
+    *
+    * Shape: tokens stage through their own projection (HOF CSE rule — see
+    * Dedup.withTokens), then ONE explode each for tokens and 2-grams with
+    * two-level aggregation keyed by doc — both aggregations pre-combine
+    * map-side, and the (doc, term) key is near-unique so the first combine
+    * does the heavy lifting. No window, no self-join; at 100 TB this is two
+    * shuffles of (doc_id, count) pairs.
+    */
+  def textRepetition(documents: DataFrame): DataFrame = {
+    val staged = documents
+      .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+    val tokStats = staged
+      .select(col("doc_id"), explode_outer(col("toks")).as("tok"))
+      .where(col("tok").isNotNull)
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("mx"), sum(col("c")).as("n"))
+    val gram2 = zip_with(
+      slice(col("toks"), lit(1), size(col("toks")) - 1),
+      slice(col("toks"), lit(2), size(col("toks")) - 1),
+      (a, b) => concat(a, lit(" "), b))
+    val gramStats = staged
+      .select(col("doc_id"), explode_outer(gram2).as("gram"))
+      .where(col("gram").isNotNull)
+      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n2"), count(lit(1)).as("d2"), max(col("c")).as("mx2"))
+    tokStats.join(gramStats, Seq("doc_id"))
+      .select(
+        col("doc_id"),
+        col("n").cast("long").as("n_tokens"),
+        (d(col("mx")) / d(col("n"))).as("top_token_fraction"),
+        (d(col("n2") - col("d2")) / d(col("n2"))).as("dup_2gram_fraction"),
+        (d(col("mx2")) / d(col("n2"))).as("max_2gram_fraction"))
   }
 
   val oracles: Map[String, String] = Map(
+    "text_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |tc AS (
+        |  SELECT doc_id, tok, COUNT(*) AS c
+        |  FROM (SELECT doc_id, UNNEST(toks) AS tok FROM t) GROUP BY 1, 2),
+        |ts AS (SELECT doc_id, MAX(c) AS mx, SUM(c) AS n FROM tc GROUP BY 1),
+        |gc AS (
+        |  SELECT doc_id, gram, COUNT(*) AS c
+        |  FROM (SELECT doc_id, UNNEST(list_transform(range(1, len(toks)),
+        |                i -> toks[i] || ' ' || toks[i+1])) AS gram
+        |        FROM t) GROUP BY 1, 2),
+        |gs AS (SELECT doc_id, SUM(c) AS n2, COUNT(*) AS d2, MAX(c) AS mx2 FROM gc GROUP BY 1)
+        |SELECT ts.doc_id, CAST(ts.n AS BIGINT) AS n_tokens,
+        |       CAST(ts.mx AS DOUBLE) / CAST(ts.n AS DOUBLE) AS top_token_fraction,
+        |       CAST(gs.n2 - gs.d2 AS DOUBLE) / CAST(gs.n2 AS DOUBLE) AS dup_2gram_fraction,
+        |       CAST(gs.mx2 AS DOUBLE) / CAST(gs.n2 AS DOUBLE) AS max_2gram_fraction
+        |FROM ts JOIN gs ON ts.doc_id = gs.doc_id""".stripMargin,
     "text_langid" ->
       """WITH t AS (
         |  SELECT doc_id, lang AS labeled_lang,

@@ -100,6 +100,23 @@ class CurationSpec extends SparkTestBase {
     assert(d3.getAs[Long]("start_offset") == 0L, "source b packs independently")
   }
 
+  test("text_repetition scores a stuffed doc high and a diverse doc low") {
+    val df = docs(
+      (1L, "spam spam spam ham", "en", "a"),
+      (2L, "alpha beta gamma delta", "en", "a"))
+    val out = graft.operators.TextAnalysis.textRepetition(df)
+      .orderBy("doc_id").collect()
+    val spam = out(0)
+    assert(spam.getAs[Long]("n_tokens") == 4L)
+    assert(spam.getAs[Double]("top_token_fraction") == 3.0 / 4.0)
+    // 2-grams: "spam spam" x2, "spam ham" -> 1 of 3 duplicated, max 2/3
+    assert(spam.getAs[Double]("dup_2gram_fraction") == 1.0 / 3.0)
+    assert(spam.getAs[Double]("max_2gram_fraction") == 2.0 / 3.0)
+    val clean = out(1)
+    assert(clean.getAs[Double]("top_token_fraction") == 0.25)
+    assert(clean.getAs[Double]("dup_2gram_fraction") == 0.0)
+  }
+
   private implicit class ToMap2(self: Array[(Long, Long, String)]) {
     def toMap2: Map[Long, String] = self.map(t => t._1 -> t._3).toMap
   }

@@ -137,4 +137,19 @@ class OperatorSpec extends SparkTestBase {
     val skew = Seq((Seq(2L, 3L), Seq(10L, 10L, 99L))).toDF("a", "b")
     assert(skew.select(long_dot(col("a"), col("b"))).collect().head.isNullAt(0))
   }
+
+  test("RollingHash matches the HOF ascii-fold on ASCII strings") {
+    import graft.functions.RollingHash.rolling_hash
+    val df = Seq("the quick brown fox", "", "a", "x " * 500).toDF("s")
+    val hof = aggregate(
+      transform(sequence(lit(1), length(col("s"))),
+        i => ascii(col("s").substr(i, lit(1))).cast("long")),
+      lit(0L), (acc, c) => (acc * 31 + c) % 2147483647L)
+    val rows = df.select(rolling_hash(col("s")).as("native"), hof.as("hof"))
+      .as[(Long, Long)].collect()
+    rows.foreach { case (n, h) => assert(n == h, s"native=$n hof=$h") }
+    // NULL input → NULL output
+    val n = Seq[Option[String]](None).toDF("s")
+    assert(n.select(rolling_hash(col("s"))).collect().head.isNullAt(0))
+  }
 }
