@@ -133,7 +133,13 @@ object Oracles {
          |SELECT event_id, user_id, event_type, event_date, value
          |FROM ranked WHERE rn = 1""".stripMargin,
 
-    "win_topk_group" ->
+    // win_topk_custom = the same semantics through the custom TopKPerKey
+    // physical operator; both check against the identical ranked-window SQL
+    "win_topk_custom" -> topkOracle,
+    "win_topk_group" -> topkOracle
+  )
+
+  private lazy val topkOracle: String =
       s"""WITH per_part AS (
          |  SELECT l_suppkey AS supp, l_partkey AS part,
          |         SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS revenue_cents
@@ -144,5 +150,4 @@ object Oracles {
          |  FROM per_part)
          |SELECT supp, part, CAST(revenue_cents AS DOUBLE) / 100.0 AS revenue, part_rank
          |FROM ranked WHERE part_rank <= 5""".stripMargin
-  )
 }

@@ -29,6 +29,7 @@ object SparkEntry {
     "win_centered" -> ((s, d) => Windows.winCentered(Tables.trends(s, d))),
     "win_dedup" -> ((s, d) => Windows.winDedup(Tables.events(s, d))),
     "win_topk_group" -> ((s, d) => Windows.winTopkGroup(Tables.lineitem(s, d))),
+    "win_topk_custom" -> ((s, d) => Windows.winTopkCustom(Tables.lineitem(s, d))),
     // §2.4 aggregations
     "agg_weekly_stats" -> ((s, d) => Aggregates.aggWeeklyStats(Tables.orders(s, d))),
     "agg_countif" -> ((s, d) => Aggregates.aggCountif(Tables.orders(s, d))),

@@ -177,4 +177,23 @@ object Windows {
       .select(col("supp"), col("part"), Num.dollars(col("revenue_cents")).as("revenue"),
         col("part_rank").cast("long").as("part_rank"))
   }
+
+  /** `win_topk_custom`: the same top-5-parts-per-supplier semantics as
+    * [[winTopkGroup]], planned through the custom
+    * [[graft.plans.TopKPerKey]] operator (partial bounded-heap pass →
+    * k-rows-per-key shuffle → final heap + rank) instead of
+    * window/row_number (full shuffle + full per-partition sort). Shares
+    * winTopkGroup's oracle verbatim — identical results, different physics.
+    */
+  def winTopkCustom(lineitem: DataFrame): DataFrame = {
+    val perPart = lineitem
+      .groupBy(col("l_suppkey").as("supp"), col("l_partkey").as("part"))
+      .agg(sum(Num.cents(col("l_extendedprice"))).as("revenue_cents"))
+    graft.plans.TopK.topKPerKey(perPart,
+        keyCols = Seq("supp"),
+        orderBy = Seq(("revenue_cents", true), ("part", false)),
+        k = 5, rankName = "part_rank")
+      .select(col("supp"), col("part"), Num.dollars(col("revenue_cents")).as("revenue"),
+        col("part_rank"))
+  }
 }

@@ -68,9 +68,12 @@ object RewriteHofDotProduct extends Rule[LogicalPlan] {
   }
 }
 
-/** Session extension installing graft's optimizer rules. */
+/** Session extension installing graft's optimizer rules and planner
+  * strategies (the [[TopKPerKey]] whole-operator extension).
+  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => RewriteHofDotProduct)
+    e.injectPlannerStrategy(_ => TopKStrategy)
   }
 }
