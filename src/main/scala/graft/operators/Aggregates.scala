@@ -288,6 +288,22 @@ object Aggregates {
         count(lit(1)).as("order_count"),
         Num.meanDollars(sum(centsPrice), count(lit(1))).as("avg_order_value"))
 
+  /** `agg_rollup`: multi-level subtotals — per (flag, status), per flag, and
+    * grand total in ONE pass via `rollup` (Spark expands to a single
+    * aggregation over grouping sets: one shuffle, partial aggregation per
+    * set; no union of three scans). grouping_id disambiguates subtotal rows
+    * from genuine NULL group values.
+    */
+  def aggRollup(lineitem: DataFrame): DataFrame =
+    lineitem
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"),
+        Num.dollars(sum(Num.cents(col("l_extendedprice")))).as("revenue"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("gid"),
+        col("n"), col("revenue"))
+
   /** Portable-HLL oracle: mirrors aggApproxDistinct step for step (same hash,
     * same integer registers, same single final double division).
     */
@@ -333,6 +349,13 @@ object Aggregates {
   }
 
   val oracles: Map[String, String] = Map(
+    "agg_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
     "agg_approx_distinct" -> approxDistinctOracle,
     "agg_weekly_stats" ->
       """SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS order_week,

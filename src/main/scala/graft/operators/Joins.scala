@@ -231,7 +231,58 @@ object Joins {
       .select(col("week"), col("orders_placed"), col("lines_shipped"))
   }
 
+  /** `join_asof`: AS-OF join — for each click, the most recent error AT OR
+    * BEFORE it for the same user (attribution semantics). Spark has no
+    * native ASOF operator (DuckDB does — it IS the oracle here), so this is
+    * the canonical distributed composition, SURVEY §7.4 preference (a):
+    * union both sides tagged, ONE window pass carrying the last non-null
+    * right-side values forward in time order, keep left rows. Cost: one
+    * shuffle on the key + one sort — identical to what a native as-of
+    * operator would need (it cannot avoid co-locating and time-ordering);
+    * no join node at all, no range explosion, skew bounded by the per-user
+    * event volume.
+    *
+    * Determinism: the right side dedups to one error per (user, ts) keeping
+    * the max event_id (same in the oracle — native ASOF leaves equal-ts
+    * duplicates unspecified), and at equal timestamps the error sorts
+    * before the click (is_left tiebreak) = the inclusive `>=` bound.
+    */
+  def joinAsof(events: DataFrame): DataFrame = {
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), lit(1).as("is_left"),
+        col("event_id"), lit(null).cast("long").as("err_id"),
+        lit(null).cast("timestamp").as("err_ts"))
+    val errors = events.where(col("event_type") === "error")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("err_id"))
+      .select(col("user_id"), col("ts"), lit(0).as("is_left"),
+        lit(null).cast("long").as("event_id"),
+        col("err_id"), col("ts").as("err_ts"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("is_left"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.union(errors)
+      .withColumn("error_event_id", last(col("err_id"), ignoreNulls = true).over(w))
+      .withColumn("error_ts", last(col("err_ts"), ignoreNulls = true).over(w))
+      .where(col("is_left") === 1)
+      .select(
+        col("event_id"), col("user_id"), col("ts"),
+        col("error_event_id"), col("error_ts"),
+        (unix_micros(col("ts")) - unix_micros(col("error_ts"))).as("staleness_us"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "join_asof" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |err AS (
+        |  SELECT user_id, ts, MAX(event_id) AS err_id
+        |  FROM events WHERE event_type = 'error' GROUP BY 1, 2)
+        |SELECT c.event_id, c.user_id, c.ts,
+        |       e.err_id AS error_event_id, e.ts AS error_ts,
+        |       CAST(epoch_us(c.ts) - epoch_us(e.ts) AS BIGINT) AS staleness_us
+        |FROM clicks c ASOF LEFT JOIN err e
+        |  ON c.user_id = e.user_id AND c.ts >= e.ts""".stripMargin,
     "join_left_denorm" ->
       """SELECT o.o_orderkey AS order_id,
         |       c.c_name AS customer_name,

@@ -138,6 +138,23 @@ class OperatorSpec extends SparkTestBase {
     assert(skew.select(long_dot(col("a"), col("b"))).collect().head.isNullAt(0))
   }
 
+  test("as-of join: inclusive at equal ts, NULL before the first error") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val events = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 1L, "click"), // before any error -> NULL
+      (2L, ts("2024-01-01 10:00:00"), 1L, "error"),
+      (3L, ts("2024-01-01 10:00:00"), 1L, "click"), // tie -> inclusive match
+      (4L, ts("2024-01-01 11:00:00"), 1L, "error"),
+      (5L, ts("2024-01-01 11:30:00"), 1L, "click"), // latest preceding = 4
+      (6L, ts("2024-01-01 12:00:00"), 2L, "click")  // other user -> NULL
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = graft.operators.Joins.joinAsof(events)
+      .select("event_id", "error_event_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(out == Map(1L -> -1L, 3L -> 2L, 5L -> 4L, 6L -> -1L))
+  }
+
   test("RollingHash matches the HOF ascii-fold on ASCII strings") {
     import graft.functions.RollingHash.rolling_hash
     val df = Seq("the quick brown fox", "", "a", "x " * 500).toDF("s")
