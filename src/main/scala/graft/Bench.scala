@@ -3,16 +3,20 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every SparkEntry query on SPARK_GRAFT_SF_DIR and
-  * prints ONE JSON line. Each query is executed twice: the first (cold)
-  * execution pays planning + whole-stage-codegen compilation, the second
-  * (warm) measures steady-state throughput — the figure comparable to the
-  * reference's daily re-run workload, where every query shape repeats.
-  * `value` is the warm total; cold numbers are reported alongside.
+  * prints ONE JSON line. Each query is executed once cold (pays planning +
+  * whole-stage-codegen compilation) then `SPARK_GRAFT_WARM_ITERS` (default 3)
+  * warm iterations; the reported per-query figure is the warm MEDIAN, with
+  * min/max spread alongside. Medians kill the single-run outliers (GC pause,
+  * compilation stall, one slow shuffle fetch) that made round-over-round
+  * comparison of individual queries unreliable: a handful of queries showed
+  * 2-8x one-off jumps between rounds with byte-identical plans.
+  * `value` is the sum of warm medians; cold numbers are reported alongside.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val warmIters = sys.env.getOrElse("SPARK_GRAFT_WARM_ITERS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -39,44 +43,68 @@ object Bench {
           None
       }
     }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
+    }
 
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    final case class Timing(cold: Option[Double], warm: Seq[Double]) {
+      def med: Option[Double] = if (warm.isEmpty) None else Some(median(warm))
+      def min: Option[Double] = warm.reduceOption(_ min _)
+      def max: Option[Double] = warm.reduceOption(_ max _)
+    }
+
+    // SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the run — for bisecting a
+    // single query's regression without paying the full-suite wall clock
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (k, _) => names(k) }
+      case None => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       val cold = once(name, fn)
-      val warm = once(name, fn)
+      // a query that failed cold will fail warm identically; don't retry it
+      // warmIters more times (each attempt re-raises through full planning)
+      val warm =
+        if (cold.isEmpty) Seq.empty[Double]
+        else (1 to warmIters).flatMap(_ => once(name, fn))
       // drop this query's cached relations before the next query: operators
-      // cache intra-query reused staging (by design), and 120 queries of
+      // cache intra-query reused staging (by design), and 130+ queries of
       // accumulated blocks otherwise evict each other mid-iteration, turning
       // later measurements into recompute storms
       spark.catalog.clearCache()
-      name -> ((cold, warm))
+      name -> Timing(cold, warm)
     }
-    def fmt(sel: ((Option[Double], Option[Double])) => Option[Double]) =
+    def jmap(sel: Timing => Option[Double]) =
       results.map { case (k, v) =>
         "\"" + k + "\":" + sel(v).map(_.toString).getOrElse("null")
       }.mkString("{", ",", "}")
-    val warmTotal = results.values.flatMap(_._2).sum
-    val coldTotal = results.values.flatMap(_._1).sum
+    val warmTotal = results.values.flatMap(_.med).sum
+    val coldTotal = results.values.flatMap(_.cold).sum
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$warmTotal,"unit":"sec","queries":${fmt(_._2)},""" +
-        s""""cold_total":$coldTotal,"cold_queries":${fmt(_._1)},""" +
+      s"""{"metric":"total","value":$warmTotal,"unit":"sec","warm_iters":$warmIters,""" +
+        s""""queries":${jmap(_.med)},"query_min":${jmap(_.min)},"query_max":${jmap(_.max)},""" +
+        s""""cold_total":$coldTotal,"cold_queries":${jmap(_.cold)},""" +
         s""""errors":$errJson,"sf":"$sfDir"}"""
     // full per-query timings go to a file; stdout gets a COMPACT line.
     // The driver keeps only the last ~2000 chars of stdout, and the full
-    // 121-query map is ~7KB — rounds 1-2 therefore recorded `parsed: null`.
-    // The compact line (top-30 slowest warm timings, 3 decimals) stays well
+    // per-query map is ~7KB — rounds 1-2 therefore recorded `parsed: null`.
+    // The compact line (top-30 slowest warm medians, 3 decimals) stays well
     // under the tail window so the driver can json-parse it.
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), json + "\n")
     def r3(d: Double): Double = math.rint(d * 1000) / 1000
     val top = results.toSeq
-      .sortBy { case (_, (_, warm)) => -warm.getOrElse(0.0) }
+      .sortBy { case (_, t) => -t.med.getOrElse(0.0) }
       .take(30)
-      .map { case (k, (_, warm)) =>
-        "\"" + k + "\":" + warm.map(x => r3(x).toString).getOrElse("null")
+      .map { case (k, t) =>
+        "\"" + k + "\":" + t.med.map(x => r3(x).toString).getOrElse("null")
       }.mkString("{", ",", "}")
     println(
       s"""{"metric":"total","value":${r3(warmTotal)},"unit":"sec","queries":$top,""" +
-        s""""n_queries":${results.size},"cold_total":${r3(coldTotal)},""" +
+        s""""n_queries":${results.size},"warm_iters":$warmIters,"cold_total":${r3(coldTotal)},""" +
         s""""errors":$errJson,"sf":"$sfDir","full_timings":"BENCH.json"}""")
     spark.stop()
   }
