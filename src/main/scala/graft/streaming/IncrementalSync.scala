@@ -25,7 +25,19 @@ import graft.operators.Merge
 object IncrementalSync {
 
   /** Run one AvailableNow incremental sync from `srcDir` (parquet drops)
-    * into `targetPath`, upserting on `pk`. Returns the final target.
+    * into `targetPath`, upserting on `pk`. Returns the final target (with
+    * the internal `__part` bucket column visible — callers project it away).
+    *
+    * The target is laid out as `__part=N` hash-bucket partitions
+    * (`pmod(xxhash64(pk), nBuckets)`), and each micro-batch rewrites ONLY
+    * the buckets its keys touch: the merge reads the touched buckets via
+    * partition pruning, anti-joins the batch, and swaps just those bucket
+    * directories. A daily drop touching 1% of the key space therefore reads
+    * and rewrites ~1% of the table instead of all of it — the difference
+    * between O(|batch|) and O(|table|) I/O per sync at 100 TB. (A batch
+    * whose keys span every bucket degrades to a full rewrite; that is
+    * inherent to upsert-into-immutable-files, and `nBuckets` is the knob
+    * that sets the rewrite granularity.)
     */
   def syncOnce(
       spark: SparkSession,
@@ -34,7 +46,8 @@ object IncrementalSync {
       targetPath: String,
       checkpoint: String,
       pk: String,
-      tsCol: String): DataFrame = {
+      tsCol: String,
+      nBuckets: Int = 16): DataFrame = {
 
     // dedup on (pk, ts): identical re-deliveries are suppressed by stream
     // state, while a *new version* of a key (same pk, later ts) passes
@@ -55,28 +68,55 @@ object IncrementalSync {
         // batch can carry several versions of a key; MERGE needs one
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(pk).orderBy(col(tsCol).desc)
+        // persisted because two actions consume it: the touched-bucket probe
+        // and the merged write — without the cache the keep-latest window
+        // recomputes per action
         val latest = batch.withColumn("__rn", row_number().over(w))
           .where(col("__rn") === 1).drop("__rn")
+          .withColumn("__part", pmod(xxhash64(col(pk)), lit(nBuckets)).cast("int"))
+          .persist()
+        // which buckets does this batch touch? Bounded by nBuckets — a
+        // metadata-sized driver collect, same class as IVF centroids
+        val touched = latest.select("__part").distinct()
+          .collect().map(_.getInt(0)).sorted
         val exists = new java.io.File(targetPath).exists()
         val merged =
-          if (exists)
-            Merge.mergeUpsert(spark.read.parquet(targetPath), latest, Seq(pk))
-          else latest
-        // write-to-temp-then-swap: never overwrite the file being read
-        // (SURVEY §7.5.7 read-before-overwrite trap). The swap is move-based
-        // and failure-checked: the live dir is moved aside (not deleted)
-        // before the new one moves in, so a crash mid-swap leaves either the
-        // old or the new table on disk, never neither; Files.move throws on
-        // failure instead of renameTo's silently-ignored boolean.
+          if (exists) {
+            // partition pruning limits the scan to the touched buckets;
+            // untouched bucket directories are never read or rewritten
+            val existing = spark.read.parquet(targetPath)
+              .where(col("__part").isInCollection(touched.map(Integer.valueOf)))
+            Merge.mergeUpsert(existing, latest, Seq(pk))
+          } else latest
+        // write-to-temp-then-swap: never overwrite the files being read
+        // (SURVEY §7.5.7 read-before-overwrite trap) — the tmp write is the
+        // action that drains the scan of the live buckets. The swap is
+        // move-based and failure-checked per bucket: a live bucket dir is
+        // moved aside (not deleted) before its replacement moves in, so a
+        // crash mid-swap leaves either the old or the new bucket on disk,
+        // never neither; Files.move throws on failure instead of renameTo's
+        // silently-ignored boolean.
         import java.nio.file.{Files, Paths, StandardCopyOption}
         val tmp = Paths.get(targetPath + ".tmp")
         val live = Paths.get(targetPath)
-        val old = Paths.get(targetPath + ".old")
-        merged.write.mode("overwrite").parquet(tmp.toString)
-        if (Files.exists(old)) delete(old.toFile)
-        if (Files.exists(live)) Files.move(live, old, StandardCopyOption.ATOMIC_MOVE)
-        Files.move(tmp, live, StandardCopyOption.ATOMIC_MOVE)
-        if (Files.exists(old)) delete(old.toFile)
+        merged.write.mode("overwrite").partitionBy("__part").parquet(tmp.toString)
+        if (!Files.exists(live)) {
+          Files.move(tmp, live, StandardCopyOption.ATOMIC_MOVE)
+        } else {
+          touched.foreach { p =>
+            val src = tmp.resolve(s"__part=$p")
+            val dst = live.resolve(s"__part=$p")
+            // the aside dir lives OUTSIDE the live table root so a crash
+            // can't leave a non-partition directory for discovery to trip on
+            val old = Paths.get(targetPath + s".old_$p")
+            if (Files.exists(old)) delete(old.toFile)
+            if (Files.exists(dst)) Files.move(dst, old, StandardCopyOption.ATOMIC_MOVE)
+            if (Files.exists(src)) Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
+            if (Files.exists(old)) delete(old.toFile)
+          }
+          delete(tmp.toFile)
+        }
+        latest.unpersist()
         ()
       }
       .start()
@@ -145,10 +185,14 @@ object IncrementalSync {
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try {
+      // nBuckets=4 matches the demo's scoped-down state partitions: the
+      // hash-spread demo drops touch every bucket anyway, so more buckets
+      // would only buy small-file overhead here; production sizes nBuckets
+      // to (table size / desired rewrite granularity) instead
       land(drop1, "drop1")
-      syncOnce(spark, drop1.schema, srcDir, target, ckpt, "event_id", "ts")
+      syncOnce(spark, drop1.schema, srcDir, target, ckpt, "event_id", "ts", nBuckets = 4)
       land(drop2, "drop2")
-      syncOnce(spark, drop1.schema, srcDir, target, ckpt, "event_id", "ts")
+      syncOnce(spark, drop1.schema, srcDir, target, ckpt, "event_id", "ts", nBuckets = 4)
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     spark.read.parquet(target)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))

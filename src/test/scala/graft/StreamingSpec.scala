@@ -59,4 +59,42 @@ class StreamingSpec extends SparkTestBase {
     val after3 = IncrementalSync.syncOnce(spark, schema, src, target, s"$root/ck2", "id", "ts")
     assert(after3.count() == 3)
   }
+
+  test("sync rewrites only the buckets a batch touches") {
+    val root = Files.createTempDirectory("graft_stream_sel").toFile.getAbsolutePath
+    val src = s"$root/in"
+    val target = s"$root/target"
+    new java.io.File(src).mkdirs()
+
+    def rows(rs: (Long, String, String)*) =
+      rs.map { case (id, t, v) => (id, Timestamp.valueOf(t), v) }.toDF("id", "ts", "v")
+    var n = 0
+    def deliver(df: org.apache.spark.sql.DataFrame): Unit = {
+      n += 1
+      val staging = s"$root/staging$n"
+      df.coalesce(1).write.parquet(staging)
+      new java.io.File(staging).listFiles().filter(_.getName.endsWith(".parquet"))
+        .foreach(f => Files.move(f.toPath, new java.io.File(s"$src/b$n.parquet").toPath))
+    }
+    def bucketFiles(): Map[String, Set[String]] =
+      new java.io.File(target).listFiles().filter(_.getName.startsWith("__part="))
+        .map(d => d.getName -> d.listFiles().map(_.getName).toSet).toMap
+
+    // seed enough keys that all 8 buckets are populated
+    deliver(rows((0L until 64L).map(i => (i, "2024-01-01 00:00:00", s"v$i")): _*))
+    IncrementalSync.syncOnce(spark, schema, src, target, s"$root/ck1", "id", "ts", nBuckets = 8)
+    val before = bucketFiles()
+    assert(before.size == 8)
+
+    // one-key update batch: exactly one bucket dir may change
+    deliver(rows((7L, "2024-01-02 00:00:00", "v7-new")))
+    IncrementalSync.syncOnce(spark, schema, src, target, s"$root/ck1", "id", "ts", nBuckets = 8)
+    val after = bucketFiles()
+    val changed = after.keySet.filter(k => before(k) != after(k))
+    assert(changed.size == 1, s"expected 1 rewritten bucket, got $changed")
+    // and the merged content is still right
+    val byId = spark.read.parquet(target).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(byId.size == 64 && byId(7L) == "v7-new" && byId(6L) == "v6")
+  }
 }
