@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 import graft.functions.Num
+import org.apache.spark.storage.StorageLevel
 
 /** Round-2 mart compositions: the reference marts the round-1 verdict listed
   * as not yet composed end-to-end (VERDICT.md Missing #1), each as a pure
@@ -50,6 +51,17 @@ object Marts {
         col("s_name").as("vendor_name"),
         Num.cents(col("p_retailprice")).as("retail_cents"))
 
+  /** Cache the staging frame unless an equivalent plan is already cached:
+    * `storageLevel` consults the CacheManager by canonicalized plan, so two
+    * marts built over independently-constructed but identical [[sales]]
+    * frames share ONE cached relation instead of racing to re-cache it
+    * ("Asked to cache already cached data" warnings). Callers that want the
+    * memory back unpersist the frame they passed in (or clear the catalog
+    * cache, as Bench/Verify do between queries).
+    */
+  private def cachedOnce(df: DataFrame): DataFrame =
+    if (df.storageLevel == StorageLevel.NONE) df.cache() else df
+
   /** Shared oracle CTE for [[sales]]. */
   private val salesSql: String =
     """sales AS (
@@ -79,7 +91,7 @@ object Marts {
     // 6-table sales staging join — uncached it would run twice (the
     // reference materializes stg_iowa_liquor__sales as a table for the same
     // reason; dbt_project.yml staging policy)
-    val sales = salesIn.cache()
+    val sales = cachedOnce(salesIn)
     val countySales = sales.groupBy(col("county")).agg(
       sum(col("sale_cents")).as("sale_cents_sum"),
       sum(col("bottles")).as("total_bottles"),
@@ -110,7 +122,7 @@ object Marts {
     * store coverage, average bottle price, top revenue product per vendor.
     */
   def fctTopVendors(salesIn: DataFrame): DataFrame = {
-    val sales = salesIn.cache() // see fctSalesByCounty
+    val sales = cachedOnce(salesIn) // see fctSalesByCounty
     val vendorSales = sales.groupBy(col("vendor_name")).agg(
       sum(col("sale_cents")).as("sale_cents_sum"),
       sum(col("bottles")).as("total_bottles"),
