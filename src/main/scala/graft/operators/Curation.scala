@@ -226,13 +226,16 @@ object Curation {
       .select(col("doc_id"), col("source"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
       .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("start_offset", col("cum") - col("n_tokens"))
+      // integer `div`, not double `/` + cast: exact at any cumulative token
+      // count, where the double path loses integer precision past 2^53
+      // (same discipline as langBalanceSample's rate computation)
+      .withColumn("first_chunk", expr(s"start_offset div $chunk"))
+      .withColumn("last_chunk", expr(s"(cum - 1) div $chunk"))
       .select(
-        col("doc_id"), col("source"), col("n_tokens"),
-        (col("cum") - col("n_tokens")).as("start_offset"),
-        ((col("cum") - col("n_tokens")) / chunk).cast("long").as("first_chunk"),
-        ((col("cum") - 1) / chunk).cast("long").as("last_chunk"),
-        (((col("cum") - col("n_tokens")) / chunk).cast("long") =!=
-          ((col("cum") - 1) / chunk).cast("long")).as("spans_boundary"))
+        col("doc_id"), col("source"), col("n_tokens"), col("start_offset"),
+        col("first_chunk"), col("last_chunk"),
+        (col("first_chunk") =!= col("last_chunk")).as("spans_boundary"))
   }
 
   // ------------------------------------------------------------- oracles
