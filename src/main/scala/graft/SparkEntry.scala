@@ -179,6 +179,9 @@ object SparkEntry {
     "fct_hn_keyword_sentiment" -> ((s, d) =>
       graft.models.TextMarts.fctHnKeywordSentiment(Tables.documents(s, d))),
     // §2.10 streaming end-state, oracle-checked against the batch MERGE
+    // §2.10 lookback-window mart refresh (stale mart + trailing-window splice)
+    "incremental_refresh_window" -> ((s, d) =>
+      IncrementalMart.incrementalRefreshWindow(Tables.orders(s, d))),
     "stream_upsert_endstate" -> ((s, d) =>
       graft.streaming.IncrementalSync.streamUpsertEndstate(s, d)),
     // remaining Models marts on deterministic adapters (all 22 now registered)
@@ -198,7 +201,7 @@ object SparkEntry {
       Merge.oracles ++ graft.sources.ApiSource.oracles ++ Reshape.oracles ++
       Enrich.oracles ++ Dedup.oracles ++ Similarity.oracles ++
       TextAnalysis.oracles ++ Multimodal.oracles ++ Pipeline.oracles ++
-      Curation.oracles ++
+      Curation.oracles ++ IncrementalMart.oracles ++
       graft.models.Marts.oracles ++ graft.models.TextMarts.oracles ++
       graft.streaming.IncrementalSync.oracles ++ graft.streaming.Sessionize.oracles ++
       graft.models.ModelAdapters.oracles
