@@ -160,6 +160,10 @@ object SparkEntry {
     "embed_quantize" -> ((s, d) => Curation.embedQuantize(Tables.embeddings(s, d))),
     "token_pack" -> ((s, d) => Curation.tokenPack(Tables.documents(s, d))),
     "sessionize_batch" -> ((s, d) => graft.streaming.Sessionize.sessionizeBatch(Tables.events(s, d))),
+    // §2.10 stateful-streaming twin: flatMapGroupsWithState sessionizer driven
+    // end-to-end, checked against the SAME batch oracle SQL
+    "stream_sessionize_endstate" -> ((s, d) =>
+      graft.streaming.Sessionize.streamSessionizeEndstate(s, d)),
     // round-2 mart compositions (VERDICT.md Missing #1)
     "fct_sales_by_county" -> ((s, d) => graft.models.Marts.fctSalesByCounty(
       graft.models.Marts.sales(Tables.lineitem(s, d), Tables.orders(s, d), Tables.customer(s, d),

@@ -1,10 +1,10 @@
 package graft.streaming
 
 import java.sql.Timestamp
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 /** Streaming transform surface beyond the ingest loop (builder brief:
   * "watermarks + windowed aggs; mapGroupsWithState/flatMapGroupsWithState
@@ -30,9 +30,22 @@ object Sessionize {
         col("event_type"), col("event_count"))
 
   case class Evt(user_id: Long, ts: Timestamp)
+  /** start/last are epoch MICROSECONDS: `Timestamp.getTime` is millisecond
+    * precision and silently truncates the sub-ms part of event times — the
+    * state must carry the exact micros or session boundaries drift from the
+    * batch twin (which compares `unix_micros`).
+    */
   case class SessionState(start: Long, last: Long, n: Int)
   case class UserSession(user_id: Long, session_start: Timestamp,
       session_end: Timestamp, n_events: Int)
+
+  private def micros(t: Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+  private def fromMicros(us: Long): Timestamp = {
+    val t = new Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((math.floorMod(us, 1000000L) * 1000).toInt)
+    t
+  }
 
   /** Gap-based sessionization via flatMapGroupsWithState: a session closes
     * when no event arrives within `gapMs` (event-time timeout). Emits closed
@@ -40,6 +53,7 @@ object Sessionize {
     */
   def sessionize(events: Dataset[Evt], gapMs: Long): Dataset[UserSession] = {
     import events.sparkSession.implicits._
+    val gapUs = gapMs * 1000L
     events
       .withWatermark("ts", "1 hour")
       .groupByKey(_.user_id)
@@ -48,18 +62,18 @@ object Sessionize {
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator(UserSession(userId, new Timestamp(s.start), new Timestamp(s.last), s.n))
+            Iterator(UserSession(userId, fromMicros(s.start), fromMicros(s.last), s.n))
           } else {
-            val sorted = evts.toSeq.sortBy(_.ts.getTime)
+            val sorted = evts.toSeq.sortBy(e => micros(e.ts))
             var closed = List.empty[UserSession]
             var cur = state.getOption
             sorted.foreach { e =>
-              val t = e.ts.getTime
+              val t = micros(e.ts)
               cur match {
-                case Some(s) if t - s.last <= gapMs =>
+                case Some(s) if t - s.last <= gapUs =>
                   cur = Some(s.copy(last = t, n = s.n + 1))
                 case Some(s) =>
-                  closed ::= UserSession(userId, new Timestamp(s.start), new Timestamp(s.last), s.n)
+                  closed ::= UserSession(userId, fromMicros(s.start), fromMicros(s.last), s.n)
                   cur = Some(SessionState(t, t, 1))
                 case None =>
                   cur = Some(SessionState(t, t, 1))
@@ -69,9 +83,12 @@ object Sessionize {
               state.update(s)
               // clamp above the watermark: setTimeoutTimestamp rejects
               // timestamps <= watermark (a very late batch would otherwise
-              // kill the query instead of closing the session next trigger)
+              // kill the query instead of closing the session next trigger).
+              // Timeout granularity is ms — ceil so a session whose last
+              // event has sub-ms micros can't time out a fraction early.
               val wm = state.getCurrentWatermarkMs()
-              state.setTimeoutTimestamp(math.max(s.last + gapMs, wm + 1))
+              val timeoutMs = math.floorDiv(s.last + gapUs + 999, 1000L)
+              state.setTimeoutTimestamp(math.max(timeoutMs, wm + 1))
             }
             closed.reverseIterator
           }
@@ -110,8 +127,97 @@ object Sessionize {
         (max(unix_micros(col("ts"))) - min(unix_micros(col("ts")))).as("duration_us"))
   }
 
-  val oracles: Map[String, String] = Map(
-    "sessionize_batch" ->
+  /** `stream_sessionize_endstate` (driver-checkable twin of [[sessionize]],
+    * the `stream_upsert_endstate` pattern): the stateful streaming
+    * sessionizer driven end-to-end — the full events table landed as a
+    * parquet drop and ingested by an AvailableNow run, then a sentinel event
+    * 30 days past the real data landed and ingested by a second run over the
+    * same checkpoint. The sentinel pushes the watermark past every real
+    * session's timeout, so the event-time timeouts fire (in the trailing
+    * no-data micro-batch) and every session is emitted to the append sink.
+    * The sink output (minus the sentinel user) plus a deterministic ordinal
+    * projection must equal `sessionize_batch` exactly — same oracle SQL.
+    *
+    * session_idx is derivable after the fact because closed sessions of one
+    * user never overlap: the per-user ordinal by session_start is the batch
+    * twin's running new-session sum.
+    */
+  def streamSessionizeEndstate(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.Tables
+    val events = Tables.events(spark, sfDir).select(col("user_id"), col("ts"))
+    val scratch = "target/stream_sess/" + sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+    delete(new java.io.File(scratch))
+    val srcDir = s"$scratch/drops"
+    val outDir = s"$scratch/out"
+    val ckpt = s"$scratch/ckpt"
+    new java.io.File(srcDir).mkdirs()
+
+    def land(df: DataFrame, name: String): Unit = {
+      val tmp = s"$scratch/stage_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file in $tmp"))
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$srcDir/$name.parquet"))
+      delete(new java.io.File(tmp))
+    }
+
+    def runOnce(): Unit = {
+      import spark.implicits._
+      val stream = spark.readStream.schema(events.schema).parquet(srcDir).as[Evt]
+      val q = sessionize(stream, gapMs = 30L * 60 * 1000)
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .format("parquet")
+        .option("path", outDir)
+        .start()
+      q.awaitTermination()
+    }
+
+    // bounded scalar (one max over the drop, driver-side): the sentinel must
+    // outrun every real session's `last + gap` timeout by more than the
+    // 1-hour watermark delay
+    val maxUs = events.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val sentinel = spark.range(1).select(
+      lit(-1L).as("user_id"),
+      timestamp_micros(lit(maxUs + 30L * 24 * 3600 * 1000000)).as("ts"))
+
+    // scoped-down state partitions, as in IncrementalSync's demo: the first
+    // run freezes the count into the checkpoint
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      land(events, "drop1")
+      runOnce()
+      land(sentinel, "drop2")
+      runOnce()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+
+    val w = Window.partitionBy("user_id").orderBy("session_start")
+    spark.read.parquet(outDir)
+      .where(col("user_id") >= 0) // the sentinel user's own session is open by design
+      .select(
+        col("user_id"),
+        row_number().over(w).cast("long").as("session_idx"),
+        col("session_start"), col("session_end"),
+        col("n_events").cast("long").as("n_events"),
+        (unix_micros(col("session_end")) - unix_micros(col("session_start")))
+          .as("duration_us"))
+  }
+
+  private def delete(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(delete)
+    f.delete()
+  }
+
+  /** The batch gap-sessionize SQL — shared verbatim by `sessionize_batch`
+    * and `stream_sessionize_endstate` (the streaming path must land the
+    * exact same session set; that is the point).
+    */
+  private val sessionizeSql: String =
       """WITH l AS (
         |  SELECT user_id, ts, event_id,
         |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
@@ -132,5 +238,8 @@ object Sessionize {
         |       CAST(COUNT(*) AS BIGINT) AS n_events,
         |       CAST(MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS BIGINT) AS duration_us
         |FROM s GROUP BY user_id, session_idx""".stripMargin
-  )
+
+  val oracles: Map[String, String] = Map(
+    "sessionize_batch" -> sessionizeSql,
+    "stream_sessionize_endstate" -> sessionizeSql)
 }
