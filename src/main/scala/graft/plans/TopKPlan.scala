@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.execution.metric.SQLMetrics
 import org.apache.spark.sql.graftbridge.SqlBridge
 import org.apache.spark.sql.types.LongType
 
@@ -57,6 +58,23 @@ object TopKStrategy extends SparkStrategy {
   }
 }
 
+/** Physical top-k-per-key with bounded memory at ANY key cardinality.
+  *
+  * The retained set (≤ k rows per tracked key) is capped at
+  * `spark.graft.topk.maxRowsInMemory` rows per partition. On overflow:
+  *
+  *  - partial pass: rows of keys not already tracked PASS THROUGH unreduced
+  *    (always correct — the final pass re-reduces; this is exactly Spark's
+  *    hash-aggregate partial fallback) — memory never grows past the budget;
+  *  - final pass: the retained set is SPILLED to a run file sorted by key
+  *    bytes, and at end-of-input the runs plus the in-memory remainder are
+  *    k-way merged by key — grouping is restored by the merge order, so only
+  *    ONE key's ≤k-row heap is live during emission. Exact output, O(budget)
+  *    memory, O(n log k) compares plus spill I/O.
+  *
+  * Observable via SQLMetrics: output rows, distinct keys, spill count,
+  * partial pass-through rows.
+  */
 case class TopKPerKeyExec(
     keys: Seq[Expression],
     order: Seq[SortOrder],
@@ -75,46 +93,200 @@ case class TopKPerKeyExec(
 
   override def outputPartitioning = child.outputPartitioning
 
+  override lazy val metrics = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "output rows"),
+    "numKeys" -> SQLMetrics.createMetric(sparkContext, "distinct keys"),
+    "spillCount" -> SQLMetrics.createMetric(sparkContext, "spilled runs"),
+    "passThroughRows" -> SQLMetrics.createMetric(sparkContext,
+      "rows passed through unreduced (partial budget fallback)"))
+
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
     val keyExprs = keys
     val sortOrder = order
     val limit = k
-    val emitRank = rankAttr.isDefined
     val outTypes = output.map(_.dataType).toArray
+    val isPartial = partial
+    val budget = conf.getConfString("spark.graft.topk.maxRowsInMemory", "4194304").toLong
+    val numOutputRows = longMetric("numOutputRows")
+    val numKeys = longMetric("numKeys")
+    val spillCount = longMetric("spillCount")
+    val passThroughRows = longMetric("passThroughRows")
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
       val ord = RowOrdering.create(sortOrder, childOutput)
       // max-heap of the kept set: the root is the WORST kept row, evicted
       // when a better row arrives
-      val worstFirst = new java.util.Comparator[InternalRow] {
-        override def compare(a: InternalRow, b: InternalRow): Int = ord.compare(b, a)
+      val worstFirst = new java.util.Comparator[UnsafeRow] {
+        override def compare(a: UnsafeRow, b: UnsafeRow): Int = ord.compare(b, a)
       }
-      val heaps = new java.util.LinkedHashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
-      while (iter.hasNext) {
-        val row = iter.next()
-        val key = keyProj(row)
+      val heaps = new java.util.LinkedHashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
+      var retained = 0L
+      val spills = scala.collection.mutable.ArrayBuffer.empty[java.io.File]
+
+      def unsafeCopy(row: InternalRow): UnsafeRow = row match {
+        case u: UnsafeRow => u.copy()
+        case r => toUnsafe(r).copy()
+      }
+      // key-byte order: any total order that groups equal keys works, and
+      // equal keys have identical UnsafeRow bytes
+      def cmpBytes(a: Array[Byte], b: Array[Byte]): Int = {
+        var i = 0
+        val n = math.min(a.length, b.length)
+        while (i < n) {
+          val c = (a(i) & 0xff) - (b(i) & 0xff)
+          if (c != 0) return c
+          i += 1
+        }
+        a.length - b.length
+      }
+      def sortedEntries(): Array[(Array[Byte], java.util.PriorityQueue[UnsafeRow])] = {
+        import scala.jdk.CollectionConverters._
+        val arr = heaps.entrySet().asScala
+          .map(e => (e.getKey.getBytes, e.getValue)).toArray
+        java.util.Arrays.sort(arr, new java.util.Comparator[(Array[Byte], java.util.PriorityQueue[UnsafeRow])] {
+          override def compare(
+              a: (Array[Byte], java.util.PriorityQueue[UnsafeRow]),
+              b: (Array[Byte], java.util.PriorityQueue[UnsafeRow])): Int = cmpBytes(a._1, b._1)
+        })
+        arr
+      }
+      def spill(): Unit = {
+        val f = java.io.File.createTempFile("graft-topk-spill", ".run")
+        f.deleteOnExit()
+        val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+          new java.io.FileOutputStream(f), 1 << 16))
+        sortedEntries().foreach { case (kb, q) =>
+          val it = q.iterator()
+          while (it.hasNext) {
+            val rb = it.next().getBytes
+            out.writeInt(kb.length); out.write(kb)
+            out.writeInt(rb.length); out.write(rb)
+          }
+        }
+        out.close()
+        spills += f
+        spillCount += 1
+        heaps.clear()
+        retained = 0
+      }
+      def absorb(key: UnsafeRow, row: InternalRow): Unit = {
         var q = heaps.get(key)
         if (q == null) {
-          q = new java.util.PriorityQueue[InternalRow](limit + 1, worstFirst)
+          q = new java.util.PriorityQueue[UnsafeRow](limit + 1, worstFirst)
           heaps.put(key.copy(), q)
         }
-        if (q.size() < limit) q.add(row.copy())
-        else if (ord.compare(row, q.peek()) < 0) { q.poll(); q.add(row.copy()) }
+        if (q.size() < limit) { q.add(unsafeCopy(row)); retained += 1 }
+        else if (ord.compare(row, q.peek()) < 0) { q.poll(); q.add(unsafeCopy(row)) }
       }
+
       val outProj = UnsafeProjection.create(outTypes)
       val joined = new JoinedRow
       import scala.jdk.CollectionConverters._
-      heaps.values().iterator().asScala.flatMap { q =>
-        if (!emitRank) {
-          // partial pass: emit the kept set unranked, any order
-          q.iterator().asScala
-        } else {
-          val arr = q.toArray(new Array[InternalRow](q.size()))
-          java.util.Arrays.sort(arr, ord)
+
+      def rankedOut(rows: Iterator[java.util.PriorityQueue[UnsafeRow]]): Iterator[InternalRow] =
+        rows.flatMap { q =>
+          numKeys += 1
+          val arr = q.toArray(new Array[UnsafeRow](q.size()))
+          java.util.Arrays.sort(arr, new java.util.Comparator[UnsafeRow] {
+            override def compare(a: UnsafeRow, b: UnsafeRow): Int = ord.compare(a, b)
+          })
+          numOutputRows += arr.length
           arr.iterator.zipWithIndex.map { case (r, i) =>
             outProj(joined(r, InternalRow(i + 1L))): InternalRow
           }
+        }
+
+      if (isPartial) {
+        // inline pass-through keeps memory bounded WITHOUT spilling: an
+        // untracked key past the budget is simply not reduced on this side
+        val streamed = iter.flatMap { row =>
+          val key = keyProj(row)
+          val tracked = heaps.get(key) != null
+          if (tracked || retained < budget) { absorb(key, row); None }
+          else {
+            passThroughRows += 1
+            numOutputRows += 1
+            Some(row)
+          }
+        }
+        streamed ++ heaps.values().iterator().asScala.flatMap { q =>
+          numOutputRows += q.size()
+          q.iterator().asScala
+        }
+      } else {
+        // final pass: exact per-key top-k required — spill sorted runs when
+        // over budget, merge at end
+        while (iter.hasNext) {
+          val row = iter.next()
+          val key = keyProj(row)
+          if (heaps.get(key) == null && retained >= budget) spill()
+          absorb(key, row)
+        }
+        if (spills.isEmpty) {
+          rankedOut(heaps.values().iterator().asScala)
+        } else {
+          // merge N disk runs + the in-memory remainder, all in key-byte
+          // order; only the current key's heap is materialized
+          final class RunReader(streams: Iterator[(Array[Byte], Array[Byte])]) {
+            var cur: (Array[Byte], Array[Byte]) = _
+            def advance(): Boolean = {
+              if (streams.hasNext) { cur = streams.next(); true } else { cur = null; false }
+            }
+            advance()
+          }
+          def fileRecords(f: java.io.File): Iterator[(Array[Byte], Array[Byte])] = {
+            val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+              new java.io.FileInputStream(f), 1 << 16))
+            new Iterator[(Array[Byte], Array[Byte])] {
+              var nextRec: (Array[Byte], Array[Byte]) = read()
+              def read(): (Array[Byte], Array[Byte]) = {
+                try {
+                  val kl = in.readInt(); val kb = new Array[Byte](kl); in.readFully(kb)
+                  val rl = in.readInt(); val rb = new Array[Byte](rl); in.readFully(rb)
+                  (kb, rb)
+                } catch {
+                  case _: java.io.EOFException => in.close(); f.delete(); null
+                }
+              }
+              override def hasNext: Boolean = nextRec != null
+              override def next(): (Array[Byte], Array[Byte]) = {
+                val r = nextRec; nextRec = read(); r
+              }
+            }
+          }
+          val memRecords: Iterator[(Array[Byte], Array[Byte])] =
+            sortedEntries().iterator.flatMap { case (kb, q) =>
+              q.iterator().asScala.map(r => (kb, r.getBytes))
+            }
+          val readers = (spills.map(fileRecords) :+ memRecords).map(new RunReader(_))
+            .filter(_.cur != null)
+          val pq = new java.util.PriorityQueue[RunReader](math.max(readers.size, 1),
+            new java.util.Comparator[RunReader] {
+              override def compare(a: RunReader, b: RunReader): Int =
+                cmpBytes(a.cur._1, b.cur._1)
+            })
+          readers.foreach(pq.add)
+          val nRowFields = childOutput.size
+          val grouped: Iterator[java.util.PriorityQueue[UnsafeRow]] =
+            new Iterator[java.util.PriorityQueue[UnsafeRow]] {
+              override def hasNext: Boolean = !pq.isEmpty
+              override def next(): java.util.PriorityQueue[UnsafeRow] = {
+                val groupKey = pq.peek().cur._1
+                val q = new java.util.PriorityQueue[UnsafeRow](limit + 1, worstFirst)
+                while (!pq.isEmpty && cmpBytes(pq.peek().cur._1, groupKey) == 0) {
+                  val r = pq.poll()
+                  val row = new UnsafeRow(nRowFields)
+                  row.pointTo(r.cur._2, r.cur._2.length)
+                  if (q.size() < limit) q.add(row)
+                  else if (ord.compare(row, q.peek()) < 0) { q.poll(); q.add(row) }
+                  if (r.advance()) pq.add(r)
+                }
+                q
+              }
+            }
+          rankedOut(grouped)
         }
       }
     }, preservesPartitioning = true)

@@ -73,4 +73,48 @@ class TopKSpec extends SparkTestBase {
     assert(out == Set(("hot", 9999L, 9999L, 1L), ("hot", 9998L, 9998L, 2L),
       ("hot", 9997L, 9997L, 3L)))
   }
+
+  test("near-unique keys at a tiny memory budget: spills + pass-through, exact output") {
+    // ~50k distinct keys vs a 1000-row budget: the partial pass must fall
+    // back to pass-through and the final pass must spill sorted runs and
+    // merge them — with the result still exactly the window form's
+    spark.conf.set("spark.graft.topk.maxRowsInMemory", "1000")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    // AQE wraps stages in AdaptiveSparkPlanExec, hiding the exec nodes from
+    // plan.collect — disable so the metrics assertions can find them
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = spark.range(0, 50000, 1, 8).select(
+        col("id").as("k"),
+        (col("id") % 97).as("score"),
+        col("id").as("id"))
+      val out = TopK.topKPerKey(df, Seq("k"), Seq(("score", true), ("id", false)), 1, "r")
+      val rows = out.collect()
+      assert(rows.length == 50000) // every key unique -> one row each, rank 1
+      assert(rows.forall(_.getLong(3) == 1L))
+      val topks = out.queryExecution.executedPlan.collect { case t: TopKPerKeyExec => t }
+      val fin = topks.find(!_.partial).get
+      val part = topks.find(_.partial).get
+      assert(fin.metrics("spillCount").value > 0,
+        s"final pass should have spilled: ${fin.metrics}")
+      assert(part.metrics("passThroughRows").value > 0,
+        s"partial pass should have passed rows through: ${part.metrics}")
+      assert(fin.metrics("numKeys").value == 50000)
+      // and a grouped-duplicate workload through the same tiny budget
+      val dup = spark.range(0, 30000, 1, 8).select(
+        (col("id") % 5000).as("k"), (col("id") % 31).as("score"), col("id").as("id"))
+      val got = TopK.topKPerKey(dup, Seq("k"), Seq(("score", true), ("id", false)), 2, "r")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val expected = {
+        import org.apache.spark.sql.expressions.Window
+        dup.withColumn("r", row_number().over(
+          Window.partitionBy("k").orderBy(col("score").desc, col("id"))))
+          .where(col("r") <= 2).as[(Long, Long, Long, Long)].collect().toSet
+      }
+      assert(got == expected)
+    } finally {
+      spark.conf.unset("spark.graft.topk.maxRowsInMemory")
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
 }
