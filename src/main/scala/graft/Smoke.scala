@@ -12,6 +12,7 @@ object Smoke {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.plans.TopK.installAll(spark) // strategy + rank-limit rewrite, the library default
     val df = SparkEntry.entry(spark)
     val n = df.count()
     df.show(5, truncate = false)

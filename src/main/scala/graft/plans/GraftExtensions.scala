@@ -2,9 +2,9 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Window, WindowGroupLimit}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{ArrayType, LongType}
+import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType}
 import graft.functions.LongDot
 
 /** Catalyst optimizer rule (SURVEY §7.4(c) surface): rewrite the
@@ -68,12 +68,73 @@ object RewriteHofDotProduct extends Rule[LogicalPlan] {
   }
 }
 
+/** Catalyst optimizer rule: recognize the declarative top-k-per-key idiom
+  *
+  *   df.withColumn("rn", row_number().over(Window.partitionBy(K).orderBy(O)))
+  *     .where($"rn" <= k)
+  *
+  * and replan it as the [[TopKPerKey]] whole-operator extension — bounded
+  * k-row heaps, partial/final passes, no per-partition sort — so users (and
+  * existing query code) keep writing the window form and get the sort-free
+  * physics automatically. Matched forms: `rn <= k`, `rn < k`, `rn = 1`
+  * (dedup-keep-first), in either operand order, possibly conjoined with
+  * other predicates (which remain as a residual Filter above the TopKPerKey).
+  *
+  * Semantics note: identical to the window form when the ordering is total
+  * (the repo-wide tiebreak discipline, SURVEY §7.5.5); under order ties both
+  * forms pick an arbitrary tied row.
+  *
+  * Spark's own InferWindowGroupLimit (which only prunes below the window,
+  * still paying the sort) may have inserted a [[WindowGroupLimit]] below the
+  * matched Window — it is stripped, TopKPerKey subsumes it.
+  */
+object RewriteRankLimitToTopK extends Rule[LogicalPlan] with PredicateHelper {
+
+  /** k such that `cond` ≡ rank <= k, if it is a rank bound. */
+  private def rankLimit(cond: Expression, rank: Attribute): Option[Int] = cond match {
+    case LessThanOrEqual(a: Attribute, Literal(k: Int, IntegerType)) if a.semanticEquals(rank) => Some(k)
+    case LessThan(a: Attribute, Literal(k: Int, IntegerType)) if a.semanticEquals(rank) => Some(k - 1)
+    case GreaterThanOrEqual(Literal(k: Int, IntegerType), a: Attribute) if a.semanticEquals(rank) => Some(k)
+    case GreaterThan(Literal(k: Int, IntegerType), a: Attribute) if a.semanticEquals(rank) => Some(k - 1)
+    case EqualTo(a: Attribute, Literal(1, IntegerType)) if a.semanticEquals(rank) => Some(1)
+    case EqualTo(Literal(1, IntegerType), a: Attribute) if a.semanticEquals(rank) => Some(1)
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond,
+        Window(Seq(alias @ Alias(WindowExpression(RowNumber(),
+          WindowSpecDefinition(parts, order,
+            SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))), _)),
+          _, _, wchild, _))
+        if parts.nonEmpty && order.nonEmpty =>
+      val rank = alias.toAttribute
+      val conjuncts = splitConjunctivePredicates(cond)
+      val (rankPreds, rest) = conjuncts.partition(c => rankLimit(c, rank).isDefined)
+      val maxK = conf.getConfString("spark.graft.topk.rewriteMaxK", "1000").toInt
+      val kOpt = rankPreds.flatMap(c => rankLimit(c, rank)).minOption
+      kOpt match {
+        // k < 1 is a statically-empty filter (row_number >= 1 always) and
+        // huge k defeats the bounded-heap point — leave both to Spark
+        case Some(k) if k >= 1 && k <= maxK =>
+          val child = wchild match {
+            case WindowGroupLimit(p2, o2, _, _, c) if p2 == parts && o2 == order => c
+            case c => c
+          }
+          val topk = TopKPerKey(parts, order, k, rank, child)
+          if (rest.isEmpty) topk else Filter(rest.reduce(And), topk)
+        case _ => f
+      }
+  }
+}
+
 /** Session extension installing graft's optimizer rules and planner
   * strategies (the [[TopKPerKey]] whole-operator extension).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => RewriteHofDotProduct)
+    e.injectOptimizerRule(_ => RewriteRankLimitToTopK)
     e.injectPlannerStrategy(_ => TopKStrategy)
   }
 }

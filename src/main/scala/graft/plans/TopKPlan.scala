@@ -106,6 +106,7 @@ case class TopKPerKeyExec(
     val sortOrder = order
     val limit = k
     val outTypes = output.map(_.dataType).toArray
+    val rankIsInt = rankAttr.exists(_.dataType == org.apache.spark.sql.types.IntegerType)
     val isPartial = partial
     val budget = conf.getConfString("spark.graft.topk.maxRowsInMemory", "4194304").toLong
     val numOutputRows = longMetric("numOutputRows")
@@ -194,7 +195,11 @@ case class TopKPerKeyExec(
           })
           numOutputRows += arr.length
           arr.iterator.zipWithIndex.map { case (r, i) =>
-            outProj(joined(r, InternalRow(i + 1L))): InternalRow
+            // rank typed to the declared attribute: IntegerType when the
+            // node replaces a row_number() (RewriteRankLimitToTopK),
+            // LongType from the TopK DataFrame API
+            val rank: Any = if (rankIsInt) i + 1 else (i + 1).toLong
+            outProj(joined(r, InternalRow(rank))): InternalRow
           }
         }
 
@@ -308,6 +313,17 @@ object TopK {
     if (!spark.experimental.extraStrategies.contains(TopKStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ TopKStrategy
+
+  /** Install the strategy AND the `row_number() <= k` rewrite rule
+    * ([[RewriteRankLimitToTopK]]) — the full automatic path for sessions not
+    * built with `withExtensions(new GraftExtensions)`. Idempotent.
+    */
+  def installAll(spark: SparkSession): Unit = {
+    install(spark)
+    if (!spark.experimental.extraOptimizations.contains(RewriteRankLimitToTopK))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RewriteRankLimitToTopK
+  }
 
   /** Top `k` rows per `keyCols` group under `orderBy` (column name →
     * descending?) with a LongType rank column appended. The ordering must be

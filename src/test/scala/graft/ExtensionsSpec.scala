@@ -20,25 +20,29 @@ class ExtensionsSpec extends SparkTestBase {
     val hof = q.selectExpr("vec_id", s"$hofDot AS dot")
     val expected = hof.orderBy("vec_id").as[(Long, Long)].collect().toSeq
 
-    spark.experimental.extraOptimizations = Seq(RewriteHofDotProduct)
+    // append (don't replace): the shared session carries the library-default
+    // rules from SparkTestBase's installAll; restore them after
+    val prevRules = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prevRules :+ RewriteHofDotProduct
     try {
       val rewritten = q.selectExpr("vec_id", s"$hofDot AS dot")
       val optimized = rewritten.queryExecution.optimizedPlan.toString()
       assert(optimized.contains("longdot"),
         s"expected LongDot in optimized plan:\n$optimized")
       assert(rewritten.orderBy("vec_id").as[(Long, Long)].collect().toSeq == expected)
-    } finally spark.experimental.extraOptimizations = Nil
+    } finally spark.experimental.extraOptimizations = prevRules
   }
 
   test("rule leaves non-matching aggregates untouched") {
-    spark.experimental.extraOptimizations = Seq(RewriteHofDotProduct)
+    val prevRules = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prevRules :+ RewriteHofDotProduct
     try {
       // sum (not dot): must NOT rewrite, must stay correct
       val df = Seq(Seq(1L, 2L, 3L)).toDF("a")
         .selectExpr("aggregate(a, 0L, (acc, v) -> acc + v) AS s")
       assert(!df.queryExecution.optimizedPlan.toString().contains("longdot"))
       assert(df.as[Long].collect().head == 6L)
-    } finally spark.experimental.extraOptimizations = Nil
+    } finally spark.experimental.extraOptimizations = prevRules
   }
 
   test("GraftExtensions installs against a SparkSessionExtensions instance") {

@@ -20,6 +20,7 @@ object SparkTestBase {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    graft.plans.TopK.installAll(s) // strategy + rank-limit rewrite, the library default
     s
   }
 }

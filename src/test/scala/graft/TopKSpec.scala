@@ -74,6 +74,38 @@ class TopKSpec extends SparkTestBase {
       ("hot", 9997L, 9997L, 3L)))
   }
 
+  test("rank-limit rewrite: the window row_number form plans through TopKPerKey") {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // winTopkGroup is written in the declarative window form — the
+      // RewriteRankLimitToTopK rule (installed by SparkTestBase) must swap
+      // in the sort-free operator with an identical result
+      val df = Windows.winTopkGroup(Tables.lineitem(spark, sf))
+      val plan = df.queryExecution.executedPlan
+      val topks = plan.collect { case t: TopKPerKeyExec => t }
+      assert(topks.size == 2, s"expected rewrite to partial+final TopKPerKeyExec:\n$plan")
+      assert(plan.collect { case w: WindowExec => w }.isEmpty,
+        s"rewritten plan must not contain WindowExec:\n$plan")
+      assert(plan.collect { case s: SortExec => s }.isEmpty,
+        s"rewritten plan must not sort:\n$plan")
+      // keep-first dedup (rn = 1) rewrites too, with the residual select intact
+      val dedup = Windows.winDedup(Tables.events(spark, sf))
+      val dplan = dedup.queryExecution.executedPlan
+      assert(dplan.collect { case t: TopKPerKeyExec => t }.size == 2,
+        s"rn = 1 dedup should rewrite:\n$dplan")
+      // and a filter with extra conjuncts keeps them as a residual
+      val mixed = Tables.lineitem(spark, sf)
+        .withColumn("rn", row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("l_suppkey").orderBy(col("l_extendedprice").desc, col("l_partkey"))))
+        .where(col("rn") <= 3 && col("l_quantity") > 10)
+      val mrows = mixed.collect()
+      assert(mixed.queryExecution.executedPlan
+        .collect { case t: TopKPerKeyExec => t }.size == 2)
+      assert(mrows.forall(r => r.getDouble(r.fieldIndex("l_quantity")) > 10))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("near-unique keys at a tiny memory budget: spills + pass-through, exact output") {
     // ~50k distinct keys vs a 1000-row budget: the partial pass must fall
     // back to pass-through and the final pass must spill sorted runs and
