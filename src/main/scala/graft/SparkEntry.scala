@@ -186,6 +186,11 @@ object SparkEntry {
     // §2.10 lookback-window mart refresh (stale mart + trailing-window splice)
     "incremental_refresh_window" -> ((s, d) =>
       IncrementalMart.incrementalRefreshWindow(Tables.orders(s, d))),
+    // day-partitioned backfill re-runs (reference backfill_hn_comments.py)
+    "backfill_days" -> ((s, d) =>
+      IncrementalMart.backfillDaysQuery(Tables.orders(s, d))),
+    // explicit two-phase salting for pathological hot keys
+    "skew_salted_sum" -> ((s, d) => Skew.skewSaltedSum(Tables.lineitem(s, d))),
     "stream_upsert_endstate" -> ((s, d) =>
       graft.streaming.IncrementalSync.streamUpsertEndstate(s, d)),
     // remaining Models marts on deterministic adapters (all 22 now registered)
@@ -220,7 +225,7 @@ object SparkEntry {
       Merge.oracles ++ graft.sources.ApiSource.oracles ++ Reshape.oracles ++
       Enrich.oracles ++ Dedup.oracles ++ Similarity.oracles ++
       TextAnalysis.oracles ++ Multimodal.oracles ++ Pipeline.oracles ++
-      Curation.oracles ++ IncrementalMart.oracles ++
+      Curation.oracles ++ IncrementalMart.oracles ++ Skew.oracles ++
       graft.models.Marts.oracles ++ graft.models.TextMarts.oracles ++
       graft.streaming.IncrementalSync.oracles ++ graft.streaming.Sessionize.oracles ++
       graft.models.ModelAdapters.oracles

@@ -62,13 +62,78 @@ object IncrementalMart {
       cutoff = lit("1997-01-06").cast("date"))
   }
 
+  /** Day-partitioned backfill (reference scripts/backfill_hn_comments.py:93-199:
+    * re-run a list of day partitions, each an independent idempotent job).
+    * The Spark-first expression: ONE declarative plan recomputing every
+    * requested day from source and splicing over the mart — the days are
+    * disjoint partitions of the recompute, so the cluster runs them in
+    * parallel without a driver-side loop, and a failed run re-executes
+    * idempotently (same splice). With the mart stored partitioned by day,
+    * the write side is the selective bucket swap of
+    * [[graft.streaming.IncrementalSync.syncOnce]].
+    */
+  def backfillDays(
+      existing: DataFrame,
+      source: DataFrame,
+      mart: DataFrame => DataFrame,
+      sourceDateCol: Column,
+      dayCol: String,
+      days: Seq[String]): DataFrame = {
+    val wanted = days.map(lit(_).cast("date"))
+    val recomputed = mart(source.where(to_date(sourceDateCol).isInCollection(wanted)))
+    existing.where(!col(dayCol).isInCollection(wanted)).unionByName(recomputed)
+  }
+
+  /** `backfill_days`: daily revenue mart with a week of late-arriving data
+    * (every 7th order missing for 1996-03-02..08) healed by a day-list
+    * backfill; untouched days keep their stale values.
+    */
+  def backfillDaysQuery(orders: DataFrame): DataFrame = {
+    val stale = orders.where(
+      col("o_orderkey") % 7 =!= 0 ||
+        !to_date(col("o_orderdate")).between(lit("1996-03-02"), lit("1996-03-08")))
+    val days = (2 to 8).map(d => f"1996-03-0$d")
+    backfillDays(dailyRevenue(stale), orders, dailyRevenue,
+      col("o_orderdate"), "day", days)
+  }
+
+  private def dailyRevenue(src: DataFrame): DataFrame =
+    src.groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(
+        sum(graft.functions.Num.cents(col("o_totalprice"))).as("revenue_cents"),
+        count(lit(1)).as("n_orders"))
+
   private val weeklySql =
     """SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS week,
       |       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
       |       COUNT(*) AS n_orders,
       |       COUNT(DISTINCT o_custkey) AS n_custs""".stripMargin
 
+  private val dailySql =
+    """SELECT CAST(o_orderdate AS DATE) AS day,
+      |       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+      |       COUNT(*) AS n_orders""".stripMargin
+
+  private val backfillDayList =
+    (2 to 8).map(d => f"DATE '1996-03-0$d'").mkString(", ")
+
   val oracles: Map[String, String] = Map(
+    "backfill_days" ->
+      s"""WITH stale AS (
+         |  SELECT * FROM orders
+         |  WHERE o_orderkey % 7 <> 0
+         |     OR NOT (CAST(o_orderdate AS DATE)
+         |             BETWEEN DATE '1996-03-02' AND DATE '1996-03-08')),
+         |m_stale AS (
+         |  $dailySql
+         |  FROM stale GROUP BY 1),
+         |m_fresh AS (
+         |  $dailySql
+         |  FROM orders WHERE CAST(o_orderdate AS DATE) IN ($backfillDayList)
+         |  GROUP BY 1)
+         |SELECT * FROM m_stale WHERE day NOT IN ($backfillDayList)
+         |UNION ALL
+         |SELECT * FROM m_fresh""".stripMargin,
     "incremental_refresh_window" ->
       s"""WITH stale AS (SELECT * FROM orders WHERE o_orderkey % 10 <> 0),
          |m_stale AS (

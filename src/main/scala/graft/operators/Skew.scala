@@ -25,4 +25,21 @@ object Skew {
       .agg(sum(col("__v")).as("__partial"))
       .groupBy(col(outKey))
       .agg(sum(col("__partial")).as(outValue))
+
+  /** `skew_salted_sum`: the salted two-phase sum over a deliberately skewed
+    * key (l_returnflag — 3 values over the whole fact table, the hot-key
+    * worst case). Exactness is the point of the oracle: the salted route is
+    * bit-identical to the plain GROUP BY because integer-cents sums are
+    * associative-commutative (partition-independent).
+    */
+  def skewSaltedSum(lineitem: DataFrame): DataFrame =
+    saltedSum(lineitem, col("l_returnflag"), col("l_orderkey"),
+      graft.functions.Num.cents(col("l_extendedprice")),
+      "flag", "revenue_cents")
+
+  val oracles: Map[String, String] = Map(
+    "skew_salted_sum" ->
+      """SELECT l_returnflag AS flag,
+        |       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem GROUP BY 1""".stripMargin)
 }
