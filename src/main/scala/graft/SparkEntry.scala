@@ -148,6 +148,8 @@ object SparkEntry {
     "mm_metadata" -> ((s, d) => Multimodal.mmMetadata(Tables.documents(s, d))),
     "mm_decode_stub" -> ((s, d) => Multimodal.mmDecodeStub(Tables.documents(s, d))),
     "mm_frame_sample" -> ((s, d) => Multimodal.mmFrameSample(Tables.documents(s, d))),
+    // the typed codec-boundary twin of mm_decode_stub, same oracle
+    "mm_decode_batched" -> ((s, d) => Multimodal.mmDecodeBatched(Tables.documents(s, d))),
     // extensions: composed curation pipeline
     "pipeline_training_data" -> ((s, d) => Pipeline.trainingDataCuration(Tables.documents(s, d))),
     "pipeline_curation_v2" -> ((s, d) => Pipeline.trainingDataCurationV2(Tables.documents(s, d))),

@@ -135,8 +135,13 @@ object Multimodal {
         (col("frame_idx") * frameSize).cast("long").as("frame_offset"))
   }
 
-  val oracles: Map[String, String] = Map(
-    "mm_decode_stub" ->
+  /** Shared by `mm_decode_stub` and `mm_decode_batched`: the two variants
+    * are row-identical by contract (same deterministic byte-stat "decode",
+    * expression chain vs typed per-partition batches), so they share one
+    * oracle — proving the codec-boundary shape against SQL, not just
+    * against the stub in MultimodalSpec.
+    */
+  private val decodeSql: String =
       """WITH m AS (
         |  SELECT doc_id AS media_id, encode(text) AS b FROM documents),
         |h AS (
@@ -165,7 +170,11 @@ object Multimodal {
         |       CAST(head_byte AS DOUBLE) AS feat_head,
         |       CAST(byte_checksum AS DOUBLE) AS feat_checksum,
         |       CAST(byte_checksum % 7 AS DOUBLE) AS feat_mod
-        |FROM d""".stripMargin,
+        |FROM d""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "mm_decode_stub" -> decodeSql,
+    "mm_decode_batched" -> decodeSql,
     "mm_metadata" ->
       """SELECT doc_id AS media_id,
         |       'text/plain' AS mime,

@@ -106,6 +106,43 @@ class TopKSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("rank-limit rewrite leaves non-matching windows alone") {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val base = Seq(("a", 10L, 1L), ("a", 10L, 2L), ("a", 5L, 3L), ("b", 7L, 4L))
+        .toDF("k", "score", "id")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("k").orderBy(col("score").desc)
+      // rank() admits >k rows on ties — MUST stay a window plan
+      val ranked = base.withColumn("r", rank().over(w)).where(col("r") <= 1)
+      assert(ranked.queryExecution.executedPlan
+        .collect { case t: TopKPerKeyExec => t }.isEmpty,
+        "rank() must not rewrite (tie semantics differ)")
+      assert(ranked.count() == 3) // both score-10 rows of a survive, plus b
+      // row_number kept (not filtered) — nothing to rewrite
+      val kept = base.withColumn("r", row_number().over(
+        w.orderBy(col("score").desc, col("id"))))
+      assert(kept.queryExecution.executedPlan
+        .collect { case t: TopKPerKeyExec => t }.isEmpty)
+      // filter on something other than the rank — no rewrite
+      val other = base.withColumn("r", row_number().over(
+        w.orderBy(col("score").desc, col("id")))).where(col("score") > 6)
+      assert(other.queryExecution.executedPlan
+        .collect { case t: TopKPerKeyExec => t }.isEmpty)
+      // k above the rewrite guard — stays a window plan
+      spark.conf.set("spark.graft.topk.rewriteMaxK", "2")
+      val big = base.withColumn("r", row_number().over(
+        w.orderBy(col("score").desc, col("id")))).where(col("r") <= 3)
+      assert(big.queryExecution.executedPlan
+        .collect { case t: TopKPerKeyExec => t }.isEmpty)
+      assert(big.count() == 4)
+    } finally {
+      spark.conf.unset("spark.graft.topk.rewriteMaxK")
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   test("near-unique keys at a tiny memory budget: spills + pass-through, exact output") {
     // ~50k distinct keys vs a 1000-row budget: the partial pass must fall
     // back to pass-through and the final pass must spill sorted runs and
