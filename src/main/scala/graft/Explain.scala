@@ -17,6 +17,7 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    graft.plans.TopK.installAll(spark) // audit the plans users actually get
     val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     names.foreach { n =>
       val df = SparkEntry.queries(n)(spark, sf)
