@@ -142,6 +142,26 @@ object Curation {
       .select(col("doc_id"), col("lang"), col("bucket"))
   }
 
+  /** `cap_per_source`: per-source document caps — the standard guard against
+    * a single domain dominating a training mix. Keeps at most `cap` docs per
+    * source, chosen by deterministic key-hash order (not "first N by id",
+    * which biases toward the oldest documents), with the selection rank kept
+    * for downstream quota audits. Written in the declarative row_number
+    * window form ON PURPOSE: the RewriteRankLimitToTopK rule plans it
+    * through the bounded-heap TopKPerKey operator, so a pathologically hot
+    * source ships ≤ cap rows per input split to the exchange instead of its
+    * full volume.
+    */
+  def capPerSource(documents: DataFrame, cap: Int = 50): DataFrame = {
+    val pick = PortableHash.hash32(concat(lit("cap:"), col("doc_id").cast("string")))
+    val w = Window.partitionBy("source").orderBy(col("pick"), col("doc_id"))
+    documents
+      .withColumn("pick", pick)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= cap)
+      .select(col("doc_id"), col("source"), col("rn").cast("long").as("keep_rank"))
+  }
+
   /** `split_train_test`: deterministic 90/5/5 split assignment by key hash —
     * the standard leak-proof alternative to random splits (a doc's split
     * never changes when the corpus grows, and co-versions of a doc can be
@@ -321,6 +341,17 @@ object Curation {
          |SELECT d.doc_id, d.lang, r.rate_pm
          |FROM documents d JOIN rates r ON d.lang = r.lang
          |WHERE ${h("'bal:' || CAST(d.doc_id AS VARCHAR)")} % 1000 < r.rate_pm""".stripMargin,
+    "cap_per_source" ->
+      s"""WITH hp AS (
+         |  SELECT doc_id, source,
+         |         ${h("'cap:' || CAST(doc_id AS VARCHAR)")} AS pick
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, source,
+         |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY pick, doc_id) AS rn
+         |  FROM hp)
+         |SELECT doc_id, source, CAST(rn AS BIGINT) AS keep_rank
+         |FROM r WHERE rn <= 50""".stripMargin,
     "embed_quantize" ->
       s"""WITH q AS (
          |  SELECT vec_id,
