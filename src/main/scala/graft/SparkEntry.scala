@@ -160,6 +160,8 @@ object SparkEntry {
     "split_train_test" -> ((s, d) => Curation.splitTrainTest(Tables.documents(s, d))),
     "lang_balance_sample" -> ((s, d) => Curation.langBalanceSample(Tables.documents(s, d))),
     "cap_per_source" -> ((s, d) => Curation.capPerSource(Tables.documents(s, d))),
+    "quality_decile_filter" -> ((s, d) =>
+      TextAnalysis.qualityDecileFilter(Tables.documents(s, d))),
     "embed_quantize" -> ((s, d) => Curation.embedQuantize(Tables.embeddings(s, d))),
     "token_pack" -> ((s, d) => Curation.tokenPack(Tables.documents(s, d))),
     "sessionize_batch" -> ((s, d) => graft.streaming.Sessionize.sessionizeBatch(Tables.events(s, d))),

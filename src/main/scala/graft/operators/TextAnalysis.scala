@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
@@ -72,6 +73,23 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_tokens"), col("n_stopword_kinds"),
         col("avg_token_len"), col("long_token_ratio"),
         col("quality_score"), col("quality_bucket"))
+  }
+
+  /** `quality_decile_filter`: keep each language's top-3 quality deciles —
+    * the "best X% per language" curation cut. NTILE partitions BY LANGUAGE
+    * (a global ntile would be a single-partition sort; per-group ntile
+    * distributes across groups and is the exact-quantile shape that scales,
+    * bounded by the hottest language). Ordering is total (score desc,
+    * doc_id) so decile assignment is deterministic and oracle-exact.
+    */
+  def qualityDecileFilter(documents: DataFrame): DataFrame = {
+    val q = textQuality(documents).select(col("doc_id"), col("quality_score"))
+    val w = Window.partitionBy("lang").orderBy(col("quality_score").desc, col("doc_id"))
+    documents.select(col("doc_id"), col("lang"))
+      .join(q, Seq("doc_id"))
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .where(col("decile") <= 3)
+      .select(col("doc_id"), col("lang"), col("quality_score"), col("decile"))
   }
 
   /** `text_token_count`: whitespace tokens + BPE-ish regex token count
@@ -212,6 +230,31 @@ object TextAnalysis {
         |              CAST(n_long_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 30.0)) >= 40.0 THEN 'medium'
         |            ELSE 'low' END AS quality_bucket
         |FROM m""".stripMargin,
+    "quality_decile_filter" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         string_split(lower(text), ' ') AS toks,
+        |         length(text) AS n_chars_actual
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |         CAST(len(toks) AS BIGINT) AS n_tokens,
+        |         CAST(len(list_intersect(list_distinct(toks), ['the','a','of','and'])) AS BIGINT) AS n_stopword_kinds,
+        |         CAST(len(list_filter(toks, x -> length(x) >= 5)) AS BIGINT) AS n_long_tokens
+        |  FROM t),
+        |s AS (
+        |  SELECT doc_id,
+        |         LEAST(100.0, GREATEST(0.0,
+        |           CAST(n_tokens AS DOUBLE) / 2.0 + CAST(n_stopword_kinds AS DOUBLE) * 10.0 +
+        |           CAST(n_long_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 30.0)) AS quality_score
+        |  FROM m),
+        |r AS (
+        |  SELECT s.doc_id, d.lang, s.quality_score,
+        |         CAST(NTILE(10) OVER (PARTITION BY d.lang
+        |           ORDER BY s.quality_score DESC, s.doc_id) AS BIGINT) AS decile
+        |  FROM s JOIN documents d ON s.doc_id = d.doc_id)
+        |SELECT doc_id, lang, quality_score, decile
+        |FROM r WHERE decile <= 3""".stripMargin,
     "text_token_count" ->
       """SELECT doc_id,
         |       CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
