@@ -31,6 +31,36 @@ class PropertiesSpec extends SparkTestBase {
     })
   }
 
+  test("TopKPerKey equals the window row_number form on arbitrary data") {
+    // random keys/scores (ties likely: scores drawn from a small range) and
+    // random k — the custom operator and WindowExec must agree row-for-row
+    // because the (score desc, id) order is total
+    val gen = Gen.zip(
+      Gen.listOfN(60, Gen.zip(Gen.choose(0L, 6L), Gen.choose(0L, 9L))),
+      Gen.choose(1, 4))
+    checkProp(Prop.forAll(gen) { case (rows, k) =>
+      val df = rows.zipWithIndex.map { case ((key, score), i) =>
+        (key, score, i.toLong)
+      }.toDF("k", "score", "id")
+      val custom = graft.plans.TopK.topKPerKey(
+        df, Seq("k"), Seq(("score", true), ("id", false)), k, "r")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      // rewriteMaxK=0 disables the rank-limit rewrite for the reference
+      // side, so this genuinely compares against WindowExec (otherwise the
+      // rule would rewrite the window form into TopKPerKey too and the
+      // property would compare the operator against itself)
+      spark.conf.set("spark.graft.topk.rewriteMaxK", "0")
+      val window =
+        try df.withColumn("r", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("k").orderBy(col("score").desc, col("id"))))
+          .where(col("r") <= k)
+          .as[(Long, Long, Long, Long)].collect().toSet
+        finally spark.conf.unset("spark.graft.topk.rewriteMaxK")
+      custom == window
+    }, n = 6)
+  }
+
   test("rolling means stay within the frame's min/max closes") {
     val fct = Windows.winRollingAvg(Tables.prices(spark, sf))
       .join(Windows.winRollingExtrema(Tables.prices(spark, sf))
