@@ -124,10 +124,7 @@ object IncrementalSync {
     spark.read.parquet(targetPath)
   }
 
-  private def delete(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(delete)
-    f.delete()
-  }
+  private def delete(f: java.io.File): Unit = StreamHarness.delete(f)
 
   /** `stream_upsert_endstate` (§2.10 driver-checkable row): the full
     * streaming sync driven end-to-end — two parquet drops (initial load,
@@ -146,9 +143,7 @@ object IncrementalSync {
     import graft.sources.Tables
     val base = Tables.events(spark, sfDir)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
-    val scratch = "target/stream_scratch/" +
-      sfDir.replaceAll("[^a-zA-Z0-9]", "_")
-    delete(new java.io.File(scratch))
+    val scratch = StreamHarness.freshScratch("stream_scratch", sfDir)
     val srcDir = s"$scratch/drops"
     val target = s"$scratch/table"
     val ckpt = s"$scratch/ckpt"
@@ -163,17 +158,8 @@ object IncrementalSync {
       .withColumn("value", col("value") + 0.5)
       .withColumn("ts", to_timestamp(lit("2025-01-02 00:00:00")))
 
-    // land a drop as a single parquet file inside the watched directory
-    def land(df: DataFrame, name: String): Unit = {
-      val tmp = s"$scratch/stage_$name"
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-        .getOrElse(sys.error(s"no part file in $tmp"))
-      java.nio.file.Files.move(part.toPath,
-        java.nio.file.Paths.get(s"$srcDir/$name.parquet"))
-      delete(new java.io.File(tmp))
-    }
+    def land(df: DataFrame, name: String): Unit =
+      StreamHarness.land(df, scratch, srcDir, name)
 
     // scope the stream's state-store/shuffle partition count down for the
     // demo-sized drops: each dropDuplicates state partition pays per-commit

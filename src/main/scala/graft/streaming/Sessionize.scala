@@ -144,24 +144,13 @@ object Sessionize {
     */
   def streamSessionizeEndstate(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.sources.Tables
+    import StreamHarness.land
     val events = Tables.events(spark, sfDir).select(col("user_id"), col("ts"))
-    val scratch = "target/stream_sess/" + sfDir.replaceAll("[^a-zA-Z0-9]", "_")
-    delete(new java.io.File(scratch))
+    val scratch = StreamHarness.freshScratch("stream_sess", sfDir)
     val srcDir = s"$scratch/drops"
     val outDir = s"$scratch/out"
     val ckpt = s"$scratch/ckpt"
     new java.io.File(srcDir).mkdirs()
-
-    def land(df: DataFrame, name: String): Unit = {
-      val tmp = s"$scratch/stage_$name"
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-        .getOrElse(sys.error(s"no part file in $tmp"))
-      java.nio.file.Files.move(part.toPath,
-        java.nio.file.Paths.get(s"$srcDir/$name.parquet"))
-      delete(new java.io.File(tmp))
-    }
 
     def runOnce(): Unit = {
       import spark.implicits._
@@ -190,9 +179,9 @@ object Sessionize {
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try {
-      land(events, "drop1")
+      land(events, scratch, srcDir, "drop1")
       runOnce()
-      land(sentinel, "drop2")
+      land(sentinel, scratch, srcDir, "drop2")
       runOnce()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
 
@@ -208,9 +197,53 @@ object Sessionize {
           .as("duration_us"))
   }
 
-  private def delete(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(delete)
-    f.delete()
+  /** `stream_daily_counts_endstate`: the watermarked tumbling-window
+    * aggregate ([[dailyTypeCounts]]) driven end-to-end the same way — events
+    * drop + AvailableNow run builds window state, a sentinel drop (distinct
+    * event_type, 30 days out) advances the watermark so every real window
+    * closes and flushes to the append sink. Day windows are epoch-aligned
+    * UTC, so the oracle is the plain batch GROUP BY over date_trunc('day').
+    */
+  def streamDailyCountsEndstate(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.Tables
+    import StreamHarness.land
+    val events = Tables.events(spark, sfDir).select(col("ts"), col("event_type"))
+    val scratch = StreamHarness.freshScratch("stream_daily", sfDir)
+    val srcDir = s"$scratch/drops"
+    val outDir = s"$scratch/out"
+    val ckpt = s"$scratch/ckpt"
+    new java.io.File(srcDir).mkdirs()
+
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(events.schema).parquet(srcDir)
+      val q = dailyTypeCounts(stream)
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .format("parquet")
+        .option("path", outDir)
+        .start()
+      q.awaitTermination()
+    }
+
+    val maxUs = events.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val sentinel = spark.range(1).select(
+      timestamp_micros(lit(maxUs + 30L * 24 * 3600 * 1000000)).as("ts"),
+      lit("__sentinel").as("event_type"))
+
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      land(events, scratch, srcDir, "drop1")
+      runOnce()
+      land(sentinel, scratch, srcDir, "drop2")
+      runOnce()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+
+    spark.read.parquet(outDir)
+      .where(col("event_type") =!= "__sentinel")
+      .select(col("window_start"), col("event_type"), col("event_count"))
   }
 
   /** The batch gap-sessionize SQL — shared verbatim by `sessionize_batch`
@@ -241,5 +274,10 @@ object Sessionize {
 
   val oracles: Map[String, String] = Map(
     "sessionize_batch" -> sessionizeSql,
-    "stream_sessionize_endstate" -> sessionizeSql)
+    "stream_sessionize_endstate" -> sessionizeSql,
+    "stream_daily_counts_endstate" ->
+      """SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS window_start,
+        |       event_type,
+        |       COUNT(*) AS event_count
+        |FROM events GROUP BY 1, 2""".stripMargin)
 }
