@@ -480,7 +480,42 @@ object Dedup {
        |SELECT vec_id_1, vec_id_2, bucket, cosine
        |FROM pairs WHERE cosine >= 0.95""".stripMargin
 
+  /** `dedup_keep_best`: resolve every near-dup cluster to its single best
+    * document — the curation decision the cluster labels exist FOR. Composes
+    * three library pieces: [[dedupClusters]] (connected components over LSH
+    * candidates), [[TextAnalysis.textQuality]] (the exact quality score),
+    * and a keep-rank-1-per-cluster written in the row_number form so the
+    * rank-limit rewrite plans it through TopKPerKey (k=1 heaps, no sort).
+    * Docs with no near-dup edge are singletons and already "kept" — this
+    * emits the decision for the contested clusters only.
+    */
+  def dedupKeepBest(documents: DataFrame): DataFrame = {
+    val clusters = dedupClusters(documents)
+    val quality = TextAnalysis.textQuality(documents)
+      .select(col("doc_id"), col("quality_score"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    clusters.join(quality, Seq("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("kept_doc_id"),
+        col("cluster_size"), col("quality_score"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "dedup_keep_best" ->
+      s"""WITH c AS (SELECT * FROM ($clustersOracle) cc),
+         |q AS (${TextAnalysis.qualityScoreSql}),
+         |j AS (
+         |  SELECT c.cluster_id, c.doc_id, c.cluster_size, q.quality_score
+         |  FROM c JOIN q ON c.doc_id = q.doc_id),
+         |r AS (
+         |  SELECT cluster_id, doc_id, cluster_size, quality_score,
+         |         ROW_NUMBER() OVER (PARTITION BY cluster_id
+         |           ORDER BY quality_score DESC, doc_id) AS rn
+         |  FROM j)
+         |SELECT cluster_id, doc_id AS kept_doc_id, cluster_size, quality_score
+         |FROM r WHERE rn = 1""".stripMargin,
     "dedup_clusters" -> clustersOracle,
     "dedup_embedding_lsh" -> embeddingLshOracle,
     "dedup_minhash_lsh" -> minhashOracle,

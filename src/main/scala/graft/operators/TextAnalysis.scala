@@ -75,6 +75,19 @@ object TextAnalysis {
         col("quality_score"), col("quality_bucket"))
   }
 
+  /** Self-contained DuckDB subquery computing `(doc_id, quality_score)` —
+    * the exact score formula of [[textQuality]], shared by oracles that
+    * consume the score (dedup_keep_best).
+    */
+  private[operators] val qualityScoreSql: String =
+    """SELECT doc_id,
+      |       LEAST(100.0, GREATEST(0.0,
+      |         CAST(len(toks) AS DOUBLE) / 2.0 +
+      |         CAST(len(list_intersect(list_distinct(toks), ['the','a','of','and'])) AS DOUBLE) * 10.0 +
+      |         CAST(len(list_filter(toks, x -> length(x) >= 5)) AS DOUBLE)
+      |           / CAST(len(toks) AS DOUBLE) * 30.0)) AS quality_score
+      |FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents) tq""".stripMargin
+
   /** `quality_decile_filter`: keep each language's top-3 quality deciles —
     * the "best X% per language" curation cut. NTILE partitions BY LANGUAGE
     * (a global ntile would be a single-partition sort; per-group ntile
