@@ -163,6 +163,7 @@ object SparkEntry {
     "quality_decile_filter" -> ((s, d) =>
       TextAnalysis.qualityDecileFilter(Tables.documents(s, d))),
     "dedup_keep_best" -> ((s, d) => Dedup.dedupKeepBest(Tables.documents(s, d))),
+    "text_top_terms" -> ((s, d) => TextAnalysis.textTopTerms(Tables.documents(s, d))),
     "embed_quantize" -> ((s, d) => Curation.embedQuantize(Tables.embeddings(s, d))),
     "token_pack" -> ((s, d) => Curation.tokenPack(Tables.documents(s, d))),
     "sessionize_batch" -> ((s, d) => graft.streaming.Sessionize.sessionizeBatch(Tables.events(s, d))),

@@ -105,6 +105,26 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), col("quality_score"), col("decile"))
   }
 
+  /** `text_top_terms`: top-10 terms per language by frequency — corpus
+    * vocabulary stats (the first thing anyone computes over a new corpus).
+    * Explode → per-(lang, term) count with map-side combine → top-k per
+    * language in the row_number form, which the rank-limit rewrite plans as
+    * k-row TopKPerKey heaps: the term-frequency table (the big intermediate
+    * — |langs| × |vocab| rows) is never sorted, only reduced.
+    */
+  def textTopTerms(documents: DataFrame): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy(col("term_count").desc, col("term"))
+    documents
+      .select(col("lang"), explode(split(lower(col("text")), " ")).as("term"))
+      .where(length(col("term")) >= 3)
+      .groupBy(col("lang"), col("term"))
+      .agg(count(lit(1)).as("term_count"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 10)
+      .select(col("lang"), col("term"), col("term_count"),
+        col("rn").cast("long").as("term_rank"))
+  }
+
   /** `text_token_count`: whitespace tokens + BPE-ish regex token count
     * (letters / digits / other-symbol pieces) + chars-per-token.
     */
@@ -268,6 +288,20 @@ object TextAnalysis {
         |  FROM s JOIN documents d ON s.doc_id = d.doc_id)
         |SELECT doc_id, lang, quality_score, decile
         |FROM r WHERE decile <= 3""".stripMargin,
+    "text_top_terms" ->
+      """WITH e AS (
+        |  SELECT lang, UNNEST(string_split(lower(text), ' ')) AS term
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang, term, COUNT(*) AS term_count
+        |  FROM e WHERE length(term) >= 3 GROUP BY 1, 2),
+        |r AS (
+        |  SELECT lang, term, term_count,
+        |         ROW_NUMBER() OVER (PARTITION BY lang
+        |           ORDER BY term_count DESC, term) AS rn
+        |  FROM c)
+        |SELECT lang, term, term_count, CAST(rn AS BIGINT) AS term_rank
+        |FROM r WHERE rn <= 10""".stripMargin,
     "text_token_count" ->
       """SELECT doc_id,
         |       CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
