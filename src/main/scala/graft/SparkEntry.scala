@@ -164,6 +164,11 @@ object SparkEntry {
       TextAnalysis.qualityDecileFilter(Tables.documents(s, d))),
     "dedup_keep_best" -> ((s, d) => Dedup.dedupKeepBest(Tables.documents(s, d))),
     "text_top_terms" -> ((s, d) => TextAnalysis.textTopTerms(Tables.documents(s, d))),
+    // corpus-level stats / QA reports
+    "text_length_histogram" -> ((s, d) => CorpusStats.textLengthHistogram(Tables.documents(s, d))),
+    "text_boilerplate_ngrams" -> ((s, d) => CorpusStats.textBoilerplateNgrams(Tables.documents(s, d))),
+    "corpus_health_by_source" -> ((s, d) => CorpusStats.corpusHealthBySource(Tables.documents(s, d))),
+    "embed_norm_stats" -> ((s, d) => CorpusStats.embedNormStats(Tables.embeddings(s, d))),
     "embed_quantize" -> ((s, d) => Curation.embedQuantize(Tables.embeddings(s, d))),
     "token_pack" -> ((s, d) => Curation.tokenPack(Tables.documents(s, d))),
     "sessionize_batch" -> ((s, d) => graft.streaming.Sessionize.sessionizeBatch(Tables.events(s, d))),
@@ -234,7 +239,7 @@ object SparkEntry {
       Sorts.oracles ++ Joins.oracles ++ SetOps.oracles ++ Arrays.oracles ++
       Merge.oracles ++ graft.sources.ApiSource.oracles ++ Reshape.oracles ++
       Enrich.oracles ++ Dedup.oracles ++ Similarity.oracles ++
-      TextAnalysis.oracles ++ Multimodal.oracles ++ Pipeline.oracles ++
+      TextAnalysis.oracles ++ CorpusStats.oracles ++ Multimodal.oracles ++ Pipeline.oracles ++
       Curation.oracles ++ IncrementalMart.oracles ++ Skew.oracles ++
       graft.models.Marts.oracles ++ graft.models.TextMarts.oracles ++
       graft.streaming.IncrementalSync.oracles ++ graft.streaming.Sessionize.oracles ++

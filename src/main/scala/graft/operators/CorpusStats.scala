@@ -1,0 +1,215 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Corpus-level statistics and QA passes for training-data pipelines
+  * (builder brief): the reports a curation run emits before/after the dedup
+  * and filter stages — length distributions, inter-document boilerplate,
+  * per-source health, embedding-norm QA.
+  *
+  * All shapes are one or two shuffles of small keyed aggregates; nothing
+  * materializes per-pair or per-token state beyond the map-side combine.
+  */
+object CorpusStats {
+
+  private def d(c: Column): Column = c.cast(DoubleType)
+
+  /** `text_length_histogram`: per-language histogram of document token
+    * counts in fixed-width buckets — the length-distribution report every
+    * corpus card carries (and the input to choosing packing/truncation
+    * lengths downstream).
+    *
+    * Scale: one shuffle on (lang, bucket) — at most |langs| × |buckets|
+    * result rows regardless of corpus size; the per-doc token count is a
+    * codegen'd expression inside the scan stage.
+    */
+  def textLengthHistogram(documents: DataFrame, bucketWidth: Int = 8): DataFrame =
+    documents
+      .select(col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .groupBy(col("lang"),
+        (expr(s"n_tokens div $bucketWidth") * bucketWidth).as("token_bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"))
+
+  /** `text_boilerplate_ngrams`: inter-document boilerplate detection — the
+    * fraction of each document's distinct 3-gram shingles that occur in at
+    * least `minDf` documents corpus-wide (headers, footers, templated spans).
+    * Downstream filters drop or strip documents dominated by boilerplate.
+    *
+    * Shape (the inverted-index discipline of [[Dedup.dedupNgramJaccard]]):
+    * explode distinct shingles once, aggregate global document frequency
+    * with map-side combine, join the frequent subset back on the shingle,
+    * re-aggregate per document. Work is linear in total shingles; the two
+    * shingle-keyed exchanges of the same exploded frame are identical, so
+    * ReuseExchange materializes the explode once. No pair of documents is
+    * ever compared directly.
+    */
+  def textBoilerplateNgrams(documents: DataFrame, minDf: Int = 5): DataFrame = {
+    val staged = Dedup.withTokens(documents, col("doc_id"))
+      .select(col("doc_id"), Dedup.shinglesCol(col("toks")).as("shingles"))
+    val perDoc = staged.select(col("doc_id"),
+      size(col("shingles")).cast("long").as("n_shingles"))
+    val inv = staged
+      .select(col("doc_id"), explode_outer(col("shingles")).as("shingle"))
+      .where(col("shingle").isNotNull)
+    // shingles are distinct per doc, so count(*) per shingle IS document
+    // frequency
+    val dfreq = inv.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val boiler = inv.join(dfreq.where(col("df") >= minDf), Seq("shingle"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_boilerplate"))
+    perDoc.join(boiler, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_boilerplate"), lit(0L)).as("n_boilerplate"),
+        when(col("n_shingles") > 0,
+          d(coalesce(col("n_boilerplate"), lit(0L))) / d(col("n_shingles")))
+          .as("boilerplate_fraction"))
+  }
+
+  /** `corpus_health_by_source`: the per-source corpus health report — doc
+    * counts, exact-duplicate rate (via content digests, never comparing
+    * bodies), language spread, mean quality (micro-quantized integer sum, so
+    * the average is partition-order independent and oracle-exact), and the
+    * short-document rate. This is the first dashboard a curation run feeds.
+    *
+    * Scale: one shuffle keyed by source; the two distinct-counts ride the
+    * same aggregation (digests are 32-byte hex, not bodies). Quality reuses
+    * [[TextAnalysis.textQuality]]'s exact score formula.
+    */
+  def corpusHealthBySource(documents: DataFrame): DataFrame = {
+    val staged = Dedup.withTokens(documents,
+      col("source"), col("lang"), md5(col("text")).as("h"))
+    val nTok = size(col("toks")).cast("long")
+    val stop = size(array_intersect(array_distinct(col("toks")),
+      array(Seq("the", "a", "of", "and").map(lit): _*))).cast("long")
+    val longTok = size(filter(col("toks"), t => length(t) >= 5)).cast("long")
+    val score = least(lit(100.0), greatest(lit(0.0),
+      d(nTok) / 2.0 + d(stop) * 10.0 + d(longTok) / d(nTok) * 30.0))
+    staged
+      .select(col("source"), col("lang"), col("h"),
+        nTok.as("n_tokens"),
+        floor(score * 1000000.0).cast("long").as("qm"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("h")).as("n_distinct_content"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("qm")).as("sum_quality_micros"),
+        sum(when(col("n_tokens") < 30, 1L).otherwise(0L)).as("n_short"))
+      .select(col("source"), col("n_docs"), col("n_distinct_content"),
+        (d(col("n_docs") - col("n_distinct_content")) / d(col("n_docs")))
+          .as("exact_dup_rate"),
+        col("n_langs"), col("sum_quality_micros"),
+        (d(col("sum_quality_micros")) / d(col("n_docs")) / lit(1000000.0))
+          .as("avg_quality"),
+        col("n_short"),
+        (d(col("n_short")) / d(col("n_docs"))).as("short_doc_rate"))
+  }
+
+  /** `embed_norm_stats`: embedding-QA norm statistics per label — vector
+    * count and min/max/sum/mean L2 norm, with norms quantized to integer
+    * micros so every aggregate is partition-order independent. Degenerate
+    * norms (zeros from failed encoders, explosions from un-normalized
+    * batches) show up here before the vectors poison similarity search.
+    *
+    * The per-row norm is the native [[graft.functions.FloatNormSq]] codegen
+    * expression (one primitive loop, whole-stage compatible); its strict
+    * left-to-right fold makes the double bit-identical to the oracle's
+    * list_reduce, and sqrt is IEEE-correctly-rounded in both engines.
+    */
+  def embedNormStats(embeddings: DataFrame): DataFrame = {
+    val nm = floor(
+      sqrt(graft.functions.VecNorm.float_norm_sq(col("embedding"))) * 1000000.0)
+      .cast("long")
+    embeddings
+      .select(col("label").cast("long").as("label"), nm.as("norm_micros"))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        min(col("norm_micros")).as("min_norm_micros"),
+        max(col("norm_micros")).as("max_norm_micros"),
+        sum(col("norm_micros")).as("sum_norm_micros"))
+      .withColumn("avg_norm",
+        d(col("sum_norm_micros")) / d(col("n_vecs")) / lit(1000000.0))
+  }
+
+  val oracles: Map[String, String] = Map(
+    "text_length_histogram" ->
+      """WITH t AS (
+        |  SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT lang, (n_tokens // 8) * 8 AS token_bucket,
+        |       COUNT(*) AS n_docs,
+        |       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+        |       MIN(n_tokens) AS min_tokens,
+        |       MAX(n_tokens) AS max_tokens
+        |FROM t GROUP BY 1, 2""".stripMargin,
+    "text_boilerplate_ngrams" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS tokens
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(
+        |           range(1, greatest(len(tokens) - 1, 1)),
+        |           i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS shingles
+        |  FROM toks),
+        |inv AS (SELECT doc_id, UNNEST(shingles) AS shingle FROM sh),
+        |dfreq AS (SELECT shingle, COUNT(*) AS df FROM inv GROUP BY 1),
+        |pb AS (
+        |  SELECT i.doc_id, COUNT(*) AS n_boil
+        |  FROM inv i JOIN dfreq f ON i.shingle = f.shingle
+        |  WHERE f.df >= 5 GROUP BY 1)
+        |SELECT sh.doc_id,
+        |       CAST(len(sh.shingles) AS BIGINT) AS n_shingles,
+        |       CAST(COALESCE(pb.n_boil, 0) AS BIGINT) AS n_boilerplate,
+        |       CASE WHEN len(sh.shingles) > 0
+        |            THEN CAST(COALESCE(pb.n_boil, 0) AS DOUBLE)
+        |                   / CAST(len(sh.shingles) AS DOUBLE)
+        |       END AS boilerplate_fraction
+        |FROM sh LEFT JOIN pb ON sh.doc_id = pb.doc_id""".stripMargin,
+    "corpus_health_by_source" ->
+      s"""WITH q AS (${TextAnalysis.qualityScoreSql}),
+        |m AS (
+        |  SELECT d.source, d.lang, md5(d.text) AS h,
+        |         CAST(len(string_split(lower(d.text), ' ')) AS BIGINT) AS n_tokens,
+        |         CAST(FLOOR(q.quality_score * 1000000.0) AS BIGINT) AS qm
+        |  FROM documents d JOIN q ON d.doc_id = q.doc_id),
+        |a AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |         COUNT(DISTINCT h) AS n_distinct_content,
+        |         COUNT(DISTINCT lang) AS n_langs,
+        |         CAST(SUM(qm) AS BIGINT) AS sum_quality_micros,
+        |         CAST(SUM(CASE WHEN n_tokens < 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_short
+        |  FROM m GROUP BY 1)
+        |SELECT source, n_docs, n_distinct_content,
+        |       CAST(n_docs - n_distinct_content AS DOUBLE) / CAST(n_docs AS DOUBLE)
+        |         AS exact_dup_rate,
+        |       n_langs, sum_quality_micros,
+        |       CAST(sum_quality_micros AS DOUBLE) / CAST(n_docs AS DOUBLE) / 1000000.0
+        |         AS avg_quality,
+        |       n_short,
+        |       CAST(n_short AS DOUBLE) / CAST(n_docs AS DOUBLE) AS short_doc_rate
+        |FROM a""".stripMargin,
+    "embed_norm_stats" ->
+      """WITH n AS (
+        |  SELECT CAST(label AS BIGINT) AS label,
+        |         CAST(FLOOR(SQRT(list_reduce(
+        |           list_prepend(CAST(0 AS DOUBLE),
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+        |           (a, b) -> a + b)) * 1000000.0) AS BIGINT) AS norm_micros
+        |  FROM embeddings)
+        |SELECT label, COUNT(*) AS n_vecs,
+        |       MIN(norm_micros) AS min_norm_micros,
+        |       MAX(norm_micros) AS max_norm_micros,
+        |       CAST(SUM(norm_micros) AS BIGINT) AS sum_norm_micros,
+        |       CAST(SUM(norm_micros) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000000.0
+        |         AS avg_norm
+        |FROM n GROUP BY 1""".stripMargin
+  )
+}

@@ -26,7 +26,7 @@ object Dedup {
     * the raw sequence, not a distinct set — n-gram semantics, and
     * order-stability across engines (DuckDB list_distinct reorders).
     */
-  private def tokensCol: Column = split(lower(col("text")), " ")
+  private[operators] def tokensCol: Column = split(lower(col("text")), " ")
 
   /** Stage tokens through their OWN projection before any shingle HOF
     * references them: interpreted higher-order functions perform no common-
@@ -36,7 +36,7 @@ object Dedup {
     * the projections back — the alias is referenced multiple times and the
     * expression is non-cheap.
     */
-  private def withTokens(documents: DataFrame, keep: Column*): DataFrame =
+  private[operators] def withTokens(documents: DataFrame, keep: Column*): DataFrame =
     documents.select(keep :+ tokensCol.as("toks"): _*)
 
   /** Word 3-gram shingle set (zip of three shifted slices — no index math,
@@ -49,7 +49,7 @@ object Dedup {
     * shingle elements are never NULL, so dropping NULL rows post-Generate is
     * exactly inner-explode semantics.
     */
-  private def shinglesCol(tokens: Column): Column = {
+  private[operators] def shinglesCol(tokens: Column): Column = {
     val n = size(tokens) - 2
     val joined = zip_with(
       zip_with(slice(tokens, lit(1), n), slice(tokens, lit(2), n),
