@@ -38,6 +38,29 @@ object IncrementalSync {
     * whose keys span every bucket degrades to a full rewrite; that is
     * inherent to upsert-into-immutable-files, and `nBuckets` is the knob
     * that sets the rewrite granularity.)
+    *
+    * ==Filesystem contract==
+    * The commit protocol is rename-based: it REQUIRES a filesystem with
+    * atomic directory rename (local POSIX, HDFS). That is asserted once per
+    * sync by `assertRenameCapable` — on an object-store path (s3/gs/abfs,
+    * where "rename" is copy+delete and not atomic) it throws instead of
+    * silently degrading to a lossy commit. The object-store equivalent of
+    * this protocol is a manifest commit: write new bucket files under
+    * versioned names, then commit by atomically swapping a single manifest
+    * pointer (one small object PUT), the same shape as the reference's
+    * server-side-atomic MERGE (lib/bigquery.py:203-212). The swap itself is
+    * isolated in `swapBuckets`/`repairInterruptedSwap` so that manifest
+    * implementation can slot in without touching the merge logic.
+    *
+    * ==Crash safety==
+    * Every bucket swap moves the live bucket aside to `<target>.old_<p>`
+    * before moving its replacement in, and `repairInterruptedSwap` runs
+    * before every read of the live table: a crash between the two moves
+    * leaves the bucket only in the aside dir, and repair restores it, so an
+    * interrupted sync re-runs against the complete pre-crash table instead
+    * of silently treating the mid-swap bucket as empty. Each bucket is
+    * therefore always old-or-new, never neither (verified by the
+    * crash-injection case in StreamingSpec).
     */
   def syncOnce(
       spark: SparkSession,
@@ -48,6 +71,11 @@ object IncrementalSync {
       pk: String,
       tsCol: String,
       nBuckets: Int = 16): DataFrame = {
+
+    assertRenameCapable(targetPath)
+    // a previous sync may have died mid-swap; restore before anything reads
+    // the target (including the zero-new-files case where no batch runs)
+    repairInterruptedSwap(targetPath)
 
     // dedup on (pk, ts): identical re-deliveries are suppressed by stream
     // state, while a *new version* of a key (same pk, later ts) passes
@@ -79,6 +107,9 @@ object IncrementalSync {
         // metadata-sized driver collect, same class as IVF centroids
         val touched = latest.select("__part").distinct()
           .collect().map(_.getInt(0)).sorted
+        // a crash can land between micro-batches of this very run; repair
+        // before every read so the merge never sees a mid-swap bucket as empty
+        repairInterruptedSwap(targetPath)
         val exists = new java.io.File(targetPath).exists()
         val merged =
           if (exists) {
@@ -96,26 +127,9 @@ object IncrementalSync {
         // crash mid-swap leaves either the old or the new bucket on disk,
         // never neither; Files.move throws on failure instead of renameTo's
         // silently-ignored boolean.
-        import java.nio.file.{Files, Paths, StandardCopyOption}
-        val tmp = Paths.get(targetPath + ".tmp")
-        val live = Paths.get(targetPath)
-        merged.write.mode("overwrite").partitionBy("__part").parquet(tmp.toString)
-        if (!Files.exists(live)) {
-          Files.move(tmp, live, StandardCopyOption.ATOMIC_MOVE)
-        } else {
-          touched.foreach { p =>
-            val src = tmp.resolve(s"__part=$p")
-            val dst = live.resolve(s"__part=$p")
-            // the aside dir lives OUTSIDE the live table root so a crash
-            // can't leave a non-partition directory for discovery to trip on
-            val old = Paths.get(targetPath + s".old_$p")
-            if (Files.exists(old)) delete(old.toFile)
-            if (Files.exists(dst)) Files.move(dst, old, StandardCopyOption.ATOMIC_MOVE)
-            if (Files.exists(src)) Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
-            if (Files.exists(old)) delete(old.toFile)
-          }
-          delete(tmp.toFile)
-        }
+        val tmp = targetPath + ".tmp"
+        merged.write.mode("overwrite").partitionBy("__part").parquet(tmp)
+        swapBuckets(targetPath, tmp, touched)
         latest.unpersist()
         ()
       }
@@ -125,6 +139,80 @@ object IncrementalSync {
   }
 
   private def delete(f: java.io.File): Unit = StreamHarness.delete(f)
+
+  /** The commit protocol requires atomic rename (see class scaladoc); fail
+    * fast on object-store URIs rather than commit lossily via copy+delete.
+    */
+  private[graft] def assertRenameCapable(targetPath: String): Unit = {
+    val scheme = java.net.URI.create(targetPath).getScheme
+    val renameCapable = scheme == null || scheme == "file" || scheme == "hdfs"
+    require(renameCapable,
+      s"IncrementalSync commits via atomic directory rename, which '$scheme' " +
+        "does not provide; use a manifest-based commit for object stores " +
+        "(see IncrementalSync scaladoc)")
+  }
+
+  /** Write-to-temp-then-swap: never overwrite the files being read
+    * (SURVEY §7.5.7 read-before-overwrite trap) — the tmp write is the
+    * action that drains the scan of the live buckets. The swap is move-based
+    * and failure-checked per bucket: a live bucket dir is moved aside (not
+    * deleted) before its replacement moves in, so a crash mid-swap leaves
+    * either the old or the aside copy on disk, never neither —
+    * `repairInterruptedSwap` restores the aside copy on the next run.
+    * `Files.move` throws on failure instead of renameTo's silently-ignored
+    * boolean.
+    */
+  private[graft] def swapBuckets(
+      targetPath: String, tmpPath: String, touched: Seq[Int]): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val tmp = Paths.get(tmpPath)
+    val live = Paths.get(targetPath)
+    if (!Files.exists(live)) {
+      Files.move(tmp, live, StandardCopyOption.ATOMIC_MOVE)
+    } else {
+      touched.foreach { p =>
+        val src = tmp.resolve(s"__part=$p")
+        val dst = live.resolve(s"__part=$p")
+        // the aside dir lives OUTSIDE the live table root so a crash
+        // can't leave a non-partition directory for discovery to trip on
+        val old = Paths.get(targetPath + s".old_$p")
+        if (Files.exists(old)) delete(old.toFile)
+        if (Files.exists(dst)) Files.move(dst, old, StandardCopyOption.ATOMIC_MOVE)
+        if (Files.exists(src)) Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
+        if (Files.exists(old)) delete(old.toFile)
+      }
+      delete(tmp.toFile)
+    }
+  }
+
+  /** Repair an interrupted bucket swap. For each `<target>.old_<p>` aside
+    * directory left by a crash: if the live `__part=p` bucket is missing,
+    * the crash hit between move-aside and move-in — restore the aside copy;
+    * if the live bucket exists, the swap completed and the aside is stale —
+    * drop it. Idempotent, and runs before every read of the live table, so
+    * an interrupted sync re-runs against the complete pre-crash table
+    * instead of rewriting a bucket from the replay batch's keys alone
+    * (which would silently lose every pre-existing row of that bucket not
+    * present in the batch).
+    */
+  private[graft] def repairInterruptedSwap(targetPath: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val live = Paths.get(targetPath).toAbsolutePath
+    val parent = live.getParent
+    if (parent == null || !Files.isDirectory(parent)) return
+    val prefix = live.getFileName.toString + ".old_"
+    val asides = parent.toFile.listFiles()
+    if (asides == null) return
+    asides.iterator.filter(_.getName.startsWith(prefix)).foreach { f =>
+      val part = f.getName.substring(prefix.length)
+      val dst = live.resolve(s"__part=$part")
+      if (Files.exists(dst)) delete(f) // swap completed; aside is stale
+      else if (Files.exists(live)) // crash between move-aside and move-in
+        Files.move(f.toPath, dst, StandardCopyOption.ATOMIC_MOVE)
+      // else: aside without a live table root — unreachable under this
+      // protocol; keep the aside (it is data) rather than guess
+    }
+  }
 
   /** `stream_upsert_endstate` (§2.10 driver-checkable row): the full
     * streaming sync driven end-to-end — two parquet drops (initial load,

@@ -97,4 +97,75 @@ class StreamingSpec extends SparkTestBase {
       .map(r => r.getLong(0) -> r.getString(2)).toMap
     assert(byId.size == 64 && byId(7L) == "v7-new" && byId(6L) == "v6")
   }
+
+  test("crash between move-aside and move-in loses no data (repair restores the bucket)") {
+    val root = Files.createTempDirectory("graft_stream_crash").toFile.getAbsolutePath
+    val src = s"$root/in"
+    val target = s"$root/target"
+    new java.io.File(src).mkdirs()
+
+    def rows(rs: (Long, String, String)*) =
+      rs.map { case (id, t, v) => (id, Timestamp.valueOf(t), v) }.toDF("id", "ts", "v")
+    var n = 0
+    def deliver(df: org.apache.spark.sql.DataFrame): Unit = {
+      n += 1
+      val staging = s"$root/staging$n"
+      df.coalesce(1).write.parquet(staging)
+      new java.io.File(staging).listFiles().filter(_.getName.endsWith(".parquet"))
+        .foreach(f => Files.move(f.toPath, new java.io.File(s"$src/b$n.parquet").toPath))
+    }
+
+    // seed all 4 buckets
+    deliver(rows((0L until 32L).map(i => (i, "2024-01-01 00:00:00", s"v$i")): _*))
+    IncrementalSync.syncOnce(spark, schema, src, target, s"$root/ck1", "id", "ts", nBuckets = 4)
+    val parts = new java.io.File(target).listFiles()
+      .map(_.getName).filter(_.startsWith("__part=")).sorted
+    assert(parts.length == 4)
+
+    // inject the crash state from IncrementalSync's swap: a bucket was moved
+    // aside to <target>.old_<p> but the process died before the replacement
+    // moved in — the live bucket dir is missing, its rows exist only aside
+    val victim = parts.head.stripPrefix("__part=")
+    val liveBucket = new java.io.File(s"$target/__part=$victim")
+    val preCrashRows = spark.read.parquet(target).count()
+    val bucketRows = spark.read.parquet(liveBucket.getAbsolutePath).count()
+    assert(bucketRows > 0)
+    Files.move(liveBucket.toPath, new java.io.File(s"$target.old_$victim").toPath)
+    assert(!liveBucket.exists())
+
+    // the uncommitted batch re-runs (fresh checkpoint = replay): without
+    // repair, the merge would read the victim bucket as empty and rewrite it
+    // from the batch's single key, losing every other pre-existing row in it
+    deliver(rows((7L, "2024-01-02 00:00:00", "v7-new")))
+    IncrementalSync.syncOnce(spark, schema, src, target, s"$root/ck2", "id", "ts", nBuckets = 4)
+
+    val byId = spark.read.parquet(target).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(byId.size == preCrashRows, s"rows lost: ${byId.size} of $preCrashRows survived")
+    assert(byId(7L) == "v7-new")
+    assert((0L until 32L).forall(i => i == 7L || byId(i) == s"v$i"))
+    // repair consumed the aside dir
+    assert(!new java.io.File(s"$target.old_$victim").exists())
+  }
+
+  test("repair drops a stale aside when the swap had completed; rename contract asserted") {
+    val root = Files.createTempDirectory("graft_stream_stale").toFile
+    val target = new java.io.File(root, "target")
+    val bucket = new java.io.File(target, "__part=3")
+    bucket.mkdirs()
+    Files.write(new java.io.File(bucket, "f.parquet").toPath, Array[Byte](1))
+    val stale = new java.io.File(root, "target.old_3")
+    stale.mkdirs()
+    Files.write(new java.io.File(stale, "old.parquet").toPath, Array[Byte](2))
+
+    IncrementalSync.repairInterruptedSwap(target.getAbsolutePath)
+    assert(!stale.exists()) // completed swap → stale aside removed
+    assert(new java.io.File(bucket, "f.parquet").exists()) // live bucket untouched
+
+    IncrementalSync.assertRenameCapable(target.getAbsolutePath)
+    IncrementalSync.assertRenameCapable("hdfs://nn/warehouse/t")
+    intercept[IllegalArgumentException] {
+      IncrementalSync.assertRenameCapable("s3a://bucket/warehouse/t")
+    }
+  }
 }
