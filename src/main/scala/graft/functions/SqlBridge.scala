@@ -22,4 +22,28 @@ object SqlBridge {
       : org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Spill file under Spark's configured local dirs (`spark.local.dir`) via
+    * the executor's DiskBlockManager — the same placement contract as
+    * Spark's own shuffle/sort spills, so spill I/O lands on the disks the
+    * cluster sized for it (not the root-volume `java.io.tmpdir`) and is
+    * swept by the worker's recursive cleanup if the JVM dies. Falls back to
+    * a JVM temp file only when no SparkEnv exists (bare unit-test use).
+    */
+  def createSpillFile(prefix: String): java.io.File = {
+    val env = org.apache.spark.SparkEnv.get
+    if (env != null && env.blockManager != null)
+      env.blockManager.diskBlockManager.createTempLocalBlock()._2
+    else java.io.File.createTempFile(prefix, ".run")
+  }
+
+  /** The executor's Spark local dirs (test observability for spill
+    * placement; DiskBlockManager is private[spark]).
+    */
+  def sparkLocalDirs: Array[java.io.File] = {
+    val env = org.apache.spark.SparkEnv.get
+    if (env != null && env.blockManager != null)
+      env.blockManager.diskBlockManager.localDirs
+    else Array.empty
+  }
 }

@@ -2,9 +2,10 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.optimizer.NormalizeNaNAndZero
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Window, WindowGroupLimit}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, MapType, StructType}
 import graft.functions.LongDot
 
 /** Catalyst optimizer rule (SURVEY §7.4(c) surface): rewrite the
@@ -90,6 +91,38 @@ object RewriteHofDotProduct extends Rule[LogicalPlan] {
   */
 object RewriteRankLimitToTopK extends Rule[LogicalPlan] with PredicateHelper {
 
+  private def containsFloat(dt: DataType): Boolean = dt match {
+    case FloatType | DoubleType => true
+    case s: StructType => s.fields.exists(f => containsFloat(f.dataType))
+    case ArrayType(et, _) => containsFloat(et)
+    case MapType(kt, vt, _) => containsFloat(kt) || containsFloat(vt)
+    case _ => false
+  }
+
+  /** TopKPerKeyExec groups by raw UnsafeRow key bytes, so -0.0 vs 0.0 and
+    * non-canonical NaN bit patterns would land in DIFFERENT groups, where
+    * WindowExec (whose partition keys pass through NormalizeFloatingNumbers)
+    * groups them together. Keys Spark already canonicalized (wrapped in
+    * [[KnownFloatingPointNormalized]] — the User-Provided-Optimizers path,
+    * which runs after the NormalizeFloatingNumbers batch) pass through;
+    * bare top-level float/double keys (the injectOptimizerRule path, which
+    * runs before it) are wrapped in the same [[NormalizeNaNAndZero]] the
+    * optimizer uses; a bare float nested inside a struct/array/map key has
+    * no cheap expression-level normalizer here, so [[normalizeKeys]] returns
+    * None and the rewrite declines — WindowExec keeps those (rare) plans.
+    */
+  private[plans] def normalizeKeys(keys: Seq[Expression]): Option[Seq[Expression]] = {
+    val normed = keys.map {
+      case k @ KnownFloatingPointNormalized(_) => Some(k)
+      case k => k.dataType match {
+        case FloatType | DoubleType => Some(NormalizeNaNAndZero(k))
+        case dt if containsFloat(dt) => None
+        case _ => Some(k)
+      }
+    }
+    if (normed.forall(_.isDefined)) Some(normed.flatten) else None
+  }
+
   /** k such that `cond` ≡ rank <= k, if it is a rank bound. */
   private def rankLimit(cond: Expression, rank: Attribute): Option[Int] = cond match {
     case LessThanOrEqual(a: Attribute, Literal(k: Int, IntegerType)) if a.semanticEquals(rank) => Some(k)
@@ -102,26 +135,30 @@ object RewriteRankLimitToTopK extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    // parts/order are taken from the Window NODE's spec (not the copy inside
+    // WindowSpecDefinition): NormalizeFloatingNumbers rewrites only the node
+    // spec, and WindowGroupLimit carries the node spec — reading the same
+    // copy keeps float keys canonical and the strip comparison exact
     case f @ Filter(cond,
         Window(Seq(alias @ Alias(WindowExpression(RowNumber(),
-          WindowSpecDefinition(parts, order,
+          WindowSpecDefinition(_, _,
             SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))), _)),
-          _, _, wchild, _))
+          parts, order, wchild, _))
         if parts.nonEmpty && order.nonEmpty =>
       val rank = alias.toAttribute
       val conjuncts = splitConjunctivePredicates(cond)
       val (rankPreds, rest) = conjuncts.partition(c => rankLimit(c, rank).isDefined)
       val maxK = conf.getConfString("spark.graft.topk.rewriteMaxK", "1000").toInt
       val kOpt = rankPreds.flatMap(c => rankLimit(c, rank)).minOption
-      kOpt match {
+      (kOpt, normalizeKeys(parts)) match {
         // k < 1 is a statically-empty filter (row_number >= 1 always) and
         // huge k defeats the bounded-heap point — leave both to Spark
-        case Some(k) if k >= 1 && k <= maxK =>
+        case (Some(k), Some(normKeys)) if k >= 1 && k <= maxK =>
           val child = wchild match {
             case WindowGroupLimit(p2, o2, _, _, c) if p2 == parts && o2 == order => c
             case c => c
           }
-          val topk = TopKPerKey(parts, order, k, rank, child)
+          val topk = TopKPerKey(normKeys, order, k, rank, child)
           if (rest.isEmpty) topk else Filter(rest.reduce(And), topk)
         case _ => f
       }

@@ -61,19 +61,25 @@ object TopKStrategy extends SparkStrategy {
 /** Physical top-k-per-key with bounded memory at ANY key cardinality.
   *
   * The retained set (≤ k rows per tracked key) is capped at
-  * `spark.graft.topk.maxRowsInMemory` rows per partition. On overflow:
+  * `spark.graft.topk.maxRowsInMemory` rows per partition — an exact bound:
+  * once reached, a row can only be absorbed if it REPLACES a row in an
+  * already-full heap. Otherwise:
   *
-  *  - partial pass: rows of keys not already tracked PASS THROUGH unreduced
-  *    (always correct — the final pass re-reduces; this is exactly Spark's
-  *    hash-aggregate partial fallback) — memory never grows past the budget;
+  *  - partial pass: the row PASSES THROUGH unreduced (always correct — the
+  *    final pass re-reduces; this is exactly Spark's hash-aggregate partial
+  *    fallback) — memory never grows past the budget;
   *  - final pass: the retained set is SPILLED to a run file sorted by key
   *    bytes, and at end-of-input the runs plus the in-memory remainder are
   *    k-way merged by key — grouping is restored by the merge order, so only
   *    ONE key's ≤k-row heap is live during emission. Exact output, O(budget)
-  *    memory, O(n log k) compares plus spill I/O.
+  *    memory, O(n log k) compares plus spill I/O. Spill files are allocated
+  *    under `spark.local.dir` via the DiskBlockManager (the disks the
+  *    cluster sized for shuffle I/O, not `java.io.tmpdir`) and deleted by a
+  *    task-completion listener even when the task fails or its output
+  *    iterator is never drained (a LIMIT above).
   *
   * Observable via SQLMetrics: output rows, distinct keys, spill count,
-  * partial pass-through rows.
+  * spill bytes, partial pass-through rows.
   */
 case class TopKPerKeyExec(
     keys: Seq[Expression],
@@ -97,6 +103,7 @@ case class TopKPerKeyExec(
     "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "output rows"),
     "numKeys" -> SQLMetrics.createMetric(sparkContext, "distinct keys"),
     "spillCount" -> SQLMetrics.createMetric(sparkContext, "spilled runs"),
+    "spillBytes" -> SQLMetrics.createSizeMetric(sparkContext, "spill size"),
     "passThroughRows" -> SQLMetrics.createMetric(sparkContext,
       "rows passed through unreduced (partial budget fallback)"))
 
@@ -112,6 +119,7 @@ case class TopKPerKeyExec(
     val numOutputRows = longMetric("numOutputRows")
     val numKeys = longMetric("numKeys")
     val spillCount = longMetric("spillCount")
+    val spillBytes = longMetric("spillBytes")
     val passThroughRows = longMetric("passThroughRows")
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
@@ -125,6 +133,13 @@ case class TopKPerKeyExec(
       val heaps = new java.util.LinkedHashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
       var retained = 0L
       val spills = scala.collection.mutable.ArrayBuffer.empty[java.io.File]
+      // spill files must die with the TASK, not the JVM: a killed/failed
+      // task, or an output iterator never drained to EOF (a LIMIT above),
+      // would otherwise leak them for the life of a long-running executor
+      val taskCtx = org.apache.spark.TaskContext.get()
+      if (taskCtx != null) taskCtx.addTaskCompletionListener[Unit] { _ =>
+        spills.foreach(f => if (f.exists()) f.delete())
+      }
 
       def unsafeCopy(row: InternalRow): UnsafeRow = row match {
         case u: UnsafeRow => u.copy()
@@ -154,8 +169,9 @@ case class TopKPerKeyExec(
         arr
       }
       def spill(): Unit = {
-        val f = java.io.File.createTempFile("graft-topk-spill", ".run")
-        f.deleteOnExit()
+        // allocated under spark.local.dir via the DiskBlockManager — same
+        // placement as Spark's own shuffle spills, never java.io.tmpdir
+        val f = SqlBridge.createSpillFile("graft-topk-spill")
         val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
           new java.io.FileOutputStream(f), 1 << 16))
         sortedEntries().foreach { case (kb, q) =>
@@ -169,8 +185,15 @@ case class TopKPerKeyExec(
         out.close()
         spills += f
         spillCount += 1
+        spillBytes += f.length()
         heaps.clear()
         retained = 0
+      }
+      // a row into a FULL tracked heap replaces its worst row instead of
+      // growing the retained set — absorbing it never violates the budget
+      def fullHeap(key: UnsafeRow): Boolean = {
+        val q = heaps.get(key)
+        q != null && q.size() >= limit
       }
       def absorb(key: UnsafeRow, row: InternalRow): Unit = {
         var q = heaps.get(key)
@@ -204,12 +227,15 @@ case class TopKPerKeyExec(
         }
 
       if (isPartial) {
-        // inline pass-through keeps memory bounded WITHOUT spilling: an
-        // untracked key past the budget is simply not reduced on this side
+        // inline pass-through keeps memory bounded WITHOUT spilling: a row
+        // the budget can't admit is simply not reduced on this side. A row
+        // of a tracked key whose heap is already FULL is always absorbed —
+        // it replaces rather than grows — so `retained` never exceeds the
+        // budget (the exact bound, not budget + tracked·(k-1))
         val streamed = iter.flatMap { row =>
           val key = keyProj(row)
-          val tracked = heaps.get(key) != null
-          if (tracked || retained < budget) { absorb(key, row); None }
+          val q = heaps.get(key)
+          if ((q != null && q.size() >= limit) || retained < budget) { absorb(key, row); None }
           else {
             passThroughRows += 1
             numOutputRows += 1
@@ -221,12 +247,13 @@ case class TopKPerKeyExec(
           q.iterator().asScala
         }
       } else {
-        // final pass: exact per-key top-k required — spill sorted runs when
-        // over budget, merge at end
+        // final pass: exact per-key top-k required — spill sorted runs the
+        // moment the budget is reached (regardless of whether the incoming
+        // key is tracked), merge at end; `retained` never exceeds the budget
         while (iter.hasNext) {
           val row = iter.next()
           val key = keyProj(row)
-          if (heaps.get(key) == null && retained >= budget) spill()
+          if (retained >= budget && !fullHeap(key)) spill()
           absorb(key, row)
         }
         if (spills.isEmpty) {
@@ -348,7 +375,14 @@ object TopK {
       SortOrder(attr(name), dir, dir.defaultNullOrdering, Seq.empty)
     }
     val rank = AttributeReference(rankName, LongType, nullable = false)()
+    // same -0.0/NaN key canonicalization as the rewrite rule — raw-byte
+    // grouping must match what a window-form equivalent would produce
+    val keys = RewriteRankLimitToTopK.normalizeKeys(keyCols.map(attr)).getOrElse(
+      throw new IllegalArgumentException(
+        s"topKPerKey: keys with nested float/double types are not supported " +
+          s"(raw-byte grouping cannot canonicalize -0.0/NaN inside " +
+          s"${keyCols.mkString(", ")}); use the window row_number form"))
     SqlBridge.dataFrame(spark,
-      TopKPerKey(keyCols.map(attr), order, k, rank, analyzed))
+      TopKPerKey(keys, order, k, rank, analyzed))
   }
 }

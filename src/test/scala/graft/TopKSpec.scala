@@ -186,4 +186,84 @@ class TopKSpec extends SparkTestBase {
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
     }
   }
+
+  test("spill files live under spark.local.dir and are cleaned up on task end") {
+    import org.apache.spark.sql.graftbridge.SqlBridge
+    val localDirs = SqlBridge.sparkLocalDirs
+    assert(localDirs.nonEmpty, "local-mode SparkEnv should expose local dirs")
+    // placement: the allocator hands out paths under Spark's local dirs,
+    // not java.io.tmpdir (the r4 finding)
+    val probe = SqlBridge.createSpillFile("graft-topk-spill")
+    assert(localDirs.exists(d => probe.getAbsolutePath.startsWith(d.getAbsolutePath)),
+      s"spill file $probe not under any of ${localDirs.mkString(",")}")
+    probe.delete()
+
+    def tempLocalFiles(): Seq[java.io.File] = localDirs.flatMap { d =>
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk) else Seq(f)
+      walk(d)
+    }.filter(_.getName.startsWith("temp_local_")).toSeq
+
+    spark.conf.set("spark.graft.topk.maxRowsInMemory", "1000")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = spark.range(0, 50000, 1, 4).select(
+        col("id").as("k"), (col("id") % 97).as("score"), col("id").as("id"))
+      val out = TopK.topKPerKey(df, Seq("k"), Seq(("score", true), ("id", false)), 1, "r")
+      // drain only ONE row: without the task-completion listener the
+      // undrained merge readers would leak their run files until JVM exit
+      assert(out.limit(1).collect().length == 1)
+      val full = TopK.topKPerKey(df, Seq("k"), Seq(("score", true), ("id", false)), 1, "r")
+      assert(full.count() == 50000)
+      val fin = executed(full).collect { case t: TopKPerKeyExec if !t.partial => t }.head
+      assert(fin.metrics("spillCount").value > 0)
+      assert(fin.metrics("spillBytes").value > 0, s"spill bytes metric: ${fin.metrics}")
+      val leftover = tempLocalFiles()
+      assert(leftover.isEmpty, s"spill files leaked past task end: $leftover")
+    } finally {
+      spark.conf.unset("spark.graft.topk.maxRowsInMemory")
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
+  test("float partition keys: -0.0/0.0 group together (window parity)") {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // AQE hides exec nodes from collect
+    try {
+    // raw-byte grouping would put -0.0 and 0.0 in different groups; the
+    // rewrite and the API wrap float keys in NormalizeNaNAndZero
+    val df = Seq((-0.0, 1L), (0.0, 2L), (1.5, 3L), (Double.NaN, 4L), (Double.NaN, 5L))
+      .toDF("key", "id")
+    val viaApi = TopK.topKPerKey(df, Seq("key"), Seq(("id", false)), 1, "r")
+    assert(viaApi.count() == 3, "-0.0/0.0 and the NaNs must each collapse to one group")
+
+    import org.apache.spark.sql.expressions.Window
+    val viaRewrite = df.withColumn("r",
+        row_number().over(Window.partitionBy("key").orderBy("id")))
+      .where(col("r") === 1)
+    val plan = executed(viaRewrite)
+    assert(plan.collect { case t: TopKPerKeyExec => t }.nonEmpty,
+      "rewrite should still fire for top-level float keys")
+    assert(viaRewrite.count() == 3)
+
+    // nested float keys through the window form: Spark's own
+    // NormalizeFloatingNumbers rebuilds the struct with canonical floats
+    // (KnownFloatingPointNormalized) before the User-Provided batch, so the
+    // rewrite fires and the raw-byte grouping is already canonical
+    val nested = df.select(struct(col("key")).as("sk"), col("id"))
+    val nestedWin = nested.withColumn("r",
+        row_number().over(Window.partitionBy("sk").orderBy("id")))
+      .where(col("r") === 1)
+    val nestedPlan = executed(nestedWin)
+    assert(nestedPlan.collect { case t: TopKPerKeyExec => t }.nonEmpty,
+      "normalized nested keys should still rewrite")
+    assert(nestedWin.count() == 3)
+    // the direct API path sees the RAW attribute (no normalization has run)
+    // and must refuse rather than group non-canonical bytes
+    intercept[IllegalArgumentException] {
+      TopK.topKPerKey(nested, Seq("sk"), Seq(("id", false)), 1, "r")
+    }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
 }
