@@ -60,9 +60,7 @@ object Bench {
     // single query's regression without paying the full-suite wall clock
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    // benchQueries: production fastHash variants measured here but outside
-    // the oracle surface (no DuckDB twin for xxhash64)
-    val all = SparkEntry.queries ++ SparkEntry.benchQueries
+    val all = SparkEntry.queries
     val selected = only match {
       case Some(names) => all.filter { case (k, _) => names(k) }
       case None => all

@@ -216,23 +216,20 @@ object SparkEntry {
     "fct_reviewer_activity" -> ((s, d) =>
       graft.models.ModelAdapters.fctReviewerActivity(Tables.orders(s, d), Tables.lineitem(s, d))),
     "fct_oura_daily" -> ((s, d) =>
-      graft.models.ModelAdapters.fctOuraDaily(Tables.events(s, d)))
-  )
-
-  /** Bench-only scale-path variants: the xxhash64 `fastHash` switch is the
-    * production hash for the sketch operators (the md5-based PortableHash
-    * exists only for cross-engine oracle parity and costs ~4x). xxhash64 has
-    * no DuckDB twin, so these are measured in Bench (rows-only execution)
-    * while the portable-hash forms in [[queries]] carry the oracle proof of
-    * the identical algorithm shape. Not part of the Verify surface.
-    */
-  def benchQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+      graft.models.ModelAdapters.fctOuraDaily(Tables.events(s, d))),
+    // Scale-path variants: the xxhash64 `fastHash` switch is the production
+    // hash for the sketch operators (the md5-based PortableHash exists only
+    // for cross-engine oracle parity and costs ~4x). xxhash64 has no DuckDB
+    // twin, so these carry NO oracleSql entry — the driver records the
+    // weaker rows-only check — while the portable-hash forms above carry the
+    // oracle proof of the identical algorithm shape.
     "agg_approx_distinct_fast" -> ((s, d) =>
       Aggregates.aggApproxDistinct(Tables.lineitem(s, d), fastHash = true)),
     "dedup_minhash_lsh_fast" -> ((s, d) =>
       Dedup.dedupMinhashLsh(Tables.documents(s, d), fastHash = true)),
     "dedup_simhash_fast" -> ((s, d) =>
-      Dedup.dedupSimhash(Tables.documents(s, d), fastHash = true)))
+      Dedup.dedupSimhash(Tables.documents(s, d), fastHash = true))
+  )
 
   def oracleSql: Map[String, String] =
     Oracles.all ++ Aggregates.oracles ++ Staging.oracles ++ Scalars.oracles ++
