@@ -249,16 +249,9 @@ object IncrementalSync {
     def land(df: DataFrame, name: String): Unit =
       StreamHarness.land(df, scratch, srcDir, name)
 
-    // scope the stream's state-store/shuffle partition count down for the
-    // demo-sized drops: each dropDuplicates state partition pays per-commit
-    // file I/O on every micro-batch, so 32 session partitions mean 64 store
-    // commits for two runs of ~20k rows (~4s of pure overhead measured); a
-    // production deployment sizes this to the real drop volume instead.
-    // The first run freezes the count into the checkpoint, so set it before
-    // both runs and restore after.
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
+    // demo-scoped lifecycle confs (state partitions, checkpoint checksums)
+    // — see StreamHarness.withDemoStreamConfs for the measured rationale
+    StreamHarness.withDemoStreamConfs(spark) {
       // nBuckets=4 matches the demo's scoped-down state partitions: the
       // hash-spread demo drops touch every bucket anyway, so more buckets
       // would only buy small-file overhead here; production sizes nBuckets
@@ -267,7 +260,7 @@ object IncrementalSync {
       syncOnce(spark, drop1.schema, srcDir, target, ckpt, "event_id", "ts", nBuckets = 4)
       land(drop2, "drop2")
       syncOnce(spark, drop1.schema, srcDir, target, ckpt, "event_id", "ts", nBuckets = 4)
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     spark.read.parquet(target)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
   }

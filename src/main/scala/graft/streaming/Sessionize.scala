@@ -174,16 +174,14 @@ object Sessionize {
       lit(-1L).as("user_id"),
       timestamp_micros(lit(maxUs + 30L * 24 * 3600 * 1000000)).as("ts"))
 
-    // scoped-down state partitions, as in IncrementalSync's demo: the first
-    // run freezes the count into the checkpoint
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
+    // demo-scoped lifecycle confs, as in IncrementalSync's demo — see
+    // StreamHarness.withDemoStreamConfs
+    StreamHarness.withDemoStreamConfs(spark) {
       land(events, scratch, srcDir, "drop1")
       runOnce()
       land(sentinel, scratch, srcDir, "drop2")
       runOnce()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
 
     val w = Window.partitionBy("user_id").orderBy("session_start")
     spark.read.parquet(outDir)
@@ -232,14 +230,12 @@ object Sessionize {
       timestamp_micros(lit(maxUs + 30L * 24 * 3600 * 1000000)).as("ts"),
       lit("__sentinel").as("event_type"))
 
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
+    StreamHarness.withDemoStreamConfs(spark) {
       land(events, scratch, srcDir, "drop1")
       runOnce()
       land(sentinel, scratch, srcDir, "drop2")
       runOnce()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
 
     spark.read.parquet(outDir)
       .where(col("event_type") =!= "__sentinel")
