@@ -54,6 +54,15 @@ object Bench {
       def med: Option[Double] = if (warm.isEmpty) None else Some(median(warm))
       def min: Option[Double] = warm.reduceOption(_ min _)
       def max: Option[Double] = warm.reduceOption(_ max _)
+      // quartiles: the spread interval that matches the median's robustness
+      // (raw min/max keeps showing a one-off outlier even after adaptive
+      // re-measurement has made the median immune to it)
+      def q1: Option[Double] = quartile(0.25)
+      def q3: Option[Double] = quartile(0.75)
+      private def quartile(p: Double): Option[Double] =
+        if (warm.isEmpty) None
+        else Some(warm.sorted.apply(((warm.size - 1) * p).round.toInt))
+      def iters: Int = warm.size
     }
 
     // SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the run — for bisecting a
@@ -65,13 +74,23 @@ object Bench {
       case Some(names) => all.filter { case (k, _) => names(k) }
       case None => all
     }
+    // a warm sample whose max/min spread exceeds this is re-measured with
+    // extra iterations: 3 samples cannot reject the 3-8x one-off outliers a
+    // loaded host injects (the r4 medians carried several), but 7+ samples
+    // give the median real breakdown resistance. Bounded so a genuinely
+    // bimodal query (GC-heavy, state-store-bound) can't spin forever.
+    val spreadLimit = sys.env.getOrElse("SPARK_GRAFT_SPREAD_LIMIT", "2.0").toDouble
+    val maxIters = sys.env.getOrElse("SPARK_GRAFT_MAX_ITERS", "9").toInt.max(warmIters)
     val results = selected.map { case (name, fn) =>
       val cold = once(name, fn)
       // a query that failed cold will fail warm identically; don't retry it
       // warmIters more times (each attempt re-raises through full planning)
-      val warm =
+      var warm =
         if (cold.isEmpty) Seq.empty[Double]
         else (1 to warmIters).flatMap(_ => once(name, fn))
+      while (warm.nonEmpty && warm.size < maxIters &&
+          warm.max / warm.min.max(1e-9) > spreadLimit)
+        warm = warm ++ once(name, fn)
       // drop this query's cached relations before the next query: operators
       // cache intra-query reused staging (by design), and 130+ queries of
       // accumulated blocks otherwise evict each other mid-iteration, turning
@@ -86,11 +105,21 @@ object Bench {
     val warmTotal = results.values.flatMap(_.med).sum
     val coldTotal = results.values.flatMap(_.cold).sum
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val itersJson = results.map { case (k, v) => "\"" + k + "\":" + v.iters }
+      .mkString("{", ",", "}")
+    // host-load evidence alongside the numbers: a loaded machine is the main
+    // alternative explanation for a wide spread, so record it in-band
+    def loadAvg: String =
+      try scala.io.Source.fromFile("/proc/loadavg").getLines().next()
+        .split(" ").take(3).mkString(",")
+      catch { case _: Throwable => "" }
     val json =
       s"""{"metric":"total","value":$warmTotal,"unit":"sec","warm_iters":$warmIters,""" +
+        s""""spread_limit":$spreadLimit,"max_iters":$maxIters,""" +
         s""""queries":${jmap(_.med)},"query_min":${jmap(_.min)},"query_max":${jmap(_.max)},""" +
+        s""""query_q1":${jmap(_.q1)},"query_q3":${jmap(_.q3)},"query_iters":$itersJson,""" +
         s""""cold_total":$coldTotal,"cold_queries":${jmap(_.cold)},""" +
-        s""""errors":$errJson,"sf":"$sfDir"}"""
+        s""""errors":$errJson,"loadavg_end":"$loadAvg","sf":"$sfDir"}"""
     // full per-query timings go to a file; stdout gets a COMPACT line.
     // The driver keeps only the last ~2000 chars of stdout, and the full
     // per-query map is ~7KB — rounds 1-2 therefore recorded `parsed: null`.
