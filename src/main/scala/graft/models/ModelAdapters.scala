@@ -88,17 +88,54 @@ object ModelAdapters {
       span: Int): DataFrame =
     events.where(col("event_type") === eventType)
       .groupBy(to_date(col("ts")).as("day"))
-      .agg((lit(base) + pmod(count(lit(1)), lit(span.toLong))).as("score"))
+      .agg(
+        (lit(base) + pmod(count(lit(1)), lit(span.toLong))).as("score"),
+        count(lit(1)).as("__n"))
 
-  def sleep(events: DataFrame): DataFrame = dailyScore(events, "view", 50, 50)
-  def readiness(events: DataFrame): DataFrame = dailyScore(events, "click", 40, 60)
+  /** stg_oura__sleep-shaped: the day-grain score the mart consumes plus the
+    * reference staging columns (stg_oura__sleep.sql:8-18) — a synthetic id
+    * and the eight contributor_* scores, each a deterministic [0,100]
+    * derivation of the day's event count. fct_oura_daily reads only
+    * (day, score), so the mart and its oracle are unaffected.
+    */
+  def sleep(events: DataFrame): DataFrame = {
+    val contributors = Seq(
+      "contributor_deep_sleep" -> 7, "contributor_efficiency" -> 11,
+      "contributor_latency" -> 13, "contributor_rem_sleep" -> 17,
+      "contributor_restfulness" -> 19, "contributor_timing" -> 23,
+      "contributor_total_sleep" -> 29)
+    contributors.foldLeft(
+      dailyScore(events, "view", 50, 50)
+        .withColumn("sleep_id", concat(lit("sleep_"), col("day")))) {
+      case (df, (name, prime)) =>
+        df.withColumn(name, pmod(col("__n") * prime, lit(101L)))
+    }.drop("__n")
+  }
 
+  /** stg_oura__daily_readiness-shaped (stg_oura__daily_readiness.sql:7-12):
+    * score plus synthetic id and a [-3.0, 3.0] temperature deviation.
+    */
+  def readiness(events: DataFrame): DataFrame =
+    dailyScore(events, "click", 40, 60)
+      .withColumn("readiness_id", concat(lit("readiness_"), col("day")))
+      .withColumn("temperature_deviation",
+        (pmod(col("__n"), lit(61L)) - 30L).cast("double") / 10.0)
+      .drop("__n")
+
+  /** stg_oura__daily_activity-shaped (stg_oura__daily_activity.sql:8-20):
+    * score/steps plus synthetic id and calorie columns holding the
+    * reference's active <= total invariant by construction.
+    */
   def activity(events: DataFrame): DataFrame =
     events.where(col("event_type") === "purchase")
       .groupBy(to_date(col("ts")).as("day"))
       .agg(
         (lit(30) + pmod(count(lit(1)), lit(70L))).as("score"),
-        pmod(sum(round(col("value")).cast("long")), lit(15000L)).as("steps"))
+        pmod(sum(round(col("value")).cast("long")), lit(15000L)).as("steps"),
+        pmod(count(lit(1)) * 37, lit(800L)).as("active_calories"),
+        (lit(1200L) + pmod(count(lit(1)) * 37, lit(800L)) +
+          pmod(count(lit(1)), lit(500L))).as("total_calories"))
+      .withColumn("activity_id", concat(lit("activity_"), col("day")))
 
   def fctOuraDaily(events: DataFrame): DataFrame =
     // cached: each daily aggregate feeds BOTH the union spine and its own
@@ -256,6 +293,10 @@ object ModelAdapters {
         |            WHEN sleep_score >= 70 THEN 'good'
         |            WHEN sleep_score >= 60 THEN 'fair'
         |            WHEN sleep_score IS NOT NULL THEN 'poor' END AS sleep_category,
+        |       CASE WHEN readiness_score >= 85 THEN 'optimal'
+        |            WHEN readiness_score >= 70 THEN 'good'
+        |            WHEN readiness_score >= 55 THEN 'fair'
+        |            WHEN readiness_score IS NOT NULL THEN 'poor' END AS readiness_category,
         |       CASE WHEN steps >= 10000 THEN 'very_active'
         |            WHEN steps >= 7500 THEN 'active'
         |            WHEN steps >= 5000 THEN 'moderate'

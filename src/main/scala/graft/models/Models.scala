@@ -162,6 +162,12 @@ object Models {
           .when(col("sleep_score") >= 70, "good")
           .when(col("sleep_score") >= 60, "fair")
           .when(col("sleep_score").isNotNull, "poor").as("sleep_category"),
+        // fct_oura_daily.sql:103-108 (85/70/55 tiers, null-propagating like
+        // the other category columns)
+        when(col("readiness_score") >= 85, "optimal")
+          .when(col("readiness_score") >= 70, "good")
+          .when(col("readiness_score") >= 55, "fair")
+          .when(col("readiness_score").isNotNull, "poor").as("readiness_category"),
         when(col("steps") >= 10000, "very_active")
           .when(col("steps") >= 7500, "active")
           .when(col("steps") >= 5000, "moderate")

@@ -455,6 +455,18 @@ object TextMarts {
     (score, category)
   }
 
+  /** int_hn__comment_sentiment-shaped stage (int_hn__comment_sentiment
+    * .sql:14-30): comment grain with the deterministic lexicon score and
+    * category — the same sentiment columns [[fctHnKeywordSentiment]]
+    * aggregates, exposed at the staging grain the reference tests.
+    */
+  def stgCommentSentiment(documents: DataFrame): DataFrame = {
+    val (score, category) = sentimentCols(col("comment_text"))
+    hnComments(documents).select(
+      col("comment_id"), col("story_id"), col("day"),
+      score.as("sentiment_score"), category.as("sentiment_category"))
+  }
+
   /** fct_hn_keyword_sentiment (:14-52): daily per-keyword sentiment rollup —
     * counts, fixed-point-exact mean/stddev/magnitude (Num.fix10 grid),
     * category distribution pcts, extremes, day-over-day deltas.
