@@ -72,13 +72,13 @@ object Curation {
 
   // ------------------------------------------------------- contamination
 
-  /** Word n-gram shingle set (distinct). */
-  private def nGrams(tokens: Column, n: Int): Column = {
-    val grams = transform(sequence(lit(1), size(tokens) - (n - 1)), i =>
-      concat_ws(" ", (0 until n).map(k => element_at(tokens, i + k)): _*))
-    when(size(tokens) >= n, array_distinct(grams))
-      .otherwise(array().cast("array<string>"))
-  }
+  /** Word n-gram shingle set (distinct) — native codegen expression; the
+    * transform/sequence HOF it replaces was CodegenFallback (see
+    * graft.functions.WordShingles).
+    */
+  private def nGrams(tokens: Column, n: Int): Column =
+    coalesce(graft.functions.WordShingles.word_shingles(tokens, n),
+      array().cast("array<string>"))
 
   /** `contamination_check`: which corpus docs share a word n-gram with the
     * benchmark/eval set (here: doc_id % 97 == 0 — in production the held-out

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 import graft.functions.LongDot.long_dot
+import graft.functions.LongEqCount.long_eq_count
 
 /** Large-scale deduplication operators — the training-data-pipeline extension
   * surface (builder brief; BASELINE.json north_star). All variants are
@@ -39,26 +40,24 @@ object Dedup {
   private[operators] def withTokens(documents: DataFrame, keep: Column*): DataFrame =
     documents.select(keep :+ tokensCol.as("toks"): _*)
 
-  /** Word 3-gram shingle set (zip of three shifted slices — no index math,
-    * no sequence(1,0) descending-range edge case).
+  /** Word 3-gram shingle set via the native [[graft.functions.WordShingles]]
+    * expression — one codegen loop per document. (Historically a nested
+    * zip_with-of-slices HOF: CodegenFallback, two boxed lambdas and three
+    * array allocations per row; WordShinglesSpec pins the exact-parity
+    * semantics and PlanAuditSpec guards against fallback regressions.)
     *
     * Exploded via explode_outer + IsNotNull everywhere: a plain explode makes
     * InferFiltersFromGenerate synthesize `size(shingles) > 0`, which pushes
-    * to the scan and re-evaluates this whole (interpreted, HOF-based)
-    * expression a second time per row; the outer variant is exempt, and
-    * shingle elements are never NULL, so dropping NULL rows post-Generate is
-    * exactly inner-explode semantics.
+    * to the scan and re-evaluates the whole shingle expression a second time
+    * per row; the outer variant is exempt, and shingle elements are never
+    * NULL, so dropping NULL rows post-Generate is exactly inner-explode
+    * semantics.
     */
-  private[operators] def shinglesCol(tokens: Column): Column = {
-    val n = size(tokens) - 2
-    val joined = zip_with(
-      zip_with(slice(tokens, lit(1), n), slice(tokens, lit(2), n),
-        (x, y) => concat(x, lit(" "), y)),
-      slice(tokens, lit(3), n),
-      (xy, z) => concat(xy, lit(" "), z))
-    when(size(tokens) >= 3, array_distinct(joined))
-      .otherwise(array().cast("array<string>"))
-  }
+  private[operators] def shinglesCol(tokens: Column): Column =
+    // coalesce keeps the historical wrapper semantics: NULL tokens → empty
+    // shingle set (the expression itself null-propagates like any unary)
+    coalesce(graft.functions.WordShingles.word_shingles(tokens, 3),
+      array().cast("array<string>"))
 
   /** `dedup_exact`: group on md5(text) — keep lowest doc_id per digest. */
   def dedupExact(documents: DataFrame): DataFrame =
@@ -166,9 +165,12 @@ object Dedup {
     candidates
       .join(sigTable.select(col("doc_id").as("doc_id_1"), col("sig").as("sig1")), Seq("doc_id_1"))
       .join(sigTable.select(col("doc_id").as("doc_id_2"), col("sig").as("sig2")), Seq("doc_id_2"))
+      // native agreement count (graft.functions.LongEqCount): the HOF form
+      // size(filter(zip_with(...))) is CodegenFallback and would drop this
+      // verify projection — the hottest loop of the LSH join — out of
+      // whole-stage codegen (PlanAuditSpec guards this)
       .withColumn("est_jaccard",
-        (size(filter(zip_with(col("sig1"), col("sig2"), (x, y) => x === y),
-          b => b)).cast(DoubleType) / MinhashK.toDouble))
+        long_eq_count(col("sig1"), col("sig2")).cast(DoubleType) / MinhashK.toDouble)
       .where(col("est_jaccard") >= 0.5)
       .select(col("doc_id_1"), col("doc_id_2"), col("lang"), col("est_jaccard"))
   }

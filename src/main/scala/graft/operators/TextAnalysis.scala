@@ -179,10 +179,9 @@ object TextAnalysis {
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
       .agg(max(col("c")).as("mx"), sum(col("c")).as("n"))
-    val gram2 = zip_with(
-      slice(col("toks"), lit(1), size(col("toks")) - 1),
-      slice(col("toks"), lit(2), size(col("toks")) - 1),
-      (a, b) => concat(a, lit(" "), b))
+    // all 2-grams WITH multiplicities (repetition needs counts, not a set) —
+    // native codegen; the zip_with-of-slices HOF was CodegenFallback
+    val gram2 = graft.functions.WordShingles.word_grams(col("toks"), 2)
     val gramStats = staged
       .select(col("doc_id"), explode_outer(gram2).as("gram"))
       .where(col("gram").isNotNull)
