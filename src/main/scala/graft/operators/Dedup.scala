@@ -175,6 +175,54 @@ object Dedup {
       .select(col("doc_id_1"), col("doc_id_2"), col("lang"), col("est_jaccard"))
   }
 
+  /** Paragraph chunking for span-level dedup: fixed `window`-word spans
+    * (the realistic chunking for corpora whose paragraph boundaries are
+    * unreliable or absent), capped at `MaxParas` spans per document, each
+    * reshaped to the (doc_id, lang, text) contract of the minhash machinery
+    * with the packed span id `doc_id * MaxParas + para_idx`.
+    */
+  private[operators] val ParaWindow = 20
+  private[operators] val MaxParas = 100
+
+  private def paragraphs(documents: DataFrame): DataFrame = {
+    val toks = split(lower(col("text")), " ")
+    documents
+      .select(col("doc_id"), col("lang"), toks.as("toks"))
+      .select(col("doc_id"), col("lang"), col("toks"),
+        explode(sequence(lit(0L),
+          least(ceil(size(col("toks")) / lit(ParaWindow.toDouble)).cast("long"),
+            lit(MaxParas.toLong)) - 1)).as("pi"))
+      .select(
+        (col("doc_id") * MaxParas + col("pi")).as("doc_id"),
+        col("lang"),
+        concat_ws(" ",
+          slice(col("toks"), (col("pi") * ParaWindow + 1).cast("int"), lit(ParaWindow)))
+          .as("text"))
+  }
+
+  /** `dedup_paragraph`: CROSS-document near-duplicate SPANS — the curation
+    * operator for template/boilerplate text shared between otherwise
+    * distinct documents (intra-document repetition is
+    * `text_boilerplate_ngrams`; whole-document near-dup is
+    * `dedup_minhash_lsh`). Each document is chunked into [[ParaWindow]]-word
+    * spans and the spans flow through the SAME banded minhash-LSH machinery
+    * (shingle → sign → band → bucket join → signature verify), so the scale
+    * story is inherited: work ∝ colliding spans, never all pairs. Pairs
+    * within one document are dropped; span ids decode back to
+    * (doc_id, para_idx).
+    */
+  def dedupParagraph(documents: DataFrame, fastHash: Boolean = false): DataFrame = {
+    val spanPairs = dedupMinhashLsh(paragraphs(documents), fastHash)
+    spanPairs
+      .where(expr(s"doc_id_1 div $MaxParas") =!= expr(s"doc_id_2 div $MaxParas"))
+      .select(
+        expr(s"doc_id_1 div $MaxParas").as("doc_a"),
+        pmod(col("doc_id_1"), lit(MaxParas.toLong)).as("para_a"),
+        expr(s"doc_id_2 div $MaxParas").as("doc_b"),
+        pmod(col("doc_id_2"), lit(MaxParas.toLong)).as("para_b"),
+        col("lang"), col("est_jaccard"))
+  }
+
   /** `dedup_simhash`: 16-bit simhash over shingle hashes; nibble-banded
     * candidate join; near-dup at hamming ≤ 3. Oracle-exact via
     * [[graft.functions.PortableHash]]; recall checked in DedupSpec.
@@ -237,13 +285,15 @@ object Dedup {
   }
 
   /** Shared oracle CTEs: shingle sets → exploded → portable hash in [0, P).
-    * Mirrors `tokensCol`/`shinglesCol`/`shingleHash` exactly.
+    * Mirrors `tokensCol`/`shinglesCol`/`shingleHash` exactly; `src` is the
+    * (doc_id, lang, text) relation to shingle — `documents`, or the
+    * paragraph CTE for span-level dedup.
     */
-  private val hashedShingleCtes: String = {
+  private def hashedShingleCtesFrom(src: String): String = {
     val h = graft.functions.PortableHash.duckSql("shingle")
     s"""toks AS (
        |  SELECT doc_id, lang, string_split(lower(text), ' ') AS tokens
-       |  FROM documents),
+       |  FROM $src),
        |sh AS (
        |  SELECT doc_id, lang,
        |         list_distinct(list_transform(
@@ -256,7 +306,13 @@ object Dedup {
        |  SELECT doc_id, lang, $h % 2147483647 AS x FROM hx)""".stripMargin
   }
 
-  private val minhashOracle: String = {
+  private val hashedShingleCtes: String = hashedShingleCtesFrom("documents")
+
+  /** Everything of the minhash oracle up to the `est` CTE (candidate pairs
+    * with estimated jaccard) — shared by the document-level and
+    * paragraph-level final selects.
+    */
+  private def minhashCtes(shingleCtes: String): String = {
     val sigCols = (0 until MinhashK).map(i =>
       s"MIN((x * ${2 * i + 1} + ${i * 12345 + 7}) % 2147483647) AS sig_$i").mkString(",\n         ")
     val bandCases = (0 until 4).map { b =>
@@ -265,7 +321,7 @@ object Dedup {
     }.mkString("\n           ")
     val matchTerms = (0 until MinhashK).map(i =>
       s"(CASE WHEN s1.sig_$i = s2.sig_$i THEN 1 ELSE 0 END)").mkString(" + ")
-    s"""WITH $hashedShingleCtes,
+    s"""$shingleCtes,
        |sig AS (
        |  SELECT doc_id, lang,
        |         $sigCols
@@ -286,9 +342,38 @@ object Dedup {
        |         CAST($matchTerms AS DOUBLE) / 16 AS est_jaccard
        |  FROM cand c
        |  JOIN sig s1 ON s1.doc_id = c.doc_id_1
-       |  JOIN sig s2 ON s2.doc_id = c.doc_id_2)
+       |  JOIN sig s2 ON s2.doc_id = c.doc_id_2)""".stripMargin
+  }
+
+  private val minhashOracle: String =
+    s"""WITH ${minhashCtes(hashedShingleCtes)}
        |SELECT doc_id_1, doc_id_2, lang, est_jaccard
        |FROM est WHERE est_jaccard >= 0.5""".stripMargin
+
+  /** Paragraph-span oracle: the paragraph CTE mirrors [[paragraphs]] (same
+    * window/cap/packed span id), then the shared minhash CTEs run over it.
+    */
+  private val paragraphOracle: String = {
+    val w = ParaWindow
+    val m = MaxParas
+    val paraCte =
+      s"""paras AS (
+         |  SELECT doc_id * $m + pi AS doc_id, lang,
+         |         array_to_string(tokens[pi * $w + 1 : pi * $w + $w], ' ') AS text
+         |  FROM (
+         |    SELECT doc_id, lang, tokens,
+         |           UNNEST(range(0, LEAST(CAST(CEIL(len(tokens) / $w.0) AS BIGINT), $m))) AS pi
+         |    FROM (SELECT doc_id, lang, string_split(lower(text), ' ') AS tokens
+         |          FROM documents)))""".stripMargin
+    s"""WITH $paraCte,
+       |${minhashCtes(hashedShingleCtesFrom("paras"))}
+       |SELECT CAST(doc_id_1 // $m AS BIGINT) AS doc_a,
+       |       CAST(doc_id_1 % $m AS BIGINT) AS para_a,
+       |       CAST(doc_id_2 // $m AS BIGINT) AS doc_b,
+       |       CAST(doc_id_2 % $m AS BIGINT) AS para_b,
+       |       lang, est_jaccard
+       |FROM est
+       |WHERE est_jaccard >= 0.5 AND doc_id_1 // $m != doc_id_2 // $m""".stripMargin
   }
 
   private val simhashOracle: String = {
@@ -521,6 +606,7 @@ object Dedup {
     "dedup_clusters" -> clustersOracle,
     "dedup_embedding_lsh" -> embeddingLshOracle,
     "dedup_minhash_lsh" -> minhashOracle,
+    "dedup_paragraph" -> paragraphOracle,
     "dedup_simhash" -> simhashOracle,
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash,

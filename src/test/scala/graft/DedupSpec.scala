@@ -40,6 +40,23 @@ class DedupSpec extends SparkTestBase {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc must not collide")
   }
 
+  test("dedup_paragraph finds the shared span across documents, not within one") {
+    // two long documents sharing exactly one 20-word span (their 2nd chunk),
+    // surrounded by distinct text; a third unrelated document
+    def words(prefix: String, n: Int): String =
+      (0 until n).map(i => s"$prefix$i").mkString(" ")
+    val shared = words("common", 20)
+    val d1 = words("alpha", 20) + " " + shared + " " + words("alphatail", 20)
+    val d2 = words("beta", 20) + " " + shared + " " + words("betatail", 20)
+    val d3 = words("gamma", 60)
+    val out = Dedup.dedupParagraph(docs((1L, d1), (2L, d2), (3L, d3)))
+      .select("doc_a", "para_a", "doc_b", "para_b")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out.contains((1L, 1L, 2L, 1L)), s"shared span not found: $out")
+    assert(!out.exists(r => r._1 == 3L || r._3 == 3L), s"unrelated doc collided: $out")
+    assert(out.forall(r => r._1 != r._3), s"intra-document pair leaked: $out")
+  }
+
   test("simhash: identical docs collide at hamming 0") {
     val df = docs((1L, base), (2L, base), (3L, unrelated))
     val out = Dedup.dedupSimhash(df)
