@@ -139,6 +139,7 @@ object SparkEntry {
     "sim_search_bruteforce" -> ((s, d) => Similarity.simSearchBruteforce(Tables.embeddings(s, d))),
     "sim_search_lsh" -> ((s, d) => Similarity.simSearchLsh(Tables.embeddings(s, d))),
     "sim_search_ivf" -> ((s, d) => Similarity.simSearchIvf(Tables.embeddings(s, d))),
+    "knn_graph" -> ((s, d) => Similarity.knnGraph(Tables.embeddings(s, d))),
     // extensions: text analysis
     "text_langid" -> ((s, d) => TextAnalysis.textLangid(Tables.documents(s, d))),
     "text_quality" -> ((s, d) => TextAnalysis.textQuality(Tables.documents(s, d))),
@@ -159,6 +160,7 @@ object SparkEntry {
     "contamination_check" -> ((s, d) => Curation.contaminationCheck(Tables.documents(s, d))),
     "sample_stratified" -> ((s, d) => Curation.sampleStratified(Tables.documents(s, d))),
     "split_train_test" -> ((s, d) => Curation.splitTrainTest(Tables.documents(s, d))),
+    "split_leakage_safe" -> ((s, d) => Curation.splitLeakageSafe(Tables.documents(s, d))),
     "lang_balance_sample" -> ((s, d) => Curation.langBalanceSample(Tables.documents(s, d))),
     "cap_per_source" -> ((s, d) => Curation.capPerSource(Tables.documents(s, d))),
     "quality_decile_filter" -> ((s, d) =>

@@ -177,6 +177,35 @@ object Curation {
         .otherwise("test").as("split"))
   }
 
+  /** `split_leakage_safe`: near-dup-aware split assignment — the
+    * decontamination-grade upgrade of [[splitTrainTest]]. Hashing each doc's
+    * own id still leaks when two near-duplicate documents land on opposite
+    * sides of the split (the eval set then contains paraphrases of training
+    * rows). Here the split key is the doc's near-dup CLUSTER id
+    * ([[Dedup.dedupClusters]], connected components over minhash-LSH
+    * candidates), falling back to the doc's own id for singletons — so an
+    * entire near-dup cluster always lands on one side, and singleton docs
+    * keep exactly the assignment [[splitTrainTest]] gives them (same salt).
+    * Scale: the cluster frame is proportional to the near-dup SUBGRAPH, not
+    * the corpus, so the left join is a broadcast at realistic dup rates and
+    * the corpus itself is never shuffled.
+    */
+  def splitLeakageSafe(documents: DataFrame): DataFrame = {
+    val clusters = Dedup.dedupClusters(documents)
+      .select(col("doc_id"), col("cluster_id"))
+    val bucket = PortableHash.hash32(
+      concat(lit("split:"), col("split_key").cast("string"))) % 100
+    documents.select(col("doc_id"))
+      .join(broadcast(clusters), Seq("doc_id"), "left")
+      .withColumn("split_key", coalesce(col("cluster_id"), col("doc_id")))
+      .select(
+        col("doc_id"),
+        col("split_key"),
+        bucket.as("bucket"),
+        when(bucket < 90, "train").when(bucket < 95, "validation")
+          .otherwise("test").as("split"))
+  }
+
   /** `lang_balance_sample`: two-pass balanced sampling — pass 1 aggregates
     * per-language counts (tiny: one row per language), the minimum count
     * becomes the per-language target, and pass 2 keeps each language at
@@ -331,6 +360,19 @@ object Curation {
          |            WHEN ${h("'split:' || CAST(doc_id AS VARCHAR)")} % 100 < 95 THEN 'validation'
          |            ELSE 'test' END AS split
          |FROM documents""".stripMargin,
+    "split_leakage_safe" -> {
+      val hb = h("'split:' || CAST(split_key AS VARCHAR)")
+      s"""WITH c AS (SELECT * FROM (${Dedup.clustersOracle}) cc),
+         |k AS (
+         |  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS split_key
+         |  FROM documents d LEFT JOIN c ON d.doc_id = c.doc_id)
+         |SELECT doc_id, split_key,
+         |       $hb % 100 AS bucket,
+         |       CASE WHEN $hb % 100 < 90 THEN 'train'
+         |            WHEN $hb % 100 < 95 THEN 'validation'
+         |            ELSE 'test' END AS split
+         |FROM k""".stripMargin
+    },
     "lang_balance_sample" ->
       s"""WITH counts AS (
          |  SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),

@@ -159,6 +159,38 @@ object Similarity {
     } finally corpus.unpersist()
   }
 
+  /** `knn_graph`: top-k neighbor list for EVERY corpus vector — the
+    * all-points sibling of [[simSearchLsh]] and the building block for
+    * graph-based curation (near-dup graphs, label propagation, diversity
+    * sampling). Same multi-probe hyperplane blocking: each vector probes its
+    * own bucket plus the 8 hamming-1 buckets, so candidates are ~9/256 of
+    * the corpus per point instead of all N. Unlike the search queries, the
+    * probe side here is the full corpus, so the bucket join is a SHUFFLE
+    * join keyed by bucket (never a broadcast) and the per-query top-k plans
+    * through TopKPerKey via the rank-limit rewrite — no global sort, and a
+    * hot bucket ships at most k rows per (query, split) to the exchange.
+    * At 100 TB the corpus is written `partitionBy(bucket)`, making each
+    * bucket's self-join partition-local; the quadratic term is bounded by
+    * the largest bucket (expected N/256), the standard LSH trade.
+    */
+  def knnGraph(embeddings: DataFrame, k: Int = 3): DataFrame = {
+    val corpus = prep(embeddings).withColumn("bucket", bucketCol)
+    val probeFlips = array((0 until 9).map(f =>
+      lit(if (f == 0) 0L else 1L << (f - 1))): _*)
+    val probes = corpus
+      .select(col("vec_id").as("query_id"), col("q").as("qv"), col("norm2").as("qn"),
+        explode(transform(probeFlips, f => col("bucket").bitwiseXOR(f))).as("bucket"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    corpus.join(probes, Seq("bucket"))
+      .where(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(long_dot(col("q"), col("qv")), col("norm2"), col("qn")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cosine"),
+        col("rank").cast("long").as("rank"))
+  }
+
   private[operators] val quantCte =
     """q AS (
       |  SELECT vec_id, CAST(label AS BIGINT) AS label,
@@ -216,7 +248,35 @@ object Similarity {
          |                            ORDER BY cosine DESC, neighbor_id) AS rank
          |  FROM scored)
          |SELECT query_id, neighbor_id, bucket, cosine, rank FROM ranked WHERE rank <= 5""".stripMargin,
-    "sim_search_ivf" -> ivfOracle
+    "sim_search_ivf" -> ivfOracle,
+    "knn_graph" ->
+      s"""WITH $quantCte,
+         |planes AS (
+         |  SELECT j, list_transform(range(0, 64), d -> (j * 131 + d * 37) % 19 - 9) AS plane
+         |  FROM range(0, 8) t(j)),
+         |bucketed AS (
+         |  SELECT n.vec_id, n.q, n.norm2,
+         |         CAST(SUM(CASE WHEN list_sum(list_transform(list_zip(n.q, p.plane), z -> z[1] * z[2])) >= 0
+         |                  THEN 1 << CAST(p.j AS INTEGER) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM n CROSS JOIN planes p
+         |  GROUP BY n.vec_id, n.q, n.norm2),
+         |probes AS (
+         |  SELECT vec_id AS query_id, q AS qv, norm2 AS qn,
+         |         CASE WHEN f.f = 0 THEN bucket
+         |              ELSE xor(bucket, CAST(1 AS BIGINT) << CAST(f.f - 1 AS INT)) END AS bucket
+         |  FROM bucketed CROSS JOIN (SELECT UNNEST(range(0, 9)) AS f) f),
+         |scored AS (
+         |  SELECT p.query_id, b.vec_id AS neighbor_id,
+         |         CAST(list_sum(list_transform(list_zip(b.q, p.qv), z -> z[1] * z[2])) AS DOUBLE)
+         |           / (SQRT(CAST(b.norm2 AS DOUBLE)) * SQRT(CAST(p.qn AS DOUBLE))) AS cosine
+         |  FROM bucketed b JOIN probes p ON b.bucket = p.bucket
+         |  WHERE b.vec_id != p.query_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cosine,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id
+         |                            ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 3""".stripMargin
   )
 
   /** One k-means iteration in SQL: assign each vector to the argmin centroid

@@ -60,6 +60,24 @@ class CurationSpec extends SparkTestBase {
     assert(s2.values.toSet.subsetOf(Set("train", "validation", "test")))
   }
 
+  test("leakage-safe split sends near-dup clusters to ONE side; singletons match splitTrainTest") {
+    // docs 1/2 are near-dups (must co-locate); 3 is a singleton
+    val base30 = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val df = docs(
+      (1L, base30, "en", "s"),
+      (2L, base30.replace("tok30", "tokX"), "en", "s"),
+      (3L, (100 to 140).map(i => s"zzz$i").mkString(" "), "en", "s"))
+    val out = Curation.splitLeakageSafe(df)
+      .select("doc_id", "split_key", "split").as[(Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out.keySet == Set(1L, 2L, 3L), "split must cover every doc exactly once")
+    assert(out(1L) == out(2L), s"near-dups must share split_key AND split: $out")
+    assert(out(1L)._1 == 1L, "cluster split key must be the min doc id")
+    val plain = Curation.splitTrainTest(df).where($"doc_id" === 3L)
+      .select("split").as[String].collect().head
+    assert(out(3L) == ((3L, plain)), "singleton must keep its splitTrainTest assignment")
+  }
+
   test("lang balance brings every language to ~the smallest language's size") {
     val df = docs((0L until 600L).map(i =>
       (i, s"doc $i", if (i < 500) "en" else "fr", "src0")): _*)

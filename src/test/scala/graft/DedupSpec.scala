@@ -90,6 +90,25 @@ class DedupSpec extends SparkTestBase {
       s"copy must be top neighbor within its IVF cluster, got ${out.collect().toSeq}")
   }
 
+  test("knn_graph: exact copies are mutual rank-1 neighbors; every point gets k rows") {
+    // 20 bases only: the (i*31 + d*7) % 23 family repeats with period 23 in
+    // i, so 23+ bases would alias base 0 and steal the copy's rank-1 slot
+    val e = (0L until 20L).map { i =>
+      val v = Array.tabulate(64)(d => ((i * 31 + d * 7) % 23 - 11).toFloat / 11f)
+      (i, v, 0)
+    }.toSeq
+      .:+((100L, Array.tabulate(64)(d => ((0 * 31 + d * 7) % 23 - 11).toFloat / 11f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnGraph(e, k = 3)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Long)].collect()
+    assert(out.contains((0L, 100L, 1L)), s"copy must be 0's top neighbor: ${out.toSeq}")
+    assert(out.contains((100L, 0L, 1L)), s"neighbor relation must be mutual for copies")
+    val perQuery = out.groupBy(_._1).view.mapValues(_.map(_._3).sorted.toSeq)
+    perQuery.foreach { case (q, ranks) =>
+      assert(ranks == (1L to ranks.length), s"ranks must be dense from 1 for $q: $ranks")
+    }
+  }
+
   test("dedup_clusters: transitive chain collapses to one cluster with min-id label") {
     // a~b and b~c near-dups, a~c not: components must still merge all three
     val base10 = (1 to 30).map(i => s"tok$i").mkString(" ")
