@@ -182,6 +182,10 @@ object SparkEntry {
     // watermarked tumbling-window agg driven end-to-end, batch GROUP BY oracle
     "stream_daily_counts_endstate" -> ((s, d) =>
       graft.streaming.Sessionize.streamDailyCountsEndstate(s, d)),
+    // ingestion-time exact dedup: dropDuplicatesWithinWatermark across
+    // micro-batch replays, batch DISTINCT oracle
+    "stream_dedup_endstate" -> ((s, d) =>
+      graft.streaming.StreamDedup.streamDedupEndstate(s, d)),
     // round-2 mart compositions (VERDICT.md Missing #1)
     "fct_sales_by_county" -> ((s, d) => graft.models.Marts.fctSalesByCounty(
       graft.models.Marts.sales(Tables.lineitem(s, d), Tables.orders(s, d), Tables.customer(s, d),
@@ -231,7 +235,9 @@ object SparkEntry {
     "dedup_minhash_lsh_fast" -> ((s, d) =>
       Dedup.dedupMinhashLsh(Tables.documents(s, d), fastHash = true)),
     "dedup_simhash_fast" -> ((s, d) =>
-      Dedup.dedupSimhash(Tables.documents(s, d), fastHash = true))
+      Dedup.dedupSimhash(Tables.documents(s, d), fastHash = true)),
+    "dedup_paragraph_fast" -> ((s, d) =>
+      Dedup.dedupParagraph(Tables.documents(s, d), fastHash = true))
   )
 
   def oracleSql: Map[String, String] =
@@ -243,5 +249,6 @@ object SparkEntry {
       Curation.oracles ++ IncrementalMart.oracles ++ Skew.oracles ++
       graft.models.Marts.oracles ++ graft.models.TextMarts.oracles ++
       graft.streaming.IncrementalSync.oracles ++ graft.streaming.Sessionize.oracles ++
+      graft.streaming.StreamDedup.oracles ++
       graft.models.ModelAdapters.oracles
 }

@@ -60,7 +60,8 @@ class PlanAuditSpec extends SparkTestBase {
       val targets: Seq[(String, DataFrame)] = Seq(
         "win_topk_group" -> graft.operators.Windows.winTopkGroup(Tables.lineitem(spark, sf)),
         "cap_per_source" -> graft.operators.Curation.capPerSource(Tables.documents(spark, sf)),
-        "dedup_keep_best" -> graft.operators.Dedup.dedupKeepBest(Tables.documents(spark, sf)))
+        "dedup_keep_best" -> graft.operators.Dedup.dedupKeepBest(Tables.documents(spark, sf)),
+        "knn_graph" -> graft.operators.Similarity.knnGraph(Tables.embeddings(spark, sf)))
       targets.foreach { case (name, df) =>
         val plan = df.queryExecution.executedPlan
         val topks = plan.collect { case t: TopKPerKeyExec => t }

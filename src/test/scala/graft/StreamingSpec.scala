@@ -168,4 +168,19 @@ class StreamingSpec extends SparkTestBase {
       IncrementalSync.assertRenameCapable("s3a://bucket/warehouse/t")
     }
   }
+
+  test("streaming dedup suppresses a full cross-batch replay (one row per content)") {
+    // drop 2 replays every drop-1 row: if dedup state were not persisted
+    // across the two AvailableNow runs, the even-half keys would appear twice
+    val out = graft.streaming.StreamDedup.streamDedupEndstate(spark, sf).cache()
+    try {
+      val total = out.count()
+      val hashes = out.select("content_hash").distinct().count()
+      assert(total == hashes, s"replayed keys re-emitted: $total rows, $hashes distinct")
+      val batchDistinct = graft.sources.Tables.events(spark, sf)
+        .selectExpr("md5(concat_ws('|', event_type, props))").distinct().count()
+      assert(total == batchDistinct,
+        s"end state must equal batch DISTINCT: $total vs $batchDistinct")
+    } finally out.unpersist()
+  }
 }
