@@ -146,6 +146,7 @@ object SparkEntry {
     "text_token_count" -> ((s, d) => TextAnalysis.textTokenCount(Tables.documents(s, d))),
     "text_fingerprint" -> ((s, d) => TextAnalysis.textFingerprint(Tables.documents(s, d))),
     "text_repetition" -> ((s, d) => TextAnalysis.textRepetition(Tables.documents(s, d))),
+    "text_bigram_lm" -> ((s, d) => TextAnalysis.textBigramLm(Tables.documents(s, d))),
     // extensions: multimodal columns
     "mm_metadata" -> ((s, d) => Multimodal.mmMetadata(Tables.documents(s, d))),
     "mm_decode_stub" -> ((s, d) => Multimodal.mmDecodeStub(Tables.documents(s, d))),

@@ -125,6 +125,47 @@ object TextAnalysis {
         col("rn").cast("long").as("term_rank"))
   }
 
+  /** `text_bigram_lm`: corpus-trained bigram language-model scoring — the
+    * LM-based quality filter of the standard curation recipe (train a small
+    * LM on the corpus or a trusted subset, keep documents whose text the
+    * model finds predictable; text built from the corpus's common
+    * continuations scores high, text using rare continuations of shared
+    * contexts scores low — unsmoothed, so a singleton context is trivially
+    * "predictable", the standard caveat of self-trained LM filters; train
+    * on a reference corpus for decontaminated scoring). Two aggregation
+    * passes build the model — bigram counts c2(w1,w2) and context counts
+    * c1(w1), both plain map-side-combine aggs — then each document's
+    * bigrams join the model and re-aggregate per doc.
+    *
+    * Exactness: per-bigram probability is quantized to parts-per-million by
+    * INTEGER division (c2*1e6 div c1 — exact in both engines), the per-doc
+    * sum is a BIGINT, and the final mean is one IEEE division of identical
+    * doubles (the [[graft.functions.Num]] discipline; a float log-prob
+    * chain would drift at ulp level). Scale: the model is one row per
+    * DISTINCT bigram (zipf-bounded, ≪ corpus), so the score join shuffles
+    * model rows once and corpus bigrams once, keyed by bigram; a hot
+    * stopword bigram is one model row against many corpus rows — AQE
+    * skew-split territory, no driver state anywhere.
+    */
+  def textBigramLm(documents: DataFrame): DataFrame = {
+    val toks = documents.select(col("doc_id"), col("lang"),
+      split(lower(col("text")), " ").as("t"))
+    val bg = toks
+      .where(size(col("t")) >= 2)
+      .select(col("doc_id"), col("lang"), explode(
+        expr("transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i + 1] AS w2))"))
+        .as("b"))
+      .select(col("doc_id"), col("lang"), col("b.w1"), col("b.w2"))
+    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    bg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .withColumn("q", expr("(c2 * 1000000) div c1"))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("sum_ppm"))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"), col("sum_ppm"),
+        (d(col("sum_ppm")) / d(col("n_bigrams"))).as("lm_score"))
+  }
+
   /** `text_token_count`: whitespace tokens + BPE-ish regex token count
     * (letters / digits / other-symbol pieces) + chars-per-token.
     */
@@ -198,6 +239,22 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    "text_bigram_lm" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, string_split(lower(text), ' ') AS toks FROM documents),
+        |bg AS (
+        |  SELECT doc_id, lang, toks[CAST(i AS INT)] AS w1, toks[CAST(i + 1 AS INT)] AS w2
+        |  FROM (SELECT doc_id, lang, toks, UNNEST(range(1, len(toks))) AS i FROM t)),
+        |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+        |q AS (
+        |  SELECT bg.doc_id, bg.lang, (c2.c2 * 1000000) // c1.c1 AS q
+        |  FROM bg JOIN c2 ON bg.w1 = c2.w1 AND bg.w2 = c2.w2
+        |         JOIN c1 ON bg.w1 = c1.w1)
+        |SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |       CAST(SUM(q) AS BIGINT) AS sum_ppm,
+        |       CAST(SUM(q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS lm_score
+        |FROM q GROUP BY 1, 2""".stripMargin,
     "text_repetition" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),

@@ -118,6 +118,26 @@ class CurationSpec extends SparkTestBase {
     assert(d3.getAs[Long]("start_offset") == 0L, "source b packs independently")
   }
 
+  test("bigram LM: common continuations outscore rare ones; ppm math is exact") {
+    // context "the": cat x3, dog x1; context "cat": sat x2, ran x1
+    val df = docs(
+      (1L, "the cat sat", "en", "a"),
+      (2L, "the cat ran", "en", "a"),
+      (3L, "the cat sat", "en", "a"),
+      (4L, "the dog sat", "en", "a"))
+    val out = graft.operators.TextAnalysis.textBigramLm(df).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Long]("sum_ppm"), r.getAs[Double]("lm_score")))
+      .toMap
+    // doc 1: "the cat" 3/4 -> 750000, "cat sat" 2/3 -> 666666
+    assert(out(1L) == ((2L, 1416666L, 708333.0)), s"got ${out(1L)}")
+    // doc 2: "the cat" 750000, "cat ran" 1/3 -> 333333
+    assert(out(2L) == ((2L, 1083333L, 541666.5)), s"got ${out(2L)}")
+    // the doc made of the corpus's most common continuations wins
+    assert(out(1L)._3 > out(2L)._3 && out(1L)._3 > out(4L)._3,
+      s"common continuations must outscore rare ones: $out")
+  }
+
   test("text_repetition scores a stuffed doc high and a diverse doc low") {
     val df = docs(
       (1L, "spam spam spam ham", "en", "a"),
