@@ -90,36 +90,30 @@ object Similarity {
         col("cosine"), col("rank").cast("long").as("rank"))
   }
 
-  /** `sim_search_ivf`: inverted-file ANN — the centroid-based alternative to
-    * hyperplane LSH (same probe-join shape, learned partitions).
-    *
-    * Mini k-means on the quantized vectors: centroids are re-quantized to
-    * integers each iteration, so cluster assignment is an exact integer
-    * argmin (`||c||² − 2·x·c` at a common scale) via LongDot — deterministic
-    * across runs and partitionings. Only the k×64 centroid model touches the
-    * driver (standard IVF training); all data stays distributed. At scale the
-    * corpus is written `partitionBy(cluster)` and a probe prunes to one
-    * partition.
+  /** Exact-integer argmin cluster assignment for quantized vectors in `q`
+    * against the given integer centroids (`||c||² − 2·x·c` at a common
+    * scale) — deterministic across runs and partitionings.
     */
-  def simSearchIvf(embeddings: DataFrame, k: Int = 16, iters: Int = 2): DataFrame = {
-    val corpus = prep(embeddings).cache()
-    try {
-      val dim = 64
-      // deterministic init: the k lowest-id vectors
-      var cents: Seq[Array[Long]] = corpus.orderBy("vec_id").limit(k)
-        .select("q").collect().map(_.getSeq[Long](0).toArray).toSeq
+  private def clusterCol(cs: Seq[Array[Long]]): Column = {
+    val scored = cs.zipWithIndex.map { case (c, cid) =>
+      val cc = c.map(v => v * v).sum
+      struct(
+        (lit(cc) - long_dot(col("q"), typedLit(c.toSeq)) * 2).as("score"),
+        lit(cid.toLong).as("cid"))
+    }
+    least(scored: _*).getField("cid")
+  }
 
-      def clusterCol(cs: Seq[Array[Long]]): Column = {
-        val scored = cs.zipWithIndex.map { case (c, cid) =>
-          val cc = c.map(v => v * v).sum
-          struct(
-            (lit(cc) - long_dot(col("q"), typedLit(c.toSeq)) * 2).as("score"),
-            lit(cid.toLong).as("cid"))
-        }
-        least(scored: _*).getField("cid")
-      }
-
-      for (_ <- 1 to iters) {
+  /** Mini k-means training over an already-cached prepped corpus; returns
+    * the final integer centroid model (k×64 longs — the only thing that
+    * touches the driver). See [[simSearchIvf]] for the exactness notes.
+    */
+  private def trainKmeans(corpus: DataFrame, k: Int, iters: Int): Seq[Array[Long]] = {
+    val dim = 64
+    // deterministic init: the k lowest-id vectors
+    var cents: Seq[Array[Long]] = corpus.orderBy("vec_id").limit(k)
+      .select("q").collect().map(_.getSeq[Long](0).toArray).toSeq
+    for (_ <- 1 to iters) {
         val sums = corpus.withColumn("cluster", clusterCol(cents))
           .select(col("cluster"), posexplode(col("q")).as(Seq("pos", "v")))
           .groupBy(col("cluster"), col("pos"))
@@ -142,8 +136,25 @@ object Similarity {
             case None => old // empty cluster keeps its centroid
           }
         }
-      }
+    }
+    cents
+  }
 
+  /** `sim_search_ivf`: inverted-file ANN — the centroid-based alternative to
+    * hyperplane LSH (same probe-join shape, learned partitions).
+    *
+    * Mini k-means on the quantized vectors: centroids are re-quantized to
+    * integers each iteration, so cluster assignment is an exact integer
+    * argmin (`||c||² − 2·x·c` at a common scale) via LongDot — deterministic
+    * across runs and partitionings. Only the k×64 centroid model touches the
+    * driver (standard IVF training); all data stays distributed. At scale the
+    * corpus is written `partitionBy(cluster)` and a probe prunes to one
+    * partition.
+    */
+  def simSearchIvf(embeddings: DataFrame, k: Int = 16, iters: Int = 2): DataFrame = {
+    val corpus = prep(embeddings).cache()
+    try {
+      val cents = trainKmeans(corpus, k, iters)
       val bucketed = corpus.withColumn("cluster", clusterCol(cents))
       val queries = bucketed.where(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("q").as("qv"), col("norm2").as("qn"),
@@ -156,6 +167,26 @@ object Similarity {
         .where(col("rank") <= 5)
         .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cluster"),
           col("cosine"), col("rank").cast("long").as("rank"))
+    } finally corpus.unpersist()
+  }
+
+  /** `embed_kmeans`: the k-means cluster ASSIGNMENT as a first-class
+    * operator — corpus partitioning for IVF index builds, per-cluster
+    * curation quotas, or diversity sampling (pick n per cluster via
+    * TopKPerKey downstream). Same deterministic integer model as
+    * [[simSearchIvf]]: only the k×64 centroid sums touch the driver, the
+    * assignment is one codegen'd projection over the corpus, and sizes come
+    * from a broadcast of the k-row count frame — at 100 TB the corpus is
+    * scanned twice (train iterations + final assign) and shuffled never.
+    */
+  def embedKmeans(embeddings: DataFrame, k: Int = 16, iters: Int = 2): DataFrame = {
+    val corpus = prep(embeddings).cache()
+    try {
+      val cents = trainKmeans(corpus, k, iters)
+      val assigned = corpus.withColumn("cluster", clusterCol(cents))
+      val sizes = assigned.groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
+      assigned.join(broadcast(sizes), Seq("cluster"))
+        .select(col("vec_id"), col("cluster"), col("cluster_size"))
     } finally corpus.unpersist()
   }
 
@@ -249,6 +280,7 @@ object Similarity {
          |  FROM scored)
          |SELECT query_id, neighbor_id, bucket, cosine, rank FROM ranked WHERE rank <= 5""".stripMargin,
     "sim_search_ivf" -> ivfOracle,
+    "embed_kmeans" -> kmeansOracle,
     "knn_graph" ->
       s"""WITH $quantCte,
          |planes AS (
@@ -310,8 +342,11 @@ object Similarity {
        |                     ELSE -((-(2 * s + cnt)) // (2 * cnt)) END ORDER BY d) AS qq
        |    FROM u$i GROUP BY 1) u ON u.cid = p.cid)""".stripMargin
 
-  private def ivfOracle: String =
-    s"""WITH $quantCte,
+  /** Shared oracle prefix: quantize → train (2 iterations) → final cluster
+    * assignment in `fin` — used by both `sim_search_ivf` and `embed_kmeans`.
+    */
+  private def ivfAssignCtes: String =
+    s"""$quantCte,
        |c0 AS (
        |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, q
        |  FROM (SELECT vec_id, q FROM n ORDER BY vec_id LIMIT 16)),
@@ -325,7 +360,17 @@ object Similarity {
        |fin AS (
        |  SELECT vec_id, q, norm2,
        |         CAST(((MIN(score * 32 + cid) % 32) + 32) % 32 AS BIGINT) AS cluster
-       |  FROM s3 GROUP BY vec_id, q, norm2),
+       |  FROM s3 GROUP BY vec_id, q, norm2)""".stripMargin
+
+  private[operators] def kmeansOracle: String =
+    s"""WITH $ivfAssignCtes,
+       |sizes AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS cluster_size
+       |          FROM fin GROUP BY 1)
+       |SELECT f.vec_id, f.cluster, s.cluster_size
+       |FROM fin f JOIN sizes s ON f.cluster = s.cluster""".stripMargin
+
+  private def ivfOracle: String =
+    s"""WITH $ivfAssignCtes,
        |queries AS (
        |  SELECT vec_id AS query_id, q AS qv, norm2 AS qn, cluster
        |  FROM fin WHERE vec_id < 10),
