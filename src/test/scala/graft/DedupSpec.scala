@@ -165,6 +165,34 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("knn_graph recall vs exact all-pairs top-k truth on the testdata corpus") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    // exact top-3 neighbor edges per point (quadratic — small SF only)
+    val truth = {
+      import org.apache.spark.sql.functions._
+      val base = emb.select(col("vec_id"),
+        transform(col("embedding"), x => round(x.cast("double") * 10000).cast("long")).as("qv"))
+      val withNorm = base.withColumn("n2",
+        aggregate(zip_with(col("qv"), col("qv"), (a, b) => a * b), lit(0L), (acc, x) => acc + x))
+      val a = withNorm.select(col("vec_id").as("v1"), col("qv").as("q1"), col("n2").as("m1"))
+      val b = withNorm.select(col("vec_id").as("v2"), col("qv").as("q2"), col("n2").as("m2"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("v1").orderBy(col("cos").desc, col("v2"))
+      a.crossJoin(b).where($"v1" =!= $"v2")
+        .withColumn("dot", aggregate(zip_with(col("q1"), col("q2"), (x, y) => x * y),
+          lit(0L), (acc, x) => acc + x))
+        .withColumn("cos", col("dot").cast("double") /
+          (sqrt(col("m1").cast("double")) * sqrt(col("m2").cast("double"))))
+        .withColumn("rn", row_number().over(w)).where($"rn" <= 3)
+        .select($"v1", $"v2").as[(Long, Long)].collect().toSet
+    }
+    val found = Similarity.knnGraph(emb, k = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (found & truth).size.toDouble / truth.size
+    assert(recall > 0.0, s"bucketed knn found none of ${truth.size} true edges")
+    info(f"knn_graph recall: $recall%.3f over ${truth.size} true top-3 edges")
+  }
+
   test("multi-probe LSH recall >= single-probe recall vs bruteforce truth") {
     val emb = graft.sources.Tables.embeddings(spark, sf)
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
