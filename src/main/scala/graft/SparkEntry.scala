@@ -160,6 +160,8 @@ object SparkEntry {
     // round-3 curation surface: redaction, contamination, sampling, packing
     "pii_redact" -> ((s, d) => Curation.piiRedact(Tables.documents(s, d))),
     "contamination_check" -> ((s, d) => Curation.contaminationCheck(Tables.documents(s, d))),
+    "contamination_bloom" -> ((s, d) => Curation.contaminationBloom(Tables.documents(s, d))),
+    "sample_weighted_mix" -> ((s, d) => Curation.sampleWeightedMix(Tables.documents(s, d))),
     "sample_stratified" -> ((s, d) => Curation.sampleStratified(Tables.documents(s, d))),
     "split_train_test" -> ((s, d) => Curation.splitTrainTest(Tables.documents(s, d))),
     "split_leakage_safe" -> ((s, d) => Curation.splitLeakageSafe(Tables.documents(s, d))),

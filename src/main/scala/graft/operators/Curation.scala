@@ -93,33 +93,91 @@ object Curation {
     * applies).
     */
   def contaminationCheck(documents: DataFrame, n: Int = 3): DataFrame = {
-    // tokens staged through their own projection: an inline split would be
-    // re-evaluated per element_at reference inside the nGrams lambda (no CSE
-    // in interpreted HOFs — see Dedup.withTokens, measured 11x)
-    val docs = documents
+    val docs = shingledDocs(documents, n)
+    contaminationAgg(explodedEvalShingles(docs), benchShingles(docs))
+  }
+
+  /** Tokens staged through their own projection: an inline split would be
+    * re-evaluated per element_at reference inside the nGrams lambda (no CSE
+    * in interpreted HOFs — see Dedup.withTokens, measured 11x).
+    */
+  private def shingledDocs(documents: DataFrame, n: Int): DataFrame =
+    documents
       .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
       .select(col("doc_id"), nGrams(col("toks"), n).as("shingles"))
-    // explode_outer + IsNotNull: the plain explode would make
-    // InferFiltersFromGenerate re-evaluate the HOF shingle expression at the
-    // scan (see Dedup.shinglesCol note)
-    val bench = docs.where(col("doc_id") % 97 === 0)
+
+  /** The benchmark/eval side's DISTINCT shingle set (doc_id % 97 == 0 — in
+    * production the held-out benchmark suite). explode_outer + IsNotNull:
+    * the plain explode would make InferFiltersFromGenerate re-evaluate the
+    * HOF shingle expression at the scan (see Dedup.shinglesCol note).
+    */
+  private def benchShingles(docs: DataFrame): DataFrame =
+    docs.where(col("doc_id") % 97 === 0)
       .select(explode_outer(col("shingles")).as("shingle"))
       .where(col("shingle").isNotNull)
       .distinct()
-    // ONE pass over the eval corpus: the (interpreted, HOF-based) shingle
-    // array materializes once per row in the projection, and its size rides
-    // the exploded rows into the aggregation key — no second evaluation, no
-    // sizes join afterwards
+
+  /** ONE pass over the eval corpus: the (interpreted, HOF-based) shingle
+    * array materializes once per row in the projection, and its size rides
+    * the exploded rows into the aggregation key — no second evaluation, no
+    * sizes join afterwards.
+    */
+  private def explodedEvalShingles(docs: DataFrame): DataFrame =
     docs.where(col("doc_id") % 97 =!= 0)
       .withColumn("n_shingles", size(col("shingles")).cast("long"))
       .select(col("doc_id"), col("n_shingles"), explode_outer(col("shingles")).as("shingle"))
       .where(col("shingle").isNotNull)
+
+  private def contaminationAgg(evalShingles: DataFrame, bench: DataFrame): DataFrame =
+    evalShingles
       .join(broadcast(bench), Seq("shingle"))
       .groupBy(col("doc_id"), col("n_shingles"))
       .agg(count(lit(1)).as("shared_shingles"))
       .select(col("doc_id"), col("n_shingles"), col("shared_shingles"),
         (col("shared_shingles").cast(DoubleType) /
           col("n_shingles").cast(DoubleType)).as("contamination_rate"))
+
+  /** `contamination_bloom`: [[contaminationCheck]]'s scale path for when the
+    * benchmark shingle set outgrows a broadcast-hash-join table but its
+    * BLOOM FILTER still fits on every executor (bits per entry instead of
+    * the entry itself — a 10⁹-shingle benchmark suite is a ~1.2 GB hash
+    * table but a ~170 MB bloom at 1% fp). Three stages, all declarative:
+    *
+    *  1. build the filter DISTRIBUTEDLY with Catalyst's own
+    *     `BloomFilterAggregate` over `xxhash64(shingle)` (the aggregate
+    *     behind Spark's runtime-filter join pruning — partial filters merge
+    *     map-side, so the bench side streams);
+    *  2. collect the ONE serialized sketch to the driver (bounded by
+    *     numBits/8 bytes, the same metadata class as the IVF centroids) and
+    *     re-embed it as a foldable binary literal inside a codegen'd
+    *     `might_contain` predicate — corpus shingles are pruned AT THE SCAN
+    *     PROJECTION, before any join machinery touches them;
+    *  3. exact-confirm the survivors against the real shingle set, which
+    *     deletes the bloom's false positives — making the output exactly
+    *     [[contaminationCheck]]'s, row for row (shared oracle).
+    *
+    * At 100 TB the win is stage 2: ~99% of corpus shingles never reach the
+    * join, and if the bench side is too big to broadcast the residual exact
+    * join shuffles only the bloom survivors instead of the whole corpus.
+    */
+  def contaminationBloom(documents: DataFrame, n: Int = 3): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.SqlBridge
+    import org.apache.spark.sql.types.BinaryType
+    val docs = shingledDocs(documents, n)
+    val bench = benchShingles(docs)
+    // ~1M expected items @ default bits-per-item: a few hundred KB sketch;
+    // production sizes this to the benchmark suite's cardinality estimate
+    val bloomBytes = bench
+      .select(SqlBridge.column(new BloomFilterAggregate(
+        SqlBridge.expression(xxhash64(col("shingle"))), 1000000L)
+        .toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val mightContain = SqlBridge.column(new BloomFilterMightContain(
+      Literal.create(bloomBytes, BinaryType),
+      SqlBridge.expression(xxhash64(col("shingle")))))
+    contaminationAgg(explodedEvalShingles(docs).where(mightContain), bench)
   }
 
   // ------------------------------------------------------------ sampling
@@ -160,6 +218,45 @@ object Curation {
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= cap)
       .select(col("doc_id"), col("source"), col("rn").cast("long").as("keep_rank"))
+  }
+
+  /** `sample_weighted_mix`: epoch-weighted mixture sampling — the operator
+    * that turns per-source mixture weights (wiki 2.8 epochs, web 0.7, …)
+    * into a materialized training mix. A weight of w per-mille-epochs emits
+    * `w div 1000` full copies of every doc plus one extra copy for the
+    * deterministically hash-chosen `w mod 1000` per-mille of docs, so the
+    * EXPECTED duplication factor per source is exactly w/1000 and the
+    * realized mix is reproducible row-for-row across runs and engines (no
+    * RNG — the same portable-hash discipline as [[splitTrainTest]]).
+    *
+    * Scale: the weight is a scalar expression of the source key (in
+    * production a broadcast-joined weights table), the copy fan-out is a
+    * per-row `explode(sequence(...))` bounded by the max epoch count, and
+    * nothing shuffles — the mix materializes at scan speed, partition by
+    * partition. `copy_idx` survives so downstream shuffling/packing can
+    * treat epochs as distinct rows.
+    *
+    * The demo weight rule maps the synthetic sources src0..src19 onto four
+    * mixture tiers (0.7 / 1.4 / 2.1 / 2.8 epochs), covering the
+    * fractional-only, one-epoch-plus-fraction and multi-epoch cases.
+    */
+  def sampleWeightedMix(documents: DataFrame): DataFrame = {
+    val srcNum = substring(col("source"), 4, 10).cast("int")
+    val weightPm = ((srcNum % 4 + 1) * 700).cast("long")
+    documents
+      .select(col("doc_id"), col("source"))
+      .withColumn("weight_pm", weightPm)
+      // integer `div` (not double `/`): same exactness discipline as
+      // langBalanceSample's rate — the copy count must match the oracle's
+      // `//` at any weight
+      .withColumn("n_copies",
+        expr("weight_pm div 1000") +
+          when(pmBucket("mix:") < col("weight_pm") % 1000, 1L).otherwise(0L))
+      // filter BEFORE sequence: n_copies >= 1 keeps sequence's bounds
+      // ascending (sequence(0, -1) silently yields a DEscending array)
+      .where(col("n_copies") > 0)
+      .select(col("doc_id"), col("source"), col("weight_pm"),
+        explode(sequence(lit(0L), col("n_copies") - 1L)).as("copy_idx"))
   }
 
   /** `split_train_test`: deterministic 90/5/5 split assignment by key hash —
@@ -291,6 +388,37 @@ object Curation {
 
   private def h(e: String): String = PortableHash.duckSql(e)
 
+  /** Shared by `contamination_check` and `contamination_bloom` (the bloom's
+    * exact-confirm stage deletes its false positives, so both emit the
+    * identical result set).
+    */
+  private lazy val contaminationOracle: String = {
+    val n = 3 // must match the registered query's n-gram width
+    val gram = (0 until n).map(k => s"tokens[i+$k]").mkString(" || ' ' || ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS tokens FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |         CASE WHEN len(tokens) >= $n THEN list_distinct(list_transform(
+       |           range(1, len(tokens) - ${n - 2}),
+       |           i -> $gram))
+       |         ELSE CAST([] AS VARCHAR[]) END AS shingles
+       |  FROM toks),
+       |bench AS (
+       |  SELECT DISTINCT UNNEST(shingles) AS shingle FROM sh WHERE doc_id % 97 = 0),
+       |ev AS (SELECT doc_id, shingles FROM sh WHERE doc_id % 97 <> 0),
+       |hits AS (
+       |  SELECT e.doc_id, COUNT(*) AS shared_shingles
+       |  FROM (SELECT doc_id, UNNEST(shingles) AS shingle FROM ev) e
+       |  JOIN bench b ON e.shingle = b.shingle
+       |  GROUP BY e.doc_id)
+       |SELECT h.doc_id, CAST(len(ev.shingles) AS BIGINT) AS n_shingles,
+       |       CAST(h.shared_shingles AS BIGINT) AS shared_shingles,
+       |       CAST(h.shared_shingles AS DOUBLE) / CAST(len(ev.shingles) AS DOUBLE)
+       |         AS contamination_rate
+       |FROM hits h JOIN ev ON h.doc_id = ev.doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "pii_redact" -> {
       // DuckDB single-quoted literals treat backslash literally, so the raw
@@ -321,31 +449,27 @@ object Curation {
          |         ${sq(ip)}, '<IP>', 'g') AS clean_text
          |FROM aug""".stripMargin
     },
-    "contamination_check" -> {
-      val n = 3 // must match the registered query's n-gram width
-      val gram = (0 until n).map(k => s"tokens[i+$k]").mkString(" || ' ' || ")
-      s"""WITH toks AS (
-         |  SELECT doc_id, string_split(lower(text), ' ') AS tokens FROM documents),
-         |sh AS (
-         |  SELECT doc_id,
-         |         CASE WHEN len(tokens) >= $n THEN list_distinct(list_transform(
-         |           range(1, len(tokens) - ${n - 2}),
-         |           i -> $gram))
-         |         ELSE CAST([] AS VARCHAR[]) END AS shingles
-         |  FROM toks),
-         |bench AS (
-         |  SELECT DISTINCT UNNEST(shingles) AS shingle FROM sh WHERE doc_id % 97 = 0),
-         |ev AS (SELECT doc_id, shingles FROM sh WHERE doc_id % 97 <> 0),
-         |hits AS (
-         |  SELECT e.doc_id, COUNT(*) AS shared_shingles
-         |  FROM (SELECT doc_id, UNNEST(shingles) AS shingle FROM ev) e
-         |  JOIN bench b ON e.shingle = b.shingle
-         |  GROUP BY e.doc_id)
-         |SELECT h.doc_id, CAST(len(ev.shingles) AS BIGINT) AS n_shingles,
-         |       CAST(h.shared_shingles AS BIGINT) AS shared_shingles,
-         |       CAST(h.shared_shingles AS DOUBLE) / CAST(len(ev.shingles) AS DOUBLE)
-         |         AS contamination_rate
-         |FROM hits h JOIN ev ON h.doc_id = ev.doc_id""".stripMargin
+    "contamination_check" -> contaminationOracle,
+    // bloom prefilter + exact confirm ≡ the exact check, row for row
+    "contamination_bloom" -> contaminationOracle,
+    // the bloom prefilter is exact-confirmed, so the output is identical to
+    // contamination_check's — same oracle, resolved at map build time below
+    "sample_weighted_mix" -> {
+      val bucket = h("'mix:' || CAST(doc_id AS VARCHAR)")
+      s"""WITH w AS (
+         |  SELECT doc_id, source,
+         |         CAST((CAST(substr(source, 4) AS INT) % 4 + 1) * 700 AS BIGINT)
+         |           AS weight_pm,
+         |         $bucket % 1000 AS bucket
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, source, weight_pm,
+         |         weight_pm // 1000
+         |           + CASE WHEN bucket < weight_pm % 1000 THEN 1 ELSE 0 END AS n_copies
+         |  FROM w)
+         |SELECT doc_id, source, weight_pm,
+         |       UNNEST(range(0, n_copies)) AS copy_idx
+         |FROM c WHERE n_copies > 0""".stripMargin
     },
     "sample_stratified" ->
       s"""SELECT doc_id, lang,

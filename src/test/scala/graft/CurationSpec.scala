@@ -155,6 +155,45 @@ class CurationSpec extends SparkTestBase {
     assert(clean.getAs[Double]("dup_2gram_fraction") == 0.0)
   }
 
+  test("contamination_bloom equals the exact check on a corpus-sized input") {
+    // crafted overlap (bench doc 0 shares one 3-gram with doc 1) plus bulk
+    // rows to exercise the bloom across many hashes
+    val bulk = (3L until 300L).filter(_ % 97 != 0).map(i =>
+      (i, s"w${i}a w${i}b w${i}c w${i}d", "en", "src0"))
+    val df = docs(Seq(
+      (0L, "alpha beta gamma delta", "en", "src0"),
+      (1L, "x y alpha beta gamma z", "en", "src0"),
+      (2L, "alpha x beta y gamma z", "en", "src0")) ++ bulk: _*)
+    val exact = Curation.contaminationCheck(df).collect().toSet
+    val bloom = Curation.contaminationBloom(df).collect().toSet
+    assert(bloom == exact, "bloom prefilter + exact confirm must equal the exact check")
+    assert(exact.map(_.getLong(0)) == Set(1L))
+  }
+
+  test("weighted mix emits floor(w) copies always and the fractional copy per-mille") {
+    // src0 -> 700 pm (fraction only), src2 -> 2100 pm (2 copies + 10%)
+    val df = docs((0L until 1000L).map(i =>
+      (i, s"d$i", "en", if (i % 2 == 0) "src0" else "src2")): _*)
+    val out = Curation.sampleWeightedMix(df)
+      .groupBy("doc_id", "source").count().collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val bySrc = out.groupBy(_._2)
+    // src0: every sampled doc has exactly 1 copy; ~70% of docs sampled
+    assert(bySrc("src0").forall(_._3 == 1L))
+    val kept0 = bySrc("src0").size
+    assert(kept0 > 280 && kept0 < 420, s"~70% of 500 expected, got $kept0")
+    // src2: every doc present with 2 or 3 copies; ~10% get the third
+    assert(bySrc("src2").size == 500, "floor(2.1)=2 copies are unconditional")
+    assert(bySrc("src2").forall(c => c._3 == 2L || c._3 == 3L))
+    val extra = bySrc("src2").count(_._3 == 3L)
+    assert(extra > 20 && extra < 90, s"~10% of 500 expected, got $extra")
+    // copy_idx is dense 0..n-1 per doc
+    val idx = Curation.sampleWeightedMix(df)
+      .where(col("doc_id") === out.head._1).select("copy_idx")
+      .collect().map(_.getLong(0)).sorted
+    assert(idx.sameElements(0L until idx.length))
+  }
+
   private implicit class ToMap2(self: Array[(Long, Long, String)]) {
     def toMap2: Map[Long, String] = self.map(t => t._1 -> t._3).toMap
   }
