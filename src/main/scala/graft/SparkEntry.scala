@@ -154,6 +154,7 @@ object SparkEntry {
     "mm_frame_sample" -> ((s, d) => Multimodal.mmFrameSample(Tables.documents(s, d))),
     // the typed codec-boundary twin of mm_decode_stub, same oracle
     "mm_decode_batched" -> ((s, d) => Multimodal.mmDecodeBatched(Tables.documents(s, d))),
+    "mm_content_dedup" -> ((s, d) => Multimodal.mmContentDedup(Tables.documents(s, d))),
     // extensions: composed curation pipeline
     "pipeline_training_data" -> ((s, d) => Pipeline.trainingDataCuration(Tables.documents(s, d))),
     "pipeline_curation_v2" -> ((s, d) => Pipeline.trainingDataCurationV2(Tables.documents(s, d))),
@@ -163,6 +164,8 @@ object SparkEntry {
     "contamination_bloom" -> ((s, d) => Curation.contaminationBloom(Tables.documents(s, d))),
     "sample_weighted_mix" -> ((s, d) => Curation.sampleWeightedMix(Tables.documents(s, d))),
     "sample_stratified" -> ((s, d) => Curation.sampleStratified(Tables.documents(s, d))),
+    "sample_bottomk" -> ((s, d) => Curation.sampleBottomK(Tables.documents(s, d))),
+    "shard_shuffle" -> ((s, d) => Curation.shardShuffle(Tables.documents(s, d))),
     "split_train_test" -> ((s, d) => Curation.splitTrainTest(Tables.documents(s, d))),
     "split_leakage_safe" -> ((s, d) => Curation.splitLeakageSafe(Tables.documents(s, d))),
     "lang_balance_sample" -> ((s, d) => Curation.langBalanceSample(Tables.documents(s, d))),

@@ -259,6 +259,52 @@ object Curation {
         explode(sequence(lit(0L), col("n_copies") - 1L)).as("copy_idx"))
   }
 
+  /** `sample_bottomk`: uniform-without-replacement k-sample of the corpus as
+    * a BOTTOM-K SKETCH — rank every doc by a portable hash of its key and
+    * keep the k smallest. Statistically a uniform sample (the hash order is
+    * independent of any data attribute), but unlike `TABLESAMPLE`/RNG
+    * approaches it is deterministic across runs AND mergeable: the bottom-k
+    * of a union is computable from per-partition bottom-ks, which is exactly
+    * how Spark plans it (`TakeOrderedAndProject`: one bounded k-heap per
+    * partition, then a k-way driver merge — no global sort, no shuffle of
+    * non-sample rows; the same plan at 100 TB moves only `partitions × k`
+    * rows).
+    */
+  def sampleBottomK(documents: DataFrame, k: Int = 100): DataFrame =
+    documents
+      .select(col("doc_id"), col("source"),
+        PortableHash.hash32(concat(lit("bk:"), col("doc_id").cast("string")))
+          .as("rank_key"))
+      .orderBy(col("rank_key"), col("doc_id"))
+      .limit(k)
+
+  /** `shard_shuffle`: deterministic global training-order shuffle + shard
+    * assignment — the last step before a corpus ships to trainers, which
+    * read shards sequentially and need document order decorrelated from
+    * every data attribute (source, time, quality all correlate with
+    * position in the raw corpus). Order = a portable hash of the doc key:
+    * reproducible across runs/engines (no RNG, no seed bookkeeping), and a
+    * doc's (shard, position) is a pure function of the corpus content.
+    *
+    * Scale: shard first, THEN sort WITHIN each shard — one hash-partitioned
+    * exchange followed by per-shard sorts, never a global total order. In
+    * production nShards is the output file count (thousands), so each sort
+    * fits an executor; the global-ORDER-BY formulation this replaces would
+    * range-partition 100 TB through a sampled boundary exchange for an
+    * order nothing downstream needs (trainers only require per-shard order
+    * + shard-count decorrelation, which the hash gives).
+    */
+  def shardShuffle(documents: DataFrame, nShards: Int = 8): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy(col("sort_key"), col("doc_id"))
+    documents
+      .select(col("doc_id"), col("source"),
+        PortableHash.hash32(concat(lit("shuf:"), col("doc_id").cast("string")))
+          .as("sort_key"))
+      // hash32 is non-negative, so % is a true mod here
+      .withColumn("shard", (col("sort_key") % nShards).cast("long"))
+      .withColumn("pos_in_shard", (row_number().over(w) - 1).cast("long"))
+  }
+
   /** `split_train_test`: deterministic 90/5/5 split assignment by key hash —
     * the standard leak-proof alternative to random splits (a doc's split
     * never changes when the corpus grows, and co-versions of a doc can be
@@ -452,8 +498,6 @@ object Curation {
     "contamination_check" -> contaminationOracle,
     // bloom prefilter + exact confirm ≡ the exact check, row for row
     "contamination_bloom" -> contaminationOracle,
-    // the bloom prefilter is exact-confirmed, so the output is identical to
-    // contamination_check's — same oracle, resolved at map build time below
     "sample_weighted_mix" -> {
       val bucket = h("'mix:' || CAST(doc_id AS VARCHAR)")
       s"""WITH w AS (
@@ -471,6 +515,26 @@ object Curation {
          |       UNNEST(range(0, n_copies)) AS copy_idx
          |FROM c WHERE n_copies > 0""".stripMargin
     },
+    "sample_bottomk" ->
+      s"""SELECT doc_id, source,
+         |       ${h("'bk:' || CAST(doc_id AS VARCHAR)")} AS rank_key
+         |FROM documents
+         |ORDER BY rank_key, doc_id
+         |LIMIT 100""".stripMargin,
+    "shard_shuffle" ->
+      s"""WITH k AS (
+         |  SELECT doc_id, source,
+         |         ${h("'shuf:' || CAST(doc_id AS VARCHAR)")} AS sort_key
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, source, sort_key,
+         |         CAST(sort_key % 8 AS BIGINT) AS shard
+         |  FROM k)
+         |SELECT doc_id, source, sort_key, shard,
+         |       CAST(ROW_NUMBER() OVER (PARTITION BY shard
+         |                               ORDER BY sort_key, doc_id) - 1 AS BIGINT)
+         |         AS pos_in_shard
+         |FROM s""".stripMargin,
     "sample_stratified" ->
       s"""SELECT doc_id, lang,
          |       ${h("'strat:' || CAST(doc_id AS VARCHAR)")} % 1000 AS bucket

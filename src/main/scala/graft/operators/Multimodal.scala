@@ -135,6 +135,26 @@ object Multimodal {
         (col("frame_idx") * frameSize).cast("long").as("frame_offset"))
   }
 
+  /** `mm_content_dedup`: exact dedup of media PAYLOADS by content digest —
+    * the multimodal twin of `dedup_exact` (re-crawled images, mirrored
+    * videos and re-encoded copies of the same bytes are the dominant
+    * duplicate class in media corpora). The digest is computed from the
+    * BINARY column in one codegen'd projection, and only (digest, metadata)
+    * shuffles to the group-by — never the payload bytes, which at 100 TB is
+    * the difference between shuffling ~3 KB and ~100 TB. Emits one row per
+    * distinct content with its canonical (smallest) media_id and replica
+    * count, ready for a semi-join back to drop the copies.
+    */
+  def mmContentDedup(documents: DataFrame): DataFrame =
+    mediaTable(documents)
+      .select(col("media_id"), md5(col("payload")).as("digest"),
+        col("meta.n_bytes").as("n_bytes"))
+      // n_bytes is functionally determined by the digest's preimage; keeping
+      // it in the key costs nothing and spares a rejoin for size audits
+      .groupBy(col("digest"), col("n_bytes"))
+      .agg(min(col("media_id")).as("canonical_id"),
+        count(lit(1)).as("n_replicas"))
+
   /** Shared by `mm_decode_stub` and `mm_decode_batched`: the two variants
     * are row-identical by contract (same deterministic byte-stat "decode",
     * expression chain vs typed per-partition batches), so they share one
@@ -184,6 +204,15 @@ object Multimodal {
         |            WHEN octet_length(encode(text)) >= 200 THEN 'medium'
         |            ELSE 'small' END AS size_bucket
         |FROM documents""".stripMargin,
+    "mm_content_dedup" ->
+      // md5(varchar) hashes the utf8 bytes — identical to Spark's
+      // md5(encode(text, 'UTF-8')) (portability proven by dedup_exact)
+      """SELECT md5(text) AS digest,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       MIN(doc_id) AS canonical_id,
+        |       COUNT(*) AS n_replicas
+        |FROM documents
+        |GROUP BY 1, 2""".stripMargin,
     "mm_frame_sample" ->
       """WITH m AS (
         |  SELECT doc_id AS media_id,

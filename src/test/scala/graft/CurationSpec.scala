@@ -194,6 +194,38 @@ class CurationSpec extends SparkTestBase {
     assert(idx.sameElements(0L until idx.length))
   }
 
+  test("bottom-k sample: exactly k rows, stable under corpus growth prefix-wise") {
+    val small = docs((0L until 500L).map(i => (i, s"d$i", "en", "s")): _*)
+    val out = Curation.sampleBottomK(small, k = 50).collect()
+    assert(out.length == 50)
+    // the k smallest hash ranks, verified independently
+    val keys = out.map(_.getAs[Long]("rank_key")).sorted
+    val allKeys = Curation.sampleBottomK(small, k = 500).collect()
+      .map(_.getAs[Long]("rank_key")).sorted
+    assert(keys.sameElements(allKeys.take(50)))
+    // deterministic across runs
+    assert(Curation.sampleBottomK(small, k = 50).collect().map(_.getLong(0)).toSet ==
+      out.map(_.getLong(0)).toSet)
+  }
+
+  test("shard shuffle: shards partition the corpus, positions dense, order decorrelated") {
+    val df = docs((0L until 400L).map(i => (i, s"d$i", "en", s"src${i % 3}")): _*)
+    val out = Curation.shardShuffle(df).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shard"),
+        r.getAs[Long]("pos_in_shard"), r.getAs[Long]("sort_key")))
+    assert(out.length == 400, "every doc gets exactly one (shard, pos)")
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      // dense 0..n-1 positions within each shard, ordered by sort_key
+      val sorted = rows.sortBy(_._3)
+      assert(sorted.map(_._3).sameElements(0L until rows.length))
+      assert(sorted.map(_._4).sorted.sameElements(sorted.map(_._4)))
+    }
+    // decorrelated from doc_id order: the first docs of shard 0 are not the
+    // first doc_ids (astronomically unlikely under a working hash)
+    val firstOfShard0 = out.filter(_._2 == 0L).sortBy(_._3).take(10).map(_._1)
+    assert(!firstOfShard0.sameElements(firstOfShard0.sorted))
+  }
+
   private implicit class ToMap2(self: Array[(Long, Long, String)]) {
     def toMap2: Map[Long, String] = self.map(t => t._1 -> t._3).toMap
   }

@@ -47,4 +47,17 @@ class MultimodalSpec extends SparkTestBase {
     assert(row.getAs[Long]("head_byte") == (bytes(0) & 0xff).toLong)
     assert(row.getAs[Long]("byte_checksum") == bytes.map(_ & 0xff).map(_.toLong).sum % 65536)
   }
+
+  test("mm_content_dedup collapses byte-identical payloads to the smallest id") {
+    import spark.implicits._
+    val df = Seq(
+      (10L, "same bytes", "en", "s"),
+      (3L, "same bytes", "en", "s"),
+      (7L, "different", "en", "s"))
+      .map { case (id, t, l, s) => (id, t, l, s, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Multimodal.mmContentDedup(df).collect()
+      .map(r => (r.getAs[Long]("canonical_id"), r.getAs[Long]("n_replicas"))).toSet
+    assert(out == Set((3L, 2L), (7L, 1L)))
+  }
 }
