@@ -11,6 +11,12 @@ import graft.sources.Tables
   * all 204 declarative tests from dbt/models/**/*.yml, models and sources)
   * against the graft twin of every reference model.
   *
+  * 204 is the grep-grounded total over the reference ymls — 80 not_null,
+  * 49 unique, 28 dbt_utils.expression_is_true, 27 dbt_utils.accepted_range,
+  * 14 accepted_values, 6 relationships. (SURVEY §5.1's "208 schema tests"
+  * was a pre-census estimate; this file is the per-declaration ground
+  * truth, and the reference has no singular tests/ directory to add.)
+  *
   * Three twin classes:
   *  - library marts/stages used verbatim (fct_stock_prices, fct_oura_daily,
   *    fdaEvents, hnComments, the ModelAdapters staging frames, ...);

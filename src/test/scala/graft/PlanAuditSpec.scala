@@ -115,6 +115,62 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("sample_bottomk plans as a bounded top-k, never a global sort") {
+    import org.apache.spark.sql.execution.{SortExec, TakeOrderedAndProjectExec}
+    withoutAqe {
+      val df = graft.operators.Curation.sampleBottomK(Tables.documents(spark, sf))
+      val plan = df.queryExecution.executedPlan
+      assert(plan.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
+        s"bottom-k must plan as TakeOrderedAndProject (per-partition heaps):\n$plan")
+      assert(plan.collect { case s: SortExec => s }.isEmpty,
+        s"bottom-k must not plan a full sort:\n$plan")
+    }
+  }
+
+  test("contamination_bloom keeps the might_contain prefilter below the join") {
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    withoutAqe {
+      val df = graft.operators.Curation.contaminationBloom(Tables.documents(spark, sf))
+      val plan = df.queryExecution.executedPlan
+      val joins = plan.collect { case j: BaseJoinExec => j }
+      assert(joins.nonEmpty, s"exact-confirm join missing:\n$plan")
+      // the bloom predicate must survive optimization INSIDE the join's
+      // streamed (corpus) subtree — pruning before the join is the operator
+      val prefiltered = joins.exists(_.children.exists(_.find(n =>
+        n.expressions.exists(_.find(_.isInstanceOf[BloomFilterMightContain]).isDefined))
+        .isDefined))
+      assert(prefiltered, s"might_contain was optimized out or hoisted above the join:\n$plan")
+    }
+  }
+
+  test("shard_shuffle plans exactly one exchange (rank window reuses the shard partitioning)") {
+    withoutAqe {
+      val df = graft.operators.Curation.shardShuffle(Tables.documents(spark, sf))
+      val exchanges = df.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.size == 1,
+        s"expected one hash(shard) exchange; got ${exchanges.size}:\n" +
+          df.queryExecution.executedPlan)
+    }
+  }
+
+  test("mm_content_dedup never shuffles payload bytes") {
+    withoutAqe {
+      val df = graft.operators.Multimodal.mmContentDedup(Tables.documents(spark, sf))
+      val exchanges = df.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.nonEmpty)
+      exchanges.foreach { e =>
+        val shuffled = e.child.output.map(_.name)
+        assert(!shuffled.exists(n => n == "payload" || n == "text"),
+          s"payload bytes cross the exchange: $shuffled")
+      }
+    }
+  }
+
   test("sessionize_batch plans exactly one exchange (groupBy reuses the window's partitioning)") {
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
