@@ -223,6 +223,68 @@ object Dedup {
         col("lang"), col("est_jaccard"))
   }
 
+  /** `dedup_substring`: cross-document EXACT substring spans — the
+    * suffix-array dedup class (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better": exact long spans repeated across
+    * documents), re-expressed by WINNOWING (Schleimer et al. 2003, the
+    * MOSS fingerprinting algorithm), which is what makes it parallel: a
+    * suffix array is inherently sequential to build, and naive strided
+    * sampling of windows silently misses copies whose offsets differ mod
+    * the stride. Winnowing selects fingerprints by CONTENT — the minimum
+    * window-hash within each run of `w` consecutive positions — so two
+    * copies of a span elect the SAME fingerprints no matter where each
+    * copy sits in its document, with the classic guarantee: any shared
+    * span of length ≥ width + w − 1 (here 49 chars) yields at least one
+    * common fingerprint, and no shared fingerprint is shorter than
+    * `width` chars.
+    *
+    * Scale shape: one row per char position pre-winnow, ~2/(w+1) of them
+    * survive as fingerprints; the only wide shuffles are partitionBy
+    * (doc_id) for the winnow (bounded ROWS frame, O(1) state) and the
+    * fingerprint groupBy, which counts DISTINCT docs per span hash —
+    * within-doc repeats are `text_repetition`'s business, not dup spans.
+    * Docs with a flagged fingerprint join back against the same hash
+    * partitioning. Never all-pairs. The md5 window hash keeps the oracle
+    * exact; the production fast path swaps in a rolling hash
+    * (graft.functions.RollingHash) making per-position cost O(1).
+    */
+  def dedupSubstring(
+      documents: DataFrame, width: Int = 40, w: Int = 10): DataFrame = {
+    val base = documents
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+      .where(col("len") >= width)
+    // every window position (suffix-array coverage), hashed
+    val hashed = base
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), expr(s"len - $width"))).as("pos"),
+        col("text"))
+      .select(col("doc_id"), col("pos"),
+        md5(expr(s"substring(text, cast(pos + 1 as int), $width)")).as("h"))
+    // winnow: each trailing run of w positions elects its min hash; the
+    // doc's fingerprint set is the DISTINCT elected values (hex strings
+    // compare bytewise-identically in Spark and the oracle)
+    val winnowFrame = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(-(w - 1), Window.currentRow)
+    val fps = hashed
+      .withColumn("fp", min(col("h")).over(winnowFrame))
+      .select(col("doc_id"), col("fp"))
+      .distinct()
+    val dupFps = fps
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_docs")) // fps is already doc-distinct
+      .where(col("n_docs") >= 2)
+      .select(col("fp"))
+    val perDoc = fps.join(dupFps, Seq("fp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_fingerprints"))
+    fps.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fingerprints"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_fingerprints"),
+        coalesce(col("n_dup_fingerprints"), lit(0L)).as("n_dup_fingerprints"),
+        (coalesce(col("n_dup_fingerprints"), lit(0L)).cast("double") /
+          col("n_fingerprints").cast("double")).as("dup_fraction"))
+  }
+
   /** `dedup_simhash`: 16-bit simhash over shingle hashes; nibble-banded
     * candidate join; near-dup at hamming ≤ 3. Oracle-exact via
     * [[graft.functions.PortableHash]]; recall checked in DedupSpec.
@@ -607,6 +669,34 @@ object Dedup {
     "dedup_embedding_lsh" -> embeddingLshOracle,
     "dedup_minhash_lsh" -> minhashOracle,
     "dedup_paragraph" -> paragraphOracle,
+    "dedup_substring" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, length(text) AS len
+        |  FROM documents WHERE length(text) >= 40),
+        |p AS (
+        |  SELECT doc_id, UNNEST(range(0, len - 40 + 1)) AS pos, text FROM d),
+        |hh AS (
+        |  SELECT doc_id, pos, md5(substr(text, CAST(pos + 1 AS INT), 40)) AS h
+        |  FROM p),
+        |fps AS (
+        |  SELECT DISTINCT doc_id,
+        |         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |                      ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS fp
+        |  FROM hh),
+        |dup AS (
+        |  SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) >= 2),
+        |pd AS (
+        |  SELECT fps.doc_id, COUNT(*) AS n_dup_fingerprints
+        |  FROM fps JOIN dup USING (fp) GROUP BY fps.doc_id),
+        |tot AS (
+        |  SELECT doc_id, COUNT(*) AS n_fingerprints FROM fps GROUP BY doc_id)
+        |SELECT tot.doc_id,
+        |       CAST(tot.n_fingerprints AS BIGINT) AS n_fingerprints,
+        |       CAST(COALESCE(pd.n_dup_fingerprints, 0) AS BIGINT)
+        |         AS n_dup_fingerprints,
+        |       CAST(COALESCE(pd.n_dup_fingerprints, 0) AS DOUBLE)
+        |         / CAST(tot.n_fingerprints AS DOUBLE) AS dup_fraction
+        |FROM tot LEFT JOIN pd ON tot.doc_id = pd.doc_id""".stripMargin,
     "dedup_simhash" -> simhashOracle,
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash,

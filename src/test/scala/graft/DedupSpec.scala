@@ -227,4 +227,25 @@ class DedupSpec extends SparkTestBase {
       .select("neighbor_id").as[Long].collect().head
     assert(top == 50L)
   }
+
+  test("dedup_substring flags cross-doc spans at ANY offset, ignores within-doc repeats") {
+    // docs 1 and 2 share `base` verbatim (74 chars >= the width+w-1=49
+    // guarantee) at offsets 11 and 20 — different phases mod any stride, the
+    // case winnowing exists for; doc 3 repeats its own 60-char phrase twice
+    // but shares nothing across docs
+    val selfRepeat = "aaaa bbbb cccc dddd eeee ffff gggg hhhh iiii jjjj kkkk llll "
+    val df = docs(
+      (1L, s"PREFIX ONE $base AND A SUFFIX HERE PADDING MORE"),
+      (2L, s"other opening words $base closing words instead"),
+      (3L, selfRepeat + selfRepeat + "tail words beyond the repeats"))
+    val out = Dedup.dedupSubstring(df).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_dup_fingerprints"), r.getAs[Long]("n_fingerprints")))
+      .toMap
+    assert(out(1L)._1 > 0 && out(2L)._1 > 0,
+      s"the shared span must surface in both carriers: $out")
+    assert(out(3L)._1 == 0,
+      s"within-doc repetition is not a cross-doc dup span: $out")
+    assert(out.values.forall { case (d, n) => d <= n && n > 0 })
+  }
 }
