@@ -50,6 +50,7 @@ object SparkEntry {
     "agg_pd_describe" -> ((s, d) => Aggregates.aggPdDescribe(Tables.events(s, d))),
     "agg_rollup" -> ((s, d) => Aggregates.aggRollup(Tables.lineitem(s, d))),
     "agg_dow_stats" -> ((s, d) => Aggregates.aggDowStats(Tables.orders(s, d))),
+    "agg_quantiles" -> ((s, d) => Aggregates.aggQuantiles(Tables.events(s, d))),
     // §2.2 staging / filters / case
     "stg_rename" -> ((s, d) => Staging.stgRename(Tables.customer(s, d))),
     "stg_unit_convert" -> ((s, d) => Staging.stgUnitConvert(Tables.events(s, d))),
@@ -88,6 +89,7 @@ object SparkEntry {
     "join_value_backref" -> ((s, d) => Joins.joinValueBackref(Tables.supplier(s, d), Tables.nation(s, d))),
     "join_topk_back" -> ((s, d) => Joins.joinTopkBack(Tables.lineitem(s, d), Tables.part(s, d))),
     "join_asof" -> ((s, d) => Joins.joinAsof(Tables.events(s, d))),
+    "join_range_bucketed" -> ((s, d) => Joins.joinRangeBucketed(Tables.events(s, d))),
     "join_pd_merge" -> ((s, d) => Joins.joinPdMerge(Tables.orders(s, d), Tables.lineitem(s, d))),
     // §2.7 set ops
     "union_distinct" -> ((s, d) =>

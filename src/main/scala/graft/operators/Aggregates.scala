@@ -278,6 +278,29 @@ object Aggregates {
         countDistinct(col("user_id")).as("distinct_users"))
   }
 
+  /** `agg_quantiles`: exact per-group quartiles (p25/median/p75) — the rest
+    * of the pandas `describe` contract [[aggPdDescribe]] omits. Quantile
+    * choice is an EXACTNESS decision, not a product one: 0.25/0.5/0.75 have
+    * exact binary representations, so the rank position p·(n−1), its
+    * fractional part, and the linear interpolation between two integer-cent
+    * neighbors are all computed WITHOUT rounding error — the two engines'
+    * different evaluation orders cannot diverge, where p=0.9 would flap in
+    * the last ulp. Spark's `percentile` is the exact sort-based aggregate
+    * (one shuffle, per-group sort of values); at 100-TB group sizes swap in
+    * `approx_percentile` (t-digest-class sketch, mergeable map-side) — same
+    * plan shape, bounded state, no oracle (hence not registered here).
+    */
+  def aggQuantiles(events: DataFrame): DataFrame = {
+    events
+      .select(col("event_type"), Num.cents(col("value")).as("v"))
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(v, array(0.25D, 0.5D, 0.75D))").as("q"))
+      .select(col("event_type"),
+        Num.dollars(element_at(col("q"), 1)).as("p25_value"),
+        Num.dollars(element_at(col("q"), 2)).as("median_value"),
+        Num.dollars(element_at(col("q"), 3)).as("p75_value"))
+  }
+
   /** Day-of-week stats (pages/3_Oura_Wellness.py:16-55 DOW analysis).
     * ISO weekday (1=Mon..7=Sun): Spark weekday()+1 == DuckDB isodow().
     */
@@ -468,6 +491,17 @@ object Aggregates {
         |       CAST(MAX(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS max_value,
         |       COUNT(DISTINCT user_id) AS distinct_users
         |FROM events GROUP BY 1""".stripMargin,
+    "agg_quantiles" ->
+      """WITH c AS (
+        |  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS v FROM events),
+        |q AS (
+        |  SELECT event_type, quantile_cont(v, [0.25, 0.5, 0.75]) AS q
+        |  FROM c GROUP BY 1)
+        |SELECT event_type,
+        |       CAST(q[1] AS DOUBLE) / 100.0 AS p25_value,
+        |       CAST(q[2] AS DOUBLE) / 100.0 AS median_value,
+        |       CAST(q[3] AS DOUBLE) / 100.0 AS p75_value
+        |FROM q""".stripMargin,
     "agg_dow_stats" ->
       """SELECT isodow(o_orderdate) AS iso_dow,
         |       COUNT(*) AS order_count,

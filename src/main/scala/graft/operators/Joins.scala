@@ -271,7 +271,56 @@ object Joins {
         (unix_micros(col("ts")) - unix_micros(col("error_ts"))).as("staleness_us"))
   }
 
+  /** `join_range_bucketed`: RANGE (point-in-interval) join — for each
+    * user's first-day activity window [first_event, first_event + 1 day),
+    * count every event landing inside it. Spark has no native range-join
+    * operator: the declarative `e.t >= i.lo AND e.t < i.hi` predicate plans
+    * as a broadcast-nested-loop join, O(|events| × |intervals|) — the
+    * classic scale killer once intervals number in the millions. This is
+    * the canonical distributed decomposition (the same trick behind
+    * Databricks' range-join optimization, public docs): quantize time into
+    * fixed-width BUCKETS, explode each interval into the buckets it
+    * overlaps (bounded: interval_len/bucket + 1 rows — here ≤ 2), hash
+    * equi-join points to interval-buckets on the bucket id, then apply the
+    * exact containment predicate as a post-filter. Work becomes
+    * O(|events| + |intervals| + |true matches|) with one hash shuffle each
+    * side — never a cross product.
+    *
+    * All bounds are integer epoch micros (no timestamp float math); the
+    * bucket width (1 day) matches the interval length — production tunes it
+    * to ~median interval length, the published heuristic. A burst day makes
+    * a hot bucket: AQE skew-join splits it (the salting pattern of
+    * operators/Skew.scala composes if one bucket dominates).
+    */
+  def joinRangeBucketed(events: DataFrame): DataFrame = {
+    val DayUs = 86400000000L
+    val ev = events.select(unix_micros(col("ts")).as("t"), col("user_id"))
+    val intervals = ev.groupBy(col("user_id").as("owner"))
+      .agg(min(col("t")).as("lo"))
+      .withColumn("hi", col("lo") + DayUs)
+    val intervalBuckets = intervals.select(col("owner"), col("lo"), col("hi"),
+      explode(sequence(expr(s"lo div $DayUs"), expr(s"(hi - 1) div $DayUs")))
+        .as("bucket"))
+    ev.withColumn("bucket", expr(s"t div $DayUs"))
+      .join(intervalBuckets, Seq("bucket"))
+      .where(col("t") >= col("lo") && col("t") < col("hi"))
+      .groupBy(col("owner"))
+      .agg(count(lit(1)).as("n_events_in_window"))
+      .select(col("owner").as("user_id"), col("n_events_in_window"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "join_range_bucketed" ->
+      // DuckDB plans the raw range predicate natively (IEJoin) — the oracle
+      // needs no bucket trick, which is the point of the comparison
+      """WITH ev AS (
+        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS t, user_id FROM events),
+        |iv AS (
+        |  SELECT user_id AS owner, MIN(t) AS lo, MIN(t) + 86400000000 AS hi
+        |  FROM ev GROUP BY user_id)
+        |SELECT iv.owner AS user_id, COUNT(*) AS n_events_in_window
+        |FROM iv JOIN ev ON ev.t >= iv.lo AND ev.t < iv.hi
+        |GROUP BY 1""".stripMargin,
     "join_asof" ->
       """WITH clicks AS (
         |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),

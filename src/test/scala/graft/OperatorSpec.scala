@@ -155,6 +155,49 @@ class OperatorSpec extends SparkTestBase {
     assert(out == Map(1L -> -1L, 3L -> 2L, 5L -> 4L, 6L -> -1L))
   }
 
+  test("range join (bucketed) equals the naive range predicate, incl. cross-bucket spans") {
+    import java.sql.Timestamp
+    // user 1's first event at 23:30 → window crosses the day-bucket
+    // boundary; user 2's sits mid-day; both must count events from OTHER
+    // users falling in their window
+    def ts(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, 10L, ts("2024-01-01 23:30:00")), // user 1 window start
+      (2L, 11L, ts("2024-01-02 10:00:00")), // inside u1 (next bucket!)
+      (3L, 12L, ts("2024-01-02 23:29:59")), // inside u1, last micro
+      (4L, 13L, ts("2024-01-02 23:30:00")), // exact hi — excluded (half-open)
+      (5L, 11L, ts("2024-01-05 00:00:00"))  // far away
+    ).map { case (id, u, t) => (id, t, u, "click", 1.0, "p") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Joins.joinRangeBucketed(ev).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // u1 window [01-01 23:30, 01-02 23:30): events 10,11,12 → 3
+    assert(out(10L) == 3L, s"got $out")
+    // u11's first event 01-02 10:00 window catches events 12 and 13 → 3 incl. own
+    assert(out(11L) == 3L, s"got $out")
+    // independent naive check: cross join + range predicate
+    val naive = ev.select(unix_micros(col("ts")).as("t"), col("user_id"))
+    val iv = naive.groupBy(col("user_id").as("owner")).agg(min(col("t")).as("lo"))
+      .withColumn("hi", col("lo") + 86400000000L)
+    val expected = naive.crossJoin(iv)
+      .where(col("t") >= col("lo") && col("t") < col("hi"))
+      .groupBy(col("owner")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == expected, s"bucketed=$out naive=$expected")
+  }
+
+  test("agg_quantiles: interpolated quartiles are exact at binary-exact fractions") {
+    import java.sql.Timestamp
+    // n=4 values 1,2,3,4 dollars: p25 at pos 0.75 → 1.75; median 2.5; p75 3.25
+    val ev = (1 to 4).map(i =>
+      (i.toLong, Timestamp.valueOf("2024-01-01 00:00:00"), i.toLong, "a", i.toDouble, "p"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = Aggregates.aggQuantiles(ev).collect().head
+    assert(r.getAs[Double]("p25_value") == 1.75)
+    assert(r.getAs[Double]("median_value") == 2.5)
+    assert(r.getAs[Double]("p75_value") == 3.25)
+  }
+
   test("RollingHash matches the HOF ascii-fold on ASCII strings") {
     import graft.functions.RollingHash.rolling_hash
     val df = Seq("the quick brown fox", "", "a", "x " * 500).toDF("s")
