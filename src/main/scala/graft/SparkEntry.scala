@@ -90,6 +90,7 @@ object SparkEntry {
     "join_topk_back" -> ((s, d) => Joins.joinTopkBack(Tables.lineitem(s, d), Tables.part(s, d))),
     "join_asof" -> ((s, d) => Joins.joinAsof(Tables.events(s, d))),
     "join_range_bucketed" -> ((s, d) => Joins.joinRangeBucketed(Tables.events(s, d))),
+    "zorder_key" -> ((s, d) => Layout.zorderKey(Tables.lineitem(s, d))),
     "join_pd_merge" -> ((s, d) => Joins.joinPdMerge(Tables.orders(s, d), Tables.lineitem(s, d))),
     // §2.7 set ops
     "union_distinct" -> ((s, d) =>
@@ -253,6 +254,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Oracles.all ++ Aggregates.oracles ++ Staging.oracles ++ Scalars.oracles ++
       Sorts.oracles ++ Joins.oracles ++ SetOps.oracles ++ Arrays.oracles ++
+      Layout.oracles ++
       Merge.oracles ++ graft.sources.ApiSource.oracles ++ Reshape.oracles ++
       Enrich.oracles ++ Dedup.oracles ++ Similarity.oracles ++
       TextAnalysis.oracles ++ CorpusStats.oracles ++ Multimodal.oracles ++ Pipeline.oracles ++
