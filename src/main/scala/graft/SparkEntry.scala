@@ -51,6 +51,7 @@ object SparkEntry {
     "agg_rollup" -> ((s, d) => Aggregates.aggRollup(Tables.lineitem(s, d))),
     "agg_dow_stats" -> ((s, d) => Aggregates.aggDowStats(Tables.orders(s, d))),
     "agg_quantiles" -> ((s, d) => Aggregates.aggQuantiles(Tables.events(s, d))),
+    "agg_corr" -> ((s, d) => Aggregates.aggCorr(Tables.lineitem(s, d))),
     // §2.2 staging / filters / case
     "stg_rename" -> ((s, d) => Staging.stgRename(Tables.customer(s, d))),
     "stg_unit_convert" -> ((s, d) => Staging.stgUnitConvert(Tables.events(s, d))),
@@ -197,6 +198,9 @@ object SparkEntry {
     // micro-batch replays, batch DISTINCT oracle
     "stream_dedup_endstate" -> ((s, d) =>
       graft.streaming.StreamDedup.streamDedupEndstate(s, d)),
+    // stream-static enrichment join (stateless), batch-join oracle
+    "stream_enrich_endstate" -> ((s, d) =>
+      graft.streaming.StreamEnrich.streamEnrichEndstate(s, d)),
     // round-2 mart compositions (VERDICT.md Missing #1)
     "fct_sales_by_county" -> ((s, d) => graft.models.Marts.fctSalesByCounty(
       graft.models.Marts.sales(Tables.lineitem(s, d), Tables.orders(s, d), Tables.customer(s, d),
@@ -262,5 +266,6 @@ object SparkEntry {
       graft.models.Marts.oracles ++ graft.models.TextMarts.oracles ++
       graft.streaming.IncrementalSync.oracles ++ graft.streaming.Sessionize.oracles ++
       graft.streaming.StreamDedup.oracles ++
+      graft.streaming.StreamEnrich.oracles ++
       graft.models.ModelAdapters.oracles
 }

@@ -301,6 +301,38 @@ object Aggregates {
         Num.dollars(element_at(col("q"), 3)).as("p75_value"))
   }
 
+  /** `agg_corr`: per-group Pearson correlation from EXACT integer moments —
+    * the determinism problem with built-in `corr()` is that its streaming
+    * accumulation order differs run-to-run and engine-to-engine, so the
+    * last ulp flaps. Here the five moments (Σx, Σy, Σxy, Σx², Σy²) are
+    * exact integer sums (order-independent, partial-aggregate friendly —
+    * one shuffle of five longs per group), and the final r is one fixed
+    * double expression over them, written with IDENTICAL structure in the
+    * oracle so both engines execute the same IEEE op sequence. Inputs are
+    * integer-valued by construction (quantity; price in whole dollars) so
+    * every moment stays within double's 2^53 exact-integer range at any
+    * realistic group size.
+    */
+  def aggCorr(lineitem: DataFrame): DataFrame = {
+    val moments = lineitem
+      .select(col("l_returnflag"),
+        col("l_quantity").cast("long").as("x"),
+        expr("cast(round(l_extendedprice * 100) as bigint) div 100").as("y"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    val d = (c: String) => col(c).cast(DoubleType)
+    moments.select(
+      col("l_returnflag"), col("n"),
+      ((d("sxy") - d("sx") * d("sy") / d("n")) /
+        (sqrt(d("sxx") - d("sx") * d("sx") / d("n")) *
+          sqrt(d("syy") - d("sy") * d("sy") / d("n")))).as("pearson_r"))
+  }
+
   /** Day-of-week stats (pages/3_Oura_Wellness.py:16-55 DOW analysis).
     * ISO weekday (1=Mon..7=Sun): Spark weekday()+1 == DuckDB isodow().
     */
@@ -491,6 +523,27 @@ object Aggregates {
         |       CAST(MAX(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS max_value,
         |       COUNT(DISTINCT user_id) AS distinct_users
         |FROM events GROUP BY 1""".stripMargin,
+    "agg_corr" ->
+      // mirrors the Spark expression TERM BY TERM (see aggCorr scaladoc):
+      // exact integer moments, then one identically-structured double expr
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |         COUNT(*) AS n,
+        |         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |         CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |         CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |         CAST(SUM(y * y) AS BIGINT) AS syy
+        |  FROM (SELECT l_returnflag,
+        |               CAST(l_quantity AS BIGINT) AS x,
+        |               CAST(ROUND(l_extendedprice * 100) AS BIGINT) // 100 AS y
+        |        FROM lineitem)
+        |  GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |       (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+        |       / (sqrt(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |          * sqrt(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+        |         AS pearson_r
+        |FROM m""".stripMargin,
     "agg_quantiles" ->
       """WITH c AS (
         |  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS v FROM events),

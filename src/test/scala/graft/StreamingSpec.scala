@@ -183,4 +183,21 @@ class StreamingSpec extends SparkTestBase {
         s"end state must equal batch DISTINCT: $total vs $batchDistinct")
     } finally out.unpersist()
   }
+
+  test("stream-static enrich: end state equals the batch join, replay suppressed") {
+    import org.apache.spark.sql.functions.col
+    val out = graft.streaming.StreamEnrich.streamEnrichEndstate(spark, sf).cache()
+    try {
+      val total = out.count()
+      val ids = out.select("event_id").distinct().count()
+      assert(total == ids,
+        s"run 2 re-read drop 1's file despite the checkpoint: $total vs $ids distinct")
+      val batch = graft.sources.Tables.events(spark, sf)
+        .join(graft.sources.Tables.customer(spark, sf),
+          col("user_id") === col("c_custkey")).count()
+      assert(total == batch, s"end state must equal the batch join: $total vs $batch")
+      // enrichment actually attached: no null segments
+      assert(out.where(col("segment").isNull).count() == 0)
+    } finally out.unpersist()
+  }
 }
