@@ -167,6 +167,7 @@ object SparkEntry {
     "contamination_check" -> ((s, d) => Curation.contaminationCheck(Tables.documents(s, d))),
     "contamination_bloom" -> ((s, d) => Curation.contaminationBloom(Tables.documents(s, d))),
     "dedup_substring" -> ((s, d) => Dedup.dedupSubstring(Tables.documents(s, d))),
+    "dedup_incremental" -> ((s, d) => Dedup.dedupIncremental(Tables.documents(s, d))),
     "sample_weighted_mix" -> ((s, d) => Curation.sampleWeightedMix(Tables.documents(s, d))),
     "sample_stratified" -> ((s, d) => Curation.sampleStratified(Tables.documents(s, d))),
     "sample_bottomk" -> ((s, d) => Curation.sampleBottomK(Tables.documents(s, d))),

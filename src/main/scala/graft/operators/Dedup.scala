@@ -175,6 +175,50 @@ object Dedup {
       .select(col("doc_id_1"), col("doc_id_2"), col("lang"), col("est_jaccard"))
   }
 
+  /** `dedup_incremental`: near-dup detection for a NEW batch against the
+    * EXISTING corpus — the production dedup shape at 100 TB, where a daily
+    * crawl increment must never trigger a corpus-wide re-dedup. The LSH
+    * index (band hashes of every existing doc) is precomputed and stored in
+    * production; an increment only shingles and signs ITS OWN docs and
+    * probes their band hashes against the index, so per-increment cost is
+    * O(batch + collisions), independent of corpus size. The probe join is
+    * ASYMMETRIC (new side × index side, no new×new or existing×existing
+    * pairs — the batch's internal dups are its own batch-dedup pass), and
+    * candidate verification is the same signature-agreement projection as
+    * [[dedupMinhashLsh]]. Demo partitioning: doc_id % 4 == 0 is "the new
+    * batch"; both sides derive from one table because the driver contract
+    * is a single query — the PLAN is the production probe shape.
+    */
+  def dedupIncremental(documents: DataFrame, fastHash: Boolean = false): DataFrame = {
+    val sigs = minhashSignatures(documents, fastHash).cache()
+    val sigArr = array((0 until MinhashK).map(i => col(s"sig_$i")): _*)
+    val withBands = sigs
+      .select(col("doc_id"), col("lang"),
+        posexplode(array((0 until 4).map(b =>
+          bandHash(col(s"sig_${4 * b}"), col(s"sig_${4 * b + 1}"),
+            col(s"sig_${4 * b + 2}"), col(s"sig_${4 * b + 3}"))): _*))
+          .as(Seq("band_idx", "band_hash")))
+    val probe = withBands.where(col("doc_id") % 4 === 0)
+      .select(col("lang"), col("band_idx"), col("band_hash"),
+        col("doc_id").as("new_doc_id"))
+    val index = withBands.where(col("doc_id") % 4 =!= 0)
+      .select(col("lang"), col("band_idx"), col("band_hash"),
+        col("doc_id").as("existing_doc_id"))
+    val candidates = probe.join(index, Seq("lang", "band_idx", "band_hash"))
+      .select(col("lang"), col("new_doc_id"), col("existing_doc_id"))
+      .distinct()
+    val sigTable = sigs.select(col("doc_id"), sigArr.as("sig"))
+    candidates
+      .join(sigTable.select(col("doc_id").as("new_doc_id"), col("sig").as("sig1")),
+        Seq("new_doc_id"))
+      .join(sigTable.select(col("doc_id").as("existing_doc_id"), col("sig").as("sig2")),
+        Seq("existing_doc_id"))
+      .withColumn("est_jaccard",
+        long_eq_count(col("sig1"), col("sig2")).cast(DoubleType) / MinhashK.toDouble)
+      .where(col("est_jaccard") >= 0.5)
+      .select(col("new_doc_id"), col("existing_doc_id"), col("lang"), col("est_jaccard"))
+  }
+
   /** Paragraph chunking for span-level dedup: fixed `window`-word spans
     * (the realistic chunking for corpora whose paragraph boundaries are
     * unreliable or absent), capped at `MaxParas` spans per document, each
@@ -668,6 +712,16 @@ object Dedup {
     "dedup_clusters" -> clustersOracle,
     "dedup_embedding_lsh" -> embeddingLshOracle,
     "dedup_minhash_lsh" -> minhashOracle,
+    // the symmetric candidate set restricted to one-new-one-existing pairs,
+    // reoriented (new, existing) — value-identical to the asymmetric probe
+    "dedup_incremental" ->
+      s"""SELECT CASE WHEN doc_id_1 % 4 = 0 THEN doc_id_1 ELSE doc_id_2 END
+         |         AS new_doc_id,
+         |       CASE WHEN doc_id_1 % 4 = 0 THEN doc_id_2 ELSE doc_id_1 END
+         |         AS existing_doc_id,
+         |       lang, est_jaccard
+         |FROM ($minhashOracle) mh
+         |WHERE (doc_id_1 % 4 = 0) != (doc_id_2 % 4 = 0)""".stripMargin,
     "dedup_paragraph" -> paragraphOracle,
     "dedup_substring" ->
       """WITH d AS (

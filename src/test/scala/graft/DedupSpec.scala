@@ -228,6 +228,23 @@ class DedupSpec extends SparkTestBase {
     assert(top == 50L)
   }
 
+  test("dedup_incremental probes new docs against the existing index only") {
+    // 4 (new) ~ 5 (existing): must be found, oriented (new, existing);
+    // 8 ~ 12 (both new) and 5 ~ 9 (both existing): out of scope
+    val df = docs(
+      (4L, base), (5L, nearDup),
+      (8L, base.replace("quick", "speedy")), (12L, base.replace("quick", "speedy")),
+      (9L, nearDup),
+      (7L, unrelated))
+    val out = Dedup.dedupIncremental(df).collect()
+      .map(r => (r.getAs[Long]("new_doc_id"), r.getAs[Long]("existing_doc_id"))).toSet
+    assert(out.contains((4L, 5L)), s"cross-split near-dup missed: $out")
+    out.foreach { case (n, e) =>
+      assert(n % 4 == 0, s"non-new doc on the probe side: $n")
+      assert(e % 4 != 0, s"new doc on the index side: $e")
+    }
+  }
+
   test("dedup_substring flags cross-doc spans at ANY offset, ignores within-doc repeats") {
     // docs 1 and 2 share `base` verbatim (74 chars >= the width+w-1=49
     // guarantee) at offsets 11 and 20 — different phases mod any stride, the
