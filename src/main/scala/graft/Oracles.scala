@@ -136,7 +136,20 @@ object Oracles {
     // win_topk_custom = the same semantics through the custom TopKPerKey
     // physical operator; both check against the identical ranked-window SQL
     "win_topk_custom" -> topkOracle,
-    "win_topk_group" -> topkOracle
+    "win_topk_group" -> topkOracle,
+
+    // rank-based definitions are tie-stable: (rank-1)/(n-1) and cume_dist
+    // depend only on the key's position among DISTINCT values, so the
+    // engines agree without a tiebreak column; the division is one int/int
+    // double op, identical both sides
+    "win_percent_rank" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |       l_returnflag, l_quantity,
+        |       PERCENT_RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+        |         AS pct_rank,
+        |       CUME_DIST() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+        |         AS cume
+        |FROM lineitem""".stripMargin
   )
 
   private lazy val topkOracle: String =

@@ -28,6 +28,7 @@ object SparkEntry {
     "win_recency_rank" -> ((s, d) => Windows.winRecencyRank(Tables.prices(s, d))),
     "win_centered" -> ((s, d) => Windows.winCentered(Tables.trends(s, d))),
     "win_dedup" -> ((s, d) => Windows.winDedup(Tables.events(s, d))),
+    "win_percent_rank" -> ((s, d) => Windows.winPercentRank(Tables.lineitem(s, d))),
     "win_topk_group" -> ((s, d) => Windows.winTopkGroup(Tables.lineitem(s, d))),
     "win_topk_custom" -> ((s, d) => Windows.winTopkCustom(Tables.lineitem(s, d))),
     // §2.4 aggregations

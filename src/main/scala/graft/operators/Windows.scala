@@ -152,6 +152,25 @@ object Windows {
   /** `win_dedup` (stg_hn__comments.sql:6-33): keep-one-per-key by recency
     * with a deterministic tiebreaker. Key = (user_id, event_type).
     */
+  /** `win_percent_rank`: relative standing of every row within its group —
+    * `percent_rank` ((rank−1)/(n−1)) and `cume_dist`, the two rank-ratio
+    * window functions. Tie-stable by definition (both depend only on the
+    * key's position among distinct values, not intra-tie row order), so no
+    * tiebreak column is needed for engine agreement. Scale: PARTITIONED
+    * ranks — each group sorts independently after one hash exchange; a
+    * GLOBAL percent_rank would be a single-partition sort (for global
+    * standing use the per-group NTILE of `quality_decile_filter` or the
+    * exact quartiles of `agg_quantiles` instead).
+    */
+  def winPercentRank(lineitem: DataFrame): DataFrame = {
+    val w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    lineitem.select(
+      col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+      col("l_returnflag"), col("l_quantity"),
+      percent_rank().over(w).as("pct_rank"),
+      cume_dist().over(w).as("cume"))
+  }
+
   def winDedup(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id", "event_type")
       .orderBy(col("ts").desc, col("event_id").desc)
