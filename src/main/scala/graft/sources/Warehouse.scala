@@ -51,6 +51,50 @@ object Warehouse {
     f.delete()
   }
 
+  /** Small-file compaction — the table-maintenance pass every long-lived
+    * parquet table needs: incremental syncs, streaming sinks and per-bucket
+    * rewrites (IncrementalSync) all accrete files far below the
+    * scan-efficient size, and at 100 TB a table fragmented into 10⁷ × 10 MB
+    * files pays listing, open and footer costs that dominate the scan.
+    * Strategy: size the output file count from the table's actual bytes
+    * (`ceil(totalBytes / targetBytes)`) and rewrite through ONE
+    * `repartition(n)` round-robin exchange — uniform output sizes by
+    * construction, one job regardless of input file count (a driver loop of
+    * per-bin jobs would be 10⁵ job submissions at scale). The write lands
+    * in a temp dir and swaps in atomically (same rename-capable-FS contract
+    * as IncrementalSync, asserted there). Returns (filesBefore,
+    * filesAfter, rows) for the caller's audit.
+    *
+    * Sorted/z-ordered tables compact with `repartitionByRange` on the
+    * layout key instead — same shape, order-preserving across files; this
+    * entry point targets the unordered append/upsert tables where
+    * round-robin's perfect balance is the win.
+    */
+  def compactSmallFiles(
+      spark: SparkSession, path: String, targetBytes: Long = 128L << 20)
+      : (Int, Int, Long) = {
+    val dir = new java.io.File(path)
+    def parts = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    val before = parts
+    val totalBytes = before.map(_.length()).sum
+    val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val df = spark.read.parquet(path)
+    val tmp = path + ".compact_tmp"
+    df.repartition(n).write.mode("overwrite").parquet(tmp)
+    val rows = spark.read.parquet(tmp).count()
+    // swap: move the old dir aside, the new one in, then drop the old —
+    // readers either see the old files or the new, never a half-written mix
+    val old = new java.io.File(path + ".compact_old")
+    if (old.exists()) delete(old)
+    java.nio.file.Files.move(dir.toPath, old.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    java.nio.file.Files.move(new java.io.File(tmp).toPath, dir.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    delete(old)
+    (before.length, parts.length, rows)
+  }
+
   /** Order revenue via the co-located join: no exchange on either side. */
   def colocatedOrderRevenue(spark: SparkSession, sfDir: String): DataFrame = {
     ensureBucketed(spark, sfDir)

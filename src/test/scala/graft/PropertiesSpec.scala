@@ -94,4 +94,44 @@ class PropertiesSpec extends SparkTestBase {
       n == (t.toSet ++ s.toSet).size.toLong
     })
   }
+
+  test("winnowing guarantee: a shared span >= width+w-1 is ALWAYS detected, at any offsets") {
+    // random distinct prefixes/suffixes around a random shared span placed
+    // at arbitrary (and different) offsets in two docs — the content
+    // alignment property naive strided sampling lacks. width=40, w=10 →
+    // guarantee at 49+ chars; spans are drawn at exactly the guarantee
+    // boundary and above.
+    val letter = Gen.choose('a', 'z')
+    def str(n: Int): Gen[String] = Gen.listOfN(n, letter).map(_.mkString)
+    val gen = for {
+      spanLen <- Gen.choose(49, 70)
+      span <- str(spanLen)
+      p1 <- Gen.choose(0, 23)
+      p2 <- Gen.choose(0, 23)
+      pre1 <- str(p1); pre2 <- str(p2)
+      suf1 <- str(10); suf2 <- str(10)
+    } yield (s"$pre1 $span $suf1", s"$pre2 $span $suf2")
+    checkProp(Prop.forAll(gen) { case (t1, t2) =>
+      val df = Seq((1L, t1), (2L, t2)).map { case (id, t) =>
+        (id, t, "en", "s", t.length.toLong)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      val out = graft.operators.Dedup.dedupSubstring(df).collect()
+        .map(r => r.getLong(0) -> r.getAs[Long]("n_dup_fingerprints")).toMap
+      out(1L) > 0 && out(2L) > 0
+    })
+  }
+
+  test("weighted mix: copy count is floor(w) or floor(w)+1, fraction matches the hash rule") {
+    val gen = Gen.listOfN(30, Gen.choose(0L, 500L))
+    checkProp(Prop.forAll(gen) { ids =>
+      val df = ids.distinct.map(i => (i, s"d$i", "en", s"src${i % 20}", 2L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val out = graft.operators.Curation.sampleWeightedMix(df)
+        .groupBy("doc_id", "weight_pm").count().collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      out.forall { case (_, wpm, copies) =>
+        copies == wpm / 1000 || copies == wpm / 1000 + 1
+      }
+    })
+  }
 }

@@ -49,4 +49,36 @@ class WarehouseSpec extends SparkTestBase {
       .where(year(col("l_shipdate")) === 1997).count()
     assert(q.collect().head.getLong(0) == expected)
   }
+
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
+    f.delete()
+  }
+
+  test("small-file compaction: fewer, even files; identical content; atomic swap") {
+    val path = "target/compact_test"
+    rmTree(new java.io.File(path))
+    val src = Tables.lineitem(spark, sf).select("l_orderkey", "l_linenumber", "l_quantity")
+    // fragment: 48 tiny files
+    src.repartition(48).write.mode("overwrite").parquet(path)
+    val beforeHash = spark.read.parquet(path)
+      .agg(sum((col("l_orderkey") * col("l_quantity")).cast("long"))).collect().head.getLong(0)
+    val beforeCount = spark.read.parquet(path).count()
+    // target sized so the table needs ~4 files
+    val totalBytes = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val (nBefore, nAfter, rows) =
+      Warehouse.compactSmallFiles(spark, path, targetBytes = totalBytes / 4)
+    assert(nBefore == 48, s"fragmented table should have 48 files, had $nBefore")
+    assert(nAfter <= 6 && nAfter >= 3, s"expected ~4-5 compacted files, got $nAfter")
+    assert(rows == beforeCount)
+    val after = spark.read.parquet(path)
+    assert(after.count() == beforeCount)
+    assert(after.agg(sum((col("l_orderkey") * col("l_quantity")).cast("long")))
+      .collect().head.getLong(0) == beforeHash, "content changed under compaction")
+    // no stale temp/old dirs left behind
+    assert(!new java.io.File(path + ".compact_tmp").exists())
+    assert(!new java.io.File(path + ".compact_old").exists())
+    rmTree(new java.io.File(path))
+  }
 }
