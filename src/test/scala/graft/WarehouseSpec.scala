@@ -50,6 +50,35 @@ class WarehouseSpec extends SparkTestBase {
     assert(q.collect().head.getLong(0) == expected)
   }
 
+  test("dynamic partition pruning: a dim-side filter prunes fact partitions at runtime") {
+    // the 100-TB star-join shape: the fact is partitioned on a derived key,
+    // the filter lives on the DIMENSION — static pruning can't see it, so
+    // Catalyst must inject a runtime subquery filter into the fact scan
+    // (spark.sql.optimizer.dynamicPartitionPruning, on by default)
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toFile.getAbsolutePath
+    Tables.lineitem(spark, sf)
+      .withColumn("ship_year", year(col("l_shipdate")))
+      .write.partitionBy("ship_year").mode("overwrite").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    // dimension filter must be DATA-dependent (order volume), not an
+    // equality on the join key — an equality would propagate through the
+    // join constraint into STATIC pruning and prove nothing about DPP
+    val dim = Tables.orders(spark, sf)
+      .groupBy(year(col("o_orderdate")).as("ship_year"))
+      .agg(count(lit(1)).as("cnt"))
+    val cutoff = dim.agg(max(col("cnt"))).collect().head.getLong(0)
+    val q = fact.join(dim.where(col("cnt") === cutoff), Seq("ship_year"))
+      .agg(count(lit(1)).as("n"))
+    val plan = q.queryExecution.executedPlan.toString()
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected a dynamic-pruning subquery in the fact scan:\n$plan")
+    val busiestYears = dim.where(col("cnt") === cutoff)
+      .collect().map(_.getInt(0)).toSet
+    val expected = Tables.lineitem(spark, sf)
+      .where(year(col("l_shipdate")).isInCollection(busiestYears)).count()
+    assert(q.collect().head.getLong(0) == expected)
+  }
+
   private def rmTree(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
     f.delete()
