@@ -92,6 +92,7 @@ object SparkEntry {
     "join_topk_back" -> ((s, d) => Joins.joinTopkBack(Tables.lineitem(s, d), Tables.part(s, d))),
     "join_asof" -> ((s, d) => Joins.joinAsof(Tables.events(s, d))),
     "join_range_bucketed" -> ((s, d) => Joins.joinRangeBucketed(Tables.events(s, d))),
+    "join_fuzzy_blocked" -> ((s, d) => Joins.joinFuzzyBlocked(Tables.part(s, d))),
     "zorder_key" -> ((s, d) => Layout.zorderKey(Tables.lineitem(s, d))),
     "join_pd_merge" -> ((s, d) => Joins.joinPdMerge(Tables.orders(s, d), Tables.lineitem(s, d))),
     // §2.7 set ops

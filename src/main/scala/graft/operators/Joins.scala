@@ -309,7 +309,47 @@ object Joins {
       .select(col("owner").as("user_id"), col("n_events_in_window"))
   }
 
+  /** `join_fuzzy_blocked`: edit-distance fuzzy self-join — the entity-
+    * resolution operator (typo'd titles, OCR'd names, near-identical
+    * product labels). The naive form is an all-pairs Levenshtein — O(n²)
+    * cross join, the canonical scale killer. Blocking makes it an
+    * equi-join: edit distance ≤ t implies length difference ≤ t, so with
+    * length buckets of width 4 ≥ t+1 every qualifying pair lands in the
+    * SAME or ADJACENT buckets — the probe side explodes into its three
+    * candidate buckets (3× row inflation, constant), hash-joins on the
+    * bucket id, and the exact Levenshtein post-filters. The blocking is
+    * LOSSLESS for the threshold (mirrored in the oracle, so results are
+    * value-identical by construction), and work is O(pairs within blocks),
+    * never n². Emits each part's fuzzy-match count — the "how ambiguous is
+    * this name" audit — including zero-match rows via the left join.
+    */
+  def joinFuzzyBlocked(part: DataFrame, threshold: Int = 1): DataFrame = {
+    val b = part.select(col("p_partkey"), col("p_name"),
+      expr("length(p_name) div 4").as("blk"))
+    val probe = b.select(col("p_partkey").as("k"), col("p_name").as("name"),
+        explode(sequence(col("blk") - 1, col("blk") + 1)).as("blk"))
+    val matches = probe.join(b, Seq("blk"))
+      .where(col("k") =!= col("p_partkey") &&
+        levenshtein(col("name"), col("p_name")) <= threshold)
+      .groupBy(col("k")).agg(count(lit(1)).as("n"))
+    b.join(matches, b("p_partkey") === matches("k"), "left")
+      .select(col("p_partkey"), col("p_name"),
+        coalesce(col("n"), lit(0L)).as("n_fuzzy_matches"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "join_fuzzy_blocked" ->
+      """WITH b AS (
+        |  SELECT p_partkey, p_name, length(p_name) // 4 AS blk FROM part),
+        |m AS (
+        |  SELECT a.p_partkey AS k, COUNT(*) AS n
+        |  FROM b a JOIN b c
+        |    ON c.blk BETWEEN a.blk - 1 AND a.blk + 1
+        |   AND a.p_partkey != c.p_partkey
+        |   AND levenshtein(a.p_name, c.p_name) <= 1
+        |  GROUP BY 1)
+        |SELECT b.p_partkey, b.p_name, COALESCE(m.n, 0) AS n_fuzzy_matches
+        |FROM b LEFT JOIN m ON b.p_partkey = m.k""".stripMargin,
     "join_range_bucketed" ->
       // DuckDB plans the raw range predicate natively (IEJoin) — the oracle
       // needs no bucket trick, which is the point of the comparison

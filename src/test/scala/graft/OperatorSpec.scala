@@ -198,6 +198,17 @@ class OperatorSpec extends SparkTestBase {
     assert(r.getAs[Double]("p75_value") == 3.25)
   }
 
+  test("fuzzy join finds cross-bucket typo pairs and nothing beyond the threshold") {
+    // "abc"(len 3, blk 0) vs "abcd"(len 4, blk 1): lev 1 ACROSS a bucket
+    // boundary — the case the adjacent-bucket probe exists for; "zzzz" is
+    // within-bucket of "abcd" but lev 4 — must not match
+    val df = Seq((1L, "abc"), (2L, "abcd"), (3L, "zzzz"))
+      .toDF("p_partkey", "p_name")
+    val out = Joins.joinFuzzyBlocked(df).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_fuzzy_matches")).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 0L), s"got $out")
+  }
+
   test("RollingHash matches the HOF ascii-fold on ASCII strings") {
     import graft.functions.RollingHash.rolling_hash
     val df = Seq("the quick brown fox", "", "a", "x " * 500).toDF("s")
