@@ -73,6 +73,13 @@ object Warehouse {
   def compactSmallFiles(
       spark: SparkSession, path: String, targetBytes: Long = 128L << 20)
       : (Int, Int, Long) = {
+    // same commit contract and crash discipline as the streaming sink's
+    // bucket swap (IncrementalSync): rename-capable FS asserted up front,
+    // and a crash between the two moves leaves the table only in the aside
+    // dir — repair-on-entry restores it, so the table is always old-or-new,
+    // never missing
+    graft.streaming.IncrementalSync.assertRenameCapable(path)
+    repairInterruptedCompaction(path)
     val dir = new java.io.File(path)
     def parts = Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
@@ -93,6 +100,25 @@ object Warehouse {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     delete(old)
     (before.length, parts.length, rows)
+  }
+
+  /** If a previous compaction died between move-aside and move-in, the
+    * table exists only at `<path>.compact_old` — restore it. If both exist,
+    * the swap completed and the aside copy is stale — drop it. Idempotent.
+    */
+  private[graft] def repairInterruptedCompaction(path: String): Unit = {
+    val dir = new java.io.File(path)
+    val old = new java.io.File(path + ".compact_old")
+    if (old.exists() && !dir.exists()) {
+      java.nio.file.Files.move(old.toPath, dir.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } else if (old.exists()) {
+      delete(old)
+    }
+    // a stale tmp write is always safe to drop: it only becomes live via
+    // the move-in, which requires the aside step to have happened first
+    val tmp = new java.io.File(path + ".compact_tmp")
+    if (tmp.exists()) delete(tmp)
   }
 
   /** Order revenue via the co-located join: no exchange on either side. */

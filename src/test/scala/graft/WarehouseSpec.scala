@@ -110,4 +110,30 @@ class WarehouseSpec extends SparkTestBase {
     assert(!new java.io.File(path + ".compact_old").exists())
     rmTree(new java.io.File(path))
   }
+
+  test("interrupted compaction swap recovers: table restored from the aside dir") {
+    val path = "target/compact_crash_test"
+    rmTree(new java.io.File(path))
+    Tables.nation(spark, sf).write.mode("overwrite").parquet(path)
+    val rows = spark.read.parquet(path).count()
+    // simulate a crash between move-aside and move-in: table only in .compact_old
+    java.nio.file.Files.move(
+      new java.io.File(path).toPath,
+      new java.io.File(path + ".compact_old").toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    new java.io.File(path + ".compact_tmp").mkdirs() // stale partial write
+    assert(!new java.io.File(path).exists())
+    Warehouse.repairInterruptedCompaction(path)
+    assert(spark.read.parquet(path).count() == rows, "table lost after repair")
+    assert(!new java.io.File(path + ".compact_old").exists())
+    assert(!new java.io.File(path + ".compact_tmp").exists())
+    // a full compaction entered mid-crash also self-repairs
+    java.nio.file.Files.move(
+      new java.io.File(path).toPath,
+      new java.io.File(path + ".compact_old").toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    val (_, _, n) = Warehouse.compactSmallFiles(spark, path)
+    assert(n == rows)
+    rmTree(new java.io.File(path))
+  }
 }
