@@ -53,6 +53,7 @@ object SparkEntry {
     "agg_dow_stats" -> ((s, d) => Aggregates.aggDowStats(Tables.orders(s, d))),
     "agg_quantiles" -> ((s, d) => Aggregates.aggQuantiles(Tables.events(s, d))),
     "agg_corr" -> ((s, d) => Aggregates.aggCorr(Tables.lineitem(s, d))),
+    "agg_histogram" -> ((s, d) => Aggregates.aggHistogram(Tables.events(s, d))),
     // §2.2 staging / filters / case
     "stg_rename" -> ((s, d) => Staging.stgRename(Tables.customer(s, d))),
     "stg_unit_convert" -> ((s, d) => Staging.stgUnitConvert(Tables.events(s, d))),

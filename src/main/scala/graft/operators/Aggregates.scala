@@ -333,6 +333,27 @@ object Aggregates {
           sqrt(d("syy") - d("sy") * d("sy") / d("n")))).as("pearson_r"))
   }
 
+  /** `agg_histogram`: fixed-width value histogram per group — the
+    * distribution profile `agg_pd_describe`/`agg_quantiles` summarize,
+    * materialized as bins. Bin assignment is pure integer arithmetic on
+    * exact cents (`div`, engine-identical), the top bin clamps the tail,
+    * and empty bins are absent (sparse output — at 100 TB a dense bin
+    * spine would be a crossJoin nobody needs; consumers outer-join the
+    * spine if they want zeros). One shuffle of (group, bin) partial
+    * counts.
+    */
+  def aggHistogram(events: DataFrame, binDollars: Int = 50, nBins: Int = 10): DataFrame = {
+    val binCents = binDollars * 100L
+    events
+      .select(col("event_type"), Num.cents(col("value")).as("v"))
+      .withColumn("bin", least(expr(s"v div $binCents"), lit(nBins - 1L)))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"), col("bin"),
+        (col("bin") * binDollars).cast("double").as("bin_lo"),
+        col("n"))
+  }
+
   /** Day-of-week stats (pages/3_Oura_Wellness.py:16-55 DOW analysis).
     * ISO weekday (1=Mon..7=Sun): Spark weekday()+1 == DuckDB isodow().
     */
@@ -544,6 +565,15 @@ object Aggregates {
         |          * sqrt(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
         |         AS pearson_r
         |FROM m""".stripMargin,
+    "agg_histogram" ->
+      """WITH c AS (
+        |  SELECT event_type,
+        |         LEAST(CAST(ROUND(value * 100) AS BIGINT) // 5000, 9) AS bin
+        |  FROM events)
+        |SELECT event_type, bin,
+        |       CAST(bin * 50 AS DOUBLE) AS bin_lo,
+        |       COUNT(*) AS n
+        |FROM c GROUP BY 1, 2""".stripMargin,
     "agg_quantiles" ->
       """WITH c AS (
         |  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS v FROM events),
