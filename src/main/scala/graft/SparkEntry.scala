@@ -183,6 +183,8 @@ object SparkEntry {
       TextAnalysis.qualityDecileFilter(Tables.documents(s, d))),
     "dedup_keep_best" -> ((s, d) => Dedup.dedupKeepBest(Tables.documents(s, d))),
     "text_top_terms" -> ((s, d) => TextAnalysis.textTopTerms(Tables.documents(s, d))),
+    "text_top_terms_sketch" -> ((s, d) =>
+      TextAnalysis.textTopTermsSketch(Tables.documents(s, d))),
     // corpus-level stats / QA reports
     "text_length_histogram" -> ((s, d) => CorpusStats.textLengthHistogram(Tables.documents(s, d))),
     "text_boilerplate_ngrams" -> ((s, d) => CorpusStats.textBoilerplateNgrams(Tables.documents(s, d))),

@@ -125,6 +125,29 @@ object TextAnalysis {
         col("rn").cast("long").as("term_rank"))
   }
 
+  /** `text_top_terms_sketch`: [[textTopTerms]] through the Misra-Gries
+    * heavy-hitters aggregate ([[graft.functions.MisraGries]]) — bounded
+    * memory per group, partials merge map-side, NOTHING shuffles per
+    * distinct term (the exact version's (lang, term) shuffle IS the job at
+    * 100-TB vocabularies; the sketch ships one `capacity`-entry buffer per
+    * group per map task). Registered with capacity 1024 ≫ the corpus
+    * vocabulary, where the summary provably never evicts and the counts
+    * are exact — hence the SAME oracle as `text_top_terms`; the eviction/
+    * merge guarantees are spec-covered with small capacities.
+    */
+  def textTopTermsSketch(documents: DataFrame): DataFrame = {
+    import graft.functions.MisraGries.freq_topk
+    documents
+      .select(col("lang"), explode(split(lower(col("text")), " ")).as("term"))
+      .where(length(col("term")) >= 3)
+      .groupBy(col("lang"))
+      .agg(freq_topk(col("term"), 10, 1024).as("top"))
+      .select(col("lang"), posexplode(col("top")).as(Seq("idx", "s")))
+      .select(col("lang"), col("s.term").as("term"),
+        col("s.est_count").as("term_count"),
+        (col("idx") + 1).cast("long").as("term_rank"))
+  }
+
   /** `text_bigram_lm`: corpus-trained bigram language-model scoring — the
     * LM-based quality filter of the standard curation recipe (train a small
     * LM on the corpus or a trusted subset, keep documents whose text the
@@ -344,20 +367,10 @@ object TextAnalysis {
         |  FROM s JOIN documents d ON s.doc_id = d.doc_id)
         |SELECT doc_id, lang, quality_score, decile
         |FROM r WHERE decile <= 3""".stripMargin,
-    "text_top_terms" ->
-      """WITH e AS (
-        |  SELECT lang, UNNEST(string_split(lower(text), ' ')) AS term
-        |  FROM documents),
-        |c AS (
-        |  SELECT lang, term, COUNT(*) AS term_count
-        |  FROM e WHERE length(term) >= 3 GROUP BY 1, 2),
-        |r AS (
-        |  SELECT lang, term, term_count,
-        |         ROW_NUMBER() OVER (PARTITION BY lang
-        |           ORDER BY term_count DESC, term) AS rn
-        |  FROM c)
-        |SELECT lang, term, term_count, CAST(rn AS BIGINT) AS term_rank
-        |FROM r WHERE rn <= 10""".stripMargin,
+    // the sketch never evicts at the registered capacity, so it emits the
+    // exact counts — identical oracle (resolved below)
+    "text_top_terms_sketch" -> topTermsOracle,
+    "text_top_terms" -> topTermsOracle,
     "text_token_count" ->
       """SELECT doc_id,
         |       CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
@@ -381,4 +394,22 @@ object TextAnalysis {
         |                   (acc, x) -> (acc * 31 + x) % 2147483647) AS fingerprint_rolling
         |FROM k""".stripMargin
   )
+
+  /** Shared by `text_top_terms` and `text_top_terms_sketch` (the sketch
+    * never evicts at its registered capacity, so both emit exact counts).
+    */
+  private lazy val topTermsOracle: String =
+    """WITH e AS (
+      |  SELECT lang, UNNEST(string_split(lower(text), ' ')) AS term
+      |  FROM documents),
+      |c AS (
+      |  SELECT lang, term, COUNT(*) AS term_count
+      |  FROM e WHERE length(term) >= 3 GROUP BY 1, 2),
+      |r AS (
+      |  SELECT lang, term, term_count,
+      |         ROW_NUMBER() OVER (PARTITION BY lang
+      |           ORDER BY term_count DESC, term) AS rn
+      |  FROM c)
+      |SELECT lang, term, term_count, CAST(rn AS BIGINT) AS term_rank
+      |FROM r WHERE rn <= 10""".stripMargin
 }
