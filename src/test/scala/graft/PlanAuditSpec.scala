@@ -171,6 +171,27 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("top-terms sketch: one exchange, object-hash aggregate, no per-term shuffle") {
+    import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+    withoutAqe {
+      val df = graft.operators.TextAnalysis.textTopTermsSketch(Tables.documents(spark, sf))
+      val plan = df.queryExecution.executedPlan
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.size == 1,
+        s"sketch must shuffle once on the group key only:\n$plan")
+      // TypedImperativeAggregate plans as ObjectHashAggregate (partial +
+      // final) — a SortAggregate here would mean a per-group sort crept in
+      assert(plan.collect { case a: ObjectHashAggregateExec => a }.size == 2,
+        s"expected partial+final ObjectHashAggregate:\n$plan")
+      // the shuffle carries one serialized buffer per (task, group), never
+      // per-term rows: the exchange child's output is the agg buffer schema
+      val shuffled = exchanges.head.child.output.map(_.name).mkString(",")
+      assert(!shuffled.contains("term"), s"per-term rows cross the exchange: $shuffled")
+    }
+  }
+
   test("sessionize_batch plans exactly one exchange (groupBy reuses the window's partitioning)") {
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
