@@ -147,6 +147,7 @@ object SparkEntry {
     "sim_search_lsh" -> ((s, d) => Similarity.simSearchLsh(Tables.embeddings(s, d))),
     "sim_search_ivf" -> ((s, d) => Similarity.simSearchIvf(Tables.embeddings(s, d))),
     "knn_graph" -> ((s, d) => Similarity.knnGraph(Tables.embeddings(s, d))),
+    "embed_pq" -> ((s, d) => Similarity.embedPq(Tables.embeddings(s, d))),
     "embed_kmeans" -> ((s, d) => Similarity.embedKmeans(Tables.embeddings(s, d))),
     // extensions: text analysis
     "text_langid" -> ((s, d) => TextAnalysis.textLangid(Tables.documents(s, d))),

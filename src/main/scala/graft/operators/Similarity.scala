@@ -94,11 +94,11 @@ object Similarity {
     * against the given integer centroids (`||c||² − 2·x·c` at a common
     * scale) — deterministic across runs and partitionings.
     */
-  private def clusterCol(cs: Seq[Array[Long]]): Column = {
+  private def clusterCol(cs: Seq[Array[Long]], qCol: String = "q"): Column = {
     val scored = cs.zipWithIndex.map { case (c, cid) =>
       val cc = c.map(v => v * v).sum
       struct(
-        (lit(cc) - long_dot(col("q"), typedLit(c.toSeq)) * 2).as("score"),
+        (lit(cc) - long_dot(col(qCol), typedLit(c.toSeq)) * 2).as("score"),
         lit(cid.toLong).as("cid"))
     }
     least(scored: _*).getField("cid")
@@ -108,14 +108,14 @@ object Similarity {
     * the final integer centroid model (k×64 longs — the only thing that
     * touches the driver). See [[simSearchIvf]] for the exactness notes.
     */
-  private def trainKmeans(corpus: DataFrame, k: Int, iters: Int): Seq[Array[Long]] = {
-    val dim = 64
+  private def trainKmeans(corpus: DataFrame, k: Int, iters: Int,
+      qCol: String = "q", dim: Int = 64): Seq[Array[Long]] = {
     // deterministic init: the k lowest-id vectors
     var cents: Seq[Array[Long]] = corpus.orderBy("vec_id").limit(k)
-      .select("q").collect().map(_.getSeq[Long](0).toArray).toSeq
+      .select(qCol).collect().map(_.getSeq[Long](0).toArray).toSeq
     for (_ <- 1 to iters) {
-        val sums = corpus.withColumn("cluster", clusterCol(cents))
-          .select(col("cluster"), posexplode(col("q")).as(Seq("pos", "v")))
+        val sums = corpus.withColumn("cluster", clusterCol(cents, qCol))
+          .select(col("cluster"), posexplode(col(qCol)).as(Seq("pos", "v")))
           .groupBy(col("cluster"), col("pos"))
           .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
           .collect()
@@ -187,6 +187,42 @@ object Similarity {
       val sizes = assigned.groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
       assigned.join(broadcast(sizes), Seq("cluster"))
         .select(col("vec_id"), col("cluster"), col("cluster_size"))
+    } finally corpus.unpersist()
+  }
+
+  /** `embed_pq`: product quantization — the ANN compression standard (IVF
+    * selects candidates; PQ makes the residual scan cheap). The 64-dim
+    * vector splits into 4 subspaces of 16 dims; each subspace trains its
+    * OWN k=8 codebook with the same deterministic integer k-means as
+    * [[simSearchIvf]], and a vector's code is its per-subspace argmin
+    * centroid ids packed into one BIGINT — 64 floats (256 B) become one
+    * 12-bit code, a ~170× compression at these demo sizes (production:
+    * m=8..64 subspaces, k=256 → 8..64 bytes/vector). Asymmetric distance
+    * at query time is then 4 table lookups per candidate instead of a
+    * 64-dim dot product.
+    *
+    * Scale: each subspace's training touches the driver only through its
+    * k×16 centroid model (the IVF discipline); assignment is one codegen'd
+    * projection of 4×8 LongDot argmins — scan speed, no shuffle. All
+    * arithmetic is the exact integer k-means, so codes are reproducible
+    * cross-engine (full SQL oracle: 4 independent k-means trainings in one
+    * WITH).
+    */
+  def embedPq(embeddings: DataFrame, m: Int = 4, k: Int = 8, iters: Int = 2): DataFrame = {
+    val sub = 64 / m
+    val corpus = prep(embeddings)
+      .select(col("vec_id") +: (0 until m).map(si =>
+        slice(col("q"), si * sub + 1, sub).as(s"qs_$si")): _*)
+      .cache()
+    try {
+      val coded = (0 until m).foldLeft(corpus: DataFrame) { case (df, si) =>
+        val cents = trainKmeans(corpus, k, iters, s"qs_$si", sub)
+        df.withColumn(s"code_$si", clusterCol(cents, s"qs_$si"))
+      }
+      val codeCols = (0 until m).map(si => col(s"code_$si"))
+      coded.select(
+        (col("vec_id") +: codeCols :+
+          codeCols.reduce((a, b) => a * k + b).as("pq_code")): _*)
     } finally corpus.unpersist()
   }
 
@@ -280,6 +316,7 @@ object Similarity {
          |  FROM scored)
          |SELECT query_id, neighbor_id, bucket, cosine, rank FROM ranked WHERE rank <= 5""".stripMargin,
     "sim_search_ivf" -> ivfOracle,
+    "embed_pq" -> pqOracle,
     "embed_kmeans" -> kmeansOracle,
     "knn_graph" ->
       s"""WITH $quantCte,
@@ -321,26 +358,34 @@ object Similarity {
     * loop.
     */
   private def ivfIterSql(i: Int, prev: String): String =
-    s"""s$i AS (
+    kmeansIterSql(i, prev, tag = "", nTable = "n", dim = 64)
+
+  /** One k-means iteration in SQL over vector table `nTable` (columns
+    * vec_id, q of length `dim`), CTE names suffixed with `tag` so several
+    * independent trainings (the PQ subspaces) can coexist in one WITH.
+    */
+  private def kmeansIterSql(
+      i: Int, prev: String, tag: String, nTable: String, dim: Int): String =
+    s"""s$i$tag AS (
        |  SELECT n.vec_id, n.q, c.cid,
        |         list_sum(list_transform(c.q, x -> x * x))
        |         - 2 * list_sum(list_transform(list_zip(n.q, c.q), p -> p[1] * p[2])) AS score
-       |  FROM n CROSS JOIN $prev c),
-       |a$i AS (
+       |  FROM $nTable n CROSS JOIN $prev c),
+       |a$i$tag AS (
        |  SELECT vec_id, q,
        |         CAST(((MIN(score * 32 + cid) % 32) + 32) % 32 AS BIGINT) AS cluster
-       |  FROM s$i GROUP BY vec_id, q),
-       |u$i AS (
+       |  FROM s$i$tag GROUP BY vec_id, q),
+       |u$i$tag AS (
        |  SELECT cluster, d.d, SUM(q[CAST(d.d + 1 AS INT)]) AS s, COUNT(*) AS cnt
-       |  FROM a$i CROSS JOIN (SELECT UNNEST(range(0, 64)) AS d) d
+       |  FROM a$i$tag CROSS JOIN (SELECT UNNEST(range(0, $dim)) AS d) d
        |  GROUP BY 1, 2),
-       |c$i AS (
+       |c$i$tag AS (
        |  SELECT p.cid, COALESCE(u.qq, p.q) AS q
        |  FROM $prev p LEFT JOIN (
        |    SELECT cluster AS cid,
        |           list(CASE WHEN 2 * s + cnt >= 0 THEN (2 * s + cnt) // (2 * cnt)
        |                     ELSE -((-(2 * s + cnt)) // (2 * cnt)) END ORDER BY d) AS qq
-       |    FROM u$i GROUP BY 1) u ON u.cid = p.cid)""".stripMargin
+       |    FROM u$i$tag GROUP BY 1) u ON u.cid = p.cid)""".stripMargin
 
   /** Shared oracle prefix: quantize → train (2 iterations) → final cluster
     * assignment in `fin` — used by both `sim_search_ivf` and `embed_kmeans`.
@@ -361,6 +406,42 @@ object Similarity {
        |  SELECT vec_id, q, norm2,
        |         CAST(((MIN(score * 32 + cid) % 32) + 32) % 32 AS BIGINT) AS cluster
        |  FROM s3 GROUP BY vec_id, q, norm2)""".stripMargin
+
+  /** PQ sub-oracle for subspace `si`: slice, deterministic init, two
+    * k-means iterations, final assignment — CTE names tagged `p<si>`.
+    */
+  private def pqSubCtes(si: Int, sub: Int, k: Int): String = {
+    val lo = si * sub + 1
+    val hi = (si + 1) * sub
+    val t = s"p$si"
+    s"""n$t AS (SELECT vec_id, q[$lo:$hi] AS q FROM n),
+       |c0$t AS (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, q
+       |  FROM (SELECT vec_id, q FROM n$t ORDER BY vec_id LIMIT $k)),
+       |${kmeansIterSql(1, s"c0$t", t, s"n$t", sub)},
+       |${kmeansIterSql(2, s"c1$t", t, s"n$t", sub)},
+       |s3$t AS (
+       |  SELECT n.vec_id, c.cid,
+       |         list_sum(list_transform(c.q, x -> x * x))
+       |         - 2 * list_sum(list_transform(list_zip(n.q, c.q), p -> p[1] * p[2])) AS score
+       |  FROM n$t n CROSS JOIN c2$t c),
+       |fin$t AS (
+       |  SELECT vec_id,
+       |         CAST(((MIN(score * 32 + cid) % 32) + 32) % 32 AS BIGINT) AS code_$si
+       |  FROM s3$t GROUP BY vec_id)""".stripMargin
+  }
+
+  private def pqOracle: String = {
+    val subs = (0 until 4).map(si => pqSubCtes(si, 16, 8)).mkString(",\n")
+    s"""WITH $quantCte,
+       |$subs
+       |SELECT f0.vec_id, f0.code_0, f1.code_1, f2.code_2, f3.code_3,
+       |       ((f0.code_0 * 8 + f1.code_1) * 8 + f2.code_2) * 8 + f3.code_3 AS pq_code
+       |FROM finp0 f0
+       |JOIN finp1 f1 ON f0.vec_id = f1.vec_id
+       |JOIN finp2 f2 ON f0.vec_id = f2.vec_id
+       |JOIN finp3 f3 ON f0.vec_id = f3.vec_id""".stripMargin
+  }
 
   private[operators] def kmeansOracle: String =
     s"""WITH $ivfAssignCtes,

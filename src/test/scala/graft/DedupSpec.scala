@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.{Dedup, Similarity}
+import graft.sources.Tables
 
 /** Sketch-dedup correctness against crafted near-duplicates: the LSH
   * candidates must contain every truly-similar pair (these are the operators
@@ -226,6 +227,25 @@ class DedupSpec extends SparkTestBase {
       .where($"query_id" === 1L && $"rank" === 1)
       .select("neighbor_id").as[Long].collect().head
     assert(top == 50L)
+  }
+
+  test("embed_pq: identical vectors share a code; packing is consistent and in range") {
+    val out = Similarity.embedPq(Tables.embeddings(spark, sf)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.length == 500)
+    out.foreach { case (_, c0, c1, c2, c3, code) =>
+      Seq(c0, c1, c2, c3).foreach(c => assert(c >= 0 && c < 8))
+      assert(code == ((c0 * 8 + c1) * 8 + c2) * 8 + c3)
+    }
+    // compression actually buckets: far fewer distinct codes than vectors,
+    // but more than one (the codebooks learned something)
+    val distinct = out.map(_._6).distinct.length
+    assert(distinct > 1 && distinct < 500, s"got $distinct distinct codes")
+    // determinism across runs
+    val again = Similarity.embedPq(Tables.embeddings(spark, sf)).collect()
+      .map(r => (r.getLong(0), r.getLong(5))).toMap
+    assert(out.forall { case (id, _, _, _, _, c) => again(id) == c })
   }
 
   test("dedup_incremental probes new docs against the existing index only") {
