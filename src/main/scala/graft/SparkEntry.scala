@@ -52,6 +52,7 @@ object SparkEntry {
     "agg_rollup" -> ((s, d) => Aggregates.aggRollup(Tables.lineitem(s, d))),
     "agg_dow_stats" -> ((s, d) => Aggregates.aggDowStats(Tables.orders(s, d))),
     "agg_quantiles" -> ((s, d) => Aggregates.aggQuantiles(Tables.events(s, d))),
+    "agg_quantiles_fast" -> ((s, d) => Aggregates.aggQuantilesFast(Tables.events(s, d))),
     "agg_corr" -> ((s, d) => Aggregates.aggCorr(Tables.lineitem(s, d))),
     "agg_histogram" -> ((s, d) => Aggregates.aggHistogram(Tables.events(s, d))),
     // §2.2 staging / filters / case
@@ -148,6 +149,7 @@ object SparkEntry {
     "sim_search_ivf" -> ((s, d) => Similarity.simSearchIvf(Tables.embeddings(s, d))),
     "knn_graph" -> ((s, d) => Similarity.knnGraph(Tables.embeddings(s, d))),
     "embed_pq" -> ((s, d) => Similarity.embedPq(Tables.embeddings(s, d))),
+    "sim_search_pq" -> ((s, d) => Similarity.simSearchPq(Tables.embeddings(s, d))),
     "embed_kmeans" -> ((s, d) => Similarity.embedKmeans(Tables.embeddings(s, d))),
     // extensions: text analysis
     "text_langid" -> ((s, d) => TextAnalysis.textLangid(Tables.documents(s, d))),

@@ -354,6 +354,24 @@ object Aggregates {
         col("n"))
   }
 
+  /** `agg_quantiles_fast`: [[aggQuantiles]] through `approx_percentile` —
+    * the mergeable-sketch scale path (bounded state per group, partials
+    * combine map-side; exact `percentile` buffers every value). Bench-only
+    * like the other `_fast` twins: the sketch is deterministic for a given
+    * partitioning but not DuckDB-reproducible, so the driver records a
+    * rows-only check; quartile agreement with the exact form is the
+    * accuracy parameter's contract (10000 ≈ exact at these group sizes).
+    */
+  def aggQuantilesFast(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"), Num.cents(col("value")).as("v"))
+      .groupBy(col("event_type"))
+      .agg(expr("approx_percentile(v, array(0.25D, 0.5D, 0.75D), 10000)").as("q"))
+      .select(col("event_type"),
+        Num.dollars(element_at(col("q"), 1)).as("p25_value"),
+        Num.dollars(element_at(col("q"), 2)).as("median_value"),
+        Num.dollars(element_at(col("q"), 3)).as("p75_value"))
+
   /** Day-of-week stats (pages/3_Oura_Wellness.py:16-55 DOW analysis).
     * ISO weekday (1=Mon..7=Sun): Spark weekday()+1 == DuckDB isodow().
     */

@@ -226,6 +226,54 @@ object Similarity {
     } finally corpus.unpersist()
   }
 
+  /** `sim_search_pq`: asymmetric-distance (ADC) search over the
+    * [[embedPq]] codes — the query side of product quantization. Each
+    * query precomputes a 4×8 lookup table of exact integer subdistances
+    * ||q_si − c||² to every codebook centroid; a corpus vector's distance
+    * is then FOUR table lookups summed (`element_at` on the broadcast
+    * LUT), never a 64-dim dot product. The corpus side of the scan touches
+    * ONLY the code columns — at 100 TB the code table (12 bits/vector) is
+    * what's read, not the vectors, which is the entire point of PQ. Ranks
+    * are deterministic (integer adc, vec_id tiebreak) and the whole
+    * pipeline — codebooks, codes, LUTs, ranking — is oracle-exact.
+    */
+  def simSearchPq(
+      embeddings: DataFrame, m: Int = 4, k: Int = 8, topK: Int = 5): DataFrame = {
+    val sub = 64 / m
+    val corpus = prep(embeddings)
+      .select(col("vec_id") +: (0 until m).map(si =>
+        slice(col("q"), si * sub + 1, sub).as(s"qs_$si")): _*)
+      .cache()
+    try {
+      val codebooks = (0 until m).map(si => trainKmeans(corpus, k, 2, s"qs_$si", sub))
+      val coded = (0 until m).foldLeft(corpus: DataFrame) { (df, si) =>
+        df.withColumn(s"code_$si", clusterCol(codebooks(si), s"qs_$si"))
+      }
+      // per-query LUTs: ||q_si||² − 2·q_si·c + ||c||² for each centroid,
+      // exact integers (same scale as the codes' argmin)
+      val lutCols = (0 until m).map { si =>
+        val qn = long_dot(col(s"qs_$si"), col(s"qs_$si"))
+        array(codebooks(si).map { c =>
+          val cc = c.map(v => v * v).sum
+          qn - long_dot(col(s"qs_$si"), typedLit(c.toSeq)) * 2 + lit(cc)
+        }: _*).as(s"lut_$si")
+      }
+      val queries = coded.where(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id") +: lutCols: _*)
+      val adc = (0 until m).map(si =>
+        element_at(col(s"lut_$si"), (col(s"code_$si") + 1).cast("int")))
+        .reduce(_ + _)
+      val w = Window.partitionBy("query_id").orderBy(col("adc"), col("vec_id"))
+      coded.crossJoin(broadcast(queries))
+        .where(col("vec_id") =!= col("query_id"))
+        .withColumn("adc", adc)
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= topK)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          col("adc"), col("rank").cast("long").as("rank"))
+    } finally corpus.unpersist()
+  }
+
   /** `knn_graph`: top-k neighbor list for EVERY corpus vector — the
     * all-points sibling of [[simSearchLsh]] and the building block for
     * graph-based curation (near-dup graphs, label propagation, diversity
@@ -317,6 +365,7 @@ object Similarity {
          |SELECT query_id, neighbor_id, bucket, cosine, rank FROM ranked WHERE rank <= 5""".stripMargin,
     "sim_search_ivf" -> ivfOracle,
     "embed_pq" -> pqOracle,
+    "sim_search_pq" -> pqSearchOracle,
     "embed_kmeans" -> kmeansOracle,
     "knn_graph" ->
       s"""WITH $quantCte,
@@ -441,6 +490,49 @@ object Similarity {
        |JOIN finp1 f1 ON f0.vec_id = f1.vec_id
        |JOIN finp2 f2 ON f0.vec_id = f2.vec_id
        |JOIN finp3 f3 ON f0.vec_id = f3.vec_id""".stripMargin
+  }
+
+  /** ADC search oracle: reuses the four PQ sub-oracles (codes + final
+    * codebooks c2p<si>), builds each query's exact-integer LUT, sums four
+    * lookups per (query, corpus) pair, ranks.
+    */
+  private def pqSearchOracle: String = {
+    val subs = (0 until 4).map(si => pqSubCtes(si, 16, 8)).mkString(",\n")
+    val luts = (0 until 4).map { si =>
+      val lo = si * 16 + 1
+      val hi = (si + 1) * 16
+      s"""qsub$si AS (
+         |  SELECT vec_id AS query_id, q[$lo:$hi] AS qs FROM n WHERE vec_id < 10),
+         |lut$si AS (
+         |  SELECT q.query_id, c.cid,
+         |         list_sum(list_transform(q.qs, x -> x * x))
+         |         - 2 * list_sum(list_transform(list_zip(q.qs, c.q), p -> p[1] * p[2]))
+         |         + list_sum(list_transform(c.q, x -> x * x)) AS dist
+         |  FROM qsub$si q CROSS JOIN c2p$si c)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $quantCte,
+       |$subs,
+       |$luts,
+       |adc AS (
+       |  SELECT l0.query_id, f0.vec_id AS neighbor_id,
+       |         l0.dist + l1.dist + l2.dist + l3.dist AS adc
+       |  FROM finp0 f0
+       |  JOIN finp1 f1 ON f0.vec_id = f1.vec_id
+       |  JOIN finp2 f2 ON f0.vec_id = f2.vec_id
+       |  JOIN finp3 f3 ON f0.vec_id = f3.vec_id
+       |  JOIN lut0 l0 ON l0.cid = f0.code_0
+       |  JOIN lut1 l1 ON l1.query_id = l0.query_id AND l1.cid = f1.code_1
+       |  JOIN lut2 l2 ON l2.query_id = l0.query_id AND l2.cid = f2.code_2
+       |  JOIN lut3 l3 ON l3.query_id = l0.query_id AND l3.cid = f3.code_3
+       |  WHERE f0.vec_id != l0.query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, adc,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id
+       |                            ORDER BY adc, neighbor_id) AS rank
+       |  FROM adc)
+       |SELECT query_id, neighbor_id, CAST(adc AS BIGINT) AS adc,
+       |       CAST(rank AS BIGINT) AS rank
+       |FROM ranked WHERE rank <= 5""".stripMargin
   }
 
   private[operators] def kmeansOracle: String =

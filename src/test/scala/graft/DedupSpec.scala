@@ -248,6 +248,25 @@ class DedupSpec extends SparkTestBase {
     assert(out.forall { case (id, _, _, _, _, c) => again(id) == c })
   }
 
+  test("sim_search_pq: ADC ranks an exact copy first; distances are non-negative") {
+    val e = Seq(
+      (1L, Array.tabulate(64)(i => (i % 7).toFloat / 7f), 0),
+      (50L, Array.tabulate(64)(i => (i % 7).toFloat / 7f), 0), // exact copy of 1
+      (60L, Array.tabulate(64)(i => -((i % 5).toFloat / 5f)), 0),
+      (70L, Array.tabulate(64)(i => if (i % 2 == 0) 1.0f else -1.0f), 0),
+      (80L, Array.tabulate(64)(_ => 0.3f), 0),
+      (90L, Array.tabulate(64)(i => ((i * 3) % 11).toFloat / 11f), 0),
+      (95L, Array.tabulate(64)(i => -((i * 5) % 13).toFloat / 13f), 0),
+      (99L, Array.tabulate(64)(i => (i % 2).toFloat), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.simSearchPq(e, topK = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.forall(_._3 >= 0L), "squared distances must be non-negative")
+    val first = out.filter(t => t._1 == 1L && t._4 == 1L).map(_._2)
+    assert(first.sameElements(Array(50L)),
+      s"the exact copy must be the ADC rank-1 neighbor, got ${first.toSeq}")
+  }
+
   test("dedup_incremental probes new docs against the existing index only") {
     // 4 (new) ~ 5 (existing): must be found, oriented (new, existing);
     // 8 ~ 12 (both new) and 5 ~ 9 (both existing): out of scope
