@@ -55,6 +55,11 @@ object SparkEntry {
     "agg_quantiles_fast" -> ((s, d) => Aggregates.aggQuantilesFast(Tables.events(s, d))),
     "agg_corr" -> ((s, d) => Aggregates.aggCorr(Tables.lineitem(s, d))),
     "agg_histogram" -> ((s, d) => Aggregates.aggHistogram(Tables.events(s, d))),
+    "agg_mode" -> ((s, d) => Aggregates.aggMode(Tables.orders(s, d))),
+    "outlier_mad" -> ((s, d) => Aggregates.outlierMad(Tables.events(s, d))),
+    // type-2 slowly-changing-dimension history (full rebuild + daily merge)
+    "scd2_build" -> ((s, d) => Scd.scd2Build(Tables.events(s, d))),
+    "scd2_merge" -> ((s, d) => Scd.scd2Merge(Tables.events(s, d))),
     // §2.2 staging / filters / case
     "stg_rename" -> ((s, d) => Staging.stgRename(Tables.customer(s, d))),
     "stg_unit_convert" -> ((s, d) => Staging.stgUnitConvert(Tables.events(s, d))),
@@ -271,7 +276,7 @@ object SparkEntry {
       Merge.oracles ++ graft.sources.ApiSource.oracles ++ Reshape.oracles ++
       Enrich.oracles ++ Dedup.oracles ++ Similarity.oracles ++
       TextAnalysis.oracles ++ CorpusStats.oracles ++ Multimodal.oracles ++ Pipeline.oracles ++
-      Curation.oracles ++ IncrementalMart.oracles ++ Skew.oracles ++
+      Curation.oracles ++ IncrementalMart.oracles ++ Skew.oracles ++ Scd.oracles ++
       graft.models.Marts.oracles ++ graft.models.TextMarts.oracles ++
       graft.streaming.IncrementalSync.oracles ++ graft.streaming.Sessionize.oracles ++
       graft.streaming.StreamDedup.oracles ++

@@ -398,6 +398,56 @@ object Aggregates {
       .select(col("l_returnflag"), col("l_linestatus"), col("gid"),
         col("n"), col("revenue"))
 
+  /** `agg_mode`: modal value per group (most frequent order priority per
+    * customer), tie-broken lexicographically — the categorical summary
+    * `agg_pd_describe` omits. Planned as count-per-(group,value) then
+    * rank-1 per group: the `row_number() = 1` filter is replanned through
+    * TopKPerKey by RewriteRankLimitToTopK, so per group only ONE
+    * (value, count) candidate row survives the partial pass — never a
+    * per-group sort, and the shuffle after the count carries at most
+    * |distinct values| rows per group, pre-combined map-side.
+    */
+  def aggMode(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = orders
+      .groupBy(col("o_custkey").as("customer_id"), col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("customer_id").orderBy(col("n").desc, col("priority"))
+    counts
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("customer_id"), col("priority").as("modal_priority"), col("n").as("mode_count"))
+  }
+
+  /** `outlier_mad`: robust outlier cut via median absolute deviation — the
+    * curation filter that survives heavy tails where mean/stddev z-scores
+    * drown (a handful of giant values inflate stddev until nothing is an
+    * outlier). Two exact-percentile passes per group (median, then MAD) and
+    * a broadcast join of the tiny per-group stats back onto the fact scan;
+    * the fact table itself streams through twice, never shuffles on a row
+    * key. Exactness: values are integer cents, so the interpolated median
+    * is an exact multiple of 0.5, |v − med| an exact multiple of 0.5, the
+    * MAD an exact multiple of 0.25 — every comparison below is between
+    * exactly-representable doubles and is engine-identical. At 100 TB swap
+    * the exact percentiles for approx_percentile and keep the same plan.
+    * Groups where MAD = 0 (over half the values identical) flag every
+    * non-median row, the textbook MAD degeneracy — deterministic, and the
+    * `mad_value` column lets consumers mask those groups.
+    */
+  def outlierMad(events: DataFrame, k: Double = 3.0): DataFrame = {
+    val v = events.select(col("event_id"), col("event_type"), Num.cents(col("value")).as("v"))
+    val med = v.groupBy("event_type").agg(expr("percentile(v, 0.5D)").as("med"))
+    val mad = v.join(broadcast(med), "event_type")
+      .groupBy(col("event_type"), col("med"))
+      .agg(expr("percentile(abs(v - med), 0.5D)").as("mad"))
+    v.join(broadcast(mad), "event_type")
+      .where(abs(col("v") - col("med")) > lit(k) * col("mad"))
+      .select(col("event_id"), col("event_type"),
+        Num.dollars(col("v")).as("value"),
+        (col("med") / 100.0).as("median_value"),
+        (col("mad") / 100.0).as("mad_value"))
+  }
+
   /** Portable-HLL oracle: mirrors aggApproxDistinct step for step (same hash,
     * same integer registers, same single final double division).
     */
@@ -603,6 +653,31 @@ object Aggregates {
         |       CAST(q[2] AS DOUBLE) / 100.0 AS median_value,
         |       CAST(q[3] AS DOUBLE) / 100.0 AS p75_value
         |FROM q""".stripMargin,
+    "agg_mode" ->
+      """WITH c AS (
+        |  SELECT o_custkey AS customer_id, o_orderpriority AS priority, COUNT(*) AS n
+        |  FROM orders GROUP BY 1, 2),
+        |r AS (
+        |  SELECT customer_id, priority, n,
+        |         ROW_NUMBER() OVER (PARTITION BY customer_id ORDER BY n DESC, priority) AS rn
+        |  FROM c)
+        |SELECT customer_id, priority AS modal_priority, n AS mode_count
+        |FROM r WHERE rn = 1""".stripMargin,
+    "outlier_mad" ->
+      """WITH v AS (
+        |  SELECT event_id, event_type, CAST(ROUND(value * 100) AS BIGINT) AS v FROM events),
+        |med AS (
+        |  SELECT event_type, quantile_cont(v, 0.5) AS med FROM v GROUP BY 1),
+        |mad AS (
+        |  SELECT v.event_type, med.med,
+        |         quantile_cont(ABS(CAST(v.v AS DOUBLE) - med.med), 0.5) AS mad
+        |  FROM v JOIN med ON v.event_type = med.event_type GROUP BY 1, 2)
+        |SELECT v.event_id, v.event_type,
+        |       CAST(v.v AS DOUBLE) / 100.0 AS value,
+        |       mad.med / 100.0 AS median_value,
+        |       mad.mad / 100.0 AS mad_value
+        |FROM v JOIN mad ON v.event_type = mad.event_type
+        |WHERE ABS(CAST(v.v AS DOUBLE) - mad.med) > 3.0 * mad.mad""".stripMargin,
     "agg_dow_stats" ->
       """SELECT isodow(o_orderdate) AS iso_dow,
         |       COUNT(*) AS order_count,

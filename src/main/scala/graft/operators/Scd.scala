@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Type-2 slowly-changing-dimension maintenance — the dimension-history
+  * counterpart of the reference's MERGE-upsert load (lib/bigquery.py:128-224
+  * keeps only the LATEST row per key; a type-2 dim keeps every state with
+  * its validity interval, which is what `dim_users`-style models need the
+  * moment anyone asks "what segment was this user in when the order
+  * happened"). Both operators are pure window/join plans:
+  *
+  *  - [[scd2Build]] — one shuffle by entity key, one per-entity ORDER BY
+  *    (ts, tiebreak) sort shared by the change-detect lag and the interval
+  *    lead. At 100 TB this is the standard "history rebuild" shape: a single
+  *    wide shuffle, no iteration, no driver state.
+  *  - [[scd2Merge]] — the DAILY shape: the existing dim and one day's
+  *    snapshot. Only CURRENT rows join the snapshot (a per-key single-row
+  *    join on the dim's natural key); closed history streams through
+  *    untouched, so a day's merge costs O(|current| + |batch|), never
+  *    O(|history|). With the dim bucketed by entity key the join is
+  *    co-located and shuffle-free.
+  *
+  * Determinism: change order is (ts, event_id) — event_id is unique, so
+  * version numbers, interval bounds, and the is-current flag are all exact,
+  * and the oracle SQL executes the identical window spec.
+  */
+object Scd {
+
+  /** `scd2_build`: collapse an event log into type-2 history. A version row
+    * opens at every point where the tracked attribute (event_type) DIFFERS
+    * from the entity's previous event (null-safe: `IS DISTINCT FROM`), and
+    * closes when the next version opens (`valid_to` = next `valid_from`,
+    * NULL = still current). Consecutive events with an unchanged attribute
+    * are absorbed into the open version — the log-to-dim compression that
+    * makes type-2 dims bounded by state changes, not event volume.
+    */
+  def scd2Build(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val changes = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .where(!(col("prev") <=> col("event_type")))
+    // Same partition key and prefix-compatible ordering as `w`: Catalyst
+    // plans both window passes over ONE shuffle + sort.
+    changes
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .select(col("user_id"), col("event_type").as("state"),
+        col("ts").as("valid_from"), col("valid_to"), col("version"),
+        col("valid_to").isNull.as("is_current"))
+  }
+
+  /** `scd2_merge`: apply one batch window's end-state snapshot to the dim
+    * built from everything before the cutoff — the incremental twin of
+    * [[scd2Build]]. Per entity in the batch, only the FINAL state matters
+    * (intermediate flaps inside the batch window collapse, exactly like the
+    * reference's MERGE keeps only the latest fetched row per key):
+    *
+    *  - unchanged state → current row passes through;
+    *  - changed state   → current row closes at the snapshot's effective ts
+    *    and a new current version opens there;
+    *  - unseen entity   → version 1 opens;
+    *  - entity not in the batch → rows pass through untouched.
+    */
+  def scd2Merge(events: DataFrame, cutoff: String = "2024-01-24"): DataFrame = {
+    val cut = to_timestamp(lit(cutoff))
+    val dim = scd2Build(events.where(col("ts") < cut))
+
+    val wSnap = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    val snap = events.where(col("ts") >= cut)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("rn", row_number().over(wSnap))
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("new_state"), col("ts").as("eff_ts"))
+
+    val history = dim.where(!col("is_current"))
+    val current = dim.where(col("is_current"))
+    val j = current.join(snap, Seq("user_id"), "full_outer")
+
+    val untouched = j.where(col("eff_ts").isNull || (col("state") <=> col("new_state")))
+      .where(col("valid_from").isNotNull)
+      .select(col("user_id"), col("state"), col("valid_from"), col("valid_to"),
+        col("version"), col("is_current"))
+    val changed = j.where(col("eff_ts").isNotNull && !(col("state") <=> col("new_state")))
+    val closed = changed.where(col("valid_from").isNotNull)
+      .select(col("user_id"), col("state"), col("valid_from"),
+        col("eff_ts").as("valid_to"), col("version"), lit(false).as("is_current"))
+    val opened = changed
+      .select(col("user_id"), col("new_state").as("state"),
+        col("eff_ts").as("valid_from"), lit(null).cast("timestamp").as("valid_to"),
+        (coalesce(col("version"), lit(0L)) + 1L).as("version"),
+        lit(true).as("is_current"))
+
+    history.unionByName(untouched).unionByName(closed).unionByName(opened)
+  }
+
+  val oracles: Map[String, String] = Map(
+    "scd2_build" ->
+      """WITH ordered AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |chg AS (
+        |  SELECT user_id, ts, event_id, event_type FROM ordered
+        |  WHERE prev IS DISTINCT FROM event_type)
+        |SELECT user_id, event_type AS state, ts AS valid_from,
+        |       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+        |       CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS version,
+        |       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+        |FROM chg""".stripMargin,
+    "scd2_merge" ->
+      """WITH pre AS (SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-24'),
+        |ordered AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM pre),
+        |chg AS (
+        |  SELECT user_id, ts, event_id, event_type FROM ordered
+        |  WHERE prev IS DISTINCT FROM event_type),
+        |dim AS (
+        |  SELECT user_id, event_type AS state, ts AS valid_from,
+        |         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS version
+        |  FROM chg),
+        |snap AS (
+        |  SELECT user_id, event_type AS new_state, ts AS eff_ts FROM (
+        |    SELECT user_id, ts, event_id, event_type,
+        |           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE ts >= TIMESTAMP '2024-01-24')
+        |  WHERE rn = 1),
+        |cur AS (SELECT * FROM dim WHERE valid_to IS NULL),
+        |hist AS (SELECT user_id, state, valid_from, valid_to, version, FALSE AS is_current
+        |         FROM dim WHERE valid_to IS NOT NULL),
+        |j AS (SELECT COALESCE(cur.user_id, snap.user_id) AS user_id, cur.state,
+        |             cur.valid_from, cur.version, snap.new_state, snap.eff_ts
+        |      FROM cur FULL OUTER JOIN snap ON cur.user_id = snap.user_id)
+        |SELECT * FROM hist
+        |UNION ALL
+        |SELECT user_id, state, valid_from, CAST(NULL AS TIMESTAMP) AS valid_to,
+        |       version, TRUE AS is_current
+        |FROM j WHERE (eff_ts IS NULL OR state IS NOT DISTINCT FROM new_state)
+        |        AND valid_from IS NOT NULL
+        |UNION ALL
+        |SELECT user_id, state, valid_from, eff_ts AS valid_to, version,
+        |       FALSE AS is_current
+        |FROM j WHERE eff_ts IS NOT NULL AND state IS DISTINCT FROM new_state
+        |        AND valid_from IS NOT NULL
+        |UNION ALL
+        |SELECT user_id, new_state AS state, eff_ts AS valid_from,
+        |       CAST(NULL AS TIMESTAMP) AS valid_to,
+        |       COALESCE(version, 0) + 1 AS version, TRUE AS is_current
+        |FROM j WHERE eff_ts IS NOT NULL AND state IS DISTINCT FROM new_state""".stripMargin
+  )
+}

@@ -61,7 +61,8 @@ class PlanAuditSpec extends SparkTestBase {
         "win_topk_group" -> graft.operators.Windows.winTopkGroup(Tables.lineitem(spark, sf)),
         "cap_per_source" -> graft.operators.Curation.capPerSource(Tables.documents(spark, sf)),
         "dedup_keep_best" -> graft.operators.Dedup.dedupKeepBest(Tables.documents(spark, sf)),
-        "knn_graph" -> graft.operators.Similarity.knnGraph(Tables.embeddings(spark, sf)))
+        "knn_graph" -> graft.operators.Similarity.knnGraph(Tables.embeddings(spark, sf)),
+        "agg_mode" -> graft.operators.Aggregates.aggMode(Tables.orders(spark, sf)))
       targets.foreach { case (name, df) =>
         val plan = df.queryExecution.executedPlan
         val topks = plan.collect { case t: TopKPerKeyExec => t }
@@ -204,5 +205,20 @@ class PlanAuditSpec extends SparkTestBase {
         s"expected hash(user_id) to satisfy groupBy(user_id, session_idx); got " +
           s"${exchanges.size} exchanges:\n${df.queryExecution.executedPlan}")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("scd2_build plans one exchange and one sort (both window passes share them)") {
+    withoutAqe {
+      val df = graft.operators.Scd.scd2Build(Tables.events(spark, sf))
+      val plan = df.queryExecution.executedPlan
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      val sorts = plan.collect { case s: org.apache.spark.sql.execution.SortExec => s }
+      assert(exchanges.size == 1 && sorts.size == 1,
+        s"change-detect lag and interval lead/version must reuse ONE hash(user_id) " +
+          s"shuffle + ONE (ts, event_id) sort; got ${exchanges.size} exchanges, " +
+          s"${sorts.size} sorts:\n$plan")
+    }
   }
 }
