@@ -149,7 +149,18 @@ object Oracles {
         |         AS pct_rank,
         |       CUME_DIST() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
         |         AS cume
-        |FROM lineitem""".stripMargin
+        |FROM lineitem""".stripMargin,
+    "win_ratio_to_report" ->
+      """WITH p AS (
+        |  SELECT o_custkey AS customer_id, o_orderpriority AS priority,
+        |         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT customer_id, priority,
+        |       CAST(cents AS DOUBLE) / 100.0 AS revenue,
+        |       CAST(cents AS DOUBLE) /
+        |         CAST(NULLIF(SUM(cents) OVER (PARTITION BY customer_id), 0) AS DOUBLE)
+        |         AS share_of_customer
+        |FROM p""".stripMargin
   )
 
   private lazy val topkOracle: String =

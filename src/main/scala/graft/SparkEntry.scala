@@ -29,6 +29,7 @@ object SparkEntry {
     "win_centered" -> ((s, d) => Windows.winCentered(Tables.trends(s, d))),
     "win_dedup" -> ((s, d) => Windows.winDedup(Tables.events(s, d))),
     "win_percent_rank" -> ((s, d) => Windows.winPercentRank(Tables.lineitem(s, d))),
+    "win_ratio_to_report" -> ((s, d) => Windows.winRatioToReport(Tables.orders(s, d))),
     "win_topk_group" -> ((s, d) => Windows.winTopkGroup(Tables.lineitem(s, d))),
     "win_topk_custom" -> ((s, d) => Windows.winTopkCustom(Tables.lineitem(s, d))),
     // §2.4 aggregations
@@ -100,6 +101,7 @@ object SparkEntry {
     "join_asof" -> ((s, d) => Joins.joinAsof(Tables.events(s, d))),
     "join_range_bucketed" -> ((s, d) => Joins.joinRangeBucketed(Tables.events(s, d))),
     "join_fuzzy_blocked" -> ((s, d) => Joins.joinFuzzyBlocked(Tables.part(s, d))),
+    "join_interval_overlap" -> ((s, d) => Joins.joinIntervalOverlap(Tables.events(s, d))),
     "zorder_key" -> ((s, d) => Layout.zorderKey(Tables.lineitem(s, d))),
     "join_pd_merge" -> ((s, d) => Joins.joinPdMerge(Tables.orders(s, d), Tables.lineitem(s, d))),
     // §2.7 set ops
@@ -201,6 +203,9 @@ object SparkEntry {
     "embed_quantize" -> ((s, d) => Curation.embedQuantize(Tables.embeddings(s, d))),
     "token_pack" -> ((s, d) => Curation.tokenPack(Tables.documents(s, d))),
     "sessionize_batch" -> ((s, d) => graft.streaming.Sessionize.sessionizeBatch(Tables.events(s, d))),
+    // product-analytics rollups: strictly-ordered funnel + cohort retention
+    "funnel_steps" -> ((s, d) => Funnel.funnelSteps(Tables.events(s, d))),
+    "retention_cohorts" -> ((s, d) => Funnel.retentionCohorts(Tables.events(s, d))),
     // §2.10 stateful-streaming twin: flatMapGroupsWithState sessionizer driven
     // end-to-end, checked against the SAME batch oracle SQL
     "stream_sessionize_endstate" -> ((s, d) =>
@@ -276,7 +281,7 @@ object SparkEntry {
       Merge.oracles ++ graft.sources.ApiSource.oracles ++ Reshape.oracles ++
       Enrich.oracles ++ Dedup.oracles ++ Similarity.oracles ++
       TextAnalysis.oracles ++ CorpusStats.oracles ++ Multimodal.oracles ++ Pipeline.oracles ++
-      Curation.oracles ++ IncrementalMart.oracles ++ Skew.oracles ++ Scd.oracles ++
+      Curation.oracles ++ IncrementalMart.oracles ++ Skew.oracles ++ Scd.oracles ++ Funnel.oracles ++
       graft.models.Marts.oracles ++ graft.models.TextMarts.oracles ++
       graft.streaming.IncrementalSync.oracles ++ graft.streaming.Sessionize.oracles ++
       graft.streaming.StreamDedup.oracles ++

@@ -309,6 +309,45 @@ object Joins {
       .select(col("owner").as("user_id"), col("n_events_in_window"))
   }
 
+  /** `join_interval_overlap`: INTERVAL×INTERVAL overlap join — the
+    * two-sided generalization of [[joinRangeBucketed]]'s point-in-interval
+    * form (which user sessions overlapped which incident windows). The
+    * declarative `a.lo <= b.hi AND b.lo <= a.hi` predicate has no equi-key,
+    * so Spark would plan a nested-loop cross product. Same decomposition,
+    * both sides: each interval explodes into the hour buckets it covers
+    * (bounded by duration/bucket + 1), the two bucket sets hash equi-join
+    * on the bucket id, the exact overlap predicate post-filters, and a
+    * DISTINCT on the pair key collapses the multi-bucket double-counts a
+    * long overlap produces. Work is O(|A| + |B| + |candidate pairs|), one
+    * hash shuffle per side — never |A|×|B|.
+    *
+    * Intervals here: gap-sessionized user sessions vs ±30 min windows
+    * around error events; emits per-session counts of overlapped incident
+    * windows. All bounds are exact integer epoch micros.
+    */
+  def joinIntervalOverlap(events: DataFrame, padMinutes: Int = 30): DataFrame = {
+    val HourUs = 3600L * 1000000L
+    val padUs = padMinutes * 60L * 1000000L
+    val sessions = graft.streaming.Sessionize.sessionizeBatch(events)
+      .select(col("user_id"), col("session_idx"),
+        unix_micros(col("session_start")).as("s_lo"),
+        unix_micros(col("session_end")).as("s_hi"))
+    val windows = events.where(col("event_type") === "error")
+      .select(col("event_id").as("error_id"),
+        (unix_micros(col("ts")) - padUs).as("w_lo"),
+        (unix_micros(col("ts")) + padUs).as("w_hi"))
+    val sessionBuckets = sessions.withColumn("bucket",
+      explode(sequence(expr(s"s_lo div $HourUs"), expr(s"s_hi div $HourUs"))))
+    val windowBuckets = windows.withColumn("bucket",
+      explode(sequence(expr(s"w_lo div $HourUs"), expr(s"w_hi div $HourUs"))))
+    sessionBuckets.join(windowBuckets, Seq("bucket"))
+      .where(col("s_lo") <= col("w_hi") && col("w_lo") <= col("s_hi"))
+      .select(col("user_id"), col("session_idx"), col("error_id"))
+      .distinct()
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_error_windows"))
+  }
+
   /** `join_fuzzy_blocked`: edit-distance fuzzy self-join — the entity-
     * resolution operator (typo'd titles, OCR'd names, near-identical
     * product labels). The naive form is an all-pairs Levenshtein — O(n²)
@@ -361,6 +400,37 @@ object Joins {
         |SELECT iv.owner AS user_id, COUNT(*) AS n_events_in_window
         |FROM iv JOIN ev ON ev.t >= iv.lo AND ev.t < iv.hi
         |GROUP BY 1""".stripMargin,
+    "join_interval_overlap" ->
+      // DuckDB's IEJoin handles the raw overlap predicate natively — the
+      // oracle states the θ-join directly; the engine's bucket
+      // decomposition must produce value-identical pairs
+      """WITH l AS (
+        |  SELECT user_id, ts, event_id,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN prev_ts IS NULL
+        |                   OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+        |              THEN 1 ELSE 0 END AS ns
+        |  FROM l),
+        |s AS (
+        |  SELECT user_id, ts,
+        |         SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM f),
+        |sess AS (
+        |  SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |         epoch_us(MIN(ts)) AS s_lo, epoch_us(MAX(ts)) AS s_hi
+        |  FROM s GROUP BY user_id, session_idx),
+        |w AS (
+        |  SELECT event_id AS error_id,
+        |         epoch_us(ts) - 1800000000 AS w_lo,
+        |         epoch_us(ts) + 1800000000 AS w_hi
+        |  FROM events WHERE event_type = 'error')
+        |SELECT user_id, session_idx, COUNT(*) AS n_error_windows
+        |FROM sess JOIN w ON s_lo <= w_hi AND w_lo <= s_hi
+        |GROUP BY 1, 2""".stripMargin,
     "join_asof" ->
       """WITH clicks AS (
         |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),

@@ -171,6 +171,25 @@ object Windows {
       cume_dist().over(w).as("cume"))
   }
 
+  /** `win_ratio_to_report`: each row's share of its group total — the
+    * serve-layer "% of segment" column every BI page derives. The group sum
+    * is an unbounded-frame window over the SAME key the input aggregate
+    * grouped on, so it reuses that exchange (no second shuffle); numerator
+    * and denominator are exact integer cents and the share is one final
+    * exact-rounded division, identical in the oracle.
+    */
+  def winRatioToReport(orders: DataFrame): DataFrame = {
+    val perCust = orders
+      .groupBy(col("o_custkey").as("customer_id"), col("o_orderpriority").as("priority"))
+      .agg(sum(Num.cents(col("o_totalprice"))).as("cents"))
+    val w = Window.partitionBy("customer_id")
+    perCust
+      .withColumn("total_cents", sum(col("cents")).over(w))
+      .select(col("customer_id"), col("priority"),
+        Num.dollars(col("cents")).as("revenue"),
+        Num.ratio(col("cents"), col("total_cents")).as("share_of_customer"))
+  }
+
   def winDedup(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id", "event_type")
       .orderBy(col("ts").desc, col("event_id").desc)

@@ -1,0 +1,59 @@
+package graft
+
+import java.sql.Timestamp
+import graft.operators.{Funnel, Windows}
+
+/** Semantics gates for the product-analytics rollups: strict funnel
+  * ordering, cohort offsets, and group-share arithmetic on crafted inputs.
+  */
+class FunnelSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(day: Int, h: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
+
+  private def events(rows: (Long, Int, Int, Long, String)*) =
+    rows.map { case (id, day, h, user, tpe) => (id, ts(day, h), user, tpe, 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  test("funnel_steps enforces strict event ordering per user") {
+    val df = events(
+      // user 1 completes in order: counted at every step
+      (1L, 1, 1, 1L, "view"), (2L, 1, 2, 1L, "click"), (3L, 1, 3, 1L, "purchase"),
+      // user 2 purchases BEFORE clicking: purchase must not count
+      (4L, 2, 1, 2L, "view"), (5L, 2, 3, 2L, "click"), (6L, 2, 2, 2L, "purchase"),
+      // user 3 clicks before viewing: only the view counts
+      (7L, 3, 2, 3L, "view"), (8L, 3, 1, 3L, "click"),
+      // user 4 never views: no step reached
+      (9L, 4, 1, 4L, "click"), (10L, 4, 2, 4L, "purchase"))
+    val out = Funnel.funnelSteps(df).orderBy("step").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(2))).toSeq ==
+      Seq((1L, 3L), (2L, 2L), (3L, 1L)))
+  }
+
+  test("funnel_steps: equal timestamps are not 'after' (strict inequality)") {
+    val df = events((1L, 1, 1, 1L, "view"), (2L, 1, 1, 1L, "click"))
+    val out = Funnel.funnelSteps(df).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(2))).toSet == Set((1L, 1L)))
+  }
+
+  test("retention_cohorts: offset 0 holds cohort size; returning users counted once per week") {
+    // 2024-01-01 is a Monday. user 1 active weeks 0 and 2 (twice in week 2);
+    // user 2 joins week 1, returns week 2.
+    val df = events(
+      (1L, 1, 1, 1L, "view"), (2L, 15, 1, 1L, "view"), (3L, 15, 2, 1L, "click"),
+      (4L, 8, 1, 2L, "view"), (5L, 16, 1, 2L, "view"))
+    val out = Funnel.retentionCohorts(df).collect()
+      .map(r => ((r.getDate(0).toString, r.getLong(1)), r.getLong(2))).toMap
+    assert(out == Map(
+      ("2024-01-01", 0L) -> 1L, ("2024-01-01", 2L) -> 1L,
+      ("2024-01-08", 0L) -> 1L, ("2024-01-08", 1L) -> 1L))
+  }
+
+  test("win_ratio_to_report: shares within a customer sum to 1") {
+    val df = graft.sources.Tables.orders(spark, "/root/testdata/sf0.001")
+    val sums = Windows.winRatioToReport(df)
+      .groupBy("customer_id").sum("share_of_customer").collect()
+    sums.foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 1e-9))
+  }
+}

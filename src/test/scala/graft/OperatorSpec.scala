@@ -186,6 +186,42 @@ class OperatorSpec extends SparkTestBase {
     assert(out == expected, s"bucketed=$out naive=$expected")
   }
 
+  test("interval overlap join equals the naive θ-join, incl. cross-bucket spans") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    // user 1: one session 01:00–02:00 (30-min gap chain). error at 02:25
+    // (user 99) → window [01:55, 02:55] overlaps it by 5 min across an hour
+    // bucket boundary; error at 04:00 → [03:30, 04:30] does not.
+    val ev = Seq(
+      (1L, ts("2024-01-01 01:00:00"), 1L, "view"),
+      (2L, ts("2024-01-01 01:20:00"), 1L, "click"),
+      (3L, ts("2024-01-01 01:40:00"), 1L, "view"),
+      (4L, ts("2024-01-01 02:00:00"), 1L, "purchase"),
+      (5L, ts("2024-01-01 02:25:00"), 99L, "error"),
+      (6L, ts("2024-01-01 04:00:00"), 99L, "error"))
+      .map { case (id, t, u, tp) => (id, t, u, tp, 1.0, "p") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Joins.joinIntervalOverlap(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // u1 session overlaps window 5; u99's two single-event sessions each
+    // overlap their own window only
+    assert(out == Map((1L, 1L) -> 1L, (99L, 1L) -> 1L, (99L, 2L) -> 1L), s"got $out")
+    // independent naive check: cross join + raw overlap predicate
+    val sess = graft.streaming.Sessionize.sessionizeBatch(ev)
+      .select(col("user_id"), col("session_idx"),
+        unix_micros(col("session_start")).as("s_lo"),
+        unix_micros(col("session_end")).as("s_hi"))
+    val win = ev.where(col("event_type") === "error")
+      .select(col("event_id").as("error_id"),
+        (unix_micros(col("ts")) - 1800000000L).as("w_lo"),
+        (unix_micros(col("ts")) + 1800000000L).as("w_hi"))
+    val naive = sess.crossJoin(win)
+      .where(col("s_lo") <= col("w_hi") && col("w_lo") <= col("s_hi"))
+      .groupBy("user_id", "session_idx").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == naive, s"bucketed=$out naive=$naive")
+  }
+
   test("agg_quantiles: interpolated quartiles are exact at binary-exact fractions") {
     import java.sql.Timestamp
     // n=4 values 1,2,3,4 dollars: p25 at pos 0.75 → 1.75; median 2.5; p75 3.25
