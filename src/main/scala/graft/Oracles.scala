@@ -150,6 +150,23 @@ object Oracles {
         |       CUME_DIST() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
         |         AS cume
         |FROM lineitem""".stripMargin,
+    "win_streak" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |r AS (
+        |  SELECT user_id, day,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS rn
+        |  FROM days),
+        |runs AS (
+        |  SELECT user_id, day - CAST(rn AS INT) AS anchor, COUNT(*) AS streak_days,
+        |         MIN(day) AS streak_start, MAX(day) AS streak_end
+        |  FROM r GROUP BY user_id, day - CAST(rn AS INT)),
+        |best AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |           ORDER BY streak_days DESC, streak_start) AS brn
+        |  FROM runs)
+        |SELECT user_id, streak_days, streak_start, streak_end
+        |FROM best WHERE brn = 1""".stripMargin,
     "win_ratio_to_report" ->
       """WITH p AS (
         |  SELECT o_custkey AS customer_id, o_orderpriority AS priority,

@@ -30,6 +30,7 @@ object SparkEntry {
     "win_dedup" -> ((s, d) => Windows.winDedup(Tables.events(s, d))),
     "win_percent_rank" -> ((s, d) => Windows.winPercentRank(Tables.lineitem(s, d))),
     "win_ratio_to_report" -> ((s, d) => Windows.winRatioToReport(Tables.orders(s, d))),
+    "win_streak" -> ((s, d) => Windows.winStreak(Tables.events(s, d))),
     "win_topk_group" -> ((s, d) => Windows.winTopkGroup(Tables.lineitem(s, d))),
     "win_topk_custom" -> ((s, d) => Windows.winTopkCustom(Tables.lineitem(s, d))),
     // §2.4 aggregations
@@ -57,6 +58,7 @@ object SparkEntry {
     "agg_corr" -> ((s, d) => Aggregates.aggCorr(Tables.lineitem(s, d))),
     "agg_histogram" -> ((s, d) => Aggregates.aggHistogram(Tables.events(s, d))),
     "agg_mode" -> ((s, d) => Aggregates.aggMode(Tables.orders(s, d))),
+    "agg_grouping_sets" -> ((s, d) => Aggregates.aggGroupingSets(Tables.lineitem(s, d))),
     "outlier_mad" -> ((s, d) => Aggregates.outlierMad(Tables.events(s, d))),
     // type-2 slowly-changing-dimension history (full rebuild + daily merge)
     "scd2_build" -> ((s, d) => Scd.scd2Build(Tables.events(s, d))),

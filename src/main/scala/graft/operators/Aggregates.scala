@@ -448,6 +448,26 @@ object Aggregates {
         (col("mad") / 100.0).as("mad_value"))
   }
 
+  /** `agg_grouping_sets`: per-flag and per-status subtotals in ONE pass via
+    * the explicit grouping-sets API (the rollup/cube sibling with a
+    * hand-picked lattice — here neither the (flag, status) base cell nor
+    * the grand total is wanted, so rollup/cube would compute cells only to
+    * throw away). Spark plans one scan + one Expand (2 projections, one
+    * per set) + one hash aggregate; grouping_id disambiguates which set a
+    * row belongs to with the same bit semantics as the oracle's GROUPING().
+    */
+  def aggGroupingSets(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"),
+        Num.dollars(sum(Num.cents(col("l_extendedprice")))).as("revenue"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("gid"),
+        col("n"), col("revenue"))
+
   /** Portable-HLL oracle: mirrors aggApproxDistinct step for step (same hash,
     * same integer registers, same single final double division).
     */
@@ -653,6 +673,13 @@ object Aggregates {
         |       CAST(q[2] AS DOUBLE) / 100.0 AS median_value,
         |       CAST(q[3] AS DOUBLE) / 100.0 AS p75_value
         |FROM q""".stripMargin,
+    "agg_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin,
     "agg_mode" ->
       """WITH c AS (
         |  SELECT o_custkey AS customer_id, o_orderpriority AS priority, COUNT(*) AS n

@@ -190,6 +190,32 @@ object Windows {
         Num.ratio(col("cents"), col("total_cents")).as("share_of_customer"))
   }
 
+  /** `win_streak`: longest consecutive-day activity streak per user — the
+    * gaps-and-islands pattern (daily-active streaks, uptime runs, coverage
+    * gaps). Consecutive days share an anchor (`day − row_number`), so runs
+    * fall out of one keyed aggregate; the longest-run pick is a rank-1
+    * filter that RewriteRankLimitToTopK plans through TopKPerKey. Both the
+    * run groupBy (user, anchor) and the rank (user) are satisfied by the
+    * row_number window's hash(user) clustering — after the distinct, the
+    * whole chain runs in ONE exchange.
+    */
+  def winStreak(events: DataFrame): DataFrame = {
+    val days = events.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val runs = days
+      .withColumn("rn", row_number().over(w))
+      .withColumn("anchor", date_sub(col("day"), col("rn")))
+      .groupBy(col("user_id"), col("anchor"))
+      .agg(count(lit(1)).as("streak_days"),
+        min(col("day")).as("streak_start"), max(col("day")).as("streak_end"))
+    val best = Window.partitionBy("user_id")
+      .orderBy(col("streak_days").desc, col("streak_start"))
+    runs
+      .withColumn("brn", row_number().over(best))
+      .where(col("brn") === 1)
+      .select(col("user_id"), col("streak_days"), col("streak_start"), col("streak_end"))
+  }
+
   def winDedup(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id", "event_type")
       .orderBy(col("ts").desc, col("event_id").desc)

@@ -50,6 +50,37 @@ class FunnelSpec extends SparkTestBase {
       ("2024-01-08", 0L) -> 1L, ("2024-01-08", 1L) -> 1L))
   }
 
+  test("win_streak finds the longest run; ties resolve to the earliest") {
+    val df = events(
+      // user 1: runs {1,2,3} and {10,11} (two events on day 2 collapse)
+      (1L, 1, 1, 1L, "view"), (2L, 2, 1, 1L, "view"), (3L, 2, 5, 1L, "click"),
+      (4L, 3, 1, 1L, "view"), (5L, 10, 1, 1L, "view"), (6L, 11, 1, 1L, "view"),
+      // user 2: runs {5,6} and {8,9} — tie, earliest start wins
+      (7L, 5, 1, 2L, "view"), (8L, 6, 1, 2L, "view"),
+      (9L, 8, 1, 2L, "view"), (10L, 9, 1, 2L, "view"))
+    val out = graft.operators.Windows.winStreak(df).orderBy("user_id").collect()
+    assert(out.length == 2)
+    assert(out(0).getLong(1) == 3L && out(0).getDate(2).toString == "2024-01-01"
+      && out(0).getDate(3).toString == "2024-01-03")
+    assert(out(1).getLong(1) == 2L && out(1).getDate(2).toString == "2024-01-05")
+  }
+
+  test("agg_grouping_sets emits exactly the two requested lattice cells") {
+    val df = Seq(("A", "F", 1.0), ("A", "O", 2.0), ("B", "F", 3.0))
+      .map { case (f, st, p) => (1L, 2L, 3L, 4, 1.0, p, 0.0, 0.0, f, st,
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00")) }
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate")
+    val out = graft.operators.Aggregates.aggGroupingSets(df).collect()
+    // sets: per-flag (gid=1, status NULL) and per-status (gid=2, flag NULL)
+    assert(out.map(_.getLong(2)).toSet == Set(1L, 2L))
+    val perFlag = out.filter(_.getLong(2) == 1L)
+    assert(perFlag.forall(_.isNullAt(1)) && perFlag.map(_.getString(0)).toSet == Set("A", "B"))
+    val perStatus = out.filter(_.getLong(2) == 2L)
+    assert(perStatus.forall(_.isNullAt(0)) && perStatus.map(_.getString(1)).toSet == Set("F", "O"))
+    assert(out.map(_.getLong(3)).sum == 6L) // every base row counted once per set
+  }
+
   test("win_ratio_to_report: shares within a customer sum to 1") {
     val df = graft.sources.Tables.orders(spark, "/root/testdata/sf0.001")
     val sums = Windows.winRatioToReport(df)
