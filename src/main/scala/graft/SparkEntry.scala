@@ -63,6 +63,9 @@ object SparkEntry {
     // type-2 slowly-changing-dimension history (full rebuild + daily merge)
     "scd2_build" -> ((s, d) => Scd.scd2Build(Tables.events(s, d))),
     "scd2_merge" -> ((s, d) => Scd.scd2Merge(Tables.events(s, d))),
+    // streaming twin: per-micro-batch snapshot apply, batch scd2_merge oracle
+    "stream_scd2_endstate" -> ((s, d) =>
+      graft.streaming.Scd2Sync.streamScd2Endstate(s, d)),
     // §2.2 staging / filters / case
     "stg_rename" -> ((s, d) => Staging.stgRename(Tables.customer(s, d))),
     "stg_unit_convert" -> ((s, d) => Staging.stgUnitConvert(Tables.events(s, d))),
@@ -286,7 +289,7 @@ object SparkEntry {
       Curation.oracles ++ IncrementalMart.oracles ++ Skew.oracles ++ Scd.oracles ++ Funnel.oracles ++
       graft.models.Marts.oracles ++ graft.models.TextMarts.oracles ++
       graft.streaming.IncrementalSync.oracles ++ graft.streaming.Sessionize.oracles ++
-      graft.streaming.StreamDedup.oracles ++
+      graft.streaming.StreamDedup.oracles ++ graft.streaming.Scd2Sync.oracles ++
       graft.streaming.StreamEnrich.oracles ++
       graft.models.ModelAdapters.oracles
 }

@@ -66,10 +66,18 @@ object Scd {
     */
   def scd2Merge(events: DataFrame, cutoff: String = "2024-01-24"): DataFrame = {
     val cut = to_timestamp(lit(cutoff))
-    val dim = scd2Build(events.where(col("ts") < cut))
+    applySnapshot(scd2Build(events.where(col("ts") < cut)), events.where(col("ts") >= cut))
+  }
 
+  /** Apply one batch of events to an existing type-2 dim (the incremental
+    * step [[scd2Merge]] demonstrates and the streaming sync replays per
+    * micro-batch). Per entity only the batch's FINAL state matters —
+    * version granularity is DELIVERY-BATCH granularity, exactly the
+    * reference's daily-MERGE semantics where intra-day flaps are invisible.
+    */
+  def applySnapshot(dim: DataFrame, batch: DataFrame): DataFrame = {
     val wSnap = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
-    val snap = events.where(col("ts") >= cut)
+    val snap = batch
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       .withColumn("rn", row_number().over(wSnap))
       .where(col("rn") === 1)

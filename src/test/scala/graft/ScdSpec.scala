@@ -72,6 +72,36 @@ class ScdSpec extends SparkTestBase {
     out.unpersist()
   }
 
+  test("stream_scd2_endstate equals the batch scd2_merge exactly") {
+    val sfDir = "/root/testdata/sf0.001"
+    val streamed = graft.streaming.Scd2Sync.streamScd2Endstate(spark, sfDir)
+    val batch = graft.operators.Scd.scd2Merge(
+      graft.sources.Tables.events(spark, sfDir))
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("scd2 sync repair restores a dim stranded mid-swap") {
+    import java.nio.file.{Files, Paths}
+    val root = "target/scd2_repair_test"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(root))
+    val live = s"$root/dim"
+    // simulate a crash between move-aside and move-in: only .old exists
+    Files.createDirectories(Paths.get(live + ".old"))
+    Files.write(Paths.get(live + ".old", "marker"), Array[Byte](1))
+    graft.streaming.Scd2Sync.repair(live)
+    assert(Files.exists(Paths.get(live, "marker")), "aside copy not restored")
+    assert(!Files.exists(Paths.get(live + ".old")))
+    // completed swap: live exists, stale aside must be dropped
+    Files.createDirectories(Paths.get(live + ".old"))
+    graft.streaming.Scd2Sync.repair(live)
+    assert(Files.exists(Paths.get(live, "marker")) && !Files.exists(Paths.get(live + ".old")))
+  }
+
   test("agg_mode picks the most frequent value, lexicographic tie-break") {
     val df = Seq(
       (1L, 1L, "F", 1.0, ts(1), "2-HIGH"), (2L, 1L, "F", 1.0, ts(1), "2-HIGH"),
