@@ -151,6 +151,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.dedupNgramJaccard(Tables.documents(s, d))),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.dedupMinhashLsh(Tables.documents(s, d))),
     "dedup_paragraph" -> ((s, d) => Dedup.dedupParagraph(Tables.documents(s, d))),
+    "dedup_containment" -> ((s, d) => Dedup.dedupContainment(Tables.documents(s, d))),
     "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(Tables.documents(s, d))),
     "dedup_simhash" -> ((s, d) => Dedup.dedupSimhash(Tables.documents(s, d))),
     "dedup_embedding_cosine" -> ((s, d) => Dedup.dedupEmbeddingCosine(Tables.embeddings(s, d))),
@@ -170,6 +171,7 @@ object SparkEntry {
     "text_fingerprint" -> ((s, d) => TextAnalysis.textFingerprint(Tables.documents(s, d))),
     "text_repetition" -> ((s, d) => TextAnalysis.textRepetition(Tables.documents(s, d))),
     "text_bigram_lm" -> ((s, d) => TextAnalysis.textBigramLm(Tables.documents(s, d))),
+    "text_tfidf_terms" -> ((s, d) => TextAnalysis.textTfidfTerms(Tables.documents(s, d))),
     // extensions: multimodal columns
     "mm_metadata" -> ((s, d) => Multimodal.mmMetadata(Tables.documents(s, d))),
     "mm_decode_stub" -> ((s, d) => Multimodal.mmDecodeStub(Tables.documents(s, d))),

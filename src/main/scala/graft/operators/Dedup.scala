@@ -104,6 +104,45 @@ object Dedup {
       .select(col("doc_id_1"), col("doc_id_2"), col("lang"), col("jaccard"))
   }
 
+  /** `dedup_containment`: directed near-dup containment — |A∩B| / |A| over
+    * 3-gram shingle sets, the ASYMMETRIC cousin of [[dedupNgramJaccard]].
+    * Jaccard misses the quote/subset case by construction (a 50-shingle doc
+    * embedded in a 5000-shingle doc has J ≈ 0.01 but containment 1.0);
+    * containment is how excerpt-of, quote-of, and version-of relations are
+    * actually found in corpus curation. Deliberately NOT length-blocked —
+    * the interesting pairs have wildly different lengths — so the inverted
+    * index is kept quadratic-safe by the df cap instead: shingles present
+    * in more than `maxDf` same-language docs carry no containment signal
+    * (boilerplate) and would inflate the index join as Σ df²; they are
+    * dropped from BOTH the intersection and the denominator (containment
+    * over the informative-shingle subset — mirrored exactly in the oracle,
+    * and the same discipline as text_boilerplate_ngrams). Work is
+    * O(Σ df² over rare shingles), one term-keyed shuffle.
+    */
+  def dedupContainment(
+      documents: DataFrame, threshold: Double = 0.5, maxDf: Int = 50): DataFrame = {
+    val docs = withTokens(documents, col("doc_id"), col("lang"))
+      .select(col("doc_id"), col("lang"), shinglesCol(col("toks")).as("shingles"))
+    val inv0 = docs
+      .select(col("lang"), col("doc_id"), explode_outer(col("shingles")).as("shingle"))
+      .where(col("shingle").isNotNull)
+    val rare = inv0.groupBy(col("lang"), col("shingle"))
+      .agg(count(lit(1)).as("df")).where(col("df") <= maxDf)
+      .select(col("lang"), col("shingle"))
+    val inv = inv0.join(rare, Seq("lang", "shingle"))
+    val sizes = inv.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val a = inv.select(col("lang"), col("shingle"), col("doc_id").as("contained_id"))
+    val b = inv.select(col("lang"), col("shingle"), col("doc_id").as("container_id"))
+    a.join(b, Seq("lang", "shingle"))
+      .where(col("contained_id") =!= col("container_id"))
+      .groupBy(col("contained_id"), col("container_id"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("contained_id"), col("sz")), Seq("contained_id"))
+      .withColumn("containment", col("inter").cast(DoubleType) / col("sz").cast(DoubleType))
+      .where(col("containment") >= threshold)
+      .select(col("contained_id"), col("container_id"), col("containment"))
+  }
+
   private val MinhashK = 16
   private val P = 2147483647L // 2^31 - 1
 
@@ -778,6 +817,33 @@ object Dedup {
         |       CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS jaccard
         |FROM pairs
         |WHERE uni > 0 AND CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) >= 0.3""".stripMargin,
+    "dedup_containment" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, string_split(lower(text), ' ') AS tokens
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, lang,
+        |         list_distinct(list_transform(
+        |           range(1, greatest(len(tokens) - 1, 1)),
+        |           i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS shingles
+        |  FROM toks),
+        |inv0 AS (SELECT doc_id, lang, UNNEST(shingles) AS shingle FROM sh),
+        |rare AS (
+        |  SELECT lang, shingle FROM inv0 GROUP BY 1, 2 HAVING COUNT(*) <= 50),
+        |inv AS (
+        |  SELECT i.doc_id, i.lang, i.shingle
+        |  FROM inv0 i JOIN rare r ON i.lang = r.lang AND i.shingle = r.shingle),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM inv GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+        |         COUNT(*) AS inter
+        |  FROM inv a JOIN inv b
+        |    ON a.lang = b.lang AND a.shingle = b.shingle AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT i.contained_id, i.container_id,
+        |       CAST(i.inter AS DOUBLE) / CAST(s.sz AS DOUBLE) AS containment
+        |FROM inter i JOIN sizes s ON s.doc_id = i.contained_id
+        |WHERE CAST(i.inter AS DOUBLE) / CAST(s.sz AS DOUBLE) >= 0.5""".stripMargin,
     "dedup_embedding_cosine" ->
       """WITH q AS (
         |  SELECT vec_id, CAST(label AS BIGINT) AS label,

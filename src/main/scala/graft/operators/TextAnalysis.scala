@@ -125,6 +125,35 @@ object TextAnalysis {
         col("rn").cast("long").as("term_rank"))
   }
 
+  /** `text_tfidf_terms`: each document's most characteristic terms — the
+    * keyword-extraction primitive behind corpus exploration and topic
+    * labeling. Scoring is tf × a RATIONAL idf surrogate,
+    * `(tf · 10⁶ · N) div df`, computed in exact integer arithmetic: for a
+    * fixed tf the score is monotone decreasing in df exactly like
+    * tf·ln(N/df), but there is no transcendental in the plan, so ranking
+    * and hash-compare are engine-identical (ln is the one op the
+    * cross-engine ulp contract cannot cover). Plan: one explode → (doc,
+    * term) tf aggregate → vocabulary-sized df aggregate → term-keyed join
+    * back + single-row N broadcast → rank-k per doc through TopKPerKey
+    * (RewriteRankLimitToTopK). At 100 TB the df side is vocabulary-sized
+    * (bounded), the join shuffles on term hash, and no per-doc sort exists.
+    */
+  def textTfidfTerms(documents: DataFrame, k: Int = 5): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+      .where(length(col("term")) >= 3)
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = documents.select(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score_ppm").desc, col("term"))
+    tf.join(df, "term").crossJoin(broadcast(n))
+      .withColumn("score_ppm", expr("(tf * 1000000L * n_docs) div df"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("score_ppm"), col("rn").cast("long").as("term_rank"))
+  }
+
   /** `text_top_terms_sketch`: [[textTopTerms]] through the Misra-Gries
     * heavy-hitters aggregate ([[graft.functions.MisraGries]]) — bounded
     * memory per group, partials merge map-side, NOTHING shuffles per
@@ -371,6 +400,25 @@ object TextAnalysis {
     // exact counts — identical oracle (resolved below)
     "text_top_terms_sketch" -> topTermsOracle,
     "text_top_terms" -> topTermsOracle,
+    "text_tfidf_terms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS term
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf
+        |  FROM toks WHERE length(term) >= 3 GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |         (tf.tf * 1000000 * n.n_docs) // df.df AS score_ppm
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |           ORDER BY score_ppm DESC, term) AS rn
+        |  FROM scored)
+        |SELECT doc_id, term, tf, df, score_ppm, CAST(rn AS BIGINT) AS term_rank
+        |FROM r WHERE rn <= 5""".stripMargin,
     "text_token_count" ->
       """SELECT doc_id,
         |       CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,

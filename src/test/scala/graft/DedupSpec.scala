@@ -304,4 +304,35 @@ class DedupSpec extends SparkTestBase {
       s"within-doc repetition is not a cross-doc dup span: $out")
     assert(out.values.forall { case (d, n) => d <= n && n > 0 })
   }
+
+  test("dedup_containment catches the quote-in-long-doc case Jaccard misses") {
+    // doc 1 is embedded verbatim in doc 2 (much longer): containment(1→2)=1.0
+    // while Jaccard is far below the 0.3 gate; doc 3 shares nothing
+    val filler = (1 to 60).map(i => s"filler$i").mkString(" ")
+    val df = docs(
+      (1L, base),
+      (2L, s"$filler $base ${filler.replace("filler", "pad")}"),
+      (3L, "completely different words in this unrelated document body"))
+    val out = Dedup.dedupContainment(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out.get((1L, 2L)).contains(1.0), s"quote not contained: $out")
+    assert(!out.keySet.exists { case (a, b) => a == 3L || b == 3L })
+    // the symmetric Jaccard gate must NOT fire for this pair
+    assert(!Dedup.dedupNgramJaccard(df).collect()
+      .exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+  }
+
+  test("text_tfidf_terms ranks distinctive terms above ubiquitous ones") {
+    // "zebra" appears once in doc 1 only; "common" appears in every doc —
+    // tf equal, so the df difference must decide the ranking
+    val df = docs(
+      (1L, "common zebra words here filler filler2 filler3"),
+      (2L, "common other words here filler filler2 filler3"),
+      (3L, "common more words here filler filler2 filler3"))
+    val out = graft.operators.TextAnalysis.textTfidfTerms(df).collect()
+      .filter(_.getLong(0) == 1L)
+      .map(r => r.getString(1) -> r.getAs[Long]("term_rank")).toMap
+    assert(out("zebra") < out("common"),
+      s"df=1 term must outrank df=3 term at equal tf: $out")
+  }
 }
