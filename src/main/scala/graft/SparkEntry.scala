@@ -59,6 +59,7 @@ object SparkEntry {
     "agg_histogram" -> ((s, d) => Aggregates.aggHistogram(Tables.events(s, d))),
     "agg_mode" -> ((s, d) => Aggregates.aggMode(Tables.orders(s, d))),
     "agg_grouping_sets" -> ((s, d) => Aggregates.aggGroupingSets(Tables.lineitem(s, d))),
+    "agg_bitmap_distinct" -> ((s, d) => Aggregates.aggBitmapDistinct(Tables.events(s, d))),
     "outlier_mad" -> ((s, d) => Aggregates.outlierMad(Tables.events(s, d))),
     // type-2 slowly-changing-dimension history (full rebuild + daily merge)
     "scd2_build" -> ((s, d) => Scd.scd2Build(Tables.events(s, d))),

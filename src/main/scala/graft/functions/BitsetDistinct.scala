@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.graftbridge.SqlBridge
+import org.apache.spark.sql.types._
+
+/** EXACT distinct count over a bounded integer domain as a dense bitset
+  * aggregate — the third point on the distinct-count cost curve, between
+  * `count(distinct x)` (exact, but plans as a two-phase expand: one shuffled
+  * row PER DISTINCT (group, value) pair — at 100 TB that shuffle is the job)
+  * and the HLL sketch (`agg_approx_distinct`: bounded state, ±2% error).
+  * For key spaces that are dense integers by construction — enum codes,
+  * dictionary-encoded ids, bucketed hashes — a fixed `domain`-bit buffer
+  * gives the exact answer with sketch-shaped physics: one pass over the
+  * scan, constant memory per group, partials OR together map-side, and the
+  * shuffle carries one buffer per (partition, group) instead of the
+  * distinct pairs. This is the groupBitmap pattern of the OLAP engines
+  * (ClickHouse groupBitmap, Druid/Kylin bitmap measures — public docs),
+  * reduced to its dense form; production systems compress sparse domains
+  * with roaring bitmaps, which slot into the same update/OR/popcount
+  * contract without touching the plan.
+  *
+  * Out-of-domain values THROW (a wrong-domain bitmap silently undercounts —
+  * correctness over convenience); NULLs are skipped like every COUNT.
+  */
+case class BitsetDistinct(
+    child: Expression,
+    domain: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]]
+  with UnaryLike[Expression] {
+
+  require(domain > 0 && domain <= (1 << 26),
+    s"domain must be in (0, 2^26] (8 MiB buffer ceiling), got $domain")
+
+  private def words: Int = (domain + 63) >>> 6
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](words)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val x = v.asInstanceOf[Long]
+      require(x >= 0 && x < domain,
+        s"bitset_distinct: value $x outside configured domain [0, $domain)")
+      buf((x >>> 6).toInt) |= 1L << (x & 63)
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < buf.length) { buf(i) |= other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any = {
+    var n = 0L
+    var i = 0
+    while (i < buf.length) { n += java.lang.Long.bitCount(buf(i)); i += 1 }
+    n
+  }
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bytes = java.nio.ByteBuffer.allocate(buf.length * 8)
+    buf.foreach(bytes.putLong)
+    bytes.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getLong)
+  }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+
+  override def withNewMutableAggBufferOffset(offset: Int): BitsetDistinct =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): BitsetDistinct =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(newChild: Expression): BitsetDistinct =
+    copy(child = newChild)
+  override def prettyName: String = "bitset_distinct"
+}
+
+object BitsetDistinct {
+  /** Column wrapper: exact distinct count of LONG column `c`, which must
+    * take values in `[0, domain)`.
+    */
+  def bitset_distinct(c: Column, domain: Int): Column =
+    SqlBridge.column(
+      BitsetDistinct(SqlBridge.expression(c), domain).toAggregateExpression())
+}

@@ -468,6 +468,25 @@ object Aggregates {
       .select(col("l_returnflag"), col("l_linestatus"), col("gid"),
         col("n"), col("revenue"))
 
+  /** `agg_bitmap_distinct`: EXACT distinct actors per group through the
+    * native dense-bitset aggregate [[graft.functions.BitsetDistinct]] — the
+    * scale path for distinct counts over bounded integer domains (enum
+    * codes, dictionary ids, bucketed hashes). `countDistinct` plans a
+    * two-phase expand that shuffles one row per distinct (group, value)
+    * pair; the bitset ships one fixed-size buffer per (partition, group)
+    * and ORs map-side. Same answer, sketch-shaped physics — and unlike the
+    * HLL twin (`agg_approx_distinct`), oracle-exact, so this row carries
+    * the full hash gate.
+    */
+  def aggBitmapDistinct(events: DataFrame, domain: Int = 1 << 16): DataFrame = {
+    import graft.functions.BitsetDistinct.bitset_distinct
+    events
+      .groupBy(col("event_type"))
+      .agg(
+        bitset_distinct(col("user_id"), domain).as("distinct_users"),
+        count(lit(1)).as("n_events"))
+  }
+
   /** Portable-HLL oracle: mirrors aggApproxDistinct step for step (same hash,
     * same integer registers, same single final double division).
     */
@@ -673,6 +692,11 @@ object Aggregates {
         |       CAST(q[2] AS DOUBLE) / 100.0 AS median_value,
         |       CAST(q[3] AS DOUBLE) / 100.0 AS p75_value
         |FROM q""".stripMargin,
+    "agg_bitmap_distinct" ->
+      """SELECT event_type,
+        |       COUNT(DISTINCT user_id) AS distinct_users,
+        |       COUNT(*) AS n_events
+        |FROM events GROUP BY 1""".stripMargin,
     "agg_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
         |       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
