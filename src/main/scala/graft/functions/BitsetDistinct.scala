@@ -38,6 +38,21 @@ case class BitsetDistinct(
   require(domain > 0 && domain <= (1 << 26),
     s"domain must be in (0, 2^26] (8 MiB buffer ceiling), got $domain")
 
+  // Input contract, checked ONCE against the child's declared type: the
+  // advertised use cases (enum codes, dictionary ids) arrive as the
+  // narrower integral types, so update() extracts per the schema instead
+  // of blind-casting to Long and dying on an opaque ClassCastException.
+  // (Spark 4 keeps AbstractDataType/ImplicitCastInputTypes private[sql],
+  // so the declared-inputTypes route isn't open to a library expression.)
+  private lazy val extract: Any => Long = child.dataType match {
+    case LongType    => v => v.asInstanceOf[Long]
+    case IntegerType => v => v.asInstanceOf[Int].toLong
+    case ShortType   => v => v.asInstanceOf[Short].toLong
+    case ByteType    => v => v.asInstanceOf[Byte].toLong
+    case other => throw new IllegalArgumentException(
+      s"bitset_distinct requires an integral child, got ${other.catalogString}")
+  }
+
   private def words: Int = (domain + 63) >>> 6
 
   override def createAggregationBuffer(): Array[Long] = new Array[Long](words)
@@ -45,7 +60,7 @@ case class BitsetDistinct(
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val x = v.asInstanceOf[Long]
+      val x = extract(v)
       require(x >= 0 && x < domain,
         s"bitset_distinct: value $x outside configured domain [0, $domain)")
       buf((x >>> 6).toInt) |= 1L << (x & 63)

@@ -346,7 +346,12 @@ object Aggregates {
     val binCents = binDollars * 100L
     events
       .select(col("event_type"), Num.cents(col("value")).as("v"))
-      .withColumn("bin", least(expr(s"v div $binCents"), lit(nBins - 1L)))
+      // Clamped on BOTH ends: the lower clamp makes negative values land in
+      // bin 0 instead of a negative bin, and removes the one input domain
+      // where Spark `div` (truncates toward zero) and DuckDB `//` (floors)
+      // disagree — without it, v = -1 cent bins to 0 here and -1 there.
+      .withColumn("bin",
+        least(greatest(expr(s"v div $binCents"), lit(0L)), lit(nBins - 1L)))
       .groupBy(col("event_type"), col("bin"))
       .agg(count(lit(1)).as("n"))
       .select(col("event_type"), col("bin"),
@@ -675,7 +680,7 @@ object Aggregates {
     "agg_histogram" ->
       """WITH c AS (
         |  SELECT event_type,
-        |         LEAST(CAST(ROUND(value * 100) AS BIGINT) // 5000, 9) AS bin
+        |         LEAST(GREATEST(CAST(ROUND(value * 100) AS BIGINT) // 5000, 0), 9) AS bin
         |  FROM events)
         |SELECT event_type, bin,
         |       CAST(bin * 50 AS DOUBLE) AS bin_lo,

@@ -181,8 +181,10 @@ object Dedup {
     */
   def dedupMinhashLsh(documents: DataFrame, fastHash: Boolean = false): DataFrame = {
     // cached: referenced by the band explode AND both sig re-attach joins —
-    // uncached, the shingle-explode + 16-min aggregation would run 3×
-    val sigs = minhashSignatures(documents, fastHash).cache()
+    // uncached, the shingle-explode + 16-min aggregation would run 3×.
+    // Scoped (not raw .cache()) so a session running many registered
+    // queries doesn't accumulate one leaked signature cache per call.
+    val sigs = CacheScope.cached(minhashSignatures(documents, fastHash))
     val sigArr = array((0 until MinhashK).map(i => col(s"sig_$i")): _*)
     val withBands = sigs
       .select(col("doc_id"), col("lang"),
@@ -229,7 +231,7 @@ object Dedup {
     * is a single query — the PLAN is the production probe shape.
     */
   def dedupIncremental(documents: DataFrame, fastHash: Boolean = false): DataFrame = {
-    val sigs = minhashSignatures(documents, fastHash).cache()
+    val sigs = CacheScope.cached(minhashSignatures(documents, fastHash))
     val sigArr = array((0 until MinhashK).map(i => col(s"sig_$i")): _*)
     val withBands = sigs
       .select(col("doc_id"), col("lang"),

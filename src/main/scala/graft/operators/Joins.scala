@@ -363,8 +363,14 @@ object Joins {
     * this name" audit — including zero-match rows via the left join.
     */
   def joinFuzzyBlocked(part: DataFrame, threshold: Int = 1): DataFrame = {
+    // Lossless blocking requires bucket width ≥ threshold + 1 (a pair can
+    // only skip past the adjacent bucket when its length gap exceeds the
+    // width); deriving the width — rather than trusting the caller — keeps
+    // the guarantee for ANY threshold while leaving the registered
+    // threshold ≤ 3 on the oracle's width of 4.
+    val width = math.max(4, threshold + 1)
     val b = part.select(col("p_partkey"), col("p_name"),
-      expr("length(p_name) div 4").as("blk"))
+      expr(s"length(p_name) div $width").as("blk"))
     val probe = b.select(col("p_partkey").as("k"), col("p_name").as("name"),
         explode(sequence(col("blk") - 1, col("blk") + 1)).as("blk"))
     val matches = probe.join(b, Seq("blk"))

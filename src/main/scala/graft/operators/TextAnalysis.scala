@@ -147,7 +147,13 @@ object TextAnalysis {
     val n = documents.select(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy("doc_id").orderBy(col("score_ppm").desc, col("term"))
     tf.join(df, "term").crossJoin(broadcast(n))
-      .withColumn("score_ppm", expr("(tf * 1000000L * n_docs) div df"))
+      // The product is computed in decimal(38,0) (DuckDB twin: HUGEINT) so
+      // the tf·10⁶·N intermediate cannot overflow 64 bits on a large corpus
+      // (tf ~1e4 × N ~1e9 already exceeds 2^63); only the final SCORE must
+      // fit in a long, i.e. tf·N/df < 9.2e12 — df ≥ 1 and tf ≤ doc length
+      // keep any real corpus far inside that envelope.
+      .withColumn("score_ppm",
+        expr("(cast(tf as decimal(38,0)) * 1000000 * n_docs) div df"))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= k)
       .select(col("doc_id"), col("term"), col("tf"), col("df"),
@@ -411,7 +417,7 @@ object TextAnalysis {
         |n AS (SELECT COUNT(*) AS n_docs FROM documents),
         |scored AS (
         |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
-        |         (tf.tf * 1000000 * n.n_docs) // df.df AS score_ppm
+        |         CAST((tf.tf::HUGEINT * 1000000 * n.n_docs) // df.df AS BIGINT) AS score_ppm
         |  FROM tf JOIN df USING (term) CROSS JOIN n),
         |r AS (
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id

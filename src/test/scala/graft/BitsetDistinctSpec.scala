@@ -34,6 +34,26 @@ class BitsetDistinctSpec extends SparkTestBase {
     assert(empty == 0L)
   }
 
+  test("integer-typed children count correctly (schema-matched extraction)") {
+    // enum codes / dictionary ids arrive as INT — the advertised use case
+    val ints = Seq(3, 3, 7, 0, 7).toDF("v")
+    assert(ints.agg(bitset_distinct(col("v"), 64))
+      .collect().head.getLong(0) == 3L)
+    val shorts = Seq(1.toShort, 2.toShort, 1.toShort).toDF("v")
+    assert(shorts.agg(bitset_distinct(col("v"), 64))
+      .collect().head.getLong(0) == 2L)
+  }
+
+  test("non-integral children are rejected with a clear message") {
+    val e = intercept[Exception] {
+      Seq("a", "b").toDF("v").agg(bitset_distinct(col("v"), 64)).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c =>
+      Option(c.getMessage).exists(_.contains("requires an integral child"))))
+  }
+
   test("out-of-domain value fails fast instead of undercounting") {
     val df = Seq(1L, 64L).toDF("v")
     val e = intercept[Exception] {

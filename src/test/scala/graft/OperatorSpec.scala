@@ -245,6 +245,45 @@ class OperatorSpec extends SparkTestBase {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 0L), s"got $out")
   }
 
+  test("fuzzy join blocking stays lossless when the threshold exceeds the default width") {
+    // lev("aaaa", "aaaaaaaaa") = 5: with the fixed width-4 blocking these
+    // land 2 buckets apart and the pair would be silently dropped; the
+    // derived width (>= threshold + 1) must recover it
+    val df = Seq((1L, "aaaa"), (2L, "aaaaaaaaa")).toDF("p_partkey", "p_name")
+    val out = Joins.joinFuzzyBlocked(df, threshold = 5).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_fuzzy_matches")).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L), s"got $out")
+  }
+
+  test("agg_histogram clamps negative values into bin 0 on both engines' semantics") {
+    import java.sql.Timestamp
+    val ts = Timestamp.valueOf("2024-01-01 00:00:00")
+    // -10 dollars: Spark `div` would bin to 0, DuckDB `//` to -1 — the
+    // lower clamp pins both to bin 0; 10000 exercises the upper clamp
+    val ev = Seq((-10.0, 1L), (25.0, 2L), (10000.0, 3L)).map { case (v, i) =>
+      (i, ts, i, "a", v, "p")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val bins = Aggregates.aggHistogram(ev).collect()
+      .map(r => r.getAs[Long]("bin") -> r.getAs[Long]("n")).toMap
+    assert(bins == Map(0L -> 2L, 9L -> 1L), s"got $bins")
+  }
+
+  test("CacheScope bounds live scoped caches and keeps re-registrations warm") {
+    import org.apache.spark.storage.StorageLevel
+    val frames = (0 until 6).map(i => spark.range(100L + i).toDF("v"))
+    val first = graft.operators.CacheScope.cached(frames.head)
+    // re-registering the same plan is a no-op that returns the live frame
+    assert(graft.operators.CacheScope.cached(spark.range(100L).toDF("v"))
+      .storageLevel != StorageLevel.NONE)
+    frames.tail.foreach(graft.operators.CacheScope.cached(_).count())
+    // the retention bound has evicted + unpersisted the oldest entries
+    assert(first.storageLevel == StorageLevel.NONE,
+      "oldest scoped cache should have been unpersisted")
+    val recent = graft.operators.CacheScope.cached(spark.range(105L).toDF("v"))
+    assert(recent.storageLevel != StorageLevel.NONE)
+    spark.catalog.clearCache()
+  }
+
   test("RollingHash matches the HOF ascii-fold on ASCII strings") {
     import graft.functions.RollingHash.rolling_hash
     val df = Seq("the quick brown fox", "", "a", "x " * 500).toDF("s")
