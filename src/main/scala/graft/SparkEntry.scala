@@ -257,6 +257,9 @@ object SparkEntry {
     "skew_salted_sum" -> ((s, d) => Skew.skewSaltedSum(Tables.lineitem(s, d))),
     "stream_upsert_endstate" -> ((s, d) =>
       graft.streaming.IncrementalSync.streamUpsertEndstate(s, d)),
+    // the same sync through the object-store manifest commit (same oracle)
+    "stream_upsert_manifest_endstate" -> ((s, d) =>
+      graft.streaming.IncrementalSync.streamUpsertManifestEndstate(s, d)),
     // remaining Models marts on deterministic adapters (all 22 now registered)
     "fct_issues" -> ((s, d) =>
       graft.models.ModelAdapters.fctIssues(s, Tables.orders(s, d), Tables.customer(s, d))),

@@ -43,14 +43,12 @@ object IncrementalSync {
     * The commit protocol is rename-based: it REQUIRES a filesystem with
     * atomic directory rename (local POSIX, HDFS). That is asserted once per
     * sync by `assertRenameCapable` — on an object-store path (s3/gs/abfs,
-    * where "rename" is copy+delete and not atomic) it throws instead of
-    * silently degrading to a lossy commit. The object-store equivalent of
-    * this protocol is a manifest commit: write new bucket files under
-    * versioned names, then commit by atomically swapping a single manifest
-    * pointer (one small object PUT), the same shape as the reference's
-    * server-side-atomic MERGE (lib/bigquery.py:203-212). The swap itself is
-    * isolated in `swapBuckets`/`repairInterruptedSwap` so that manifest
-    * implementation can slot in without touching the merge logic.
+    * where "rename" is copy+delete and not atomic) it throws and directs
+    * callers to [[syncOnceManifest]], the manifest-commit variant of this
+    * same sync: new bucket files under immutable commit directories, commit
+    * by one small manifest object becoming visible ([[ManifestStore]]) —
+    * the same shape as the reference's server-side-atomic MERGE
+    * (lib/bigquery.py:203-212).
     *
     * ==Crash safety==
     * Every bucket swap moves the live bucket aside to `<target>.old_<p>`
@@ -147,9 +145,9 @@ object IncrementalSync {
     val scheme = java.net.URI.create(targetPath).getScheme
     val renameCapable = scheme == null || scheme == "file" || scheme == "hdfs"
     require(renameCapable,
-      s"IncrementalSync commits via atomic directory rename, which '$scheme' " +
-        "does not provide; use a manifest-based commit for object stores " +
-        "(see IncrementalSync scaladoc)")
+      s"IncrementalSync.syncOnce commits via atomic directory rename, which " +
+        s"'$scheme' does not provide; use syncOnceManifest (manifest-pointer " +
+        "commit) for object stores")
   }
 
   /** Write-to-temp-then-swap: never overwrite the files being read
@@ -214,6 +212,86 @@ object IncrementalSync {
     }
   }
 
+  /** [[syncOnce]] on the MANIFEST commit protocol ([[ManifestStore]]) — the
+    * object-store variant of the incremental sync, for targets where
+    * directory rename is copy+delete and `assertRenameCapable` refuses the
+    * rename-based protocol. Same merge plan (keep-latest window → touched-
+    * bucket probe → partition-pruned read of only the touched buckets →
+    * anti-join upsert); only the publish step differs: data files are
+    * written ONCE under a fresh commit directory and never moved, and the
+    * commit point is a single small manifest object becoming visible. A
+    * crash anywhere mid-sync leaves the table resolving to the previous
+    * manifest version — old-or-new per TABLE version, strictly stronger
+    * than the rename protocol's old-or-new per bucket — and the checkpoint
+    * replays the batch into a fresh commit on restart ([[ManifestStore]]
+    * scaladoc has the atomicity argument; StreamingSpec has the
+    * crash-injection case).
+    */
+  def syncOnceManifest(
+      spark: SparkSession,
+      schema: StructType,
+      srcDir: String,
+      tableRoot: String,
+      checkpoint: String,
+      pk: String,
+      tsCol: String,
+      nBuckets: Int = 16): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+
+    val stream = spark.readStream
+      .schema(schema)
+      .parquet(srcDir)
+      .withWatermark(tsCol, "1 day")
+      .dropDuplicates(Seq(pk, tsCol))
+
+    val query = stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(pk).orderBy(col(tsCol).desc)
+        val latest = batch.withColumn("__rn", row_number().over(w))
+          .where(col("__rn") === 1).drop("__rn")
+          .withColumn("__part", pmod(xxhash64(col(pk)), lit(nBuckets)).cast("int"))
+          .persist()
+        val touched = latest.select("__part").distinct()
+          .collect().map(_.getInt(0)).sorted
+        // a watermark-only (empty) micro-batch commits nothing — versions
+        // advance only when data changes
+        if (touched.nonEmpty) {
+          // re-resolve per micro-batch: a multi-batch run chains commits
+          val base = ManifestStore.readLatest(tableRoot, conf)
+          val existingPaths = base.toSeq.flatMap(_.bucketPaths(tableRoot, touched))
+          val merged =
+            if (existingPaths.nonEmpty) {
+              // manifest-level pruning: only the touched buckets' directories
+              // are ever listed or read — the same I/O bound as the rename
+              // protocol's partition pruning
+              val existing = spark.read.parquet(existingPaths: _*)
+              Merge.mergeUpsert(existing, latest, Seq(pk))
+            } else latest
+          val commitDir = ManifestStore.newCommitDir()
+          // __bucket duplicates __part as the directory key so the data files
+          // keep __part as an ordinary column (explicit-path reads don't do
+          // partition-directory inference)
+          merged.withColumn("__bucket", col("__part"))
+            .write.partitionBy("__bucket").parquet(s"$tableRoot/$commitDir")
+          ManifestStore.commit(
+            tableRoot,
+            touched.map(p => p -> s"$commitDir/__bucket=$p").toMap,
+            base, conf)
+        }
+        latest.unpersist()
+        ()
+      }
+      .start()
+    query.awaitTermination()
+    val tip = ManifestStore.readLatest(tableRoot, conf)
+      .getOrElse(throw new IllegalStateException(s"no manifest under $tableRoot"))
+    spark.read.parquet(tip.allPaths(tableRoot): _*)
+  }
+
   /** `stream_upsert_endstate` (§2.10 driver-checkable row): the full
     * streaming sync driven end-to-end — two parquet drops (initial load,
     * then updated versions of overlapping keys with a later event time)
@@ -265,17 +343,61 @@ object IncrementalSync {
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
   }
 
+  /** `stream_upsert_manifest_endstate`: [[streamUpsertEndstate]] driven
+    * through the MANIFEST commit protocol instead of the rename swap — the
+    * same two drops, checkpoint lifecycle, and batch-merge oracle, proving
+    * the object-store commit path lands the identical end state. The final
+    * vacuum exercises garbage collection of the superseded first-drop data.
+    */
+  def streamUpsertManifestEndstate(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.Tables
+    val base = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val scratch = StreamHarness.freshScratch("stream_scratch_manifest", sfDir)
+    val srcDir = s"$scratch/drops"
+    val target = s"$scratch/table"
+    val ckpt = s"$scratch/ckpt"
+    new java.io.File(srcDir).mkdirs()
+
+    val drop1 = base.where(col("event_id") < 8000)
+      .withColumn("ts", to_timestamp(lit("2025-01-01 00:00:00")))
+    val drop2 = base.where(col("event_id") >= 6000 && col("event_id") < 20000)
+      .withColumn("value", col("value") + 0.5)
+      .withColumn("ts", to_timestamp(lit("2025-01-02 00:00:00")))
+
+    def land(df: DataFrame, name: String): Unit =
+      StreamHarness.land(df, scratch, srcDir, name)
+
+    StreamHarness.withDemoStreamConfs(spark) {
+      land(drop1, "drop1")
+      syncOnceManifest(spark, drop1.schema, srcDir, target, ckpt, "event_id", "ts", nBuckets = 4)
+      land(drop2, "drop2")
+      syncOnceManifest(spark, drop1.schema, srcDir, target, ckpt, "event_id", "ts", nBuckets = 4)
+    }
+    // GC the superseded commit dirs, then re-resolve: the vacuumed table
+    // must still serve the committed tip
+    val conf = spark.sparkContext.hadoopConfiguration
+    ManifestStore.vacuum(target, conf)
+    val tip = ManifestStore.readLatest(target, conf).get
+    spark.read.parquet(tip.allPaths(target): _*)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+  }
+
   /** Oracle: identical to the batch `merge_upsert` query — the point. */
+  private val upsertEndstateOracle =
+    """WITH base AS (
+      |  SELECT event_id, user_id, event_type, value FROM events),
+      |target AS (SELECT * FROM base WHERE event_id < 8000),
+      |source AS (
+      |  SELECT event_id, user_id, event_type, value + 0.5 AS value
+      |  FROM base WHERE event_id >= 6000 AND event_id < 20000)
+      |SELECT t.* FROM target t
+      |WHERE t.event_id NOT IN (SELECT event_id FROM source)
+      |UNION ALL
+      |SELECT * FROM source""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "stream_upsert_endstate" ->
-      """WITH base AS (
-        |  SELECT event_id, user_id, event_type, value FROM events),
-        |target AS (SELECT * FROM base WHERE event_id < 8000),
-        |source AS (
-        |  SELECT event_id, user_id, event_type, value + 0.5 AS value
-        |  FROM base WHERE event_id >= 6000 AND event_id < 20000)
-        |SELECT t.* FROM target t
-        |WHERE t.event_id NOT IN (SELECT event_id FROM source)
-        |UNION ALL
-        |SELECT * FROM source""".stripMargin)
+    "stream_upsert_endstate" -> upsertEndstateOracle,
+    // the commit protocol must be invisible in the result
+    "stream_upsert_manifest_endstate" -> upsertEndstateOracle)
 }

@@ -169,6 +169,85 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("manifest sync: identical end state; untouched buckets keep their commit dirs") {
+    import graft.streaming.ManifestStore
+    val root = Files.createTempDirectory("graft_manifest_sync").toFile.getAbsolutePath
+    val src = s"$root/in"
+    val target = s"$root/table"
+    new java.io.File(src).mkdirs()
+    val conf = spark.sparkContext.hadoopConfiguration
+
+    def rows(rs: (Long, String, String)*) =
+      rs.map { case (id, t, v) => (id, Timestamp.valueOf(t), v) }.toDF("id", "ts", "v")
+    var n = 0
+    def deliver(df: org.apache.spark.sql.DataFrame): Unit = {
+      n += 1
+      val staging = s"$root/staging$n"
+      df.coalesce(1).write.parquet(staging)
+      new java.io.File(staging).listFiles().filter(_.getName.endsWith(".parquet"))
+        .foreach(f => Files.move(f.toPath, new java.io.File(s"$src/b$n.parquet").toPath))
+    }
+
+    deliver(rows((0L until 64L).map(i => (i, "2024-01-01 00:00:00", s"v$i")): _*))
+    IncrementalSync.syncOnceManifest(spark, schema, src, target, s"$root/ck1", "id", "ts", nBuckets = 8)
+    val v0 = ManifestStore.readLatest(target, conf).get
+    assert(v0.version == 0L && v0.buckets.size == 8)
+
+    // one-key update: the new manifest re-points ONLY that key's bucket
+    deliver(rows((7L, "2024-01-02 00:00:00", "v7-new")))
+    val after = IncrementalSync.syncOnceManifest(
+      spark, schema, src, target, s"$root/ck1", "id", "ts", nBuckets = 8)
+    val v1 = ManifestStore.readLatest(target, conf).get
+    assert(v1.version == 1L)
+    val repointed = v1.buckets.filter { case (p, dir) => v0.buckets(p) != dir }
+    assert(repointed.size == 1, s"expected 1 re-pointed bucket, got $repointed")
+
+    val byId = after.collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("v")).toMap
+    assert(byId.size == 64 && byId(7L) == "v7-new" && byId(6L) == "v6")
+  }
+
+  test("manifest commit: a crash before the manifest PUT is invisible; vacuum reclaims") {
+    import graft.streaming.ManifestStore
+    val root = Files.createTempDirectory("graft_manifest_crash").toFile.getAbsolutePath
+    val conf = spark.sparkContext.hadoopConfiguration
+
+    def writeBucket(dir: String, rs: (Long, String)*): Unit =
+      rs.toDF("id", "v").withColumn("__part", org.apache.spark.sql.functions.lit(0))
+        .coalesce(1).write.parquet(s"$root/$dir")
+
+    // committed v0
+    val c0 = ManifestStore.newCommitDir()
+    writeBucket(c0, 1L -> "a", 2L -> "b")
+    ManifestStore.commit(root, Map(0 -> c0), None, conf)
+
+    // crash injection: a full replacement for bucket 0 is written, but the
+    // process dies before commit() — readers must keep resolving v0
+    val orphan = ManifestStore.newCommitDir()
+    writeBucket(orphan, 1L -> "a2", 2L -> "b2", 3L -> "c")
+    val tipAfterCrash = ManifestStore.readLatest(root, conf).get
+    assert(tipAfterCrash.version == 0L)
+    val seen = spark.read.parquet(tipAfterCrash.allPaths(root): _*)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(seen == Map(1L -> "a", 2L -> "b"), s"uncommitted data leaked: $seen")
+
+    // the replayed batch re-writes and THEN commits — now visible
+    val c1 = ManifestStore.newCommitDir()
+    writeBucket(c1, 1L -> "a2", 2L -> "b2", 3L -> "c")
+    ManifestStore.commit(root, Map(0 -> c1), Some(tipAfterCrash), conf)
+    val tip = ManifestStore.readLatest(root, conf).get
+    assert(tip.version == 1L)
+
+    // vacuum: the orphan and the superseded v0 data dir are reclaimed; the
+    // tip still serves
+    ManifestStore.vacuum(root, conf)
+    val dataDirs = new java.io.File(s"$root/data").listFiles().map(_.getName).toSet
+    assert(dataDirs == Set(c1.split('/')(1)),
+      s"vacuum left unreferenced dirs: $dataDirs")
+    val after = spark.read.parquet(tip.allPaths(root): _*)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after == Map(1L -> "a2", 2L -> "b2", 3L -> "c"))
+  }
+
   test("streaming dedup suppresses a full cross-batch replay (one row per content)") {
     // drop 2 replays every drop-1 row: if dedup state were not persisted
     // across the two AvailableNow runs, the even-half keys would appear twice
