@@ -54,6 +54,8 @@ object SparkEntry {
     "agg_rollup" -> ((s, d) => Aggregates.aggRollup(Tables.lineitem(s, d))),
     "agg_dow_stats" -> ((s, d) => Aggregates.aggDowStats(Tables.orders(s, d))),
     "agg_quantiles" -> ((s, d) => Aggregates.aggQuantiles(Tables.events(s, d))),
+    // per-group tail clamp at binary-exact percentiles
+    "winsorize" -> ((s, d) => Aggregates.winsorize(Tables.events(s, d))),
     "agg_quantiles_fast" -> ((s, d) => Aggregates.aggQuantilesFast(Tables.events(s, d))),
     "agg_corr" -> ((s, d) => Aggregates.aggCorr(Tables.lineitem(s, d))),
     "agg_histogram" -> ((s, d) => Aggregates.aggHistogram(Tables.events(s, d))),
@@ -162,6 +164,8 @@ object SparkEntry {
     "sim_search_lsh" -> ((s, d) => Similarity.simSearchLsh(Tables.embeddings(s, d))),
     "sim_search_ivf" -> ((s, d) => Similarity.simSearchIvf(Tables.embeddings(s, d))),
     "knn_graph" -> ((s, d) => Similarity.knnGraph(Tables.embeddings(s, d))),
+    // fixed-point PageRank over the kNN graph (curation hub signal)
+    "graph_centrality" -> ((s, d) => Similarity.graphCentrality(Tables.embeddings(s, d))),
     "embed_pq" -> ((s, d) => Similarity.embedPq(Tables.embeddings(s, d))),
     "sim_search_pq" -> ((s, d) => Similarity.simSearchPq(Tables.embeddings(s, d))),
     "embed_kmeans" -> ((s, d) => Similarity.embedKmeans(Tables.embeddings(s, d))),
@@ -210,6 +214,10 @@ object SparkEntry {
     "embed_norm_stats" -> ((s, d) => CorpusStats.embedNormStats(Tables.embeddings(s, d))),
     "embed_quantize" -> ((s, d) => Curation.embedQuantize(Tables.embeddings(s, d))),
     "token_pack" -> ((s, d) => Curation.tokenPack(Tables.documents(s, d))),
+    // overlapping context-window chunking (retrieval/embedding prep)
+    "chunk_fixed_tokens" -> ((s, d) => Curation.chunkFixedTokens(Tables.documents(s, d))),
+    // equal-share training-mixture plan (epochs per source, exact ppm)
+    "mix_plan" -> ((s, d) => Curation.mixPlan(Tables.documents(s, d))),
     "sessionize_batch" -> ((s, d) => graft.streaming.Sessionize.sessionizeBatch(Tables.events(s, d))),
     // product-analytics rollups: strictly-ordered funnel + cohort retention
     "funnel_steps" -> ((s, d) => Funnel.funnelSteps(Tables.events(s, d))),

@@ -301,6 +301,38 @@ object Aggregates {
         Num.dollars(element_at(col("q"), 3)).as("p75_value"))
   }
 
+  /** `winsorize`: clamp per-group outliers to the group's own tail
+    * percentiles — the standard robust-statistics pre-step before means or
+    * regressions that a single fat-finger value would drag. Bounds are the
+    * exact interpolated 12.5/87.5 percentiles: like [[aggQuantiles]], the
+    * fractions are chosen BINARY-EXACT (1/8, 7/8) so rank position and
+    * interpolation carry no rounding error and the two engines cannot
+    * diverge in the last ulp. Plan: one per-group percentile aggregate
+    * (group count is small — broadcast back), then a stateless clamp
+    * projection over the fact rows; the percentile is the only shuffle, and
+    * at 100-TB group sizes it swaps for `approx_percentile` exactly as
+    * documented on [[aggQuantiles]].
+    */
+  def winsorize(events: DataFrame): DataFrame = {
+    val cents = events.select(
+      col("event_id"), col("event_type"), Num.cents(col("value")).as("v"))
+    val bounds = cents
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(v, array(0.125D, 0.875D))").as("q"))
+      .select(col("event_type"),
+        element_at(col("q"), 1).as("lo"), element_at(col("q"), 2).as("hi"))
+    cents.join(broadcast(bounds), "event_type")
+      .select(
+        col("event_id"), col("event_type"),
+        Num.dollars(col("v")).as("value"),
+        // clamp in double cents (the bounds are interpolated half-cents,
+        // exact in binary), then one exact-rounded division to dollars
+        (greatest(least(col("v").cast(DoubleType), col("hi")), col("lo")) / 100.0)
+          .as("value_winsorized"),
+        (col("v").cast(DoubleType) < col("lo") ||
+          col("v").cast(DoubleType) > col("hi")).as("clamped"))
+  }
+
   /** `agg_corr`: per-group Pearson correlation from EXACT integer moments —
     * the determinism problem with built-in `corr()` is that its streaming
     * accumulation order differs run-to-run and engine-to-engine, so the
@@ -738,6 +770,21 @@ object Aggregates {
       """SELECT isodow(o_orderdate) AS iso_dow,
         |       COUNT(*) AS order_count,
         |       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 100.0 AS avg_order_value
-        |FROM orders GROUP BY 1""".stripMargin
+        |FROM orders GROUP BY 1""".stripMargin,
+    "winsorize" ->
+      """WITH c AS (
+        |  SELECT event_id, event_type, CAST(ROUND(value * 100) AS BIGINT) AS v
+        |  FROM events),
+        |b AS (
+        |  SELECT event_type,
+        |         quantile_cont(v, 0.125) AS lo, quantile_cont(v, 0.875) AS hi
+        |  FROM c GROUP BY 1)
+        |SELECT c.event_id, c.event_type,
+        |       CAST(c.v AS DOUBLE) / 100.0 AS value,
+        |       GREATEST(LEAST(CAST(c.v AS DOUBLE), b.hi), b.lo) / 100.0
+        |         AS value_winsorized,
+        |       (CAST(c.v AS DOUBLE) < b.lo OR CAST(c.v AS DOUBLE) > b.hi)
+        |         AS clamped
+        |FROM c JOIN b ON c.event_type = b.event_type""".stripMargin
   )
 }

@@ -430,6 +430,64 @@ object Curation {
         (col("first_chunk") =!= col("last_chunk")).as("spans_boundary"))
   }
 
+  /** `chunk_fixed_tokens`: split every document into fixed-size OVERLAPPING
+    * token windows — the context-window prep for embedding and retrieval
+    * pipelines (each chunk is embedded separately; the overlap keeps
+    * boundary-spanning passages retrievable), the complement of
+    * [[tokenPack]]'s concat-and-cut layout. Chunk i covers tokens
+    * [i·stride, i·stride + size); a doc shorter than one window emits one
+    * chunk. All chunk math is integer (`div` with a non-negative operand,
+    * engine-identical) and the explode is the ONLY row inflation —
+    * size/stride set the factor (~1/stride per token). Fully parallel per
+    * document: no shuffle at all until a downstream consumer groups.
+    */
+  def chunkFixedTokens(documents: DataFrame, size: Int = 64, stride: Int = 48): DataFrame = {
+    require(stride > 0 && stride <= size, s"need 0 < stride <= size, got $stride/$size")
+    documents
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
+      .withColumn("n_toks", org.apache.spark.sql.functions.size(col("toks")).cast("long"))
+      // 1 + ceil(max(0, n - size) / stride) chunks; ceil via (x + s - 1) div s,
+      // exact because the operand is clamped non-negative first
+      .withColumn("n_chunks",
+        lit(1L) + expr(s"(greatest(0L, n_toks - $size) + ${stride - 1}) div $stride"))
+      .withColumn("chunk_idx", explode(sequence(lit(0L), col("n_chunks") - 1)))
+      .select(
+        col("doc_id"), col("lang"), col("chunk_idx"),
+        least(col("n_toks") - col("chunk_idx") * stride, lit(size.toLong))
+          .as("chunk_tokens"),
+        array_join(slice(col("toks"), (col("chunk_idx") * stride + 1).cast("int"), lit(size)), " ")
+          .as("chunk_text"))
+  }
+
+  /** `mix_plan`: the training-mixture plan — given per-source corpus sizes
+    * and a total token budget, how many passes (epochs) over each source
+    * does an EQUAL-share mix require? The planning step of data-mixture
+    * work: sources smaller than their share repeat (epochs > 1), larger
+    * ones subsample (epochs < 1). Everything is exact integer fixed-point
+    * (ppm): shares and epochs are `div` ratios of token counts, so the plan
+    * is reproducible and safe at any corpus size (decimal product guards
+    * the ×10⁶). One vocabulary-bounded aggregate + one single-row broadcast
+    * — nothing about this shape changes at 100 TB.
+    */
+  def mixPlan(documents: DataFrame): DataFrame = {
+    val perSource = documents
+      .select(col("source"), org.apache.spark.sql.functions.size(split(col("text"), " "))
+        .cast("long").as("toks"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("source_tokens"))
+    val totals = perSource.agg(
+      sum(col("source_tokens")).as("total_tokens"),
+      count(lit(1)).as("n_sources"))
+    perSource.crossJoin(broadcast(totals))
+      .withColumn("share_ppm",
+        expr("(cast(source_tokens as decimal(38,0)) * 1000000) div total_tokens"))
+      .withColumn("target_tokens", expr("total_tokens div n_sources"))
+      .withColumn("epochs_ppm",
+        expr("(cast(target_tokens as decimal(38,0)) * 1000000) div source_tokens"))
+      .select(col("source"), col("n_docs"), col("source_tokens"),
+        col("share_ppm"), col("target_tokens"), col("epochs_ppm"))
+  }
+
   // ------------------------------------------------------------- oracles
 
   private def h(e: String): String = PortableHash.duckSql(e)
@@ -466,6 +524,41 @@ object Curation {
   }
 
   val oracles: Map[String, String] = Map(
+    "chunk_fixed_tokens" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+        |d AS (
+        |  SELECT doc_id, lang, toks, CAST(len(toks) AS BIGINT) AS n_toks FROM toks),
+        |c AS (
+        |  SELECT doc_id, lang, toks, n_toks,
+        |         1 + (GREATEST(0, n_toks - 64) + 47) // 48 AS n_chunks
+        |  FROM d),
+        |e AS (
+        |  SELECT doc_id, lang, toks, n_toks,
+        |         UNNEST(range(0, n_chunks)) AS i
+        |  FROM c)
+        |SELECT doc_id, lang, CAST(i AS BIGINT) AS chunk_idx,
+        |       CAST(LEAST(n_toks - i * 48, 64) AS BIGINT) AS chunk_tokens,
+        |       array_to_string(list_slice(toks, i * 48 + 1, i * 48 + 64), ' ')
+        |         AS chunk_text
+        |FROM e""".stripMargin,
+    "mix_plan" ->
+      """WITH per AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |         CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT)
+        |           AS source_tokens
+        |  FROM documents GROUP BY 1),
+        |t AS (
+        |  SELECT CAST(SUM(source_tokens) AS BIGINT) AS total_tokens,
+        |         COUNT(*) AS n_sources
+        |  FROM per)
+        |SELECT source, n_docs, source_tokens,
+        |       CAST((source_tokens::HUGEINT * 1000000) // total_tokens AS BIGINT)
+        |         AS share_ppm,
+        |       total_tokens // n_sources AS target_tokens,
+        |       CAST(((total_tokens // n_sources)::HUGEINT * 1000000) // source_tokens
+        |         AS BIGINT) AS epochs_ppm
+        |FROM per, t""".stripMargin,
     "pii_redact" -> {
       // DuckDB single-quoted literals treat backslash literally, so the raw
       // pattern strings embed as-is — RE2 receives the identical bytes

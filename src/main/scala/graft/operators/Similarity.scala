@@ -306,6 +306,44 @@ object Similarity {
         col("rank").cast("long").as("rank"))
   }
 
+  /** `graph_centrality`: fixed-iteration PageRank over the kNN graph —
+    * centrality as a CURATION signal: a high score marks documents sitting
+    * in dense, mutually-similar neighborhoods (template families, SEO
+    * farms, boilerplate hubs); low scores mark genuinely isolated content.
+    * Scores run in exact integer ppm arithmetic — init 10⁶, damping 0.85
+    * as `(85·x) div 100`, per-edge contribution `score div out_degree` —
+    * for a FIXED iteration count, so there is no transcendental and no
+    * convergence epsilon for the engines to diverge on: the result is
+    * bit-identical to the unrolled-CTE oracle. Each iteration is one
+    * (edges ⋈ scores) shuffle keyed by src plus one inflow aggregate keyed
+    * by dst — the standard distributed PageRank shape, linear in |E| per
+    * round; the edge list is scope-cached once instead of recomputing the
+    * LSH kNN per iteration. Long arithmetic holds while
+    * in_degree × 10⁶ × 85 < 2⁶³ (hubs of ~10¹⁴ in-edges) — beyond any
+    * real corpus.
+    */
+  def graphCentrality(embeddings: DataFrame, iters: Int = 3): DataFrame = {
+    val edges = graft.operators.CacheScope.cached(
+      knnGraph(embeddings)
+        .select(col("query_id").as("src"), col("neighbor_id").as("dst")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val vertices = embeddings.select(col("vec_id"))
+    var scores = vertices.withColumn("score_ppm", lit(1000000L))
+    for (_ <- 1 to iters) {
+      val inflow = edges
+        .join(deg, "src")
+        .join(scores.select(col("vec_id").as("src"), col("score_ppm")), "src")
+        .select(col("dst"), expr("score_ppm div deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
+      scores = vertices
+        .join(inflow.withColumnRenamed("dst", "vec_id"), Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          (lit(150000L) + expr("(85 * coalesce(inflow, 0L)) div 100"))
+            .as("score_ppm"))
+    }
+    scores
+  }
+
   private[operators] val quantCte =
     """q AS (
       |  SELECT vec_id, CAST(label AS BIGINT) AS label,
@@ -394,8 +432,62 @@ object Similarity {
          |         ROW_NUMBER() OVER (PARTITION BY query_id
          |                            ORDER BY cosine DESC, neighbor_id) AS rank
          |  FROM scored)
-         |SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 3""".stripMargin
+         |SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 3""".stripMargin,
+    "graph_centrality" -> graphCentralityOracle(3)
   )
+
+  /** The kNN edge set (knn_graph oracle's CTE chain, k=3) + `iters`
+    * unrolled exact-integer PageRank rounds — each round one inflow
+    * aggregate (f_i) and one score projection (s_i), mirroring the Spark
+    * loop term for term.
+    */
+  private def graphCentralityOracle(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""f$i AS (
+         |  SELECT e.dst, SUM(s.score_ppm // d.deg) AS inflow
+         |  FROM edges e JOIN deg d ON d.src = e.src
+         |       JOIN s${i - 1} s ON s.vec_id = e.src
+         |  GROUP BY e.dst),
+         |s$i AS (
+         |  SELECT v.vec_id,
+         |         CAST(150000 + (85 * COALESCE(f.inflow, 0)) // 100 AS BIGINT)
+         |           AS score_ppm
+         |  FROM vertices v LEFT JOIN f$i f ON f.dst = v.vec_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $quantCte,
+       |planes AS (
+       |  SELECT j, list_transform(range(0, 64), d -> (j * 131 + d * 37) % 19 - 9) AS plane
+       |  FROM range(0, 8) t(j)),
+       |bucketed AS (
+       |  SELECT n.vec_id, n.q, n.norm2,
+       |         CAST(SUM(CASE WHEN list_sum(list_transform(list_zip(n.q, p.plane), z -> z[1] * z[2])) >= 0
+       |                  THEN 1 << CAST(p.j AS INTEGER) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM n CROSS JOIN planes p
+       |  GROUP BY n.vec_id, n.q, n.norm2),
+       |probes AS (
+       |  SELECT vec_id AS query_id, q AS qv, norm2 AS qn,
+       |         CASE WHEN f.f = 0 THEN bucket
+       |              ELSE xor(bucket, CAST(1 AS BIGINT) << CAST(f.f - 1 AS INT)) END AS bucket
+       |  FROM bucketed CROSS JOIN (SELECT UNNEST(range(0, 9)) AS f) f),
+       |scored AS (
+       |  SELECT p.query_id, b.vec_id AS neighbor_id,
+       |         CAST(list_sum(list_transform(list_zip(b.q, p.qv), z -> z[1] * z[2])) AS DOUBLE)
+       |           / (SQRT(CAST(b.norm2 AS DOUBLE)) * SQRT(CAST(p.qn AS DOUBLE))) AS cosine
+       |  FROM bucketed b JOIN probes p ON b.bucket = p.bucket
+       |  WHERE b.vec_id != p.query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id
+       |                            ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM scored),
+       |edges AS (
+       |  SELECT query_id AS src, neighbor_id AS dst FROM ranked WHERE rank <= 3),
+       |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
+       |vertices AS (SELECT vec_id FROM embeddings),
+       |s0 AS (SELECT vec_id, CAST(1000000 AS BIGINT) AS score_ppm FROM vertices),
+       |$rounds
+       |SELECT vec_id, score_ppm FROM s$iters""".stripMargin
+  }
 
   /** One k-means iteration in SQL: assign each vector to the argmin centroid
     * (exact integer score ||c||^2 - 2 x.c, ties to lowest cid via the

@@ -226,6 +226,41 @@ class CurationSpec extends SparkTestBase {
     assert(!firstOfShard0.sameElements(firstOfShard0.sorted))
   }
 
+  test("chunk_fixed_tokens: coverage, overlap, and short-doc edge cases") {
+    // 3 tokens (< window): one chunk. 64 tokens (== window): one chunk.
+    // 65 tokens: two chunks, the second starting at token 48 (17 tokens).
+    val docs = Seq(
+      (1L, (1 to 3).map(i => s"t$i").mkString(" "), "en"),
+      (2L, (1 to 64).map(i => s"t$i").mkString(" "), "en"),
+      (3L, (1 to 65).map(i => s"t$i").mkString(" "), "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = Curation.chunkFixedTokens(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx")) ->
+        (r.getAs[Long]("chunk_tokens"), r.getAs[String]("chunk_text")))
+      .toMap
+    assert(out.keySet == Set(1L -> 0L, 2L -> 0L, 3L -> 0L, 3L -> 1L))
+    assert(out(1L -> 0L)._1 == 3L && out(1L -> 0L)._2 == "t1 t2 t3")
+    assert(out(2L -> 0L)._1 == 64L)
+    assert(out(3L -> 0L)._1 == 64L)
+    assert(out(3L -> 1L)._1 == 17L)
+    // stride-48 overlap: chunk 1 re-covers tokens 49..64 then adds 65
+    assert(out(3L -> 1L)._2 == (49 to 65).map(i => s"t$i").mkString(" "))
+  }
+
+  test("mix_plan: shares sum to ~1e6 and epochs invert the share against equal split") {
+    val docs = Seq(
+      (1L, (1 to 30).map(_ => "w").mkString(" "), "src_big"),
+      (2L, (1 to 30).map(_ => "w").mkString(" "), "src_big"),
+      (3L, (1 to 20).map(_ => "w").mkString(" "), "src_small"))
+      .toDF("doc_id", "text", "source")
+    val rows = Curation.mixPlan(docs).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("source_tokens"), r.getAs[Long]("share_ppm"),
+          r.getAs[Long]("target_tokens"), r.getAs[Long]("epochs_ppm"))).toMap
+    assert(rows("src_big") == ((60L, 750000L, 40L, 666666L)))
+    assert(rows("src_small") == ((20L, 250000L, 40L, 2000000L)))
+  }
+
   private implicit class ToMap2(self: Array[(Long, Long, String)]) {
     def toMap2: Map[Long, String] = self.map(t => t._1 -> t._3).toMap
   }

@@ -284,6 +284,37 @@ class OperatorSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("winsorize clamps exactly at the group's interpolated tail percentiles") {
+    import java.sql.Timestamp
+    val ts = Timestamp.valueOf("2024-01-01 00:00:00")
+    // 9 values 1..9 dollars: p12.5 at pos 1.0 → 2.0; p87.5 at pos 7.0 → 8.0
+    val ev = (1 to 9).map(i => (i.toLong, ts, i.toLong, "a", i.toDouble, "p"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Aggregates.winsorize(ev).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[Double]("value_winsorized"), r.getAs[Boolean]("clamped"))).toMap
+    assert(out(1L) == ((2.0, true)) && out(9L) == ((8.0, true)))
+    assert(out(2L) == ((2.0, false)) && out(5L) == ((5.0, false)) && out(8L) == ((8.0, false)))
+  }
+
+  test("graph_centrality equals a driver-side exact PageRank over the same kNN edges") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val edges = Similarity.knnGraph(emb)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val vertices = emb.select(col("vec_id")).collect().map(_.getLong(0))
+    val deg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    var ref = vertices.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 3) {
+      val inflow = edges.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => ref(s) / deg(s) }.sum).toMap
+      ref = vertices.map(v => v -> (150000L + 85L * inflow.getOrElse(v, 0L) / 100L)).toMap
+    }
+    val got = Similarity.graphCentrality(emb).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == ref)
+  }
+
   test("RollingHash matches the HOF ascii-fold on ASCII strings") {
     import graft.functions.RollingHash.rolling_hash
     val df = Seq("the quick brown fox", "", "a", "x " * 500).toDF("s")
