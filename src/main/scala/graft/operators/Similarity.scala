@@ -92,17 +92,14 @@ object Similarity {
 
   /** Exact-integer argmin cluster assignment for quantized vectors in `q`
     * against the given integer centroids (`||c||² − 2·x·c` at a common
-    * scale) — deterministic across runs and partitionings.
+    * scale) — deterministic across runs and partitionings. Plans as the
+    * [[graft.functions.CentroidArgmin]] native expression: constant-size
+    * generated code (two primitive loops over the codebook reference)
+    * instead of k inlined LongDot subtrees under a k-way `least`, whose
+    * janino compilation dominated sim_search_pq's wall clock.
     */
-  private def clusterCol(cs: Seq[Array[Long]], qCol: String = "q"): Column = {
-    val scored = cs.zipWithIndex.map { case (c, cid) =>
-      val cc = c.map(v => v * v).sum
-      struct(
-        (lit(cc) - long_dot(col(qCol), typedLit(c.toSeq)) * 2).as("score"),
-        lit(cid.toLong).as("cid"))
-    }
-    least(scored: _*).getField("cid")
-  }
+  private def clusterCol(cs: Seq[Array[Long]], qCol: String = "q"): Column =
+    graft.functions.CentroidArgmin.centroid_argmin(col(qCol), cs)
 
   /** Mini k-means training over an already-cached prepped corpus; returns
     * the final integer centroid model (k×64 longs — the only thing that
@@ -250,16 +247,39 @@ object Similarity {
         df.withColumn(s"code_$si", clusterCol(codebooks(si), s"qs_$si"))
       }
       // per-query LUTs: ||q_si||² − 2·q_si·c + ||c||² for each centroid,
-      // exact integers (same scale as the codes' argmin)
-      val lutCols = (0 until m).map { si =>
-        val qn = long_dot(col(s"qs_$si"), col(s"qs_$si"))
-        array(codebooks(si).map { c =>
-          val cc = c.map(v => v * v).sum
-          qn - long_dot(col(s"qs_$si"), typedLit(c.toSeq)) * 2 + lit(cc)
-        }: _*).as(s"lut_$si")
-      }
-      val queries = coded.where(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id") +: lutCols: _*)
+      // exact integers (same scale as the codes' argmin). Computed DRIVER-
+      // side over the Q query vectors × the already-driver-resident
+      // codebook model — the ANN serving shape (at query time the query IS
+      // on the driver), and Q·m·k integers is model-sized like the IVF
+      // centroids. This also keeps the m·k dot products OUT of the
+      // generated code: as column expressions they compiled into a
+      // janino unit that cost more wall-clock than the whole scan at
+      // bench scale, paid again whenever the codegen cache rotates.
+      val queryRows = corpus.where(col("vec_id") < 10)
+        .select(col("vec_id") +: (0 until m).map(si => col(s"qs_$si")): _*)
+        .collect()
+      val spark = embeddings.sparkSession
+      val lutSchema = org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField("query_id",
+          org.apache.spark.sql.types.LongType, nullable = false) +:
+          (0 until m).map(si => org.apache.spark.sql.types.StructField(s"lut_$si",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.LongType), nullable = false)))
+      val lutRows: java.util.List[org.apache.spark.sql.Row] =
+        java.util.Arrays.asList(queryRows.map { r =>
+          val luts = (0 until m).map { si =>
+            val qs = r.getSeq[Long](1 + si).toArray
+            val qn = qs.map(x => x * x).sum
+            codebooks(si).map { c =>
+              var dot = 0L
+              var i = 0
+              while (i < qs.length) { dot += qs(i) * c(i); i += 1 }
+              qn - 2 * dot + c.map(v => v * v).sum
+            }.toSeq
+          }
+          org.apache.spark.sql.Row.fromSeq(r.getLong(0) +: luts)
+        }: _*)
+      val queries = spark.createDataFrame(lutRows, lutSchema)
       val adc = (0 until m).map(si =>
         element_at(col(s"lut_$si"), (col(s"code_$si") + 1).cast("int")))
         .reduce(_ + _)

@@ -315,6 +315,34 @@ class OperatorSpec extends SparkTestBase {
     assert(got == ref)
   }
 
+  test("CentroidArgmin matches the least-of-structs encoding incl. ties and NULLs") {
+    import graft.functions.CentroidArgmin.centroid_argmin
+    import graft.functions.LongDot.long_dot
+    val cents = Seq(Array(1L, 0L), Array(0L, 1L), Array(1L, 0L)) // cid 2 duplicates cid 0
+    val df = Seq(
+      (1L, Some(Seq(5L, 1L))),   // closest to (1,0): tie between cid 0 and 2 → 0
+      (2L, Some(Seq(0L, 9L))),   // closest to (0,1) → 1
+      (3L, None),                // NULL vector → NULL
+      (4L, Some(Seq(1L, 2L, 3L))) // dim mismatch → NULL
+    ).toDF("id", "q")
+    val got = df.select(col("id"), centroid_argmin(col("q"), cents).as("cid"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got == Map(1L -> Some(0L), 2L -> Some(1L), 3L -> None, 4L -> None))
+    // equivalence with the struct encoding on a real vector column
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(round(cast(x as double) * 10000) as bigint))").as("q"))
+    val model = emb.orderBy("vec_id").limit(4).select("q")
+      .collect().map(_.getSeq[Long](0).toArray).toSeq
+    val structForm = model.zipWithIndex.map { case (c, cid) =>
+      struct((lit(c.map(v => v * v).sum) - long_dot(col("q"), typedLit(c.toSeq)) * 2).as("score"),
+        lit(cid.toLong).as("cid"))
+    }
+    val both = emb.select(
+      centroid_argmin(col("q"), model).as("native"),
+      least(structForm: _*).getField("cid").as("structs"))
+    assert(both.where(col("native") =!= col("structs")).count() == 0)
+  }
+
   test("RollingHash matches the HOF ascii-fold on ASCII strings") {
     import graft.functions.RollingHash.rolling_hash
     val df = Seq("the quick brown fox", "", "a", "x " * 500).toDF("s")
