@@ -84,9 +84,11 @@ object Dedup {
       .select(col("doc_id"), col("lang"), col("len_bucket"),
         shinglesCol(col("toks")).as("shingles"))
     val sizes = docs.select(col("doc_id"), size(col("shingles")).cast("long").as("sz"))
-    val inv = docs.select(col("lang"), col("len_bucket"), col("doc_id"),
+    // scope-cached: both self-join sides read the exploded index (and the
+    // shingle construction is the dominant scan work)
+    val inv = CacheScope.cached(docs.select(col("lang"), col("len_bucket"), col("doc_id"),
       explode_outer(col("shingles")).as("shingle"))
-      .where(col("shingle").isNotNull)
+      .where(col("shingle").isNotNull))
     val a = inv.select(col("lang"), col("len_bucket"), col("shingle"),
       col("doc_id").as("doc_id_1"))
     val b = inv.select(col("lang"), col("len_bucket"), col("shingle"),
@@ -123,13 +125,16 @@ object Dedup {
       documents: DataFrame, threshold: Double = 0.5, maxDf: Int = 50): DataFrame = {
     val docs = withTokens(documents, col("doc_id"), col("lang"))
       .select(col("doc_id"), col("lang"), shinglesCol(col("toks")).as("shingles"))
-    val inv0 = docs
+    // scope-cached: the exploded inventory feeds the df census AND the
+    // filtered index; the filtered index feeds sizes and BOTH self-join
+    // sides — uncached, the tokenize+shingle explode ran four times
+    val inv0 = CacheScope.cached(docs
       .select(col("lang"), col("doc_id"), explode_outer(col("shingles")).as("shingle"))
-      .where(col("shingle").isNotNull)
+      .where(col("shingle").isNotNull))
     val rare = inv0.groupBy(col("lang"), col("shingle"))
       .agg(count(lit(1)).as("df")).where(col("df") <= maxDf)
       .select(col("lang"), col("shingle"))
-    val inv = inv0.join(rare, Seq("lang", "shingle"))
+    val inv = CacheScope.cached(inv0.join(rare, Seq("lang", "shingle")))
     val sizes = inv.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val a = inv.select(col("lang"), col("shingle"), col("doc_id").as("contained_id"))
     val b = inv.select(col("lang"), col("shingle"), col("doc_id").as("container_id"))

@@ -137,6 +137,54 @@ object Similarity {
     cents
   }
 
+  /** [[trainKmeans]] over SEVERAL subspace columns at once — identical math
+    * per subspace (same lowest-id init, same assignment argmin, same
+    * truncating centroid update), but ONE Spark job per step instead of one
+    * per (subspace, step): the init collect fetches every subspace of the
+    * k seed rows together, and each iteration stacks the per-subspace
+    * (cluster, pos, v) rows behind a subspace discriminator before a single
+    * shared aggregate. PQ trains m codebooks, so this turns m·(iters+1)
+    * driver round-trips into iters+1 — at bench scale the job overhead WAS
+    * the training cost, and on a real cluster fewer barriers is strictly
+    * better. Oracle-identical by construction (the per-subspace trainings
+    * never interact).
+    */
+  private def trainKmeansMulti(corpus: DataFrame, k: Int, iters: Int,
+      qCols: Seq[String], dim: Int): Seq[Seq[Array[Long]]] = {
+    val m = qCols.length
+    val seed = corpus.orderBy("vec_id").limit(k)
+      .select(qCols.map(col): _*).collect()
+    var cents: Seq[Seq[Array[Long]]] =
+      (0 until m).map(si => seed.map(_.getSeq[Long](si).toArray).toSeq)
+    for (_ <- 1 to iters) {
+      val stacked = corpus
+        .select(explode(array((0 until m).map(si =>
+          struct(lit(si).as("si"),
+            clusterCol(cents(si), qCols(si)).as("cluster"),
+            col(qCols(si)).as("qs"))): _*)).as("e"))
+        .select(col("e.si"), col("e.cluster"), posexplode(col("e.qs")).as(Seq("pos", "v")))
+        .groupBy(col("si"), col("cluster"), col("pos"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val bySubspace = stacked.groupBy(_.getInt(0))
+      cents = cents.zipWithIndex.map { case (subCents, si) =>
+        val byCluster = bySubspace.getOrElse(si, Array.empty).groupBy(_.getLong(1))
+        subCents.zipWithIndex.map { case (old, cid) =>
+          byCluster.get(cid.toLong) match {
+            case Some(rows) =>
+              val arr = Array.fill(dim)(0L)
+              rows.foreach { r =>
+                arr(r.getInt(2)) = (2 * r.getLong(3) + r.getLong(4)) / (2 * r.getLong(4))
+              }
+              arr
+            case None => old
+          }
+        }
+      }
+    }
+    cents
+  }
+
   /** `sim_search_ivf`: inverted-file ANN — the centroid-based alternative to
     * hyperplane LSH (same probe-join shape, learned partitions).
     *
@@ -212,9 +260,10 @@ object Similarity {
         slice(col("q"), si * sub + 1, sub).as(s"qs_$si")): _*)
       .cache()
     try {
+      val codebooks =
+        trainKmeansMulti(corpus, k, iters, (0 until m).map(si => s"qs_$si"), sub)
       val coded = (0 until m).foldLeft(corpus: DataFrame) { case (df, si) =>
-        val cents = trainKmeans(corpus, k, iters, s"qs_$si", sub)
-        df.withColumn(s"code_$si", clusterCol(cents, s"qs_$si"))
+        df.withColumn(s"code_$si", clusterCol(codebooks(si), s"qs_$si"))
       }
       val codeCols = (0 until m).map(si => col(s"code_$si"))
       coded.select(
@@ -242,7 +291,8 @@ object Similarity {
         slice(col("q"), si * sub + 1, sub).as(s"qs_$si")): _*)
       .cache()
     try {
-      val codebooks = (0 until m).map(si => trainKmeans(corpus, k, 2, s"qs_$si", sub))
+      val codebooks =
+        trainKmeansMulti(corpus, k, 2, (0 until m).map(si => s"qs_$si"), sub)
       val coded = (0 until m).foldLeft(corpus: DataFrame) { (df, si) =>
         df.withColumn(s"code_$si", clusterCol(codebooks(si), s"qs_$si"))
       }
