@@ -169,6 +169,8 @@ object SparkEntry {
     "embed_pq" -> ((s, d) => Similarity.embedPq(Tables.embeddings(s, d))),
     "sim_search_pq" -> ((s, d) => Similarity.simSearchPq(Tables.embeddings(s, d))),
     "embed_kmeans" -> ((s, d) => Similarity.embedKmeans(Tables.embeddings(s, d))),
+    // SemDeDup-style cluster-representative selection (one keeper/cluster)
+    "dedup_semantic" -> ((s, d) => Similarity.dedupSemantic(Tables.embeddings(s, d))),
     // extensions: text analysis
     "text_langid" -> ((s, d) => TextAnalysis.textLangid(Tables.documents(s, d))),
     "text_quality" -> ((s, d) => TextAnalysis.textQuality(Tables.documents(s, d))),

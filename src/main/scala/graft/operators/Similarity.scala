@@ -235,6 +235,41 @@ object Similarity {
     } finally corpus.unpersist()
   }
 
+  /** `dedup_semantic`: SemDeDup-style semantic deduplication (Abbas et al.
+    * 2023, "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication" — public arXiv) in its cluster-representative form:
+    * k-means over the embeddings, then ONE keeper per cluster — the vector
+    * closest to its centroid (exact integer `||c||² − 2·x·c`, ties to the
+    * lowest vec_id) — with the cluster size as the dedup ratio audit.
+    * Everything is the deterministic integer k-means of [[embedKmeans]], so
+    * the full pipeline is oracle-exact. The per-cluster argmin plans
+    * through TopKPerKey via the rank-limit rewrite: no per-cluster sort,
+    * bounded heaps, hot clusters capped at one row per split — the same
+    * 100-TB shape as `dedup_keep_best`.
+    */
+  def dedupSemantic(embeddings: DataFrame, k: Int = 16, iters: Int = 2): DataFrame = {
+    val corpus = prep(embeddings).cache()
+    try {
+      val cents = trainKmeans(corpus, k, iters)
+      val centArr = typedLit(cents.map(_.toSeq))
+      val normArr = typedLit(cents.map(c => c.map(v => v * v).sum))
+      val assigned = corpus
+        .withColumn("cluster", clusterCol(cents))
+        .withColumn("dist",
+          element_at(normArr, (col("cluster") + 1).cast("int")) -
+            long_dot(col("q"), element_at(centArr, (col("cluster") + 1).cast("int"))) * 2)
+      val sizes = assigned.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("cluster_size"))
+      val w = Window.partitionBy("cluster").orderBy(col("dist"), col("vec_id"))
+      assigned
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .join(broadcast(sizes), Seq("cluster"))
+        .select(col("cluster"), col("vec_id").as("keeper_vec_id"),
+          col("dist").as("keeper_dist"), col("cluster_size"))
+    } finally corpus.unpersist()
+  }
+
   /** `embed_pq`: product quantization — the ANN compression standard (IVF
     * selects candidates; PQ makes the residual scan cheap). The 64-dim
     * vector splits into 4 subspaces of 16 dims; each subspace trains its
@@ -503,7 +538,28 @@ object Similarity {
          |                            ORDER BY cosine DESC, neighbor_id) AS rank
          |  FROM scored)
          |SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 3""".stripMargin,
-    "graph_centrality" -> graphCentralityOracle(3)
+    "graph_centrality" -> graphCentralityOracle(3),
+    // same training CTEs as embed_kmeans; keeper = per-cluster argmin of
+    // the exact integer centroid distance, ties to lowest vec_id
+    "dedup_semantic" ->
+      s"""WITH $ivfAssignCtes,
+         |dist AS (
+         |  SELECT f.vec_id, f.cluster,
+         |         CAST(list_sum(list_transform(c.q, x -> x * x))
+         |         - 2 * list_sum(list_transform(list_zip(f.q, c.q), p -> p[1] * p[2]))
+         |           AS BIGINT) AS dist
+         |  FROM fin f JOIN c2 c ON c.cid = f.cluster),
+         |sizes AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS cluster_size
+         |          FROM fin GROUP BY 1),
+         |r AS (
+         |  SELECT vec_id, cluster, dist,
+         |         ROW_NUMBER() OVER (PARTITION BY cluster
+         |                            ORDER BY dist, vec_id) AS rn
+         |  FROM dist)
+         |SELECT r.cluster, r.vec_id AS keeper_vec_id, r.dist AS keeper_dist,
+         |       s.cluster_size
+         |FROM r JOIN sizes s ON r.cluster = s.cluster
+         |WHERE r.rn = 1""".stripMargin
   )
 
   /** The kNN edge set (knn_graph oracle's CTE chain, k=3) + `iters`

@@ -75,6 +75,14 @@ object ManifestStore {
     else Some(read(root, versions.max, conf))
   }
 
+  /** Resolve the table AT a specific committed version — manifests are
+    * immutable, so any version's file list stays readable until [[vacuum]]
+    * reclaims its superseded data dirs (the retention window is the
+    * operator's vacuum cadence, the standard time-travel contract).
+    */
+  def readVersion(root: String, version: Long, conf: Configuration): Manifest =
+    read(root, version, conf)
+
   private def read(root: String, version: Long, conf: Configuration): Manifest = {
     val f = fs(root, conf)
     val in = f.open(new Path(manifestDir(root), s"manifest-$version"))

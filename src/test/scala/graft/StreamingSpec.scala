@@ -237,6 +237,13 @@ class StreamingSpec extends SparkTestBase {
     val tip = ManifestStore.readLatest(root, conf).get
     assert(tip.version == 1L)
 
+    // time travel: v0 stays resolvable (and serves the OLD data) as long
+    // as vacuum hasn't reclaimed it
+    val v0 = ManifestStore.readVersion(root, 0L, conf)
+    val atV0 = spark.read.parquet(v0.allPaths(root): _*)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(atV0 == Map(1L -> "a", 2L -> "b"))
+
     // vacuum: the orphan and the superseded v0 data dir are reclaimed; the
     // tip still serves
     ManifestStore.vacuum(root, conf)
