@@ -62,7 +62,8 @@ class PlanAuditSpec extends SparkTestBase {
         "cap_per_source" -> graft.operators.Curation.capPerSource(Tables.documents(spark, sf)),
         "dedup_keep_best" -> graft.operators.Dedup.dedupKeepBest(Tables.documents(spark, sf)),
         "knn_graph" -> graft.operators.Similarity.knnGraph(Tables.embeddings(spark, sf)),
-        "agg_mode" -> graft.operators.Aggregates.aggMode(Tables.orders(spark, sf)))
+        "agg_mode" -> graft.operators.Aggregates.aggMode(Tables.orders(spark, sf)),
+        "dedup_semantic" -> graft.operators.Similarity.dedupSemantic(Tables.embeddings(spark, sf)))
       targets.foreach { case (name, df) =>
         val plan = df.queryExecution.executedPlan
         val topks = plan.collect { case t: TopKPerKeyExec => t }
@@ -112,6 +113,34 @@ class PlanAuditSpec extends SparkTestBase {
           _.expressions.flatMap(_.collect { case e: CodegenFallback => e }))
         assert(fallbacks.isEmpty,
           s"$name has CodegenFallback expressions ${fallbacks.map(_.getClass.getSimpleName).distinct}")
+      }
+    }
+  }
+
+  test("chunk_fixed_tokens plans with ZERO exchanges (pure per-document explode)") {
+    import org.apache.spark.sql.execution.exchange.Exchange
+    withoutAqe {
+      val df = graft.operators.Curation.chunkFixedTokens(Tables.documents(spark, sf))
+      val exchanges = df.queryExecution.executedPlan.collect { case e: Exchange => e }
+      assert(exchanges.isEmpty,
+        s"chunking must stay shuffle-free:\n${df.queryExecution.executedPlan}")
+    }
+  }
+
+  test("k-means assignment plans through CentroidArgmin, not least-of-structs") {
+    import graft.functions.CentroidArgmin
+    withoutAqe {
+      // a refactor back to the struct encoding silently reintroduces the
+      // janino unit whose compilation dominated sim_search_pq's wall clock
+      val targets: Seq[(String, DataFrame)] = Seq(
+        "embed_pq" -> graft.operators.Similarity.embedPq(Tables.embeddings(spark, sf)),
+        "embed_kmeans" -> graft.operators.Similarity.embedKmeans(Tables.embeddings(spark, sf)),
+        "sim_search_pq" -> graft.operators.Similarity.simSearchPq(Tables.embeddings(spark, sf)))
+      targets.foreach { case (name, df) =>
+        val plan = df.queryExecution.executedPlan
+        val native = plan.flatMap(_.expressions.flatMap(
+          _.collect { case e: CentroidArgmin => e }))
+        assert(native.nonEmpty, s"$name lost the CentroidArgmin assignment:\n$plan")
       }
     }
   }

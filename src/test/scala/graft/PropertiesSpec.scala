@@ -121,6 +121,46 @@ class PropertiesSpec extends SparkTestBase {
     })
   }
 
+  test("chunking: every token covered, overlap exactly size−stride, reconstruction exact") {
+    val word = Gen.choose('a', 'z').map(_.toString)
+    val gen = Gen.choose(1, 200).flatMap(n => Gen.listOfN(n, word))
+    checkProp(Prop.forAll(gen) { toks =>
+      val text = toks.mkString(" ")
+      val df = Seq((1L, text, "en")).toDF("doc_id", "text", "lang")
+      val out = graft.operators.Curation.chunkFixedTokens(df, size = 16, stride = 12)
+        .orderBy("chunk_idx").collect()
+        .map(r => (r.getAs[Long]("chunk_idx"), r.getAs[Long]("chunk_tokens"),
+          r.getAs[String]("chunk_text")))
+      val rebuilt = out.map { case (idx, _, txt) =>
+        val words = txt.split(" ", -1)
+        if (idx == 0) words else words.drop(16 - 12) // drop the overlap
+      }.flatten
+      val counted = out.forall { case (idx, n, txt) =>
+        txt.split(" ", -1).length == n &&
+          n == math.min(16L, toks.length - idx * 12) }
+      rebuilt.sameElements(toks) && counted
+    })
+  }
+
+  test("CentroidArgmin equals a driver-side brute-force argmin on random codebooks") {
+    import graft.functions.CentroidArgmin.centroid_argmin
+    val vec = Gen.listOfN(8, Gen.choose(-1000L, 1000L))
+    val gen = Gen.zip(Gen.listOfN(20, vec), Gen.choose(2, 6).flatMap(k => Gen.listOfN(k, vec)))
+    checkProp(Prop.forAll(gen) { case (vecs, cents) =>
+      val model = cents.map(_.toArray)
+      val got = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "q")
+        .select(col("id"), centroid_argmin(col("q"), model).as("cid"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = vecs.zipWithIndex.map { case (v, i) =>
+        val scores = model.map(c =>
+          c.map(x => x * x).sum - 2 * v.zip(c).map { case (a, b) => a * b }.sum)
+        i.toLong -> scores.zipWithIndex.minBy { case (s, cid) => (s, cid) }._2.toLong
+      }.toMap
+      got == want
+    })
+  }
+
   test("weighted mix: copy count is floor(w) or floor(w)+1, fraction matches the hash rule") {
     val gen = Gen.listOfN(30, Gen.choose(0L, 500L))
     checkProp(Prop.forAll(gen) { ids =>
