@@ -56,6 +56,8 @@ object SparkEntry {
     "agg_quantiles" -> ((s, d) => Aggregates.aggQuantiles(Tables.events(s, d))),
     // per-group tail clamp at binary-exact percentiles
     "winsorize" -> ((s, d) => Aggregates.winsorize(Tables.events(s, d))),
+    // pairwise segment overlap matrix with exact audience Jaccard
+    "agg_audience_overlap" -> ((s, d) => Aggregates.aggAudienceOverlap(Tables.events(s, d))),
     "agg_quantiles_fast" -> ((s, d) => Aggregates.aggQuantilesFast(Tables.events(s, d))),
     "agg_corr" -> ((s, d) => Aggregates.aggCorr(Tables.lineitem(s, d))),
     "agg_histogram" -> ((s, d) => Aggregates.aggHistogram(Tables.events(s, d))),
@@ -107,6 +109,9 @@ object SparkEntry {
     "join_value_backref" -> ((s, d) => Joins.joinValueBackref(Tables.supplier(s, d), Tables.nation(s, d))),
     "join_topk_back" -> ((s, d) => Joins.joinTopkBack(Tables.lineitem(s, d), Tables.part(s, d))),
     "join_asof" -> ((s, d) => Joins.joinAsof(Tables.events(s, d))),
+    // forward and nearest merge_asof directions (shared one-sort plan)
+    "join_asof_forward" -> ((s, d) => Joins.joinAsofForward(Tables.events(s, d))),
+    "join_asof_nearest" -> ((s, d) => Joins.joinAsofNearest(Tables.events(s, d))),
     "join_range_bucketed" -> ((s, d) => Joins.joinRangeBucketed(Tables.events(s, d))),
     "join_fuzzy_blocked" -> ((s, d) => Joins.joinFuzzyBlocked(Tables.part(s, d))),
     "join_interval_overlap" -> ((s, d) => Joins.joinIntervalOverlap(Tables.events(s, d))),

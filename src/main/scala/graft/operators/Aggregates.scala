@@ -333,6 +333,35 @@ object Aggregates {
           col("v").cast(DoubleType) > col("hi")).as("clamped"))
   }
 
+  /** `agg_audience_overlap`: the pairwise segment-overlap matrix — for every
+    * pair of event types, how many users do both, plus the exact Jaccard of
+    * the two audiences. The standard audience/segment audit (and, over
+    * sources instead of users, the corpus-mixture overlap check). Plan: one
+    * DISTINCT to (user, type) membership rows, a self-join keyed on user —
+    * bounded per user by the type-space (k² combos max, never |users|²) —
+    * and a types²-sized aggregate; per-type audience sizes broadcast back
+    * onto the matrix. At 100 TB the membership distinct is the only wide
+    * shuffle; swap countDistinct for the HLL sketch when the type space
+    * explodes (same plan shape).
+    */
+  def aggAudienceOverlap(events: DataFrame): DataFrame = {
+    val membership = events.select(col("user_id"), col("event_type")).distinct()
+    val sizes = membership.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("audience"))
+    val a = membership.select(col("user_id"), col("event_type").as("type_a"))
+    val b = membership.select(col("user_id"), col("event_type").as("type_b"))
+    a.join(b, Seq("user_id"))
+      .where(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("shared_users"))
+      .join(broadcast(sizes.select(col("event_type").as("type_a"), col("audience").as("size_a"))), Seq("type_a"))
+      .join(broadcast(sizes.select(col("event_type").as("type_b"), col("audience").as("size_b"))), Seq("type_b"))
+      .select(col("type_a"), col("type_b"), col("size_a"), col("size_b"),
+        col("shared_users"),
+        Num.ratio(col("shared_users"), col("size_a") + col("size_b") - col("shared_users"))
+          .as("jaccard"))
+  }
+
   /** `agg_corr`: per-group Pearson correlation from EXACT integer moments —
     * the determinism problem with built-in `corr()` is that its streaming
     * accumulation order differs run-to-run and engine-to-engine, so the
@@ -771,6 +800,24 @@ object Aggregates {
         |       COUNT(*) AS order_count,
         |       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 100.0 AS avg_order_value
         |FROM orders GROUP BY 1""".stripMargin,
+    "agg_audience_overlap" ->
+      """WITH m AS (
+        |  SELECT DISTINCT user_id, event_type FROM events),
+        |sz AS (SELECT event_type, COUNT(*) AS audience FROM m GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |         COUNT(*) AS shared_users
+        |  FROM m a JOIN m b ON a.user_id = b.user_id
+        |  WHERE a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT p.type_a, p.type_b,
+        |       sa.audience AS size_a, sb.audience AS size_b, p.shared_users,
+        |       CAST(p.shared_users AS DOUBLE) /
+        |         CAST(NULLIF(sa.audience + sb.audience - p.shared_users, 0) AS DOUBLE)
+        |         AS jaccard
+        |FROM pairs p
+        |JOIN sz sa ON sa.event_type = p.type_a
+        |JOIN sz sb ON sb.event_type = p.type_b""".stripMargin,
     "winsorize" ->
       """WITH c AS (
         |  SELECT event_id, event_type, CAST(ROUND(value * 100) AS BIGINT) AS v

@@ -348,6 +348,84 @@ object Joins {
       .agg(count(lit(1)).as("n_error_windows"))
   }
 
+  /** `join_asof_forward`: the FORWARD as-of join — for each click, the
+    * EARLIEST error at or after it (lead-time semantics: "how long until
+    * things broke"), pandas `merge_asof(direction='forward')`. Same
+    * union-and-one-window-pass construction as [[joinAsof]] mirrored in
+    * time: `first` over the (current row → following) frame, with the
+    * tiebreak flipped (clicks sort BEFORE equal-ts errors) so the `<=`
+    * bound stays inclusive. Identical scale shape: one shuffle on the key,
+    * one sort, no join node.
+    */
+  def joinAsofForward(events: DataFrame): DataFrame = {
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), lit(1).as("is_left"),
+        col("event_id"), lit(null).cast("long").as("err_id"),
+        lit(null).cast("timestamp").as("err_ts"))
+    val errors = events.where(col("event_type") === "error")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("err_id"))
+      .select(col("user_id"), col("ts"), lit(0).as("is_left"),
+        lit(null).cast("long").as("event_id"),
+        col("err_id"), col("ts").as("err_ts"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("is_left").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    clicks.union(errors)
+      .withColumn("error_event_id", first(col("err_id"), ignoreNulls = true).over(w))
+      .withColumn("error_ts", first(col("err_ts"), ignoreNulls = true).over(w))
+      .where(col("is_left") === 1)
+      .select(
+        col("event_id"), col("user_id"), col("ts"),
+        col("error_event_id"), col("error_ts"),
+        (unix_micros(col("error_ts")) - unix_micros(col("ts"))).as("lead_us"))
+  }
+
+  /** `join_asof_nearest`: the NEAREST as-of join — for each click, the
+    * error closest in time in EITHER direction, ties to the backward match
+    * (pandas `merge_asof(direction='nearest')`, tie rule documented).
+    * Both directions come out of ONE union + one (ts, is_left) sort: the
+    * backward column is `last` over the preceding frame, the forward
+    * column `first` over the following frame — the two WindowExecs share
+    * the exchange and the sort (plan-audited shape, same as scd2_build).
+    * The forward frame misses an EQUAL-ts error under this shared ordering,
+    * but the backward frame captures it at staleness 0, which always wins
+    * `nearest` — so the composition is exact while paying one sort instead
+    * of two.
+    */
+  def joinAsofNearest(events: DataFrame): DataFrame = {
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), lit(1).as("is_left"),
+        col("event_id"), lit(null).cast("long").as("err_id"),
+        lit(null).cast("timestamp").as("err_ts"))
+    val errors = events.where(col("event_type") === "error")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("err_id"))
+      .select(col("user_id"), col("ts"), lit(0).as("is_left"),
+        lit(null).cast("long").as("event_id"),
+        col("err_id"), col("ts").as("err_ts"))
+    val order = Window.partitionBy("user_id").orderBy(col("ts"), col("is_left"))
+    val back = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = order.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    clicks.union(errors)
+      .withColumn("back_id", last(col("err_id"), ignoreNulls = true).over(back))
+      .withColumn("back_ts", last(col("err_ts"), ignoreNulls = true).over(back))
+      .withColumn("fwd_id", first(col("err_id"), ignoreNulls = true).over(fwd))
+      .withColumn("fwd_ts", first(col("err_ts"), ignoreNulls = true).over(fwd))
+      .where(col("is_left") === 1)
+      .withColumn("back_st", unix_micros(col("ts")) - unix_micros(col("back_ts")))
+      .withColumn("fwd_st", unix_micros(col("fwd_ts")) - unix_micros(col("ts")))
+      .withColumn("take_back",
+        col("fwd_ts").isNull || (col("back_ts").isNotNull && col("back_st") <= col("fwd_st")))
+      .select(
+        col("event_id"), col("user_id"), col("ts"),
+        when(col("take_back"), col("back_id")).otherwise(col("fwd_id")).as("error_event_id"),
+        when(col("take_back"), col("back_ts")).otherwise(col("fwd_ts")).as("error_ts"),
+        when(col("take_back"), col("back_st")).otherwise(col("fwd_st")).as("distance_us"),
+        when(col("back_ts").isNull && col("fwd_ts").isNull, lit(null).cast("string"))
+          .when(col("take_back"), lit("backward")).otherwise(lit("forward")).as("direction"))
+  }
+
   /** `join_fuzzy_blocked`: edit-distance fuzzy self-join — the entity-
     * resolution operator (typo'd titles, OCR'd names, near-identical
     * product labels). The naive form is an all-pairs Levenshtein — O(n²)
@@ -448,6 +526,44 @@ object Joins {
         |       CAST(epoch_us(c.ts) - epoch_us(e.ts) AS BIGINT) AS staleness_us
         |FROM clicks c ASOF LEFT JOIN err e
         |  ON c.user_id = e.user_id AND c.ts >= e.ts""".stripMargin,
+    "join_asof_forward" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |err AS (
+        |  SELECT user_id, ts, MAX(event_id) AS err_id
+        |  FROM events WHERE event_type = 'error' GROUP BY 1, 2)
+        |SELECT c.event_id, c.user_id, c.ts,
+        |       e.err_id AS error_event_id, e.ts AS error_ts,
+        |       CAST(epoch_us(e.ts) - epoch_us(c.ts) AS BIGINT) AS lead_us
+        |FROM clicks c ASOF LEFT JOIN err e
+        |  ON c.user_id = e.user_id AND c.ts <= e.ts""".stripMargin,
+    "join_asof_nearest" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |err AS (
+        |  SELECT user_id, ts, MAX(event_id) AS err_id
+        |  FROM events WHERE event_type = 'error' GROUP BY 1, 2),
+        |b AS (
+        |  SELECT c.event_id, e.err_id AS back_id, e.ts AS back_ts
+        |  FROM clicks c ASOF LEFT JOIN err e
+        |    ON c.user_id = e.user_id AND c.ts >= e.ts),
+        |f AS (
+        |  SELECT c.event_id, e.err_id AS fwd_id, e.ts AS fwd_ts
+        |  FROM clicks c ASOF LEFT JOIN err e
+        |    ON c.user_id = e.user_id AND c.ts <= e.ts)
+        |SELECT c.event_id, c.user_id, c.ts,
+        |       CASE WHEN take_back THEN b.back_id ELSE f.fwd_id END AS error_event_id,
+        |       CASE WHEN take_back THEN b.back_ts ELSE f.fwd_ts END AS error_ts,
+        |       CASE WHEN take_back THEN epoch_us(c.ts) - epoch_us(b.back_ts)
+        |            ELSE epoch_us(f.fwd_ts) - epoch_us(c.ts) END AS distance_us,
+        |       CASE WHEN b.back_ts IS NULL AND f.fwd_ts IS NULL THEN NULL
+        |            WHEN take_back THEN 'backward' ELSE 'forward' END AS direction
+        |FROM clicks c
+        |JOIN b ON b.event_id = c.event_id
+        |JOIN f ON f.event_id = c.event_id
+        |CROSS JOIN LATERAL (SELECT f.fwd_ts IS NULL OR (b.back_ts IS NOT NULL
+        |  AND epoch_us(c.ts) - epoch_us(b.back_ts) <= epoch_us(f.fwd_ts) - epoch_us(c.ts))
+        |  AS take_back) t""".stripMargin,
     "join_left_denorm" ->
       """SELECT o.o_orderkey AS order_id,
         |       c.c_name AS customer_name,

@@ -153,6 +153,22 @@ class OperatorSpec extends SparkTestBase {
       .select("event_id", "error_event_id").collect()
       .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
     assert(out == Map(1L -> -1L, 3L -> 2L, 5L -> 4L, 6L -> -1L))
+
+    // forward: inclusive at equal ts, NULL after the last error
+    val fwd = graft.operators.Joins.joinAsofForward(events)
+      .select("event_id", "error_event_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(fwd == Map(1L -> 2L, 3L -> 2L, 5L -> -1L, 6L -> -1L))
+
+    // nearest: equal-ts counts as backward at distance 0; strictly closer
+    // forward beats farther backward; tie prefers backward
+    val near = graft.operators.Joins.joinAsofNearest(events).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        ((if (r.isNullAt(3)) -1L else r.getLong(3)), r.getAs[String]("direction"))).toMap
+    assert(near(1L) == ((2L, "forward")))  // only a later error exists
+    assert(near(3L) == ((2L, "backward"))) // distance 0 via the backward frame
+    assert(near(5L) == ((4L, "backward"))) // 30min back vs nothing ahead
+    assert(near(6L) == ((-1L, null)))      // other user: no match either way
   }
 
   test("range join (bucketed) equals the naive range predicate, incl. cross-bucket spans") {
