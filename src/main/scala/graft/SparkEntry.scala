@@ -133,6 +133,8 @@ object SparkEntry {
     "pd_explode" -> ((s, d) => Arrays.pdExplode(Tables.documents(s, d))),
     // §2.1 ingestion / sinks / driver-side sources
     "merge_upsert" -> ((s, d) => Merge.mergeUpsertQuery(Tables.events(s, d))),
+    // CDC audit: classify every key across two snapshots (full outer + null-safe compare)
+    "snapshot_diff" -> ((s, d) => Merge.snapshotDiffQuery(Tables.events(s, d))),
     "schema_evolve" -> ((s, d) => Merge.schemaEvolveQuery(Tables.events(s, d))),
     "load_truncate" -> ((s, d) => Merge.loadTruncateQuery(s, Tables.events(s, d))),
     "nan_clean" -> ((s, d) => Merge.nanClean(Tables.events(s, d))),
@@ -275,6 +277,9 @@ object SparkEntry {
     // the same sync through the object-store manifest commit (same oracle)
     "stream_upsert_manifest_endstate" -> ((s, d) =>
       graft.streaming.IncrementalSync.streamUpsertManifestEndstate(s, d)),
+    // stream-stream interval join (watermarked state both sides)
+    "stream_stream_join_endstate" -> ((s, d) =>
+      graft.streaming.StreamJoin.streamStreamJoinEndstate(s, d)),
     // remaining Models marts on deterministic adapters (all 22 now registered)
     "fct_issues" -> ((s, d) =>
       graft.models.ModelAdapters.fctIssues(s, Tables.orders(s, d), Tables.customer(s, d))),
@@ -311,6 +316,6 @@ object SparkEntry {
       graft.models.Marts.oracles ++ graft.models.TextMarts.oracles ++
       graft.streaming.IncrementalSync.oracles ++ graft.streaming.Sessionize.oracles ++
       graft.streaming.StreamDedup.oracles ++ graft.streaming.Scd2Sync.oracles ++
-      graft.streaming.StreamEnrich.oracles ++
+      graft.streaming.StreamEnrich.oracles ++ graft.streaming.StreamJoin.oracles ++
       graft.models.ModelAdapters.oracles
 }

@@ -90,6 +90,47 @@ object Merge {
     mergeUpsert(target, source, Seq("event_id"))
   }
 
+  /** Change-data capture between two snapshots of a keyed table: full outer
+    * join on the pk, classify every key as inserted / deleted / updated /
+    * unchanged by null-safe column comparison. The audit downstream of any
+    * upsert or manifest commit ("what did this sync actually change"), and
+    * the input shape for incremental consumers that want a changelog rather
+    * than a table. One pk shuffle; with both snapshots bucketed on the pk
+    * (the incremental sink's layout) the join is co-located. Pairs with
+    * `ManifestStore.readVersion`: diff any two committed versions.
+    */
+  def snapshotDiff(old: DataFrame, next: DataFrame, pk: Seq[String]): DataFrame = {
+    val dataCols = old.columns.filterNot(pk.contains).toSeq
+    require(dataCols == next.columns.filterNot(pk.contains).toSeq,
+      "snapshotDiff requires identical schemas; run schemaEvolve first")
+    val o = dataCols.foldLeft(old) { (df, c) => df.withColumnRenamed(c, s"old_$c") }
+    val n = dataCols.foldLeft(next) { (df, c) => df.withColumnRenamed(c, s"new_$c") }
+    val changed = dataCols
+      .map(c => !(col(s"old_$c") <=> col(s"new_$c")))
+      .reduce(_ || _)
+    // pk presence is decided by sentinel flags, not pk-null (a full outer
+    // join leaves pk non-null on both-sides matches only through coalesce)
+    o.withColumn("__in_old", lit(true))
+      .join(n.withColumn("__in_new", lit(true)), pk, "full_outer")
+      .withColumn("change_type",
+        when(col("__in_old").isNull, lit("inserted"))
+          .when(col("__in_new").isNull, lit("deleted"))
+          .when(changed, lit("updated"))
+          .otherwise(lit("unchanged")))
+      .drop("__in_old", "__in_new")
+  }
+
+  /** `snapshot_diff` driver row: diff the merge demo's target against its
+    * post-upsert state — inserts are source-only keys, updates the
+    * overlapping range, deletes impossible (upsert never removes).
+    */
+  def snapshotDiffQuery(events: DataFrame): DataFrame = {
+    val base = events.select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val old = base.where(col("event_id") < 8000)
+    snapshotDiff(old, mergeUpsertQuery(events), Seq("event_id"))
+      .select(col("event_id"), col("change_type"), col("old_value"), col("new_value"))
+  }
+
   /** Schema-evolution demo: older rows lack event_type; union pads NULL. */
   def schemaEvolveQuery(events: DataFrame): DataFrame = {
     val existing = events.where(col("event_id") < 5000)
@@ -109,6 +150,35 @@ object Merge {
       spark, "/root/repo/target/graft_sink/load_truncate")
 
   val oracles: Map[String, String] = Map(
+    "snapshot_diff" ->
+      """WITH base AS (
+        |  SELECT event_id, user_id, event_type, value FROM events),
+        |old AS (SELECT * FROM base WHERE event_id < 8000),
+        |source AS (
+        |  SELECT event_id, user_id, event_type, value + 0.5 AS value
+        |  FROM base WHERE event_id >= 6000),
+        |merged AS (
+        |  SELECT t.* FROM old t
+        |  WHERE t.event_id NOT IN (SELECT event_id FROM source)
+        |  UNION ALL
+        |  SELECT * FROM source),
+        |d AS (
+        |  SELECT COALESCE(o.event_id, n.event_id) AS event_id,
+        |         o.value AS old_value, n.value AS new_value,
+        |         o.user_id AS ou, n.user_id AS nu,
+        |         o.event_type AS ot, n.event_type AS nt,
+        |         o.event_id IS NOT NULL AS in_old,
+        |         n.event_id IS NOT NULL AS in_new
+        |  FROM old o FULL OUTER JOIN merged n ON o.event_id = n.event_id)
+        |SELECT event_id,
+        |       CASE WHEN NOT in_old THEN 'inserted'
+        |            WHEN NOT in_new THEN 'deleted'
+        |            WHEN old_value IS DISTINCT FROM new_value
+        |              OR ou IS DISTINCT FROM nu
+        |              OR ot IS DISTINCT FROM nt THEN 'updated'
+        |            ELSE 'unchanged' END AS change_type,
+        |       old_value, new_value
+        |FROM d""".stripMargin,
     "merge_upsert" ->
       """WITH base AS (
         |  SELECT event_id, user_id, event_type, value FROM events),

@@ -255,6 +255,51 @@ class StreamingSpec extends SparkTestBase {
     assert(after == Map(1L -> "a2", 2L -> "b2", 3L -> "c"))
   }
 
+  test("stream-stream join pairs rows across runs from buffered state; late side drops") {
+    import graft.streaming.StreamJoin
+    val root = Files.createTempDirectory("graft_ssjoin").toFile.getAbsolutePath
+    val (srcC, srcE) = (s"$root/c", s"$root/e")
+    val outDir = s"$root/out"
+    new java.io.File(srcC).mkdirs(); new java.io.File(srcE).mkdirs()
+    def ts(s: String) = Timestamp.valueOf(s)
+    def rows(rs: (Long, String, Long)*) =
+      rs.map { case (id, t, u) => (id, ts(t), u) }.toDF("event_id", "ts", "user_id")
+    var n = 0
+    def deliver(df: org.apache.spark.sql.DataFrame, dir: String): Unit = {
+      n += 1
+      val staging = s"$root/staging$n"
+      df.coalesce(1).write.parquet(staging)
+      new java.io.File(staging).listFiles().filter(_.getName.endsWith(".parquet"))
+        .foreach(f => Files.move(f.toPath, new java.io.File(s"$dir/b$n.parquet").toPath))
+    }
+    val schema = rows().schema
+    def runOnce(): Unit = {
+      val q = StreamJoin.clickErrorAttribution(
+        spark.readStream.schema(schema).parquet(srcC),
+        spark.readStream.schema(schema).parquet(srcE))
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", s"$root/ckpt")
+        .outputMode("append").format("parquet").option("path", outDir)
+        .start()
+      q.awaitTermination()
+    }
+
+    // run 1: one error at 10:00 (user 1), no clicks yet
+    deliver(rows((100L, "2024-01-01 10:00:00", 1L)), srcE)
+    deliver(rows(), srcC)
+    runOnce()
+    // run 2: a click at 10:30 must pair with run 1's BUFFERED error; a
+    // click at 12:00 is outside the hour and must not
+    deliver(rows((200L, "2024-01-01 10:30:00", 1L), (201L, "2024-01-01 12:00:00", 1L)), srcC)
+    deliver(rows(), srcE)
+    runOnce()
+
+    val got = spark.read.parquet(outDir).collect()
+      .map(r => (r.getAs[Long]("click_id"), r.getAs[Long]("error_id"))).toSet
+    assert(got == Set(200L -> 100L), s"got $got")
+  }
+
   test("streaming dedup suppresses a full cross-batch replay (one row per content)") {
     // drop 2 replays every drop-1 row: if dedup state were not persisted
     // across the two AvailableNow runs, the even-half keys would appear twice
