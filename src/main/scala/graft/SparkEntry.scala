@@ -214,6 +214,8 @@ object SparkEntry {
       TextAnalysis.qualityDecileFilter(Tables.documents(s, d))),
     "dedup_keep_best" -> ((s, d) => Dedup.dedupKeepBest(Tables.documents(s, d))),
     "text_top_terms" -> ((s, d) => TextAnalysis.textTopTerms(Tables.documents(s, d))),
+    // first k BPE merge rules learned over the corpus (tokenizer training)
+    "bpe_train_merges" -> ((s, d) => TextAnalysis.bpeTrainMerges(Tables.documents(s, d))),
     "text_top_terms_sketch" -> ((s, d) =>
       TextAnalysis.textTopTermsSketch(Tables.documents(s, d))),
     // corpus-level stats / QA reports

@@ -160,6 +160,54 @@ object TextAnalysis {
         col("score_ppm"), col("rn").cast("long").as("term_rank"))
   }
 
+  /** `bpe_train_merges`: the first k merge rules of a byte-pair-encoding
+    * tokenizer, learned over the corpus — the count-pairs → pick-max →
+    * apply-merge loop that IS BPE training (Sennrich et al. 2016, public),
+    * expressed distributed: symbol sequences live as (word, freq) rows —
+    * the classic word-frequency compression, so corpus size only enters
+    * through the ONE vocabulary-keyed aggregate per round — pair counting
+    * is an explode + freq-weighted sum, and only the single winning rule
+    * (count desc, pair asc tiebreak) touches the driver per round, exactly
+    * the centroid-model discipline. Merge application is a literal
+    * `replace` on the sentinel-padded symbol string (leftmost
+    * non-overlapping in both engines, mirrored in the oracle). At 100 TB
+    * the vocabulary aggregate is the only wide shuffle and it shrinks
+    * every round.
+    */
+  def bpeTrainMerges(documents: DataFrame, k: Int = 3): DataFrame = {
+    val spark = documents.sparkSession
+    val words = documents
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .where(col("w").rlike("^[a-z]+$"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    // " a b c " — sentinel spaces make every adjacency a ' x y ' literal
+    var seqs = words.select(col("freq"),
+      concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")).as("seq"))
+    val pairsOf = {
+      val toks = split(trim(col("seq")), " ")
+      // guarded: Spark's sequence(1, 0) counts DOWN, so a single-symbol
+      // word would index past the array instead of yielding no pairs
+      when(size(toks) >= 2,
+        transform(sequence(lit(1), size(toks) - 1),
+          i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+        .otherwise(array().cast("array<string>"))
+    }
+    val rules = (1 to k).map { rank =>
+      val Array(best) = seqs
+        .select(col("freq"), explode(pairsOf).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(1)
+        .collect()
+      val (pair, cnt) = (best.getString(0), best.getLong(1))
+      val merged = pair.replace(" ", "")
+      seqs = seqs.withColumn("seq",
+        expr(s"replace(seq, ' $pair ', ' $merged ')"))
+      (rank.toLong, pair, merged, cnt)
+    }
+    import spark.implicits._
+    rules.toDF("merge_rank", "pair", "merged", "pair_count")
+  }
+
   /** `text_top_terms_sketch`: [[textTopTerms]] through the Misra-Gries
     * heavy-hitters aggregate ([[graft.functions.MisraGries]]) — bounded
     * memory per group, partials merge map-side, NOTHING shuffles per
@@ -406,6 +454,7 @@ object TextAnalysis {
     // exact counts — identical oracle (resolved below)
     "text_top_terms_sketch" -> topTermsOracle,
     "text_top_terms" -> topTermsOracle,
+    "bpe_train_merges" -> bpeOracle(3),
     "text_tfidf_terms" ->
       """WITH toks AS (
         |  SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS term
@@ -452,6 +501,41 @@ object TextAnalysis {
   /** Shared by `text_top_terms` and `text_top_terms_sketch` (the sketch
     * never evicts at its registered capacity, so both emit exact counts).
     */
+  /** k unrolled BPE rounds: per round r, pair counts over s(r−1), the
+    * winner b(r) by (count desc, pair asc), and s(r) with the rule applied
+    * — mirroring the Spark loop's replace on the sentinel-padded string.
+    */
+  private def bpeOracle(k: Int): String = {
+    val rounds = (1 to k).map { r =>
+      s"""p$r AS (
+         |  SELECT pair, SUM(freq) AS cnt FROM (
+         |    SELECT freq, UNNEST(list_transform(range(1, len(toks)),
+         |      i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i + 1 AS INT)])) AS pair
+         |    FROM (SELECT freq, string_split(trim(seq), ' ') AS toks FROM s${r - 1}))
+         |  GROUP BY 1),
+         |b$r AS (
+         |  SELECT pair, replace(pair, ' ', '') AS merged, cnt
+         |  FROM p$r ORDER BY cnt DESC, pair LIMIT 1),
+         |s$r AS (
+         |  SELECT freq, replace(seq, ' ' || (SELECT pair FROM b$r) || ' ',
+         |    ' ' || (SELECT merged FROM b$r) || ' ') AS seq
+         |  FROM s${r - 1})""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to k).map(r =>
+      s"""SELECT CAST($r AS BIGINT) AS merge_rank, pair, merged,
+         |       CAST(cnt AS BIGINT) AS pair_count FROM b$r""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""WITH words AS (
+       |  SELECT w, COUNT(*) AS freq FROM (
+       |    SELECT UNNEST(string_split(lower(text), ' ')) AS w FROM documents)
+       |  WHERE regexp_matches(w, '^[a-z]+${"$"}') GROUP BY 1),
+       |s0 AS (
+       |  SELECT freq, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS seq
+       |  FROM words),
+       |$rounds
+       |$out""".stripMargin
+  }
+
   private lazy val topTermsOracle: String =
     """WITH e AS (
       |  SELECT lang, UNNEST(string_split(lower(text), ' ')) AS term

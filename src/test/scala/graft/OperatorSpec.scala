@@ -331,6 +331,21 @@ class OperatorSpec extends SparkTestBase {
     assert(got == ref)
   }
 
+  test("BPE merges: hand-computed rules incl. overlap and single-symbol words") {
+    // corpus: "aaab" x2, "ab" x1, "x" (single symbol, yields no pairs)
+    // round 1: "a a" = 2+2 beats "a b" = 3 -> merge "aa"
+    //   (" a a a b " -> " aa a b ": leftmost non-overlapping replace)
+    // round 2: "a b" = 2+1 beats "aa a" = 2 -> merge "ab"
+    // round 3: "aa ab" = 2 -> merge "aaab"
+    val docs = Seq((1L, "aaab x", "en"), (2L, "aaab", "en"), (3L, "ab", "en"))
+      .toDF("doc_id", "text", "lang")
+    val got = graft.operators.TextAnalysis.bpeTrainMerges(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, "a a", "aa", 4L), (2L, "a b", "ab", 3L), (3L, "aa ab", "aaab", 2L)),
+      s"got ${got.toSeq}")
+  }
+
   test("CentroidArgmin matches the least-of-structs encoding incl. ties and NULLs") {
     import graft.functions.CentroidArgmin.centroid_argmin
     import graft.functions.LongDot.long_dot
