@@ -178,6 +178,8 @@ object SparkEntry {
     "embed_kmeans" -> ((s, d) => Similarity.embedKmeans(Tables.embeddings(s, d))),
     // SemDeDup-style cluster-representative selection (one keeper/cluster)
     "dedup_semantic" -> ((s, d) => Similarity.dedupSemantic(Tables.embeddings(s, d))),
+    // contrastive-training prep: nearest different-label neighbors
+    "mine_hard_negatives" -> ((s, d) => Similarity.mineHardNegatives(Tables.embeddings(s, d))),
     // extensions: text analysis
     "text_langid" -> ((s, d) => TextAnalysis.textLangid(Tables.documents(s, d))),
     "text_quality" -> ((s, d) => TextAnalysis.textQuality(Tables.documents(s, d))),
@@ -216,6 +218,8 @@ object SparkEntry {
     "text_top_terms" -> ((s, d) => TextAnalysis.textTopTerms(Tables.documents(s, d))),
     // first k BPE merge rules learned over the corpus (tokenizer training)
     "bpe_train_merges" -> ((s, d) => TextAnalysis.bpeTrainMerges(Tables.documents(s, d))),
+    // per-source percentile calibration of the quality score
+    "quality_calibrate" -> ((s, d) => TextAnalysis.qualityCalibrate(Tables.documents(s, d))),
     "text_top_terms_sketch" -> ((s, d) =>
       TextAnalysis.textTopTermsSketch(Tables.documents(s, d))),
     // corpus-level stats / QA reports

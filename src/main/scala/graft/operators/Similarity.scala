@@ -411,6 +411,35 @@ object Similarity {
         col("rank").cast("long").as("rank"))
   }
 
+  /** `mine_hard_negatives`: contrastive-training pair mining — for EVERY
+    * vector, the k most similar vectors with a DIFFERENT label. Random
+    * negatives are too easy to teach an embedding model anything; the
+    * negatives that matter are the near-misses, and "nearest with another
+    * label" is exactly the [[knnGraph]] shape with a label-mismatch filter
+    * in the candidate predicate, so the blocking, shuffle, and TopKPerKey
+    * story are inherited unchanged (the filter only THINS candidates —
+    * cost stays bucket-bounded, never all-pairs).
+    */
+  def mineHardNegatives(embeddings: DataFrame, k: Int = 3): DataFrame = {
+    val corpus = prep(embeddings).withColumn("bucket", bucketCol)
+    val probeFlips = array((0 until 9).map(f =>
+      lit(if (f == 0) 0L else 1L << (f - 1))): _*)
+    val probes = corpus
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+        col("q").as("qv"), col("norm2").as("qn"),
+        explode(transform(probeFlips, f => col("bucket").bitwiseXOR(f))).as("bucket"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    corpus.join(probes, Seq("bucket"))
+      .where(col("vec_id") =!= col("query_id") && col("label") =!= col("q_label"))
+      .withColumn("cosine", cosine(long_dot(col("q"), col("qv")), col("norm2"), col("qn")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("q_label"), col("vec_id").as("negative_id"),
+        col("label").as("neg_label"), col("cosine"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** `graph_centrality`: fixed-iteration PageRank over the kNN graph —
     * centrality as a CURATION signal: a high score marks documents sitting
     * in dense, mutually-similar neighborhoods (template families, SEO
@@ -539,6 +568,35 @@ object Similarity {
          |  FROM scored)
          |SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 3""".stripMargin,
     "graph_centrality" -> graphCentralityOracle(3),
+    "mine_hard_negatives" ->
+      s"""WITH $quantCte,
+         |planes AS (
+         |  SELECT j, list_transform(range(0, 64), d -> (j * 131 + d * 37) % 19 - 9) AS plane
+         |  FROM range(0, 8) t(j)),
+         |bucketed AS (
+         |  SELECT n.vec_id, n.label, n.q, n.norm2,
+         |         CAST(SUM(CASE WHEN list_sum(list_transform(list_zip(n.q, p.plane), z -> z[1] * z[2])) >= 0
+         |                  THEN 1 << CAST(p.j AS INTEGER) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM n CROSS JOIN planes p
+         |  GROUP BY n.vec_id, n.label, n.q, n.norm2),
+         |probes AS (
+         |  SELECT vec_id AS query_id, label AS q_label, q AS qv, norm2 AS qn,
+         |         CASE WHEN f.f = 0 THEN bucket
+         |              ELSE xor(bucket, CAST(1 AS BIGINT) << CAST(f.f - 1 AS INT)) END AS bucket
+         |  FROM bucketed CROSS JOIN (SELECT UNNEST(range(0, 9)) AS f) f),
+         |scored AS (
+         |  SELECT p.query_id, p.q_label, b.vec_id AS negative_id, b.label AS neg_label,
+         |         CAST(list_sum(list_transform(list_zip(b.q, p.qv), z -> z[1] * z[2])) AS DOUBLE)
+         |           / (SQRT(CAST(b.norm2 AS DOUBLE)) * SQRT(CAST(p.qn AS DOUBLE))) AS cosine
+         |  FROM bucketed b JOIN probes p ON b.bucket = p.bucket
+         |  WHERE b.vec_id != p.query_id AND b.label != p.q_label),
+         |ranked AS (
+         |  SELECT query_id, q_label, negative_id, neg_label, cosine,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id
+         |                            ORDER BY cosine DESC, negative_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, q_label, negative_id, neg_label, cosine, rank
+         |FROM ranked WHERE rank <= 3""".stripMargin,
     // same training CTEs as embed_kmeans; keeper = per-cluster argmin of
     // the exact integer centroid distance, ties to lowest vec_id
     "dedup_semantic" ->

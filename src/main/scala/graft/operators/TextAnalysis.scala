@@ -105,6 +105,25 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), col("quality_score"), col("decile"))
   }
 
+  /** `quality_calibrate`: cross-source score calibration — raw quality
+    * scores are distribution-skewed per source (a "good" score from a
+    * clean source is not the same signal as that score from a noisy one),
+    * so curation cuts that mix sources threshold the PER-SOURCE percentile
+    * rank instead of the raw value. One window keyed by source with a
+    * total order (score desc, doc_id): percent_rank = (rank−1)/(n−1), a
+    * single exact small-integer division in double, engine-identical. Same
+    * distributed-quantile shape as [[qualityDecileFilter]] — bounded by
+    * the hottest source, never a global sort.
+    */
+  def qualityCalibrate(documents: DataFrame): DataFrame = {
+    val q = textQuality(documents).select(col("doc_id"), col("quality_score"))
+    val w = Window.partitionBy("source").orderBy(col("quality_score").desc, col("doc_id"))
+    documents.select(col("doc_id"), col("source"))
+      .join(q, Seq("doc_id"))
+      .withColumn("source_pct_rank", percent_rank().over(w))
+      .select(col("doc_id"), col("source"), col("quality_score"), col("source_pct_rank"))
+  }
+
   /** `text_top_terms`: top-10 terms per language by frequency — corpus
     * vocabulary stats (the first thing anyone computes over a new corpus).
     * Explode → per-(lang, term) count with map-side combine → top-k per
@@ -455,6 +474,12 @@ object TextAnalysis {
     "text_top_terms_sketch" -> topTermsOracle,
     "text_top_terms" -> topTermsOracle,
     "bpe_train_merges" -> bpeOracle(3),
+    "quality_calibrate" ->
+      s"""WITH q AS ($qualityScoreSql)
+         |SELECT d.doc_id, d.source, q.quality_score,
+         |       PERCENT_RANK() OVER (PARTITION BY d.source
+         |         ORDER BY q.quality_score DESC, d.doc_id) AS source_pct_rank
+         |FROM documents d JOIN q ON d.doc_id = q.doc_id""".stripMargin,
     "text_tfidf_terms" ->
       """WITH toks AS (
         |  SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS term
