@@ -60,7 +60,12 @@ object Marts {
     * cache, as Bench/Verify do between queries).
     */
   private def cachedOnce(df: DataFrame): DataFrame =
-    if (df.storageLevel == StorageLevel.NONE) df.cache() else df
+    if (df.storageLevel == StorageLevel.NONE)
+      // scoped (round 6): same cache-once-by-canonical-plan semantics, plus
+      // LRU release so sessions running many marts don't accumulate one
+      // leaked staging cache per mart
+      graft.operators.CacheScope.cached(df)
+    else df
 
   /** Shared oracle CTE for [[sales]]. */
   private val salesSql: String =

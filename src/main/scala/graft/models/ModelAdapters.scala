@@ -137,11 +137,14 @@ object ModelAdapters {
           pmod(count(lit(1)), lit(500L))).as("total_calories"))
       .withColumn("activity_id", concat(lit("activity_"), col("day")))
 
-  def fctOuraDaily(events: DataFrame): DataFrame =
-    // cached: each daily aggregate feeds BOTH the union spine and its own
-    // left join — uncached, the three aggregations would each run twice
-    Models.fctOuraDaily(sleep(events).cache(), readiness(events).cache(),
-      activity(events).cache())
+  def fctOuraDaily(events: DataFrame): DataFrame = {
+    // scope-cached: each daily aggregate feeds BOTH the union spine and its
+    // own left join — uncached, the three aggregations would each run
+    // twice; raw .cache() leaked three relations per invocation
+    import graft.operators.CacheScope.cached
+    Models.fctOuraDaily(cached(sleep(events)), cached(readiness(events)),
+      cached(activity(events)))
+  }
 
   // ---- oracles ------------------------------------------------------------
 

@@ -161,6 +161,44 @@ class PropertiesSpec extends SparkTestBase {
     })
   }
 
+  test("manifest store: any commit/crash/vacuum interleaving resolves to the last commit") {
+    import graft.streaming.ManifestStore
+    // ops: 0 = commit to a random bucket subset, 1 = crashed write (orphan
+    // data, no manifest), 2 = vacuum. Model: cumulative bucket -> payload.
+    val op = Gen.zip(Gen.choose(0, 2), Gen.choose(0, 3), Gen.choose(0, 1000))
+    val gen = Gen.nonEmptyListOf(op)
+    checkProp(Prop.forAll(gen) { ops =>
+      val root = java.nio.file.Files.createTempDirectory("graft_mprop")
+        .toFile.getAbsolutePath
+      val conf = spark.sparkContext.hadoopConfiguration
+      var model = Map.empty[Int, Int] // bucket -> payload written there
+      ops.foreach { case (kind, bucket, payload) =>
+        kind match {
+          case 0 =>
+            val dir = ManifestStore.newCommitDir()
+            Seq((payload.toLong, bucket)).toDF("v", "__part")
+              .coalesce(1).write.parquet(s"$root/$dir/__bucket=$bucket")
+            ManifestStore.commit(root, Map(bucket -> s"$dir/__bucket=$bucket"),
+              ManifestStore.readLatest(root, conf), conf)
+            model += bucket -> payload
+          case 1 => // crash: full data written, manifest never published
+            val dir = ManifestStore.newCommitDir()
+            Seq((payload.toLong, bucket)).toDF("v", "__part")
+              .coalesce(1).write.parquet(s"$root/$dir/__bucket=$bucket")
+          case 2 => ManifestStore.vacuum(root, conf)
+        }
+      }
+      val tip = ManifestStore.readLatest(root, conf)
+      val resolved = tip match {
+        case None => Map.empty[Int, Int]
+        case Some(m) =>
+          spark.read.parquet(m.allPaths(root): _*).collect()
+            .map(r => r.getAs[Int]("__part") -> r.getAs[Long]("v").toInt).toMap
+      }
+      resolved == model
+    }, n = 6)
+  }
+
   test("weighted mix: copy count is floor(w) or floor(w)+1, fraction matches the hash rule") {
     val gen = Gen.listOfN(30, Gen.choose(0L, 500L))
     checkProp(Prop.forAll(gen) { ids =>
