@@ -286,6 +286,9 @@ object SparkEntry {
     // stream-stream interval join (watermarked state both sides)
     "stream_stream_join_endstate" -> ((s, d) =>
       graft.streaming.StreamJoin.streamStreamJoinEndstate(s, d)),
+    // outer variant: unmatched rows flush on watermark (sentinel-driven)
+    "stream_outer_join_endstate" -> ((s, d) =>
+      graft.streaming.StreamJoin.streamOuterJoinEndstate(s, d)),
     // remaining Models marts on deterministic adapters (all 22 now registered)
     "fct_issues" -> ((s, d) =>
       graft.models.ModelAdapters.fctIssues(s, Tables.orders(s, d), Tables.customer(s, d))),

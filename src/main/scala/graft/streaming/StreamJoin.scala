@@ -45,6 +45,93 @@ object StreamJoin {
         col("error_id"), col("error_ts"))
   }
 
+  /** [[clickErrorAttribution]] with LEFT OUTER semantics: clicks with NO
+    * error in their window still emit, with nulls. Outer stream-stream
+    * joins are the delayed case: a match emits eagerly, but an UNMATCHED
+    * click can only emit once the error-side watermark passes the click's
+    * whole interval (no qualifying error can arrive anymore) — so the end
+    * state needs the watermark to advance past the data, which the demo
+    * drives with sentinel drops (the sessionize flush discipline).
+    */
+  def clickErrorAttributionOuter(clicks: DataFrame, errors: DataFrame): DataFrame = {
+    val c = clicks
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val e = errors
+      .select(col("event_id").as("error_id"), col("user_id").as("err_user"),
+        col("ts").as("error_ts"))
+      .withWatermark("error_ts", "1 hour")
+    c.join(e,
+      col("user_id") === col("err_user") &&
+        col("error_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR") &&
+        col("error_ts") <= col("click_ts"),
+      "left_outer")
+      .select(col("click_id"), col("user_id"), col("click_ts"),
+        col("error_id"), col("error_ts"))
+  }
+
+  /** `stream_outer_join_endstate`: the outer variant driven end-to-end —
+    * one data run, then TWO sentinel runs: watermarks are computed from the
+    * PREVIOUS batch's max event time, so the first sentinel wave plants the
+    * advanced watermark and the second wave's batch actually evaluates it,
+    * flushing every unmatched click with nulls. The oracle is the batch
+    * LEFT JOIN on the same interval predicate.
+    */
+  def streamOuterJoinEndstate(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.Tables
+    import StreamHarness.land
+    val events = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    val scratch = StreamHarness.freshScratch("stream_ssouter", sfDir)
+    val (srcC, srcE) = (s"$scratch/clicks", s"$scratch/errors")
+    val outDir = s"$scratch/out"
+    val ckpt = s"$scratch/ckpt"
+    new java.io.File(srcC).mkdirs()
+    new java.io.File(srcE).mkdirs()
+
+    val base = events.select(col("event_id"), col("ts"), col("user_id"))
+    def runOnce(): Unit = {
+      val q = clickErrorAttributionOuter(
+        spark.readStream.schema(base.schema).parquet(srcC),
+        spark.readStream.schema(base.schema).parquet(srcE))
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .format("parquet")
+        .option("path", outDir)
+        .start()
+      q.awaitTermination()
+    }
+
+    val clicks = events.where(col("event_type") === "click").select(base.columns.map(col): _*)
+    val errors = events.where(col("event_type") === "error").select(base.columns.map(col): _*)
+    val maxUs = events.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    def sentinel(daysOut: Long) = spark.range(1).select(
+      lit(-1L).as("event_id"),
+      timestamp_micros(lit(maxUs + daysOut * 24 * 3600 * 1000000L)).as("ts"),
+      lit(-1L).as("user_id"))
+    StreamHarness.withDemoStreamConfs(spark) {
+      land(clicks, scratch, srcC, "c1")
+      land(errors, scratch, srcE, "e1")
+      runOnce()
+      // wave 1 plants the advanced watermark (computed from the previous
+      // batch); wave 2's batch evaluates it and flushes unmatched clicks
+      land(sentinel(30), scratch, srcC, "c2")
+      land(sentinel(30), scratch, srcE, "e2")
+      runOnce()
+      land(sentinel(31), scratch, srcC, "c3")
+      land(sentinel(31), scratch, srcE, "e3")
+      runOnce()
+    }
+
+    spark.read.parquet(outDir)
+      .where(col("user_id") >= 0) // the sentinel click's own unmatched row
+      .select(col("click_id"), col("user_id"), col("click_ts"),
+        col("error_id"), col("error_ts"))
+  }
+
   /** `stream_stream_join_endstate`: the join driven end-to-end — clicks and
     * errors land as SEPARATE file streams (split across two drops each, so
     * matches must pair rows from different micro-batches out of the
@@ -107,6 +194,16 @@ object StreamJoin {
   }
 
   val oracles: Map[String, String] = Map(
+    // end state == the batch LEFT interval join: matched rows eagerly,
+    // unmatched clicks flushed by the sentinel-advanced watermark
+    "stream_outer_join_endstate" ->
+      """SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+        |       e.event_id AS error_id, e.ts AS error_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+        |  ON c.user_id = e.user_id
+        | AND e.ts >= c.ts - INTERVAL 1 HOUR
+        | AND e.ts <= c.ts""".stripMargin,
     // end state == the batch interval join, row for row
     "stream_stream_join_endstate" ->
       """SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
