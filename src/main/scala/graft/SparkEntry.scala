@@ -227,6 +227,8 @@ object SparkEntry {
     "text_boilerplate_ngrams" -> ((s, d) => CorpusStats.textBoilerplateNgrams(Tables.documents(s, d))),
     "corpus_health_by_source" -> ((s, d) => CorpusStats.corpusHealthBySource(Tables.documents(s, d))),
     "embed_norm_stats" -> ((s, d) => CorpusStats.embedNormStats(Tables.embeddings(s, d))),
+    // per-label centroid displacement from the global centroid (drift audit)
+    "embed_label_drift" -> ((s, d) => CorpusStats.embedLabelDrift(Tables.embeddings(s, d))),
     "embed_quantize" -> ((s, d) => Curation.embedQuantize(Tables.embeddings(s, d))),
     "token_pack" -> ((s, d) => Curation.tokenPack(Tables.documents(s, d))),
     // overlapping context-window chunking (retrieval/embedding prep)

@@ -138,7 +138,62 @@ object CorpusStats {
         d(col("sum_norm_micros")) / d(col("n_vecs")) / lit(1000000.0))
   }
 
+  /** `embed_label_drift`: per-label centroid displacement from the global
+    * centroid — the class-separation / drift audit for labeled embeddings
+    * (a label whose centroid collapses onto the global mean carries no
+    * signal; one that drifts between snapshots flags an encoder change).
+    * Centroids use the SAME exact integer round-half arithmetic as the
+    * k-means trainers ((2s+n)/(2n), sign-guarded truncation), so the whole
+    * audit is integer-exact: the emitted distance is squared L2 in
+    * quantization units, no float accumulation anywhere. Two bounded
+    * aggregates (labels×64 and 64 rows) — nothing scales with the corpus
+    * but the first pass.
+    */
+  def embedLabelDrift(embeddings: DataFrame): DataFrame = {
+    val centroid = // exact integer round-half division, kmeans discipline
+      expr("CASE WHEN 2*s + n >= 0 THEN (2*s + n) div (2*n) " +
+        "ELSE -((-(2*s + n)) div (2*n)) END")
+    val exploded = Dedup.quantized(embeddings)
+      .select(col("label"), posexplode(col("q")).as(Seq("pos", "v")))
+    val perLabel = exploded.groupBy(col("label"), col("pos"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .withColumn("c", centroid)
+    val global = exploded.groupBy(col("pos"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .withColumn("gc", centroid)
+      .select(col("pos"), col("gc"))
+    perLabel.join(broadcast(global), Seq("pos"))
+      .groupBy(col("label"))
+      .agg(
+        max(col("n")).as("n_vecs"),
+        sum((col("c") - col("gc")) * (col("c") - col("gc"))).as("centroid_dist2"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "embed_label_drift" ->
+      """WITH q AS (
+        |  SELECT CAST(label AS BIGINT) AS label,
+        |         list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |e AS (
+        |  SELECT label, d.d AS pos, q[CAST(d.d + 1 AS INT)] AS v
+        |  FROM q CROSS JOIN (SELECT UNNEST(range(0, 64)) AS d) d),
+        |pl AS (
+        |  SELECT label, pos, SUM(v) AS s, COUNT(*) AS n FROM e GROUP BY 1, 2),
+        |plc AS (
+        |  SELECT label, pos, n,
+        |         CASE WHEN 2*s + n >= 0 THEN (2*s + n) // (2*n)
+        |              ELSE -((-(2*s + n)) // (2*n)) END AS c
+        |  FROM pl),
+        |g AS (
+        |  SELECT pos,
+        |         CASE WHEN 2*s + n >= 0 THEN (2*s + n) // (2*n)
+        |              ELSE -((-(2*s + n)) // (2*n)) END AS gc
+        |  FROM (SELECT pos, SUM(v) AS s, COUNT(*) AS n FROM e GROUP BY 1))
+        |SELECT plc.label, CAST(MAX(plc.n) AS BIGINT) AS n_vecs,
+        |       CAST(SUM((plc.c - g.gc) * (plc.c - g.gc)) AS BIGINT) AS centroid_dist2
+        |FROM plc JOIN g ON plc.pos = g.pos
+        |GROUP BY 1""".stripMargin,
     "text_length_histogram" ->
       """WITH t AS (
         |  SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
