@@ -92,9 +92,16 @@ object StreamJoin {
 
     val base = events.select(col("event_id"), col("ts"), col("user_id"))
     def runOnce(): Unit = {
+      // maxFilesPerTrigger=1: AvailableNow slices the pending files into
+      // one micro-batch each, so both sentinel waves flush inside ONE
+      // query lifecycle (watermarks are computed from the previous batch —
+      // wave 2's batch evaluates wave 1's watermark) instead of paying a
+      // full start/stop per wave
       val q = clickErrorAttributionOuter(
-        spark.readStream.schema(base.schema).parquet(srcC),
-        spark.readStream.schema(base.schema).parquet(srcE))
+        spark.readStream.schema(base.schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcC),
+        spark.readStream.schema(base.schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcE))
         .writeStream
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation", ckpt)
@@ -116,11 +123,10 @@ object StreamJoin {
       land(clicks, scratch, srcC, "c1")
       land(errors, scratch, srcE, "e1")
       runOnce()
-      // wave 1 plants the advanced watermark (computed from the previous
-      // batch); wave 2's batch evaluates it and flushes unmatched clicks
+      // both sentinel waves in one run: wave 1's batch plants the advanced
+      // watermark, wave 2's batch evaluates it and flushes unmatched clicks
       land(sentinel(30), scratch, srcC, "c2")
       land(sentinel(30), scratch, srcE, "e2")
-      runOnce()
       land(sentinel(31), scratch, srcC, "c3")
       land(sentinel(31), scratch, srcE, "e3")
       runOnce()
