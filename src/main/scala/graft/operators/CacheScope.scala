@@ -38,7 +38,14 @@ object CacheScope {
     val key = df.queryExecution.analyzed.canonicalized
     reg.remove(key) match {
       case Some(prev) =>
-        reg.put(key, prev) // LRU bump; already cached — avoid the re-cache warning
+        // an external clearCache() (Verify/Bench per-query isolation) may
+        // have dropped the relation while the registry entry survived —
+        // re-arm it, or the caller silently runs uncached (storageLevel
+        // consults the CacheManager by canonicalized plan, so this is a
+        // no-op when the cache is still live)
+        if (prev.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+          prev.cache()
+        reg.put(key, prev) // LRU bump
         prev
       case None =>
         df.cache()

@@ -297,6 +297,13 @@ class OperatorSpec extends SparkTestBase {
       "oldest scoped cache should have been unpersisted")
     val recent = graft.operators.CacheScope.cached(spark.range(105L).toDF("v"))
     assert(recent.storageLevel != StorageLevel.NONE)
+    // an external clearCache drops the relation but not the registry entry:
+    // re-registration must RE-ARM the cache, not return an uncached frame
+    spark.catalog.clearCache()
+    assert(recent.storageLevel == StorageLevel.NONE)
+    val rearmed = graft.operators.CacheScope.cached(spark.range(105L).toDF("v"))
+    assert(rearmed.storageLevel != StorageLevel.NONE,
+      "registry hit after clearCache must re-cache")
     spark.catalog.clearCache()
   }
 
