@@ -158,6 +158,11 @@ object SparkEntry {
     "udf_issue_type" -> ((s, d) => Enrich.udfIssueType(Tables.events(s, d))),
     // extensions: deduplication
     "dedup_exact" -> ((s, d) => Dedup.dedupExact(Tables.documents(s, d))),
+    // normalization-then-hash: catches reformatted copies, still digest-only shuffle
+    "dedup_exact_normalized" -> ((s, d) => Dedup.dedupExactNormalized(Tables.documents(s, d))),
+    // text-format ingestion round trips (explicit schema, FAILFAST)
+    "csv_ingest" -> ((s, d) => graft.sources.FileFormats.csvIngest(s, Tables.events(s, d))),
+    "json_ingest" -> ((s, d) => graft.sources.FileFormats.jsonIngest(s, Tables.events(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.dedupNgramJaccard(Tables.documents(s, d))),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.dedupMinhashLsh(Tables.documents(s, d))),
     "dedup_paragraph" -> ((s, d) => Dedup.dedupParagraph(Tables.documents(s, d))),
@@ -320,7 +325,8 @@ object SparkEntry {
     Oracles.all ++ Aggregates.oracles ++ Staging.oracles ++ Scalars.oracles ++
       Sorts.oracles ++ Joins.oracles ++ SetOps.oracles ++ Arrays.oracles ++
       Layout.oracles ++
-      Merge.oracles ++ graft.sources.ApiSource.oracles ++ Reshape.oracles ++
+      Merge.oracles ++ graft.sources.ApiSource.oracles ++
+      graft.sources.FileFormats.oracles ++ Reshape.oracles ++
       Enrich.oracles ++ Dedup.oracles ++ Similarity.oracles ++
       TextAnalysis.oracles ++ CorpusStats.oracles ++ Multimodal.oracles ++ Pipeline.oracles ++
       Curation.oracles ++ IncrementalMart.oracles ++ Skew.oracles ++ Scd.oracles ++ Funnel.oracles ++

@@ -67,6 +67,24 @@ object Dedup {
         min(col("doc_id")).as("keeper_doc_id"),
         count(lit(1)).as("dup_count"))
 
+  /** `dedup_exact_normalized`: exact dedup AFTER canonical text
+    * normalization (lowercase, punctuation → space, whitespace collapsed,
+    * trimmed) — catches the trivially-reformatted copies raw-byte
+    * [[dedupExact]] misses (case changes, punctuation variants, wrapped
+    * whitespace) while staying a pure hash-groupBy: the normalization is a
+    * codegen'd projection, the shuffle still carries only digests. The
+    * first rung of the dedup ladder between raw-exact and minhash.
+    */
+  def dedupExactNormalized(documents: DataFrame): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+    documents
+      .groupBy(md5(norm).as("content_hash"))
+      .agg(
+        min(col("doc_id")).as("keeper_doc_id"),
+        count(lit(1)).as("dup_count"))
+  }
+
   /** `dedup_ngram_jaccard`: exact 3-gram Jaccard ≥ 0.3 between doc pairs,
     * blocked on (lang, n_chars div 100).
     *
@@ -800,6 +818,12 @@ object Dedup {
     "dedup_simhash" -> simhashOracle,
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash,
+        |       MIN(doc_id) AS keeper_doc_id,
+        |       COUNT(*) AS dup_count
+        |FROM documents GROUP BY 1""".stripMargin,
+    "dedup_exact_normalized" ->
+      """SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+        |         '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS content_hash,
         |       MIN(doc_id) AS keeper_doc_id,
         |       COUNT(*) AS dup_count
         |FROM documents GROUP BY 1""".stripMargin,
