@@ -407,10 +407,13 @@ object Aggregates {
     val binCents = binDollars * 100L
     events
       .select(col("event_type"), Num.cents(col("value")).as("v"))
-      // Clamped on BOTH ends: the lower clamp makes negative values land in
-      // bin 0 instead of a negative bin, and removes the one input domain
-      // where Spark `div` (truncates toward zero) and DuckDB `//` (floors)
-      // disagree — without it, v = -1 cent bins to 0 here and -1 there.
+      // Clamped on BOTH ends as a semantic choice: refunds/corrections
+      // (negative cents) belong in the lowest bin, not a negative bin, and
+      // the tail collapses into the top bin. The clamp also keeps the bin
+      // arithmetic inside the non-negative domain, where every integer
+      // division convention agrees — the authoritative statement of this
+      // build's DuckDB `//` behavior (truncates toward zero, like Spark
+      // `div`) lives on trainKmeans in Similarity.scala.
       .withColumn("bin",
         least(greatest(expr(s"v div $binCents"), lit(0L)), lit(nBins - 1L)))
       .groupBy(col("event_type"), col("bin"))

@@ -2,6 +2,7 @@ package graft.operators
 
 import scala.collection.mutable
 
+import org.apache.spark.scheduler.{SparkListener, SparkListenerApplicationEnd}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
@@ -21,20 +22,52 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   * two staging caches, so an in-flight query can never lose its own cache;
   * re-invoking the SAME operator (warm benchmark iterations) is a no-op
   * that leaves the materialized cache in place.
+  *
+  * Eviction caveat for LAZY results: a frame scoped here is only protected
+  * until [[Keep]] LATER registrations occur — a caller that builds a lazy
+  * result, then runs ≥ Keep other scoped operators before its first action,
+  * silently recomputes (correct, just uncached). Operators whose loop
+  * correctness depends on materialization (dedupClusters, graphCentrality,
+  * bpeTrainMerges) therefore run an eager action / localCheckpoint while
+  * their cache is provably fresh, never relying on registry survival.
+  *
+  * Lifecycle: sessions are weakly referenced, and the whole registry drops
+  * on SparkListenerApplicationEnd, so a stopped application (or a
+  * dereferenced short-lived session) cannot stay pinned here along with up
+  * to Keep cached frames.
   */
 object CacheScope {
   private val Keep = 4
 
-  // canonicalized plan → the cached frame, insertion-ordered for LRU
+  // canonicalized plan → the cached frame, insertion-ordered for LRU.
+  // Weak session keys: a dropped session's registry entries become
+  // collectable (its cached blocks die with the session's executors state).
   private val live =
-    mutable.Map.empty[SparkSession, mutable.LinkedHashMap[LogicalPlan, DataFrame]]
+    new java.util.WeakHashMap[SparkSession, mutable.LinkedHashMap[LogicalPlan, DataFrame]]
+
+  // contexts that already carry the application-end cleanup hook
+  private val hooked = mutable.Set.empty[org.apache.spark.SparkContext]
 
   /** Caches `df` (if an equivalent plan isn't already registered) and
     * returns it; evicts + unpersists the least-recently registered scoped
     * caches beyond the retention bound.
     */
   def cached(df: DataFrame): DataFrame = synchronized {
-    val reg = live.getOrElseUpdate(df.sparkSession, mutable.LinkedHashMap.empty)
+    val session = df.sparkSession
+    if (hooked.add(session.sparkContext)) {
+      session.sparkContext.addSparkListener(new SparkListener {
+        override def onApplicationEnd(end: SparkListenerApplicationEnd): Unit =
+          CacheScope.synchronized {
+            live.clear()
+            hooked.clear()
+          }
+      })
+    }
+    var reg = live.get(session)
+    if (reg == null) {
+      reg = mutable.LinkedHashMap.empty[LogicalPlan, DataFrame]
+      live.put(session, reg)
+    }
     val key = df.queryExecution.analyzed.canonicalized
     reg.remove(key) match {
       case Some(prev) =>

@@ -141,13 +141,14 @@ object Merge {
   }
 
   /** Truncate-load demo: project, overwrite a scratch sink, read back.
-    * Sink lives under the repo's build dir (never outside the workspace).
+    * Sink root comes from [[graft.Scratch]] (conf / spark.local.dir /
+    * tmpdir), so the jar runs from any CWD.
     */
   def loadTruncateQuery(spark: SparkSession, events: DataFrame): DataFrame =
     loadTruncate(
       events.select(col("event_id"), col("user_id"), col("event_type"),
         to_date(col("ts")).as("event_date")),
-      spark, "/root/repo/target/graft_sink/load_truncate")
+      spark, graft.Scratch.dir(spark, "load_truncate"))
 
   val oracles: Map[String, String] = Map(
     "snapshot_diff" ->

@@ -455,13 +455,26 @@ object Similarity {
     * LSH kNN per iteration. Long arithmetic holds while
     * in_degree × 10⁶ × 85 < 2⁶³ (hubs of ~10¹⁴ in-edges) — beyond any
     * real corpus.
+    *
+    * Lineage discipline (the [[graft.operators.Dedup.dedupClusters]]
+    * pattern): the loop-invariant degree table and vertex set are
+    * `localCheckpoint(eager)`-materialized once, and every iterate is
+    * re-checkpointed, so the round-r plan is three leaves and two joins no
+    * matter how large r is — without this, convergence-style iteration
+    * counts nest r joins deep and analysis time blows up in r. Blocks of
+    * superseded iterates are released by the ContextCleaner; on a real
+    * cluster swap in reliable `.checkpoint()` (see dedupClusters).
     */
   def graphCentrality(embeddings: DataFrame, iters: Int = 3): DataFrame = {
     val edges = graft.operators.CacheScope.cached(
       knnGraph(embeddings)
         .select(col("query_id").as("src"), col("neighbor_id").as("dst")))
+    // loop invariants as leaves: degrees (this also arms the edge cache —
+    // first action on it) and the vertex spine the per-round outer join
+    // re-anchors on (dangling nodes keep the teleport term)
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val vertices = embeddings.select(col("vec_id"))
+      .localCheckpoint(true)
+    val vertices = embeddings.select(col("vec_id")).localCheckpoint(true)
     var scores = vertices.withColumn("score_ppm", lit(1000000L))
     for (_ <- 1 to iters) {
       val inflow = edges
@@ -474,6 +487,7 @@ object Similarity {
         .select(col("vec_id"),
           (lit(150000L) + expr("(85 * coalesce(inflow, 0L)) div 100"))
             .as("score_ppm"))
+        .localCheckpoint(true) // materialize + truncate: constant-size plans
     }
     scores
   }

@@ -189,9 +189,22 @@ object TextAnalysis {
     * (count desc, pair asc tiebreak) touches the driver per round, exactly
     * the centroid-model discipline. Merge application is a literal
     * `replace` on the sentinel-padded symbol string (leftmost
-    * non-overlapping in both engines, mirrored in the oracle). At 100 TB
-    * the vocabulary aggregate is the only wide shuffle and it shrinks
-    * every round.
+    * non-overlapping in both engines, mirrored in the oracle).
+    *
+    * Lineage discipline (the [[Dedup.dedupClusters]] pattern): the corpus
+    * collapses to the (freq, seq) vocabulary frame ONCE —
+    * `localCheckpoint(eager)` materializes it and replaces its plan with a
+    * leaf — and each round's merge application re-checkpoints the (tiny,
+    * vocabulary-sized) iterate. Without this, round r's argmax replays the
+    * corpus tokenize/aggregate plus all r−1 prior replaces (O(k) corpus
+    * scans, O(k²) replace work, plans growing linearly in k). With it, the
+    * corpus is scanned exactly once regardless of k, and every round is one
+    * vocabulary-sized aggregate + one vocabulary-sized projection — so at
+    * 100 TB the corpus enters through the ONE initial word-frequency
+    * aggregate, and per-round cost is corpus-independent. The loop runs at
+    * a vocabulary-sized shuffle partition count (restored after); like all
+    * localCheckpoint loops, on a real cluster swap in reliable
+    * `.checkpoint()` so executor loss can recover.
     */
   def bpeTrainMerges(documents: DataFrame, k: Int = 3): DataFrame = {
     val spark = documents.sparkSession
@@ -199,9 +212,11 @@ object TextAnalysis {
       .select(explode(split(lower(col("text")), " ")).as("w"))
       .where(col("w").rlike("^[a-z]+$"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-    // " a b c " — sentinel spaces make every adjacency a ' x y ' literal
+    // " a b c " — sentinel spaces make every adjacency a ' x y ' literal.
+    // The ONLY corpus-wide evaluation: everything after iterates this leaf.
     var seqs = words.select(col("freq"),
       concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")).as("seq"))
+      .localCheckpoint(true)
     val pairsOf = {
       val toks = split(trim(col("seq")), " ")
       // guarded: Spark's sequence(1, 0) counts DOWN, so a single-symbol
@@ -211,20 +226,28 @@ object TextAnalysis {
           i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
         .otherwise(array().cast("array<string>"))
     }
-    val rules = (1 to k).map { rank =>
-      val Array(best) = seqs
-        .select(col("freq"), explode(pairsOf).as("pair"))
-        .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
-        .orderBy(col("cnt").desc, col("pair")).limit(1)
-        .collect()
-      val (pair, cnt) = (best.getString(0), best.getLong(1))
-      val merged = pair.replace(" ", "")
-      seqs = seqs.withColumn("seq",
-        expr(s"replace(seq, ' $pair ', ' $merged ')"))
-      (rank.toLong, pair, merged, cnt)
-    }
-    import spark.implicits._
-    rules.toDF("merge_rank", "pair", "merged", "pair_count")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val rules = (1 to k).map { rank =>
+        val Array(best) = seqs
+          .select(col("freq"), explode(pairsOf).as("pair"))
+          .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
+          .orderBy(col("cnt").desc, col("pair")).limit(1)
+          .collect()
+        val (pair, cnt) = (best.getString(0), best.getLong(1))
+        val merged = pair.replace(" ", "")
+        // apply + re-materialize so round r+1 aggregates a leaf, not a
+        // replace chain; skipped after the last rule (result unused)
+        if (rank < k)
+          seqs = seqs.withColumn("seq",
+            expr(s"replace(seq, ' $pair ', ' $merged ')"))
+            .localCheckpoint(true)
+        (rank.toLong, pair, merged, cnt)
+      }
+      import spark.implicits._
+      rules.toDF("merge_rank", "pair", "merged", "pair_count")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
   /** `text_top_terms_sketch`: [[textTopTerms]] through the Misra-Gries

@@ -33,7 +33,7 @@ object FileFormats {
 
   /** `csv_ingest`: CSV with header + explicit NULL token, FAILFAST parse. */
   def csvIngest(spark: SparkSession, events: DataFrame): DataFrame = {
-    val path = "/root/repo/target/graft_sink/csv_ingest"
+    val path = graft.Scratch.dir(spark, "csv_ingest")
     canonical(events).write.mode("overwrite")
       .option("header", "true").option("nullValue", "\\N")
       .csv(path)
@@ -45,7 +45,7 @@ object FileFormats {
 
   /** `json_ingest`: JSON lines, FAILFAST parse against the declared schema. */
   def jsonIngest(spark: SparkSession, events: DataFrame): DataFrame = {
-    val path = "/root/repo/target/graft_sink/json_ingest"
+    val path = graft.Scratch.dir(spark, "json_ingest")
     canonical(events).write.mode("overwrite").json(path)
     spark.read.schema(schema)
       .option("mode", "FAILFAST")

@@ -9,9 +9,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 private[streaming] object StreamHarness {
 
-  /** Fresh (emptied) scratch root for one endstate query at one sf dir. */
+  /** Fresh (emptied) scratch root for one endstate query at one sf dir.
+    * Rooted via [[graft.Scratch]] (conf / spark.local.dir / tmpdir) instead
+    * of a CWD-relative literal, so the jar runs from any directory.
+    */
   def freshScratch(prefix: String, sfDir: String): String = {
-    val scratch = s"target/$prefix/" + sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+    val scratch = graft.Scratch.dir(SparkSession.active,
+      s"$prefix/" + sfDir.replaceAll("[^a-zA-Z0-9]", "_"))
     delete(new java.io.File(scratch))
     scratch
   }

@@ -274,8 +274,9 @@ class OperatorSpec extends SparkTestBase {
   test("agg_histogram clamps negative values into bin 0 on both engines' semantics") {
     import java.sql.Timestamp
     val ts = Timestamp.valueOf("2024-01-01 00:00:00")
-    // -10 dollars: Spark `div` would bin to 0, DuckDB `//` to -1 — the
-    // lower clamp pins both to bin 0; 10000 exercises the upper clamp
+    // -10 dollars: a refund bins to 0 via the lower clamp (semantic choice:
+    // no negative bins, and non-negative inputs keep the bin division
+    // convention-proof); 10000 exercises the upper clamp
     val ev = Seq((-10.0, 1L), (25.0, 2L), (10000.0, 3L)).map { case (v, i) =>
       (i, ts, i, "a", v, "p")
     }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
@@ -351,6 +352,47 @@ class OperatorSpec extends SparkTestBase {
     assert(got.toSeq == Seq(
       (1L, "a a", "aa", 4L), (2L, "a b", "ab", 3L), (3L, "aa ab", "aaab", 2L)),
       s"got ${got.toSeq}")
+  }
+
+  test("BPE merges: corpus is evaluated exactly once, independent of merge count") {
+    // a side-effect-counting projection on the text column observes every
+    // corpus evaluation: the vocabulary checkpoint means k merge rounds must
+    // touch the raw corpus exactly once (the pre-fix lineage re-ran the
+    // tokenize+aggregate — and all prior replaces — every round)
+    val evals = spark.sparkContext.longAccumulator("bpe-corpus-evals")
+    val touch = udf { (s: String) => { evals.add(1); s } }
+    val base = Seq(
+      (1L, "aaab x"), (2L, "aaab"), (3L, "ab"), (4L, "abab baba"),
+      (5L, "banana bandana"), (6L, "a cabana"), (7L, "ban ban cab"))
+      .toDF("doc_id", "text")
+    val docs = base.select(col("doc_id"), touch(col("text")).as("text"))
+    val rules = graft.operators.TextAnalysis.bpeTrainMerges(docs, k = 6).collect()
+    assert(rules.length == 6)
+    assert(evals.value == base.count(),
+      s"corpus text evaluated ${evals.value} times for 7 rows / 6 merge rounds " +
+        "— the vocabulary frame is no longer materialized once")
+  }
+
+  test("graph_centrality survives convergence-depth iteration counts (constant-size plans)") {
+    // 16 rounds: without per-round localCheckpoint the plan nests 16 joins
+    // deep and analysis time explodes; with it, each round is leaf-sized.
+    // Equality against the driver-side exact PageRank pins semantics at the
+    // deeper count too (same integer-ppm arithmetic as the iters=3 test).
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val edges = Similarity.knnGraph(emb)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val vertices = emb.select(col("vec_id")).collect().map(_.getLong(0))
+    val deg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    var ref = vertices.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 16) {
+      val inflow = edges.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => ref(s) / deg(s) }.sum).toMap
+      ref = vertices.map(v => v -> (150000L + 85L * inflow.getOrElse(v, 0L) / 100L)).toMap
+    }
+    val got = Similarity.graphCentrality(emb, iters = 16).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == ref)
   }
 
   test("CentroidArgmin matches the least-of-structs encoding incl. ties and NULLs") {
