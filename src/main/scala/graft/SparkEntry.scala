@@ -58,7 +58,7 @@ object SparkEntry {
     "winsorize" -> ((s, d) => Aggregates.winsorize(Tables.events(s, d))),
     // pairwise segment overlap matrix with exact audience Jaccard
     "agg_audience_overlap" -> ((s, d) => Aggregates.aggAudienceOverlap(Tables.events(s, d))),
-    "agg_quantiles_fast" -> ((s, d) => Aggregates.aggQuantilesFast(Tables.events(s, d))),
+    "agg_quantiles_fast" -> ((s, d) => Aggregates.aggQuantilesFastAudit(Tables.events(s, d))),
     "agg_corr" -> ((s, d) => Aggregates.aggCorr(Tables.lineitem(s, d))),
     "agg_histogram" -> ((s, d) => Aggregates.aggHistogram(Tables.events(s, d))),
     "agg_mode" -> ((s, d) => Aggregates.aggMode(Tables.orders(s, d))),
@@ -307,18 +307,22 @@ object SparkEntry {
       graft.models.ModelAdapters.fctOuraDaily(Tables.events(s, d))),
     // Scale-path variants: the xxhash64 `fastHash` switch is the production
     // hash for the sketch operators (the md5-based PortableHash exists only
-    // for cross-engine oracle parity and costs ~4x). xxhash64 has no DuckDB
-    // twin, so these carry NO oracleSql entry — the driver records the
-    // weaker rows-only check — while the portable-hash forms above carry the
-    // oracle proof of the identical algorithm shape.
+    // for cross-engine oracle parity and costs ~4x). xxhash64 itself has no
+    // DuckDB twin, so each fast twin registers as its AUDITED form — the
+    // full xxhash pipeline runs, and the query emits the hash-independent
+    // contract the oracle CAN check exactly: seeded-recall floors for the
+    // dedup twins (identical docs must always be recovered, any hash), and
+    // exact-reference tolerance/rank flags for the sketch aggregates. The
+    // portable-hash forms above remain the value-level oracle proof of the
+    // identical algorithm shape.
     "agg_approx_distinct_fast" -> ((s, d) =>
-      Aggregates.aggApproxDistinct(Tables.lineitem(s, d), fastHash = true)),
+      Aggregates.aggApproxDistinctFastAudit(Tables.lineitem(s, d))),
     "dedup_minhash_lsh_fast" -> ((s, d) =>
-      Dedup.dedupMinhashLsh(Tables.documents(s, d), fastHash = true)),
+      Dedup.dedupMinhashLshFastAudit(Tables.documents(s, d))),
     "dedup_simhash_fast" -> ((s, d) =>
-      Dedup.dedupSimhash(Tables.documents(s, d), fastHash = true)),
+      Dedup.dedupSimhashFastAudit(Tables.documents(s, d))),
     "dedup_paragraph_fast" -> ((s, d) =>
-      Dedup.dedupParagraph(Tables.documents(s, d), fastHash = true))
+      Dedup.dedupParagraphFastAudit(Tables.documents(s, d)))
   )
 
   def oracleSql: Map[String, String] =

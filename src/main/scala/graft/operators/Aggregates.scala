@@ -240,6 +240,35 @@ object Aggregates {
         col("orders").as("approx_orders"))
   }
 
+  /** `agg_approx_distinct_fast`: the xxhash64 HLL under an ACCURACY AUDIT —
+    * the registered form of the fast twin. The xxhash sketch values have no
+    * DuckDB twin, so the audit reports what IS cross-engine checkable: the
+    * exact distinct counts (one expand aggregate, the very thing the sketch
+    * replaces at scale — affordable at verify/bench SF) plus a per-group
+    * within-tolerance flag binding the sketch to them. m=4096 registers give
+    * ~1.6% rsd; the 5% gate is ≈3σ, so a hash-quality or estimator
+    * regression flips a flag to false and the driver's value compare fails.
+    * The full fast pipeline executes — the audit only ADDS the exact
+    * reference.
+    */
+  def aggApproxDistinctFastAudit(lineitem: DataFrame): DataFrame = {
+    val approx = aggApproxDistinct(lineitem, fastHash = true)
+    val exact = lineitem
+      .groupBy(col("l_returnflag").as("return_flag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("distinct_parts"),
+        countDistinct(col("l_suppkey")).as("distinct_suppliers"),
+        countDistinct(col("l_orderkey")).as("distinct_orders"))
+    def within(a: String, e: String) =
+      abs(col(a) - col(e)).cast(DoubleType) <= lit(0.05) * col(e).cast(DoubleType)
+    exact.join(approx, Seq("return_flag"))
+      .select(col("return_flag"),
+        col("distinct_parts"), col("distinct_suppliers"), col("distinct_orders"),
+        within("approx_parts", "distinct_parts").as("parts_within_tol"),
+        within("approx_suppliers", "distinct_suppliers").as("suppliers_within_tol"),
+        within("approx_orders", "distinct_orders").as("orders_within_tol"))
+  }
+
   /** `agg_child_count` (fct_issues.sql:14-21,72): self-aggregate counts joined
     * back to the dimension (left join, missing → 0).
     */
@@ -441,6 +470,47 @@ object Aggregates {
         Num.dollars(element_at(col("q"), 2)).as("median_value"),
         Num.dollars(element_at(col("q"), 3)).as("p75_value"))
 
+  /** `agg_quantiles_fast`: [[aggQuantilesFast]]'s sketch under a RANK AUDIT —
+    * the registered form of the fast twin. approx_percentile's contract is
+    * rank accuracy (the returned element's exact rank lies within ε·N of
+    * the target, ε = 1/accuracy), and rank position IS cross-engine
+    * checkable even though the sketch values aren't: the audit counts each
+    * returned element's ≤/< ranks against the group and flags the contract,
+    * with 2 ranks of slack on top of ε·N so the gate can't flap on ties or
+    * target-rank convention. Group sizes anchor the oracle. A sketch
+    * regression (merge bug, compression overshoot) flips a flag and the
+    * driver's value compare fails.
+    */
+  def aggQuantilesFastAudit(events: DataFrame): DataFrame = {
+    val eps = 1.0 / 10000
+    val cents = events.select(col("event_type"), Num.cents(col("value")).as("v"))
+    val approx = cents
+      .groupBy(col("event_type"))
+      .agg(expr("approx_percentile(v, array(0.25D, 0.5D, 0.75D), 10000)").as("q"))
+      .select(col("event_type"), element_at(col("q"), 1).as("a25"),
+        element_at(col("q"), 2).as("a50"), element_at(col("q"), 3).as("a75"))
+    val ps = Seq("25" -> 0.25, "50" -> 0.5, "75" -> 0.75)
+    val rankAggs = ps.flatMap { case (tag, _) =>
+      Seq(
+        sum(when(col("v") <= col(s"a$tag"), 1L).otherwise(0L)).as(s"cle_$tag"),
+        sum(when(col("v") < col(s"a$tag"), 1L).otherwise(0L)).as(s"clt_$tag"))
+    }
+    val allAggs = count(col("v")).as("n") +: rankAggs
+    val counted = cents.join(broadcast(approx), "event_type")
+      .groupBy(col("event_type"))
+      .agg(allAggs.head, allAggs.tail: _*)
+    def rankOk(tag: String, p: Double) = {
+      val target = ceil(lit(p) * col("n"))
+      val slack = lit(eps) * col("n").cast(DoubleType) + lit(2.0)
+      (col(s"cle_$tag").cast(DoubleType) >= target - slack) &&
+        (col(s"clt_$tag").cast(DoubleType) <= target + slack)
+    }
+    counted.select(col("event_type"), col("n"),
+      rankOk("25", 0.25).as("p25_rank_ok"),
+      rankOk("50", 0.5).as("median_rank_ok"),
+      rankOk("75", 0.75).as("p75_rank_ok"))
+  }
+
   /** Day-of-week stats (pages/3_Oura_Wellness.py:16-55 DOW analysis).
     * ISO weekday (1=Mon..7=Sun): Spark weekday()+1 == DuckDB isodow().
     */
@@ -629,6 +699,21 @@ object Aggregates {
         |       COUNT(DISTINCT CASE WHEN o_orderstatus = 'F' THEN o_custkey END) AS fulfilled_customers,
         |       COUNT(DISTINCT CASE WHEN CAST(ROUND(o_totalprice * 100) AS BIGINT) > 20000000 THEN o_custkey END) AS high_value_customers
         |FROM orders GROUP BY 1""".stripMargin,
+    // accuracy audits of the xxhash/sketch fast twins: the oracle computes
+    // the exact reference columns and asserts every tolerance flag is true
+    "agg_approx_distinct_fast" ->
+      """SELECT l_returnflag AS return_flag,
+        |       COUNT(DISTINCT l_partkey) AS distinct_parts,
+        |       COUNT(DISTINCT l_suppkey) AS distinct_suppliers,
+        |       COUNT(DISTINCT l_orderkey) AS distinct_orders,
+        |       true AS parts_within_tol,
+        |       true AS suppliers_within_tol,
+        |       true AS orders_within_tol
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "agg_quantiles_fast" ->
+      """SELECT event_type, COUNT(value) AS n,
+        |       true AS p25_rank_ok, true AS median_rank_ok, true AS p75_rank_ok
+        |FROM events GROUP BY 1""".stripMargin,
     "agg_pct_of_count" ->
       """SELECT o_orderpriority AS priority,
         |       COUNT(*) AS order_count,

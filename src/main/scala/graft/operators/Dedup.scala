@@ -427,6 +427,172 @@ object Dedup {
       .select(col("doc_id_1"), col("doc_id_2"), col("lang"), col("hamming"))
   }
 
+  // ---------------------------------------------------------------------
+  // Seeded-recall audits for the xxhash64 `_fast` twins.
+  //
+  // The fast hash has no DuckDB twin, so the fast pipelines' raw pair lists
+  // cannot be value-checked cross-engine. What CAN be checked exactly — for
+  // ANY hash function — is the mathematical recall floor on identical
+  // inputs: two documents with identical (text, lang) produce identical
+  // token arrays, hence identical shingle sets, hence identical minhash
+  // signatures / simhash values, hence collide in EVERY band and pass
+  // verification (est_jaccard = 1, hamming = 0). So every identical pair
+  // MUST appear in the output, whatever the hash. The audited `_fast`
+  // queries run the full xxhash pipeline and report that floor:
+  //
+  //   n_docs        — corpus size (cross-engine anchor)
+  //   n_true_pairs  — identical (text, lang) pairs, both engines compute it
+  //   n_true_found  — of those, how many the fast pipeline emitted; the
+  //                   oracle asserts == n_true_pairs (the guarantee above)
+  //
+  // Because the synthetic corpus is nearly duplicate-free at small SF, four
+  // SENTINEL documents (two identical pairs, one multi-span) are unioned in
+  // — the standard seeded-canary recall probe of a production dedup: plant
+  // known duplicates, fail loudly if the pipeline ever stops finding them.
+  // A banding/verification regression (wrong band width, broken signature
+  // agreement, dropped lang block) drives n_true_found below n_true_pairs
+  // and the driver's hash compare fails.
+  // ---------------------------------------------------------------------
+
+  /** 45 tokens → 3 paragraph spans (20/20/5), all ≥ 3 tokens. */
+  private[operators] val SentinelTextA: String =
+    "sentinel alpha corpus canary copy one two three four five six seven " +
+      "eight nine ten eleven twelve thirteen fourteen fifteen sixteen " +
+      "seventeen eighteen nineteen twenty alpha bravo charlie delta echo " +
+      "foxtrot golf hotel india juliet kilo lima mike november oscar papa " +
+      "quebec romeo sierra tango"
+
+  /** 25 tokens → 2 paragraph spans (20/5), both ≥ 3 tokens. */
+  private[operators] val SentinelTextB: String =
+    "zweiter kanarienvogel text kopie eins zwei drei vier fuenf sechs " +
+      "sieben acht neun zehn elf zwoelf dreizehn vierzehn fuenfzehn " +
+      "sechzehn siebzehn achtzehn neunzehn zwanzig ende"
+
+  /** documents ∪ the four sentinel canaries (ids far above any real SF). */
+  private def withSentinels(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val s = Seq(
+      (9000000001L, SentinelTextA, "en"), (9000000002L, SentinelTextA, "en"),
+      (9000000003L, SentinelTextB, "de"), (9000000004L, SentinelTextB, "de"))
+      .toDF("doc_id", "text", "lang")
+    documents.select(col("doc_id"), col("text"), col("lang")).unionByName(s)
+  }
+
+  /** Identical (text, lang) pairs with ≥ 3 tokens (≥ 1 shingle — shorter
+    * docs never sign, so they are outside the recall floor). Joined on the
+    * md5 digest: the shuffle carries 32-byte keys, never bodies — the
+    * dedup_exact discipline.
+    */
+  private def identicalPairs(docs: DataFrame): DataFrame = {
+    val eligible = docs
+      .where(size(split(lower(col("text")), " ")) >= 3)
+      .select(md5(col("text")).as("k"), col("lang"), col("doc_id"))
+    eligible.select(col("k"), col("lang"), col("doc_id").as("doc_id_1"))
+      .join(eligible.select(col("k"), col("lang"), col("doc_id").as("doc_id_2")),
+        Seq("k", "lang"))
+      .where(col("doc_id_1") < col("doc_id_2"))
+      .select(col("doc_id_1"), col("doc_id_2"))
+  }
+
+  /** One-row audit frame: corpus size, truth size, truth recovered. */
+  private def recallFloorAudit(
+      docs: DataFrame, truth: DataFrame, found: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val nTrue = truth.agg(count(lit(1)).as("n_true_pairs"))
+    val nFound = truth.join(found, keys, "left_semi")
+      .agg(count(lit(1)).as("n_true_found"))
+    nDocs.crossJoin(nTrue).crossJoin(nFound)
+  }
+
+  /** `dedup_minhash_lsh_fast`: the xxhash64 production pipeline under the
+    * seeded-recall audit (see block comment above).
+    */
+  def dedupMinhashLshFastAudit(documents: DataFrame): DataFrame = {
+    val docs = withSentinels(documents)
+    recallFloorAudit(docs, identicalPairs(docs),
+      dedupMinhashLsh(docs, fastHash = true), Seq("doc_id_1", "doc_id_2"))
+  }
+
+  /** `dedup_simhash_fast`: xxhash64 simhash under the seeded-recall audit. */
+  def dedupSimhashFastAudit(documents: DataFrame): DataFrame = {
+    val docs = withSentinels(documents)
+    recallFloorAudit(docs, identicalPairs(docs),
+      dedupSimhash(docs, fastHash = true), Seq("doc_id_1", "doc_id_2"))
+  }
+
+  /** `dedup_paragraph_fast`: xxhash64 span dedup under the seeded-recall
+    * audit. Truth = for every identical (text, lang) doc pair, every
+    * paragraph index whose span carries ≥ 3 tokens (arithmetic on the token
+    * count — mirrors [[paragraphs]]' window/cap exactly): identical docs
+    * share every such span pairwise, so each must be recovered.
+    */
+  def dedupParagraphFastAudit(documents: DataFrame): DataFrame = {
+    val docs = withSentinels(documents)
+    val e = docs.select(md5(col("text")).as("k"), col("lang"), col("doc_id"),
+      size(split(lower(col("text")), " ")).cast("long").as("nt"))
+    val pairs = e.select(col("k"), col("lang"), col("doc_id").as("doc_a"), col("nt"))
+      .join(e.select(col("k"), col("lang"), col("doc_id").as("doc_b")), Seq("k", "lang"))
+      .where(col("doc_a") < col("doc_b"))
+    val truth = pairs
+      .select(col("doc_a"), col("doc_b"), col("nt"),
+        explode(sequence(lit(0L),
+          least(ceil(col("nt") / lit(ParaWindow.toDouble)).cast("long"),
+            lit(MaxParas.toLong)) - 1)).as("pi"))
+      .where(least(lit(ParaWindow.toLong), col("nt") - col("pi") * ParaWindow) >= 3)
+      .select(col("doc_a"), col("pi").as("para_a"), col("doc_b"), col("pi").as("para_b"))
+    recallFloorAudit(docs, truth, dedupParagraph(docs, fastHash = true),
+      Seq("doc_a", "para_a", "doc_b", "para_b"))
+  }
+
+  private val sentinelDocsCte: String =
+    s"""docs AS (
+       |  SELECT doc_id, text, lang FROM documents
+       |  UNION ALL
+       |  SELECT * FROM (VALUES
+       |    (9000000001, '$SentinelTextA', 'en'),
+       |    (9000000002, '$SentinelTextA', 'en'),
+       |    (9000000003, '$SentinelTextB', 'de'),
+       |    (9000000004, '$SentinelTextB', 'de')) v(doc_id, text, lang))""".stripMargin
+
+  /** Oracle for the whole-document recall-floor audits: n_true_found equals
+    * n_true_pairs BY THE GUARANTEE — a shortfall on the Spark side is
+    * exactly what the audit exists to catch.
+    */
+  private val recallFloorOracle: String =
+    s"""WITH $sentinelDocsCte,
+       |eligible AS (
+       |  SELECT doc_id, text, lang FROM docs
+       |  WHERE len(string_split(lower(text), ' ')) >= 3),
+       |truth AS (
+       |  SELECT count(*) AS n FROM eligible a JOIN eligible b
+       |    ON a.text = b.text AND a.lang = b.lang AND a.doc_id < b.doc_id)
+       |SELECT (SELECT CAST(count(*) AS BIGINT) FROM docs) AS n_docs,
+       |       CAST(n AS BIGINT) AS n_true_pairs,
+       |       CAST(n AS BIGINT) AS n_true_found
+       |FROM truth""".stripMargin
+
+  private val paragraphRecallFloorOracle: String =
+    s"""WITH $sentinelDocsCte,
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         len(string_split(lower(a.text), ' ')) AS nt
+       |  FROM docs a JOIN docs b
+       |    ON a.text = b.text AND a.lang = b.lang AND a.doc_id < b.doc_id),
+       |spans AS (
+       |  SELECT doc_a, doc_b, nt,
+       |         UNNEST(range(0, LEAST(CAST(CEIL(nt / $ParaWindow.0) AS BIGINT),
+       |                               $MaxParas))) AS pi
+       |  FROM pairs),
+       |truth AS (
+       |  SELECT count(*) AS n FROM spans
+       |  WHERE LEAST($ParaWindow, nt - pi * $ParaWindow) >= 3)
+       |SELECT (SELECT CAST(count(*) AS BIGINT) FROM docs) AS n_docs,
+       |       CAST(n AS BIGINT) AS n_true_pairs,
+       |       CAST(n AS BIGINT) AS n_true_found
+       |FROM truth""".stripMargin
+
   /** Quantized embedding: ARRAY<BIGINT> of round(x * 1e4). */
   private[operators] def quantized(embeddings: DataFrame): DataFrame =
     embeddings.select(
@@ -776,6 +942,11 @@ object Dedup {
     "dedup_clusters" -> clustersOracle,
     "dedup_embedding_lsh" -> embeddingLshOracle,
     "dedup_minhash_lsh" -> minhashOracle,
+    // seeded-recall audits of the xxhash fast twins: the oracle computes
+    // the identical-pair truth and asserts the pipeline recovered ALL of it
+    "dedup_minhash_lsh_fast" -> recallFloorOracle,
+    "dedup_simhash_fast" -> recallFloorOracle,
+    "dedup_paragraph_fast" -> paragraphRecallFloorOracle,
     // the symmetric candidate set restricted to one-new-one-existing pairs,
     // reoriented (new, existing) — value-identical to the asymmetric probe
     "dedup_incremental" ->

@@ -322,6 +322,30 @@ class DedupSpec extends SparkTestBase {
       .exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
   }
 
+  test("seeded-recall audits recover every identical pair, beyond the sentinels") {
+    // a 4-doc identical group (C(4,2)=6 pairs), a 2-doc group, a short doc
+    // (2 tokens — never signs, must be OUTSIDE the truth), plus the 2
+    // sentinel pairs the audit plants itself: truth = 6 + 1 + 2 = 9
+    val group = "identical group text repeated verbatim across several documents today"
+    val df = docs(
+      (1L, group), (2L, group), (3L, group), (4L, group),
+      (5L, unrelated), (6L, unrelated),
+      (7L, "too short"))
+    val mh = Dedup.dedupMinhashLshFastAudit(df).collect().head
+    assert(mh.getAs[Long]("n_docs") == 11L) // 7 + 4 sentinels
+    assert(mh.getAs[Long]("n_true_pairs") == 9L, s"got $mh")
+    assert(mh.getAs[Long]("n_true_found") == 9L, s"got $mh")
+    val sh = Dedup.dedupSimhashFastAudit(df).collect().head
+    assert(sh.getAs[Long]("n_true_pairs") == 9L && sh.getAs[Long]("n_true_found") == 9L,
+      s"got $sh")
+    // paragraph: every doc here is a single span (≤ 20 tokens, ≥ 3 tokens),
+    // so span truth equals pair truth except the sentinels contribute
+    // 3 + 2 = 5 span pairs instead of 2
+    val pa = Dedup.dedupParagraphFastAudit(df).collect().head
+    assert(pa.getAs[Long]("n_true_pairs") == 12L, s"got $pa")
+    assert(pa.getAs[Long]("n_true_found") == 12L, s"got $pa")
+  }
+
   test("text_tfidf_terms ranks distinctive terms above ubiquitous ones") {
     // "zebra" appears once in doc 1 only; "common" appears in every doc —
     // tf equal, so the df difference must decide the ranking
