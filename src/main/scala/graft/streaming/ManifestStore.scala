@@ -34,13 +34,65 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * commits are reclaimed by [[vacuum]], which is pure garbage collection —
   * never part of commit correctness.
   *
-  * Single-writer contract (the streaming query IS the single writer): two
-  * concurrent committers could both write `manifest-<v+1>`; guarding that
-  * needs a conditional PUT / rename-if-absent, which stores expose in
-  * store-specific ways. Matches the reference's model of one cron sync per
-  * table (CLAUDE.md:66-68).
+  * Writer concurrency: the commit point is "make `manifest-<v+1>` visible
+  * IFF it does not already exist". That one primitive is store-specific —
+  * S3 conditional PUT (If-None-Match), GCS `ifGenerationMatch(0)`, HDFS
+  * no-overwrite rename — so it is INJECTABLE via [[CommitIfAbsent]]. The
+  * default ([[RenameIfAbsent]]) is exists-check + rename: atomic on HDFS,
+  * a TOCTOU window on raw-local/object stores, which is exactly the
+  * reference's deployment model of one cron sync per table
+  * (CLAUDE.md:66-68). A deployment with racing writers injects its store's
+  * atomic primitive and the loser gets [[ConcurrentCommitException]] —
+  * its data files stay unreferenced (vacuum food) and it retries against
+  * the new tip. [[LocalLinkIfAbsent]] is the POSIX-atomic variant
+  * (hard-link create) the racing-committers property spec uses.
   */
 object ManifestStore {
+
+  /** Store-specific atomic publish: make `tmp`'s bytes visible at `dest`
+    * iff nothing exists at `dest`. Returns false when a racing committer
+    * already published `dest` (the caller's commit loses).
+    */
+  trait CommitIfAbsent {
+    def apply(f: FileSystem, tmp: Path, dest: Path): Boolean
+  }
+
+  /** Default publish: exists-check then rename. Atomic on HDFS (rename
+    * refuses an existing destination); raw-local and object-store renames
+    * can overwrite, leaving a TOCTOU window — fine under the single-writer
+    * deployment, inject a real conditional PUT otherwise.
+    */
+  object RenameIfAbsent extends CommitIfAbsent {
+    def apply(f: FileSystem, tmp: Path, dest: Path): Boolean =
+      if (f.exists(dest)) false
+      else if (f.rename(tmp, dest)) true
+      else throw new java.io.IOException(s"manifest publish rename failed: $dest")
+  }
+
+  /** POSIX-atomic publish for `file:` roots: hard-link create fails iff the
+    * destination exists — a true conditional PUT on a local filesystem.
+    */
+  object LocalLinkIfAbsent extends CommitIfAbsent {
+    def apply(f: FileSystem, tmp: Path, dest: Path): Boolean = {
+      val tmpFile = java.nio.file.Paths.get(f.makeQualified(tmp).toUri)
+      val destFile = java.nio.file.Paths.get(f.makeQualified(dest).toUri)
+      try {
+        java.nio.file.Files.createLink(destFile, tmpFile)
+        f.delete(tmp, false)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    }
+  }
+
+  /** A racing committer already published this version; retry against the
+    * new tip (the lost commit's data files are unreferenced — vacuum food).
+    */
+  final class ConcurrentCommitException(version: Long)
+    extends java.io.IOException(
+      s"manifest-$version already committed by a concurrent writer; " +
+        "re-read the tip and retry")
 
   final case class Manifest(version: Long, buckets: SortedMap[Int, String]) {
     /** Absolute data paths for `touched` buckets present in the table. */
@@ -77,8 +129,10 @@ object ManifestStore {
 
   /** Resolve the table AT a specific committed version — manifests are
     * immutable, so any version's file list stays readable until [[vacuum]]
-    * reclaims its superseded data dirs (the retention window is the
-    * operator's vacuum cadence, the standard time-travel contract).
+    * reclaims it: vacuum keeps the newest `keepVersions` manifests (and
+    * every data dir any of them references), so time travel is valid for
+    * exactly that window × the operator's vacuum cadence — the standard
+    * retention contract.
     */
   def readVersion(root: String, version: Long, conf: Configuration): Manifest =
     read(root, version, conf)
@@ -109,7 +163,8 @@ object ManifestStore {
       root: String,
       newDirs: Map[Int, String],
       base: Option[Manifest],
-      conf: Configuration): Manifest = {
+      conf: Configuration,
+      publish: CommitIfAbsent = RenameIfAbsent): Manifest = {
     val version = base.map(_.version + 1).getOrElse(0L)
     val merged = base.map(_.buckets).getOrElse(SortedMap.empty[Int, String]) ++ newDirs
     val body = (s"version=$version" +:
@@ -124,27 +179,42 @@ object ManifestStore {
     // can never observe a partial manifest either way. Direct create at
     // the final name would be fine on S3 but could expose a half-written
     // file on POSIX.
-    val tmp = new Path(dir, s".manifest-$version.inprogress")
+    // unique temp per committer so racing writers never clobber each
+    // other's in-flight bytes before the publish step decides the winner
+    val tmp = new Path(dir,
+      s".manifest-$version.${java.util.UUID.randomUUID().toString.take(8)}.inprogress")
     val out = f.create(tmp, true)
     try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    if (!f.rename(tmp, new Path(dir, s"manifest-$version")))
-      throw new java.io.IOException(s"manifest commit rename failed for v$version")
+    if (!publish(f, tmp, new Path(dir, s"manifest-$version"))) {
+      f.delete(tmp, false)
+      throw new ConcurrentCommitException(version)
+    }
     Manifest(version, merged)
   }
 
   /** Fresh table-relative data directory for one commit's files. */
   def newCommitDir(): String = s"data/${java.util.UUID.randomUUID().toString.take(12)}"
 
-  /** Garbage-collect data directories no longer referenced by the LATEST
-    * manifest (crashed commits, superseded bucket versions) and superseded
-    * manifest files. Pure cleanup — correctness never depends on it; unsafe
-    * only for readers pinned to old versions (time travel), which this
-    * store does not offer.
+  /** Garbage-collect everything outside the retention window: keep the
+    * newest `keepVersions` manifests and every data directory ANY retained
+    * manifest references; delete the rest (crashed commits' orphans,
+    * superseded bucket versions, older manifests). Pure cleanup —
+    * correctness never depends on it. The retention window IS the
+    * time-travel contract: [[readVersion]] serves any version whose
+    * manifest a vacuum has not yet dropped, so `keepVersions` × the vacuum
+    * cadence bounds how far back readers can pin.
     */
-  def vacuum(root: String, conf: Configuration): Unit = {
+  def vacuum(root: String, conf: Configuration, keepVersions: Int = 1): Unit = {
+    require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
     val f = fs(root, conf)
     readLatest(root, conf).foreach { m =>
-      val referenced = m.buckets.values.map(rel => rel.split('/')(1)).toSet
+      val keepFrom = m.version - (keepVersions - 1)
+      // versions inside the window may already be gone (a previous vacuum
+      // with a smaller window) — retain whatever still resolves
+      val retained = (keepFrom.max(0L) to m.version).flatMap(v =>
+        scala.util.Try(read(root, v, conf)).toOption)
+      val referenced = retained
+        .flatMap(_.buckets.values.map(rel => rel.split('/')(1))).toSet
       val dataDir = new Path(root, "data")
       if (f.exists(dataDir)) f.listStatus(dataDir).foreach { st =>
         if (!referenced.contains(st.getPath.getName)) f.delete(st.getPath, true)
@@ -152,7 +222,7 @@ object ManifestStore {
       val mDir = manifestDir(root)
       f.listStatus(mDir).foreach { st =>
         st.getPath.getName match {
-          case ManifestName(v) if v.toLong < m.version => f.delete(st.getPath, false)
+          case ManifestName(v) if v.toLong < keepFrom => f.delete(st.getPath, false)
           case _ => ()
         }
       }

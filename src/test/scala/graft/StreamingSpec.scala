@@ -255,6 +255,72 @@ class StreamingSpec extends SparkTestBase {
     assert(after == Map(1L -> "a2", 2L -> "b2", 3L -> "c"))
   }
 
+  test("manifest racing committers: exactly one wins, loser fails cleanly, tip is the winner") {
+    import graft.streaming.ManifestStore
+    val conf = spark.sparkContext.hadoopConfiguration
+    (1 to 20).foreach { trial =>
+      val root = Files.createTempDirectory("graft_race").toFile.getAbsolutePath
+      val base = Some(ManifestStore.commit(
+        root, Map(0 -> "data/seed/__bucket=0"), None, conf))
+      val latch = new java.util.concurrent.CountDownLatch(1)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      val futures = (1 to 2).map { w =>
+        pool.submit(new java.util.concurrent.Callable[Either[Throwable, ManifestStore.Manifest]] {
+          def call(): Either[Throwable, ManifestStore.Manifest] = {
+            latch.await()
+            try Right(ManifestStore.commit(root,
+              Map(w -> s"data/w$w/__bucket=$w"), base, conf,
+              ManifestStore.LocalLinkIfAbsent))
+            catch { case t: Throwable => Left(t) }
+          }
+        })
+      }
+      latch.countDown()
+      val outs = futures.map(_.get())
+      pool.shutdown()
+      val wins = outs.collect { case Right(m) => m }
+      val losses = outs.collect { case Left(t) => t }
+      assert(wins.size == 1, s"trial $trial: expected exactly one winner, got $outs")
+      assert(losses.forall(_.isInstanceOf[ManifestStore.ConcurrentCommitException]),
+        s"trial $trial: loser must fail with ConcurrentCommitException, got $losses")
+      val tip = ManifestStore.readLatest(root, conf).get
+      assert(tip.version == 1L && tip.buckets == wins.head.buckets,
+        s"trial $trial: tip must be the winner's manifest")
+      // no in-progress temp left behind by either side
+      val leftovers = new java.io.File(s"$root/manifests").listFiles()
+        .map(_.getName).filter(_.endsWith(".inprogress"))
+      assert(leftovers.isEmpty, s"trial $trial: leaked temps $leftovers")
+    }
+  }
+
+  test("vacuum retention window keeps N versions resolvable (time travel contract)") {
+    import graft.streaming.ManifestStore
+    val root = Files.createTempDirectory("graft_retention").toFile.getAbsolutePath
+    val conf = spark.sparkContext.hadoopConfiguration
+    def writeDir(rel: String): Unit = {
+      val d = new java.io.File(s"$root/$rel"); d.mkdirs()
+      Files.write(new java.io.File(d, "part-0.bin").toPath, Array[Byte](1, 2, 3))
+    }
+    val dirs = (0 to 2).map { v =>
+      val c = ManifestStore.newCommitDir()
+      writeDir(s"$c/__bucket=0")
+      ManifestStore.commit(root, Map(0 -> s"$c/__bucket=0"),
+        ManifestStore.readLatest(root, conf), conf)
+      c.split('/')(1)
+    }
+    def dataDirs = new java.io.File(s"$root/data").listFiles().map(_.getName).toSet
+    ManifestStore.vacuum(root, conf, keepVersions = 2)
+    assert(dataDirs == Set(dirs(1), dirs(2)), s"keep=2 data: $dataDirs")
+    // v1 and v2 stay resolvable; v0's manifest is gone
+    assert(ManifestStore.readVersion(root, 1L, conf).buckets(0).contains(dirs(1)))
+    assert(ManifestStore.readVersion(root, 2L, conf).buckets(0).contains(dirs(2)))
+    intercept[Exception](ManifestStore.readVersion(root, 0L, conf))
+    // default keep=1 then reclaims v1 (a shrinking window over a gap is fine)
+    ManifestStore.vacuum(root, conf)
+    assert(dataDirs == Set(dirs(2)), s"keep=1 data: $dataDirs")
+    assert(ManifestStore.readLatest(root, conf).get.version == 2L)
+  }
+
   test("stream-stream join pairs rows across runs from buffered state; late side drops") {
     import graft.streaming.StreamJoin
     val root = Files.createTempDirectory("graft_ssjoin").toFile.getAbsolutePath
