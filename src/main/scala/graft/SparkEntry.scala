@@ -152,6 +152,7 @@ object SparkEntry {
     "period_compare" -> ((s, d) => Reshape.periodCompare(Tables.events(s, d))),
     "autocorr" -> ((s, d) => Reshape.autocorr(Tables.trends(s, d))),
     "stats_tests" -> ((s, d) => Reshape.statsTests(Tables.trends(s, d))),
+    "ts_gapfill" -> ((s, d) => Reshape.tsGapfill(Tables.events(s, d))),
     // §2.11 enrichment UDFs
     "udf_sentiment" -> ((s, d) => Enrich.udfSentiment(Tables.documents(s, d))),
     "udf_clean_html" -> ((s, d) => Enrich.udfCleanHtml(Tables.part(s, d))),
@@ -163,6 +164,7 @@ object SparkEntry {
     // text-format ingestion round trips (explicit schema, FAILFAST)
     "csv_ingest" -> ((s, d) => graft.sources.FileFormats.csvIngest(s, Tables.events(s, d))),
     "json_ingest" -> ((s, d) => graft.sources.FileFormats.jsonIngest(s, Tables.events(s, d))),
+    "orc_ingest" -> ((s, d) => graft.sources.FileFormats.orcIngest(s, Tables.events(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.dedupNgramJaccard(Tables.documents(s, d))),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.dedupMinhashLsh(Tables.documents(s, d))),
     "dedup_paragraph" -> ((s, d) => Dedup.dedupParagraph(Tables.documents(s, d))),
@@ -223,6 +225,8 @@ object SparkEntry {
     "text_top_terms" -> ((s, d) => TextAnalysis.textTopTerms(Tables.documents(s, d))),
     // first k BPE merge rules learned over the corpus (tokenizer training)
     "bpe_train_merges" -> ((s, d) => TextAnalysis.bpeTrainMerges(Tables.documents(s, d))),
+    "bpe_encode" -> ((s, d) => TextAnalysis.bpeEncode(Tables.documents(s, d))),
+    "bpe_token_count" -> ((s, d) => TextAnalysis.bpeTokenCount(Tables.documents(s, d))),
     // per-source percentile calibration of the quality score
     "quality_calibrate" -> ((s, d) => TextAnalysis.qualityCalibrate(Tables.documents(s, d))),
     "text_top_terms_sketch" -> ((s, d) =>

@@ -191,9 +191,52 @@ object Reshape {
       ((m1 - m2) / safeDen(sqrt(v1 / d(col("n1")) + v2 / d(col("n2"))))).as("weekend_t_stat"))
   }
 
+  /** `ts_gapfill`: zero-filled daily (event_type, day) counts/sums over the
+    * full observed date range — the serve-layer "no missing x-axis points"
+    * contract every dashboard in the reference implicitly relies on
+    * (pandas `.resample('D').sum()` / reindex fills; e.g.
+    * pages/Oura_Investigation.py builds daily series before charting).
+    *
+    * Scale shape: the only corpus-sized work is ONE (type, day) aggregate.
+    * The spine is dimension-sized — a single-row global bounds aggregate
+    * exploded into the day axis, cross-joined with the distinct-type dim —
+    * and the fill join is spine-vs-aggregated-counts, both tiny relative to
+    * the corpus, so Spark broadcasts them; no second corpus shuffle.
+    */
+  def tsGapfill(events: DataFrame): DataFrame = {
+    val counts = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(Num.cents(col("value"))).as("value_cents"))
+    val bounds = events.agg(to_date(min(col("ts"))).as("lo"), to_date(max(col("ts"))).as("hi"))
+    // sequence(date, date) steps 1 day; empty input => NULL bounds => no rows
+    val days = bounds.select(explode(sequence(col("lo"), col("hi"))).as("day"))
+    val spine = events.select(col("event_type")).distinct().crossJoin(days)
+    spine.join(counts, Seq("event_type", "day"), "left")
+      .select(
+        col("event_type"), col("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        (d(coalesce(col("value_cents"), lit(0L))) / 100.0).as("value_sum"))
+  }
+
   private val trendsCte = graft.sources.Tables.trendsSql
 
   val oracles: Map[String, String] = Map(
+    "ts_gapfill" ->
+      """WITH counts AS (
+        |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |         COUNT(*) AS n_events,
+        |         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM counts),
+        |days AS (SELECT CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+        |         FROM bounds),
+        |types AS (SELECT DISTINCT event_type FROM events)
+        |SELECT t.event_type, d.day,
+        |       COALESCE(c.n_events, 0) AS n_events,
+        |       CAST(COALESCE(c.value_cents, 0) AS DOUBLE) / 100.0 AS value_sum
+        |FROM types t CROSS JOIN days d
+        |LEFT JOIN counts c ON c.event_type = t.event_type AND c.day = d.day""".stripMargin,
     "pivot_assignee" ->
       """WITH j AS (
         |  SELECT c_mktsegment AS segment, o_orderpriority AS priority,

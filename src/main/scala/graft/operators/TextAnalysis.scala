@@ -208,13 +208,25 @@ object TextAnalysis {
     */
   def bpeTrainMerges(documents: DataFrame, k: Int = 3): DataFrame = {
     val spark = documents.sparkSession
+    import spark.implicits._
+    bpeRun(documents, k)._1.toDF("merge_rank", "pair", "merged", "pair_count")
+  }
+
+  /** Shared BPE state machine: the training loop, returning both the
+    * learned rules AND the final (w, freq, seq) vocabulary frame with all
+    * k rules applied — the trained tokenizer's segmentation of every
+    * corpus word, which [[bpeEncode]] / [[bpeTokenCount]] reuse.
+    */
+  private def bpeRun(documents: DataFrame,
+      k: Int): (Seq[(Long, String, String, Long)], DataFrame) = {
+    val spark = documents.sparkSession
     val words = documents
       .select(explode(split(lower(col("text")), " ")).as("w"))
       .where(col("w").rlike("^[a-z]+$"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
     // " a b c " — sentinel spaces make every adjacency a ' x y ' literal.
     // The ONLY corpus-wide evaluation: everything after iterates this leaf.
-    var seqs = words.select(col("freq"),
+    var seqs = words.select(col("w"), col("freq"),
       concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")).as("seq"))
       .localCheckpoint(true)
     val pairsOf = {
@@ -238,16 +250,54 @@ object TextAnalysis {
         val (pair, cnt) = (best.getString(0), best.getLong(1))
         val merged = pair.replace(" ", "")
         // apply + re-materialize so round r+1 aggregates a leaf, not a
-        // replace chain; skipped after the last rule (result unused)
-        if (rank < k)
-          seqs = seqs.withColumn("seq",
-            expr(s"replace(seq, ' $pair ', ' $merged ')"))
-            .localCheckpoint(true)
+        // replace chain (rank k included: encode consumers need the final
+        // state; one extra vocabulary-sized projection)
+        seqs = seqs.withColumn("seq",
+          expr(s"replace(seq, ' $pair ', ' $merged ')"))
+          .localCheckpoint(true)
         (rank.toLong, pair, merged, cnt)
       }
-      import spark.implicits._
-      rules.toDF("merge_rank", "pair", "merged", "pair_count")
+      (rules, seqs)
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  /** `bpe_encode`: the trained tokenizer as a TABLE — every corpus word's
+    * BPE segmentation after the k learned rules (rank order, each a
+    * leftmost non-overlapping sentinel-space replace, the exact semantics
+    * training itself applies between rounds and the oracle mirrors). This
+    * is the artifact a tokenizer-training pipeline publishes: vocabulary →
+    * segmentation → token count, joinable back to any corpus.
+    *
+    * Scale: output is vocabulary-sized; the corpus enters once through
+    * [[bpeRun]]'s initial word-frequency aggregate.
+    */
+  def bpeEncode(documents: DataFrame, k: Int = 3): DataFrame =
+    bpeRun(documents, k)._2.select(
+      col("w").as("word"), col("freq"),
+      size(split(trim(col("seq")), " ")).cast("long").as("n_tokens"),
+      trim(col("seq")).as("encoding"))
+
+  /** `bpe_token_count`: per-document token-budget accounting under the
+    * trained tokenizer — docs re-tokenized to words, joined to the
+    * vocabulary's segmentation, summed per doc; docs with no in-vocabulary
+    * words report 0, not NULL (the budget ledger must cover every doc).
+    *
+    * Scale: the join is corpus-explode vs VOCABULARY — broadcast by
+    * stats at any realistic vocabulary (Heaps' law keeps distinct words
+    * sublinear in corpus size); were the vocabulary to outgrow broadcast,
+    * Spark falls back to a hash join shuffled on the word key, which is
+    * still the right co-location.
+    */
+  def bpeTokenCount(documents: DataFrame, k: Int = 3): DataFrame = {
+    val enc = bpeRun(documents, k)._2.select(col("w"),
+      size(split(trim(col("seq")), " ")).cast("long").as("n_tokens"))
+    val docWords = documents
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+      .where(col("w").rlike("^[a-z]+$"))
+    val perDoc = docWords.join(broadcast(enc), "w")
+      .groupBy(col("doc_id")).agg(sum(col("n_tokens")).as("n"))
+    documents.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n"), lit(0L)).as("n_bpe_tokens"))
   }
 
   /** `text_top_terms_sketch`: [[textTopTerms]] through the Misra-Gries
@@ -497,6 +547,8 @@ object TextAnalysis {
     "text_top_terms_sketch" -> topTermsOracle,
     "text_top_terms" -> topTermsOracle,
     "bpe_train_merges" -> bpeOracle(3),
+    "bpe_encode" -> bpeEncodeOracle(3),
+    "bpe_token_count" -> bpeTokenCountOracle(3),
     "quality_calibrate" ->
       s"""WITH q AS ($qualityScoreSql)
          |SELECT d.doc_id, d.source, q.quality_score,
@@ -553,7 +605,12 @@ object TextAnalysis {
     * winner b(r) by (count desc, pair asc), and s(r) with the rule applied
     * — mirroring the Spark loop's replace on the sentinel-padded string.
     */
-  private def bpeOracle(k: Int): String = {
+  /** Shared CTE prefix for the BPE oracles: words → s0 (sentinel-space
+    * char sequences, `w` carried through) → per-round (pair counts p_r,
+    * winner b_r, applied state s_r) for r = 1..k — the SQL twin of
+    * [[bpeRun]].
+    */
+  private def bpeCtes(k: Int): String = {
     val rounds = (1 to k).map { r =>
       s"""p$r AS (
          |  SELECT pair, SUM(freq) AS cnt FROM (
@@ -565,24 +622,49 @@ object TextAnalysis {
          |  SELECT pair, replace(pair, ' ', '') AS merged, cnt
          |  FROM p$r ORDER BY cnt DESC, pair LIMIT 1),
          |s$r AS (
-         |  SELECT freq, replace(seq, ' ' || (SELECT pair FROM b$r) || ' ',
+         |  SELECT w, freq, replace(seq, ' ' || (SELECT pair FROM b$r) || ' ',
          |    ' ' || (SELECT merged FROM b$r) || ' ') AS seq
          |  FROM s${r - 1})""".stripMargin
     }.mkString(",\n")
-    val out = (1 to k).map(r =>
-      s"""SELECT CAST($r AS BIGINT) AS merge_rank, pair, merged,
-         |       CAST(cnt AS BIGINT) AS pair_count FROM b$r""".stripMargin)
-      .mkString("\nUNION ALL\n")
-    s"""WITH words AS (
+    s"""words AS (
        |  SELECT w, COUNT(*) AS freq FROM (
        |    SELECT UNNEST(string_split(lower(text), ' ')) AS w FROM documents)
        |  WHERE regexp_matches(w, '^[a-z]+${"$"}') GROUP BY 1),
        |s0 AS (
-       |  SELECT freq, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS seq
+       |  SELECT w, freq, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS seq
        |  FROM words),
-       |$rounds
-       |$out""".stripMargin
+       |$rounds""".stripMargin
   }
+
+  private def bpeOracle(k: Int): String = {
+    val out = (1 to k).map(r =>
+      s"""SELECT CAST($r AS BIGINT) AS merge_rank, pair, merged,
+         |       CAST(cnt AS BIGINT) AS pair_count FROM b$r""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"WITH ${bpeCtes(k)}\n$out"
+  }
+
+  private def bpeEncodeOracle(k: Int): String =
+    s"""WITH ${bpeCtes(k)}
+       |SELECT w AS word, CAST(freq AS BIGINT) AS freq,
+       |       CAST(len(string_split(trim(seq), ' ')) AS BIGINT) AS n_tokens,
+       |       trim(seq) AS encoding
+       |FROM s$k""".stripMargin
+
+  private def bpeTokenCountOracle(k: Int): String =
+    s"""WITH ${bpeCtes(k)},
+       |enc AS (
+       |  SELECT w, CAST(len(string_split(trim(seq), ' ')) AS BIGINT) AS n_tokens
+       |  FROM s$k),
+       |docw AS (
+       |  SELECT doc_id, w FROM (
+       |    SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS w FROM documents)
+       |  WHERE regexp_matches(w, '^[a-z]+${"$"}')),
+       |per AS (
+       |  SELECT doc_id, CAST(SUM(n_tokens) AS BIGINT) AS n
+       |  FROM docw JOIN enc USING (w) GROUP BY 1)
+       |SELECT d.doc_id, COALESCE(per.n, 0) AS n_bpe_tokens
+       |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id""".stripMargin
 
   private lazy val topTermsOracle: String =
     """WITH e AS (

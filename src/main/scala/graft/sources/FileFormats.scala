@@ -52,6 +52,18 @@ object FileFormats {
       .json(path)
   }
 
+  /** `orc_ingest`: ORC round trip. Unlike the text formats, ORC carries its
+    * own schema + column statistics, so the explicit read schema acts as a
+    * contract ASSERTION (names/types must line up) rather than inference
+    * avoidance; predicate pushdown against ORC row-group stats works the
+    * same way it does for parquet.
+    */
+  def orcIngest(spark: SparkSession, events: DataFrame): DataFrame = {
+    val path = graft.Scratch.dir(spark, "orc_ingest")
+    canonical(events).write.mode("overwrite").orc(path)
+    spark.read.schema(schema).orc(path)
+  }
+
   private val roundTripOracle =
     """SELECT event_id, user_id, event_type,
       |       CAST(ROUND(value * 100) AS BIGINT) AS value_cents
@@ -60,5 +72,6 @@ object FileFormats {
   val oracles: Map[String, String] = Map(
     // both round trips must land exactly the canonical projection
     "csv_ingest" -> roundTripOracle,
-    "json_ingest" -> roundTripOracle)
+    "json_ingest" -> roundTripOracle,
+    "orc_ingest" -> roundTripOracle)
 }

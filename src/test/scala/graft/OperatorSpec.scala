@@ -373,6 +373,30 @@ class OperatorSpec extends SparkTestBase {
         "— the vocabulary frame is no longer materialized once")
   }
 
+  test("BPE encode + token count: hand-computed segmentations after 3 rules") {
+    // same corpus as the rules test: learned rules are
+    //   1: "a a"->aa   2: "a b"->ab   3: "aa ab"->aaab
+    // encode traces (leftmost non-overlapping per rule, rank order):
+    //   aaab: " a a a b " -r1-> " aa a b " -r2-> " aa ab " -r3-> " aaab "
+    //   ab:   " a b "     -r2-> " ab "
+    //   x:    " x "       (no rule applies)
+    val docs = Seq((1L, "aaab x", "en"), (2L, "aaab", "en"), (3L, "ab", "en"))
+      .toDF("doc_id", "text", "lang")
+    val enc = graft.operators.TextAnalysis.bpeEncode(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(enc == Map(
+      "aaab" -> ((2L, 1L, "aaab")),
+      "ab" -> ((1L, 1L, "ab")),
+      "x" -> ((1L, 1L, "x"))), s"got $enc")
+    // per-doc budgets: doc1 = aaab(1) + x(1); a doc with no [a-z]+ words
+    // must still appear with 0
+    val withEmpty = docs.union(Seq((4L, "123 456", "en")).toDF("doc_id", "text", "lang"))
+    val counts = graft.operators.TextAnalysis.bpeTokenCount(withEmpty).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts == Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 0L), s"got $counts")
+  }
+
   test("graph_centrality survives convergence-depth iteration counts (constant-size plans)") {
     // 16 rounds: without per-round localCheckpoint the plan nests 16 joins
     // deep and analysis time explodes; with it, each round is leaf-sized.
@@ -436,5 +460,39 @@ class OperatorSpec extends SparkTestBase {
     // NULL input → NULL output
     val n = Seq[Option[String]](None).toDF("s")
     assert(n.select(rolling_hash(col("s"))).collect().head.isNullAt(0))
+  }
+
+  test("ts_gapfill zero-fills every (type, day) hole across the full range") {
+    val df = Seq(
+      // type a: days 1 and 4 present, 2-3 are holes
+      (1L, Timestamp.valueOf("2024-01-01 09:00:00"), 5L, "a", 1.00, "{}"),
+      (2L, Timestamp.valueOf("2024-01-04 23:59:59"), 5L, "a", 2.50, "{}"),
+      (3L, Timestamp.valueOf("2024-01-04 00:00:00"), 6L, "a", 0.50, "{}"),
+      // type b: only day 2 — its days 1, 3, 4 must still appear as zeros
+      (4L, Timestamp.valueOf("2024-01-02 12:00:00"), 7L, "b", 4.00, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Reshape.tsGapfill(df)
+      .as[(String, java.sql.Date, Long, Double)].collect()
+      .map { case (t, day, n, v) => ((t, day.toString), (n, v)) }.toMap
+    assert(out.size == 8) // 2 types x 4 days, no extras
+    assert(out(("a", "2024-01-01")) == ((1L, 1.00)))
+    assert(out(("a", "2024-01-02")) == ((0L, 0.0)))
+    assert(out(("a", "2024-01-03")) == ((0L, 0.0)))
+    assert(out(("a", "2024-01-04")) == ((2L, 3.00)))
+    assert(out(("b", "2024-01-02")) == ((1L, 4.00)))
+    assert(out(("b", "2024-01-01")) == ((0L, 0.0)))
+    // empty input: NULL bounds must yield an empty frame, not a crash
+    assert(Reshape.tsGapfill(df.limit(0)).count() == 0)
+  }
+
+  test("orc_ingest round-trips the canonical event projection value-exactly") {
+    val events = graft.sources.Tables.events(spark, sf)
+    val back = graft.sources.FileFormats.orcIngest(spark, events)
+    val want = events.select(col("event_id"), col("user_id"), col("event_type"),
+      graft.functions.Num.cents(col("value")).as("value_cents"))
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      want.schema.map(f => (f.name, f.dataType)))
+    assert(back.count() == want.count())
+    assert(back.exceptAll(want).isEmpty && want.exceptAll(back).isEmpty)
   }
 }
