@@ -182,6 +182,7 @@ object SparkEntry {
     "graph_centrality" -> ((s, d) => Similarity.graphCentrality(Tables.embeddings(s, d))),
     "embed_pq" -> ((s, d) => Similarity.embedPq(Tables.embeddings(s, d))),
     "sim_search_pq" -> ((s, d) => Similarity.simSearchPq(Tables.embeddings(s, d))),
+    "sim_search_ivfpq" -> ((s, d) => Similarity.simSearchIvfPq(Tables.embeddings(s, d))),
     "embed_kmeans" -> ((s, d) => Similarity.embedKmeans(Tables.embeddings(s, d))),
     // SemDeDup-style cluster-representative selection (one keeper/cluster)
     "dedup_semantic" -> ((s, d) => Similarity.dedupSemantic(Tables.embeddings(s, d))),

@@ -331,40 +331,7 @@ object Similarity {
       val coded = (0 until m).foldLeft(corpus: DataFrame) { (df, si) =>
         df.withColumn(s"code_$si", clusterCol(codebooks(si), s"qs_$si"))
       }
-      // per-query LUTs: ||q_si||² − 2·q_si·c + ||c||² for each centroid,
-      // exact integers (same scale as the codes' argmin). Computed DRIVER-
-      // side over the Q query vectors × the already-driver-resident
-      // codebook model — the ANN serving shape (at query time the query IS
-      // on the driver), and Q·m·k integers is model-sized like the IVF
-      // centroids. This also keeps the m·k dot products OUT of the
-      // generated code: as column expressions they compiled into a
-      // janino unit that cost more wall-clock than the whole scan at
-      // bench scale, paid again whenever the codegen cache rotates.
-      val queryRows = corpus.where(col("vec_id") < 10)
-        .select(col("vec_id") +: (0 until m).map(si => col(s"qs_$si")): _*)
-        .collect()
-      val spark = embeddings.sparkSession
-      val lutSchema = org.apache.spark.sql.types.StructType(
-        org.apache.spark.sql.types.StructField("query_id",
-          org.apache.spark.sql.types.LongType, nullable = false) +:
-          (0 until m).map(si => org.apache.spark.sql.types.StructField(s"lut_$si",
-            org.apache.spark.sql.types.ArrayType(
-              org.apache.spark.sql.types.LongType), nullable = false)))
-      val lutRows: java.util.List[org.apache.spark.sql.Row] =
-        java.util.Arrays.asList(queryRows.map { r =>
-          val luts = (0 until m).map { si =>
-            val qs = r.getSeq[Long](1 + si).toArray
-            val qn = qs.map(x => x * x).sum
-            codebooks(si).map { c =>
-              var dot = 0L
-              var i = 0
-              while (i < qs.length) { dot += qs(i) * c(i); i += 1 }
-              qn - 2 * dot + c.map(v => v * v).sum
-            }.toSeq
-          }
-          org.apache.spark.sql.Row.fromSeq(r.getLong(0) +: luts)
-        }: _*)
-      val queries = spark.createDataFrame(lutRows, lutSchema)
+      val queries = pqQueryLuts(corpus, codebooks, m)
       val adc = (0 until m).map(si =>
         element_at(col(s"lut_$si"), (col(s"code_$si") + 1).cast("int")))
         .reduce(_ + _)
@@ -377,6 +344,97 @@ object Similarity {
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
           col("adc"), col("rank").cast("long").as("rank"))
     } finally corpus.unpersist()
+  }
+
+  /** Per-query ADC lookup tables, built DRIVER-side: ||q_si||² − 2·q_si·c
+    * + ||c||² for each codebook centroid, exact integers (same scale as
+    * the codes' argmin). Driver-side because at query time the query IS on
+    * the driver (the ANN serving shape), and Q·m·k integers is model-sized
+    * like the IVF centroids. This also keeps the m·k dot products OUT of
+    * the generated code: as column expressions they compiled into a janino
+    * unit that cost more wall-clock than the whole scan at bench scale,
+    * paid again whenever the codegen cache rotates. Returns
+    * (query_id, lut_0..lut_{m-1}) for the vec_id < 10 query set.
+    */
+  private def pqQueryLuts(
+      corpus: DataFrame, codebooks: Seq[Seq[Array[Long]]], m: Int): DataFrame = {
+    val queryRows = corpus.where(col("vec_id") < 10)
+      .select(col("vec_id") +: (0 until m).map(si => col(s"qs_$si")): _*)
+      .collect()
+    val spark = corpus.sparkSession
+    val lutSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("query_id",
+        org.apache.spark.sql.types.LongType, nullable = false) +:
+        (0 until m).map(si => org.apache.spark.sql.types.StructField(s"lut_$si",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType), nullable = false)))
+    val lutRows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(queryRows.map { r =>
+        val luts = (0 until m).map { si =>
+          val qs = r.getSeq[Long](1 + si).toArray
+          val qn = qs.map(x => x * x).sum
+          codebooks(si).map { c =>
+            var dot = 0L
+            var i = 0
+            while (i < qs.length) { dot += qs(i) * c(i); i += 1 }
+            qn - 2 * dot + c.map(v => v * v).sum
+          }.toSeq
+        }
+        org.apache.spark.sql.Row.fromSeq(r.getLong(0) +: luts)
+      }: _*)
+    spark.createDataFrame(lutRows, lutSchema)
+  }
+
+  /** `sim_search_ivfpq`: the IVF × PQ composition — the architecture every
+    * production-scale ANN index ships (FAISS `IVFPQ`, Jégou et al. 2011,
+    * "Product quantization for nearest neighbor search", public): the
+    * coarse full-vector k-means restricts each query's candidates to its
+    * OWN inverted list ([[simSearchIvf]]'s shape — the scan touches ~1/k of
+    * the corpus), and within the list candidates are ranked by PQ
+    * asymmetric distance ([[simSearchPq]]'s shape — four LUT lookups per
+    * candidate, only the code columns read, never the vectors). This demo
+    * codes raw vectors, not residuals (the residual refinement needs
+    * per-list codebooks; the candidate/rank plumbing is identical).
+    *
+    * Scale: at 100 TB the corpus is stored `partitionBy(cluster)` with
+    * only (vec_id, cluster, code) in the hot table — the broadcast query
+    * set prunes to the probed partitions, the ADC scan reads 12 bits per
+    * candidate, and nothing shuffles (the top-k plans through TopKPerKey
+    * via the rank-limit rewrite). Both stages reuse the exact integer
+    * k-means, so the whole composition is oracle-exact.
+    */
+  def simSearchIvfPq(embeddings: DataFrame, kClusters: Int = 16, m: Int = 4,
+      k: Int = 8, topK: Int = 5): DataFrame = {
+    val sub = 64 / m
+    val full = prep(embeddings).cache()
+    try {
+      val coarse = trainKmeans(full, kClusters, 2)
+      val corpus = full.select(
+        col("vec_id") +: clusterCol(coarse).as("cluster") +:
+          (0 until m).map(si => slice(col("q"), si * sub + 1, sub).as(s"qs_$si")): _*)
+        .cache()
+      try {
+        val codebooks =
+          trainKmeansMulti(corpus, k, 2, (0 until m).map(si => s"qs_$si"), sub)
+        val coded = (0 until m).foldLeft(corpus: DataFrame) { (df, si) =>
+          df.withColumn(s"code_$si", clusterCol(codebooks(si), s"qs_$si"))
+        }
+        val queries = corpus.where(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("cluster"))
+          .join(pqQueryLuts(corpus, codebooks, m), "query_id")
+        val adc = (0 until m).map(si =>
+          element_at(col(s"lut_$si"), (col(s"code_$si") + 1).cast("int")))
+          .reduce(_ + _)
+        val w = Window.partitionBy("query_id").orderBy(col("adc"), col("vec_id"))
+        coded.join(broadcast(queries), Seq("cluster"))
+          .where(col("vec_id") =!= col("query_id"))
+          .withColumn("adc", adc)
+          .withColumn("rank", row_number().over(w))
+          .where(col("rank") <= topK)
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            col("cluster"), col("adc"), col("rank").cast("long").as("rank"))
+      } finally corpus.unpersist()
+    } finally full.unpersist()
   }
 
   /** `knn_graph`: top-k neighbor list for EVERY corpus vector — the
@@ -457,26 +515,33 @@ object Similarity {
     * real corpus.
     *
     * Lineage discipline (the [[graft.operators.Dedup.dedupClusters]]
-    * pattern): the loop-invariant degree table and vertex set are
-    * `localCheckpoint(eager)`-materialized once, and every iterate is
-    * re-checkpointed, so the round-r plan is three leaves and two joins no
-    * matter how large r is — without this, convergence-style iteration
-    * counts nest r joins deep and analysis time blows up in r. Blocks of
-    * superseded iterates are released by the ContextCleaner; on a real
-    * cluster swap in reliable `.checkpoint()` (see dedupClusters).
+    * pattern, amortized): the iterate is `localCheckpoint(eager)`-truncated
+    * every [[GraphCheckpointEvery]] rounds, so plan depth is bounded by
+    * that constant no matter how large `iters` is — convergence-style
+    * iteration counts can't blow up analysis time — while short registered
+    * runs (iters ≤ the period) keep the fully lazy single-job shape, whose
+    * runtime reuses the scope-cached edge exchange instead of paying an
+    * eager job barrier per round (per-round checkpointing measured 5× the
+    * wall-clock at iters=3: five blocking materializations of
+    * vertex-count-sized frames cost more than the whole lazy run). The
+    * degree table and vertex spine stay lazy for the same reason — they
+    * re-derive from the cached edges / a column-pruned parquet scan inside
+    * whatever segment evaluates them. Blocks of superseded iterates are
+    * released by the ContextCleaner; on a real cluster swap in reliable
+    * `.checkpoint()` (see dedupClusters).
     */
+  private val GraphCheckpointEvery = 8
+
   def graphCentrality(embeddings: DataFrame, iters: Int = 3): DataFrame = {
     val edges = graft.operators.CacheScope.cached(
       knnGraph(embeddings)
         .select(col("query_id").as("src"), col("neighbor_id").as("dst")))
-    // loop invariants as leaves: degrees (this also arms the edge cache —
-    // first action on it) and the vertex spine the per-round outer join
-    // re-anchors on (dangling nodes keep the teleport term)
+    // loop invariants: degrees from the cached edges; the vertex spine the
+    // per-round outer join re-anchors on (dangling nodes keep teleport)
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint(true)
-    val vertices = embeddings.select(col("vec_id")).localCheckpoint(true)
+    val vertices = embeddings.select(col("vec_id"))
     var scores = vertices.withColumn("score_ppm", lit(1000000L))
-    for (_ <- 1 to iters) {
+    for (r <- 1 to iters) {
       val inflow = edges
         .join(deg, "src")
         .join(scores.select(col("vec_id").as("src"), col("score_ppm")), "src")
@@ -487,7 +552,10 @@ object Similarity {
         .select(col("vec_id"),
           (lit(150000L) + expr("(85 * coalesce(inflow, 0L)) div 100"))
             .as("score_ppm"))
-        .localCheckpoint(true) // materialize + truncate: constant-size plans
+      // periodic truncation bounds plan depth without charging short runs
+      // an eager materialization barrier per round
+      if (r % GraphCheckpointEvery == 0 && r < iters)
+        scores = scores.localCheckpoint(true)
     }
     scores
   }
@@ -552,6 +620,7 @@ object Similarity {
     "sim_search_ivf" -> ivfOracle,
     "embed_pq" -> pqOracle,
     "sim_search_pq" -> pqSearchOracle,
+    "sim_search_ivfpq" -> ivfPqOracle,
     "embed_kmeans" -> kmeansOracle,
     "knn_graph" ->
       s"""WITH $quantCte,
@@ -786,9 +855,12 @@ object Similarity {
     * codebooks c2p<si>), builds each query's exact-integer LUT, sums four
     * lookups per (query, corpus) pair, ranks.
     */
-  private def pqSearchOracle: String = {
-    val subs = (0 until 4).map(si => pqSubCtes(si, 16, 8)).mkString(",\n")
-    val luts = (0 until 4).map { si =>
+  /** Per-query per-subspace exact-integer LUT CTEs (lut0..lut3) over the
+    * final PQ codebooks c2p<si> — shared by `sim_search_pq` and
+    * `sim_search_ivfpq`.
+    */
+  private def pqLutCtes: String =
+    (0 until 4).map { si =>
       val lo = si * 16 + 1
       val hi = (si + 1) * 16
       s"""qsub$si AS (
@@ -800,6 +872,10 @@ object Similarity {
          |         + list_sum(list_transform(c.q, x -> x * x)) AS dist
          |  FROM qsub$si q CROSS JOIN c2p$si c)""".stripMargin
     }.mkString(",\n")
+
+  private def pqSearchOracle: String = {
+    val subs = (0 until 4).map(si => pqSubCtes(si, 16, 8)).mkString(",\n")
+    val luts = pqLutCtes
     s"""WITH $quantCte,
        |$subs,
        |$luts,
@@ -831,6 +907,40 @@ object Similarity {
        |          FROM fin GROUP BY 1)
        |SELECT f.vec_id, f.cluster, s.cluster_size
        |FROM fin f JOIN sizes s ON f.cluster = s.cluster""".stripMargin
+
+  /** IVF coarse assignment (ivfAssignCtes → fin) + the four PQ sub-oracles
+    * and query LUTs, composed: candidates share the query's cluster, ranked
+    * by the four-lookup ADC sum — the SQL twin of [[simSearchIvfPq]].
+    */
+  private def ivfPqOracle: String = {
+    val subs = (0 until 4).map(si => pqSubCtes(si, 16, 8)).mkString(",\n")
+    s"""WITH $ivfAssignCtes,
+       |$subs,
+       |$pqLutCtes,
+       |qsel AS (SELECT vec_id AS query_id, cluster FROM fin WHERE vec_id < 10),
+       |adcq AS (
+       |  SELECT qr.query_id, f0.vec_id AS neighbor_id, fc.cluster,
+       |         l0.dist + l1.dist + l2.dist + l3.dist AS adc
+       |  FROM finp0 f0
+       |  JOIN finp1 f1 ON f0.vec_id = f1.vec_id
+       |  JOIN finp2 f2 ON f0.vec_id = f2.vec_id
+       |  JOIN finp3 f3 ON f0.vec_id = f3.vec_id
+       |  JOIN fin fc ON fc.vec_id = f0.vec_id
+       |  JOIN qsel qr ON qr.cluster = fc.cluster
+       |  JOIN lut0 l0 ON l0.query_id = qr.query_id AND l0.cid = f0.code_0
+       |  JOIN lut1 l1 ON l1.query_id = qr.query_id AND l1.cid = f1.code_1
+       |  JOIN lut2 l2 ON l2.query_id = qr.query_id AND l2.cid = f2.code_2
+       |  JOIN lut3 l3 ON l3.query_id = qr.query_id AND l3.cid = f3.code_3
+       |  WHERE f0.vec_id != qr.query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cluster, adc,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id
+       |                            ORDER BY adc, neighbor_id) AS rank
+       |  FROM adcq)
+       |SELECT query_id, neighbor_id, cluster, CAST(adc AS BIGINT) AS adc,
+       |       CAST(rank AS BIGINT) AS rank
+       |FROM ranked WHERE rank <= 5""".stripMargin
+  }
 
   private def ivfOracle: String =
     s"""WITH $ivfAssignCtes,

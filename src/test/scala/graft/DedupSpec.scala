@@ -267,6 +267,49 @@ class DedupSpec extends SparkTestBase {
       s"the exact copy must be the ADC rank-1 neighbor, got ${first.toSeq}")
   }
 
+  test("sim_search_ivfpq: candidates stay in the query's IVF cluster; copy is rank-1") {
+    // four block-orthogonal families (family f lives in dims [16f, 16f+16))
+    // with 8 distinct member patterns each; vec 50 is an exact copy of vec 0
+    val e = (for (f <- 0 until 4; j <- 0 until 8) yield {
+      val v = Array.tabulate(64)(d =>
+        if (d / 16 == f) ((j * 7 + d * 3) % 13).toFloat / 13f + 0.1f else 0.0f)
+      ((f * 10 + j).toLong, v, f)
+    }).toSeq
+      .:+((50L, Array.tabulate(64)(d =>
+        if (d < 16) ((d * 3) % 13).toFloat / 13f + 0.1f else 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.simSearchIvfPq(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.nonEmpty)
+    assert(out.forall(_._4 >= 0L), "squared ADC distances must be non-negative")
+    // IVF contract: every (query, neighbor) pair lives in the cluster the
+    // standalone embed_kmeans assignment (same deterministic training) gives
+    // BOTH endpoints
+    val assign = Similarity.embedKmeans(e).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { case (q, nb, cl, _, _) =>
+      assert(assign(q) == cl && assign(nb) == cl,
+        s"pair ($q, $nb) reported cluster $cl but kmeans says ${assign(q)}/${assign(nb)}")
+    }
+    // ranks are dense from 1 with ADC non-decreasing within each query
+    out.groupBy(_._1).foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_._5)
+      assert(sorted.map(_._5).toSeq == (1L to sorted.length).toSeq, s"ranks not dense for $q")
+      assert(sorted.map(_._4).toSeq == sorted.map(_._4).sorted.toSeq, s"adc not sorted for $q")
+    }
+    // the exact copy quantizes to vec 0's codes in every subspace, so its
+    // ADC is the per-subspace minimum: it must appear in the list, AT the
+    // minimum ADC (other family members may tie by landing on the same
+    // codes — the vec_id tiebreak then ranks them first — but none can
+    // rank above the copy's distance)
+    val q0 = out.filter(_._1 == 0L)
+    val copyRow = q0.find(_._2 == 50L)
+    assert(copyRow.isDefined, s"copy missing from query 0's list: ${q0.toSeq}")
+    val minAdc = q0.map(_._4).min
+    assert(copyRow.get._4 == minAdc,
+      s"copy adc ${copyRow.get._4} above the list minimum $minAdc")
+  }
+
   test("dedup_incremental probes new docs against the existing index only") {
     // 4 (new) ~ 5 (existing): must be found, oriented (new, existing);
     // 8 ~ 12 (both new) and 5 ~ 9 (both existing): out of scope

@@ -397,9 +397,10 @@ class OperatorSpec extends SparkTestBase {
     assert(counts == Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 0L), s"got $counts")
   }
 
-  test("graph_centrality survives convergence-depth iteration counts (constant-size plans)") {
-    // 16 rounds: without per-round localCheckpoint the plan nests 16 joins
-    // deep and analysis time explodes; with it, each round is leaf-sized.
+  test("graph_centrality survives convergence-depth iteration counts (bounded-depth plans)") {
+    // 16 rounds: without periodic localCheckpoint the plan nests 16 joins
+    // deep and analysis time explodes; with the every-8-rounds truncation,
+    // depth is bounded by the period while short runs stay lazy/single-job.
     // Equality against the driver-side exact PageRank pins semantics at the
     // deeper count too (same integer-ppm arithmetic as the iters=3 test).
     val emb = graft.sources.Tables.embeddings(spark, sf)
