@@ -197,21 +197,25 @@ object Reshape {
     * (pandas `.resample('D').sum()` / reindex fills; e.g.
     * pages/Oura_Investigation.py builds daily series before charting).
     *
-    * Scale shape: the only corpus-sized work is ONE (type, day) aggregate.
-    * The spine is dimension-sized — a single-row global bounds aggregate
-    * exploded into the day axis, cross-joined with the distinct-type dim —
-    * and the fill join is spine-vs-aggregated-counts, both tiny relative to
-    * the corpus, so Spark broadcasts them; no second corpus shuffle.
+    * Scale shape: the only corpus-sized work is ONE (type, day) aggregate —
+    * the date bounds, the type dim, and the fill join all derive from that
+    * dimension-sized counts frame (scope-cached: three consumers, zero
+    * corpus re-scans), so the corpus is read exactly once. The spine is a
+    * single-row bounds aggregate exploded into the day axis, cross-joined
+    * with the type dim; the fill join is spine-vs-counts, both tiny, so
+    * Spark broadcasts them.
     */
   def tsGapfill(events: DataFrame): DataFrame = {
-    val counts = events
+    val counts = CacheScope.cached(events
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("n_events"),
-        sum(Num.cents(col("value"))).as("value_cents"))
-    val bounds = events.agg(to_date(min(col("ts"))).as("lo"), to_date(max(col("ts"))).as("hi"))
+        sum(Num.cents(col("value"))).as("value_cents")))
+    // min/max over the aggregated days == min/max over raw dates; computing
+    // them here keeps this a one-corpus-scan operator
+    val bounds = counts.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
     // sequence(date, date) steps 1 day; empty input => NULL bounds => no rows
     val days = bounds.select(explode(sequence(col("lo"), col("hi"))).as("day"))
-    val spine = events.select(col("event_type")).distinct().crossJoin(days)
+    val spine = counts.select(col("event_type")).distinct().crossJoin(days)
     spine.join(counts, Seq("event_type", "day"), "left")
       .select(
         col("event_type"), col("day"),
@@ -231,7 +235,7 @@ object Reshape {
         |bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM counts),
         |days AS (SELECT CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
         |         FROM bounds),
-        |types AS (SELECT DISTINCT event_type FROM events)
+        |types AS (SELECT DISTINCT event_type FROM counts)
         |SELECT t.event_type, d.day,
         |       COALESCE(c.n_events, 0) AS n_events,
         |       CAST(COALESCE(c.value_cents, 0) AS DOUBLE) / 100.0 AS value_sum

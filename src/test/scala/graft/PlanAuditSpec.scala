@@ -237,6 +237,35 @@ class PlanAuditSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("ts_gapfill reads the corpus at most once (spine derives from the cached counts)") {
+    withoutAqe {
+      val df = graft.operators.Reshape.tsGapfill(Tables.events(spark, sf))
+      // three consumers (bounds, type dim, fill join) must all resolve to
+      // the scope-cached counts frame — a raw events relation appearing
+      // more than once means the calendar spine went back to the corpus
+      val rawScans = df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+      }
+      assert(rawScans.size <= 1,
+        s"expected at most one raw corpus scan, got ${rawScans.size}:\n" +
+          df.queryExecution.optimizedPlan)
+    }
+  }
+
+  test("sim_search_ivfpq serves broadcast-only (no sort-merge join, native assignment)") {
+    import graft.functions.CentroidArgmin
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    withoutAqe {
+      val df = graft.operators.Similarity.simSearchIvfPq(Tables.embeddings(spark, sf))
+      val plan = df.queryExecution.executedPlan
+      assert(plan.collect { case j: SortMergeJoinExec => j }.isEmpty,
+        s"IVF-PQ candidate restriction must stay a broadcast join:\n$plan")
+      assert(plan.flatMap(_.expressions.flatMap(
+        _.collect { case e: CentroidArgmin => e })).nonEmpty,
+        s"PQ code assignment lost the CentroidArgmin expression:\n$plan")
+    }
+  }
+
   test("scd2_build plans one exchange and one sort (both window passes share them)") {
     withoutAqe {
       val df = graft.operators.Scd.scd2Build(Tables.events(spark, sf))
