@@ -389,8 +389,9 @@ object Similarity {
     * production-scale ANN index ships (FAISS `IVFPQ`, Jégou et al. 2011,
     * "Product quantization for nearest neighbor search", public): the
     * coarse full-vector k-means restricts each query's candidates to its
-    * OWN inverted list ([[simSearchIvf]]'s shape — the scan touches ~1/k of
-    * the corpus), and within the list candidates are ranked by PQ
+    * `nprobe` NEAREST inverted lists (the recall/latency knob — the scan
+    * touches ~nprobe/k of the corpus; probe 1 is always the query's own
+    * cluster), and within the probed lists candidates are ranked by PQ
     * asymmetric distance ([[simSearchPq]]'s shape — four LUT lookups per
     * candidate, only the code columns read, never the vectors). This demo
     * codes raw vectors, not residuals (the residual refinement needs
@@ -404,7 +405,7 @@ object Similarity {
     * k-means, so the whole composition is oracle-exact.
     */
   def simSearchIvfPq(embeddings: DataFrame, kClusters: Int = 16, m: Int = 4,
-      k: Int = 8, topK: Int = 5): DataFrame = {
+      k: Int = 8, topK: Int = 5, nprobe: Int = 2): DataFrame = {
     val sub = 64 / m
     val full = prep(embeddings).cache()
     try {
@@ -419,9 +420,34 @@ object Similarity {
         val coded = (0 until m).foldLeft(corpus: DataFrame) { (df, si) =>
           df.withColumn(s"code_$si", clusterCol(codebooks(si), s"qs_$si"))
         }
-        val queries = corpus.where(col("vec_id") < 10)
-          .select(col("vec_id").as("query_id"), col("cluster"))
-          .join(pqQueryLuts(corpus, codebooks, m), "query_id")
+        // multi-probe (the FAISS `nprobe` recall knob): each query searches
+        // its nprobe NEAREST inverted lists, ranked driver-side over the
+        // driver-resident coarse model by the same exact integer score
+        // (||c||² − 2·q·c) and cid tiebreak the assignment argmin uses —
+        // probe 1 is therefore always the query's own cluster. Probe lists
+        // are model-sized (Q × nprobe rows), the serving shape.
+        val spark = embeddings.sparkSession
+        val queryVecs = full.where(col("vec_id") < 10)
+          .select(col("vec_id"), col("q")).collect()
+        val probeRows: java.util.List[org.apache.spark.sql.Row] =
+          java.util.Arrays.asList(queryVecs.flatMap { r =>
+            val qv = r.getSeq[Long](1).toArray
+            coarse.zipWithIndex.map { case (c, cid) =>
+              var dot = 0L
+              var i = 0
+              while (i < qv.length) { dot += qv(i) * c(i); i += 1 }
+              (c.map(v => v * v).sum - 2 * dot, cid.toLong)
+            }.sortBy(identity).take(nprobe).map { case (_, cid) =>
+              org.apache.spark.sql.Row(r.getLong(0), cid)
+            }
+          }: _*)
+        val probes = spark.createDataFrame(probeRows,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("query_id",
+              org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("cluster",
+              org.apache.spark.sql.types.LongType, nullable = false))))
+        val queries = probes.join(pqQueryLuts(corpus, codebooks, m), "query_id")
         val adc = (0 until m).map(si =>
           element_at(col(s"lut_$si"), (col(s"code_$si") + 1).cast("int")))
           .reduce(_ + _)
@@ -909,15 +935,29 @@ object Similarity {
        |FROM fin f JOIN sizes s ON f.cluster = s.cluster""".stripMargin
 
   /** IVF coarse assignment (ivfAssignCtes → fin) + the four PQ sub-oracles
-    * and query LUTs, composed: candidates share the query's cluster, ranked
-    * by the four-lookup ADC sum — the SQL twin of [[simSearchIvfPq]].
+    * and query LUTs, composed: each query probes its nprobe=2 nearest
+    * coarse centroids (exact integer score, cid tiebreak — rank 1 is its
+    * own cluster), candidates come from the probed lists, ranked by the
+    * four-lookup ADC sum — the SQL twin of [[simSearchIvfPq]].
     */
   private def ivfPqOracle: String = {
     val subs = (0 until 4).map(si => pqSubCtes(si, 16, 8)).mkString(",\n")
     s"""WITH $ivfAssignCtes,
        |$subs,
        |$pqLutCtes,
-       |qsel AS (SELECT vec_id AS query_id, cluster FROM fin WHERE vec_id < 10),
+       |qsel AS (
+       |  SELECT query_id, cid AS cluster FROM (
+       |    SELECT query_id, cid,
+       |           ROW_NUMBER() OVER (PARTITION BY query_id
+       |                              ORDER BY score, cid) AS rn
+       |    FROM (
+       |      SELECT nq.vec_id AS query_id, c.cid,
+       |             list_sum(list_transform(c.q, x -> x * x))
+       |             - 2 * list_sum(list_transform(list_zip(nq.q, c.q), p -> p[1] * p[2]))
+       |               AS score
+       |      FROM (SELECT vec_id, q FROM n WHERE vec_id < 10) nq
+       |      CROSS JOIN c2 c))
+       |  WHERE rn <= 2),
        |adcq AS (
        |  SELECT qr.query_id, f0.vec_id AS neighbor_id, fc.cluster,
        |         l0.dist + l1.dist + l2.dist + l3.dist AS adc
