@@ -212,4 +212,46 @@ class PropertiesSpec extends SparkTestBase {
       }
     })
   }
+
+  test("ts_gapfill: dense spine, count and cent-sum preservation on random events") {
+    val gen = Gen.nonEmptyListOf(Gen.zip(
+      Gen.choose(0, 3), Gen.choose(0L, 9L), Gen.choose(0L, 500L)))
+    checkProp(Prop.forAll(gen) { rows =>
+      val df = rows.zipWithIndex.map { case ((t, day, cents), i) =>
+        (i.toLong, new Timestamp(1704067200000L + day * 86400000L + i * 1000L),
+          1L, s"t$t", cents / 100.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val out = graft.operators.Reshape.tsGapfill(df).collect()
+        .map(r => (r.getString(0), r.getLong(2), r.getDouble(3)))
+      val nTypes = rows.map(_._1).distinct.size
+      val nDays = (rows.map(_._2).max - rows.map(_._2).min + 1).toInt
+      out.length == nTypes * nDays &&
+        out.map(_._2).sum == rows.length &&
+        math.abs(out.map(_._3).sum - rows.map(_._3).sum / 100.0) < 1e-6
+    }, n = 6)
+  }
+
+  test("BPE encode: token concatenation reconstructs every word; budgets add up") {
+    // tiny alphabet makes merges fire often; k varies so late rules apply on
+    // top of earlier ones
+    val wordGen = Gen.choose(1, 6)
+      .flatMap(n => Gen.listOfN(n, Gen.choose('a', 'd')).map(_.mkString))
+    val gen = Gen.zip(Gen.listOfN(6, Gen.listOfN(4, wordGen)), Gen.choose(1, 4))
+    checkProp(Prop.forAll(gen) { case (docs, k) =>
+      val df = docs.zipWithIndex.map { case (ws, i) => (i.toLong, ws.mkString(" "), "en") }
+        .toDF("doc_id", "text", "lang")
+      val enc = graft.operators.TextAnalysis.bpeEncode(df, k).collect()
+        .map(r => (r.getString(0), r.getLong(2), r.getString(3)))
+      val reconstructs = enc.forall { case (w, n, e) =>
+        e.replace(" ", "") == w && e.split(" ").length.toLong == n
+      }
+      val nTokens = enc.map { case (w, n, _) => w -> n }.toMap
+      val budgets = graft.operators.TextAnalysis.bpeTokenCount(df, k).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val budgetsAdd = docs.zipWithIndex.forall { case (ws, i) =>
+        budgets(i.toLong) == ws.map(nTokens).sum
+      }
+      reconstructs && budgetsAdd
+    }, n = 4)
+  }
 }
