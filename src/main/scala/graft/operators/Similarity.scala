@@ -393,9 +393,13 @@ object Similarity {
     * touches ~nprobe/k of the corpus; probe 1 is always the query's own
     * cluster), and within the probed lists candidates are ranked by PQ
     * asymmetric distance ([[simSearchPq]]'s shape — four LUT lookups per
-    * candidate, only the code columns read, never the vectors). This demo
-    * codes raw vectors, not residuals (the residual refinement needs
-    * per-list codebooks; the candidate/rank plumbing is identical).
+    * candidate, only the code columns read, never the vectors). PQ codes
+    * RESIDUALS (x − its list's coarse centroid), the refinement that makes
+    * the composition accurate: every inverted list is re-centered at the
+    * origin, so the shared codebooks spend their precision on the
+    * within-list displacement instead of the list's absolute position.
+    * Query LUTs are therefore built per (query, probed list) — the target
+    * is q − c_list — still Q·nprobe·m·k integers, model-sized.
     *
     * Scale: at 100 TB the corpus is stored `partitionBy(cluster)` with
     * only (vec_id, cluster, code) in the hot table — the broadcast query
@@ -410,9 +414,17 @@ object Similarity {
     val full = prep(embeddings).cache()
     try {
       val coarse = trainKmeans(full, kClusters, 2)
-      val corpus = full.select(
-        col("vec_id") +: clusterCol(coarse).as("cluster") +:
-          (0 until m).map(si => slice(col("q"), si * sub + 1, sub).as(s"qs_$si")): _*)
+      // residual coding: r = q − c(cluster(q)), exact integers (the coarse
+      // model is a driver-resident typedLit). The zip_with subtraction is
+      // one interpreted projection per corpus scan — it feeds training and
+      // code assignment, never the per-candidate search loop.
+      val centArr = typedLit(coarse.map(_.toSeq))
+      val corpus = full
+        .withColumn("cluster", clusterCol(coarse))
+        .withColumn("r", zip_with(col("q"),
+          element_at(centArr, (col("cluster") + 1).cast("int")), (a, b) => a - b))
+        .select(col("vec_id") +: col("cluster") +:
+          (0 until m).map(si => slice(col("r"), si * sub + 1, sub).as(s"qs_$si")): _*)
         .cache()
       try {
         val codebooks =
@@ -424,30 +436,48 @@ object Similarity {
         // its nprobe NEAREST inverted lists, ranked driver-side over the
         // driver-resident coarse model by the same exact integer score
         // (||c||² − 2·q·c) and cid tiebreak the assignment argmin uses —
-        // probe 1 is therefore always the query's own cluster. Probe lists
-        // are model-sized (Q × nprobe rows), the serving shape.
+        // probe 1 is therefore always the query's own cluster. The ADC LUT
+        // is per (query, probed list): the target is the query's residual
+        // AGAINST THAT LIST, q − c_list. Q·nprobe·m·k integers, the
+        // serving shape.
         val spark = embeddings.sparkSession
         val queryVecs = full.where(col("vec_id") < 10)
           .select(col("vec_id"), col("q")).collect()
-        val probeRows: java.util.List[org.apache.spark.sql.Row] =
+        val lutRows: java.util.List[org.apache.spark.sql.Row] =
           java.util.Arrays.asList(queryVecs.flatMap { r =>
             val qv = r.getSeq[Long](1).toArray
-            coarse.zipWithIndex.map { case (c, cid) =>
+            val probed = coarse.zipWithIndex.map { case (c, cid) =>
               var dot = 0L
               var i = 0
               while (i < qv.length) { dot += qv(i) * c(i); i += 1 }
               (c.map(v => v * v).sum - 2 * dot, cid.toLong)
-            }.sortBy(identity).take(nprobe).map { case (_, cid) =>
-              org.apache.spark.sql.Row(r.getLong(0), cid)
+            }.sortBy(identity).take(nprobe)
+            probed.map { case (_, cid) =>
+              val cL = coarse(cid.toInt)
+              val target = Array.tabulate(qv.length)(i => qv(i) - cL(i))
+              val luts = (0 until m).map { si =>
+                val ts = target.slice(si * sub, (si + 1) * sub)
+                val tn = ts.map(x => x * x).sum
+                codebooks(si).map { c =>
+                  var dot = 0L
+                  var i = 0
+                  while (i < ts.length) { dot += ts(i) * c(i); i += 1 }
+                  tn - 2 * dot + c.map(v => v * v).sum
+                }.toSeq
+              }
+              org.apache.spark.sql.Row.fromSeq(r.getLong(0) +: cid +: luts)
             }
           }: _*)
-        val probes = spark.createDataFrame(probeRows,
-          org.apache.spark.sql.types.StructType(Seq(
+        val lutSchema = org.apache.spark.sql.types.StructType(
+          Seq(
             org.apache.spark.sql.types.StructField("query_id",
               org.apache.spark.sql.types.LongType, nullable = false),
             org.apache.spark.sql.types.StructField("cluster",
-              org.apache.spark.sql.types.LongType, nullable = false))))
-        val queries = probes.join(pqQueryLuts(corpus, codebooks, m), "query_id")
+              org.apache.spark.sql.types.LongType, nullable = false)) ++
+            (0 until m).map(si => org.apache.spark.sql.types.StructField(s"lut_$si",
+              org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.LongType), nullable = false)))
+        val queries = spark.createDataFrame(lutRows, lutSchema)
         val adc = (0 until m).map(si =>
           element_at(col(s"lut_$si"), (col(s"code_$si") + 1).cast("int")))
           .reduce(_ + _)
@@ -844,11 +874,11 @@ object Similarity {
   /** PQ sub-oracle for subspace `si`: slice, deterministic init, two
     * k-means iterations, final assignment — CTE names tagged `p<si>`.
     */
-  private def pqSubCtes(si: Int, sub: Int, k: Int): String = {
+  private def pqSubCtes(si: Int, sub: Int, k: Int, src: String = "n"): String = {
     val lo = si * sub + 1
     val hi = (si + 1) * sub
     val t = s"p$si"
-    s"""n$t AS (SELECT vec_id, q[$lo:$hi] AS q FROM n),
+    s"""n$t AS (SELECT vec_id, q[$lo:$hi] AS q FROM $src),
        |c0$t AS (
        |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, q
        |  FROM (SELECT vec_id, q FROM n$t ORDER BY vec_id LIMIT $k)),
@@ -934,17 +964,33 @@ object Similarity {
        |SELECT f.vec_id, f.cluster, s.cluster_size
        |FROM fin f JOIN sizes s ON f.cluster = s.cluster""".stripMargin
 
-  /** IVF coarse assignment (ivfAssignCtes → fin) + the four PQ sub-oracles
-    * and query LUTs, composed: each query probes its nprobe=2 nearest
-    * coarse centroids (exact integer score, cid tiebreak — rank 1 is its
-    * own cluster), candidates come from the probed lists, ranked by the
-    * four-lookup ADC sum — the SQL twin of [[simSearchIvfPq]].
+  /** IVF coarse assignment (ivfAssignCtes → fin) + residual PQ: the corpus
+    * residual table `res` (q − its list's centroid) trains the four
+    * sub-oracles; each query probes its nprobe=2 nearest coarse centroids
+    * (exact integer score, cid tiebreak — rank 1 is its own cluster) and
+    * builds a LUT per probed list from the residual q − c_list; candidates
+    * come from the probed lists, ranked by the four-lookup ADC sum — the
+    * SQL twin of [[simSearchIvfPq]].
     */
   private def ivfPqOracle: String = {
-    val subs = (0 until 4).map(si => pqSubCtes(si, 16, 8)).mkString(",\n")
+    val subs = (0 until 4).map(si => pqSubCtes(si, 16, 8, src = "res")).mkString(",\n")
+    val luts = (0 until 4).map { si =>
+      val lo = si * 16 + 1
+      val hi = (si + 1) * 16
+      s"""lutq$si AS (
+         |  SELECT q.query_id, q.cluster, c.cid,
+         |         list_sum(list_transform(q.qs, x -> x * x))
+         |         - 2 * list_sum(list_transform(list_zip(q.qs, c.q), p -> p[1] * p[2]))
+         |         + list_sum(list_transform(c.q, x -> x * x)) AS dist
+         |  FROM (SELECT query_id, cluster, q[$lo:$hi] AS qs FROM qres) q
+         |  CROSS JOIN c2p$si c)""".stripMargin
+    }.mkString(",\n")
     s"""WITH $ivfAssignCtes,
+       |res AS (
+       |  SELECT f.vec_id, f.cluster,
+       |         list_transform(list_zip(f.q, c.q), p -> p[1] - p[2]) AS q
+       |  FROM fin f JOIN c2 c ON c.cid = f.cluster),
        |$subs,
-       |$pqLutCtes,
        |qsel AS (
        |  SELECT query_id, cid AS cluster FROM (
        |    SELECT query_id, cid,
@@ -958,20 +1004,29 @@ object Similarity {
        |      FROM (SELECT vec_id, q FROM n WHERE vec_id < 10) nq
        |      CROSS JOIN c2 c))
        |  WHERE rn <= 2),
+       |qres AS (
+       |  SELECT qs.query_id, qs.cluster,
+       |         list_transform(list_zip(nq.q, c.q), p -> p[1] - p[2]) AS q
+       |  FROM qsel qs
+       |  JOIN n nq ON nq.vec_id = qs.query_id
+       |  JOIN c2 c ON c.cid = qs.cluster),
+       |$luts,
        |adcq AS (
-       |  SELECT qr.query_id, f0.vec_id AS neighbor_id, fc.cluster,
+       |  SELECT l0.query_id, f0.vec_id AS neighbor_id, fc.cluster,
        |         l0.dist + l1.dist + l2.dist + l3.dist AS adc
        |  FROM finp0 f0
        |  JOIN finp1 f1 ON f0.vec_id = f1.vec_id
        |  JOIN finp2 f2 ON f0.vec_id = f2.vec_id
        |  JOIN finp3 f3 ON f0.vec_id = f3.vec_id
        |  JOIN fin fc ON fc.vec_id = f0.vec_id
-       |  JOIN qsel qr ON qr.cluster = fc.cluster
-       |  JOIN lut0 l0 ON l0.query_id = qr.query_id AND l0.cid = f0.code_0
-       |  JOIN lut1 l1 ON l1.query_id = qr.query_id AND l1.cid = f1.code_1
-       |  JOIN lut2 l2 ON l2.query_id = qr.query_id AND l2.cid = f2.code_2
-       |  JOIN lut3 l3 ON l3.query_id = qr.query_id AND l3.cid = f3.code_3
-       |  WHERE f0.vec_id != qr.query_id),
+       |  JOIN lutq0 l0 ON l0.cluster = fc.cluster AND l0.cid = f0.code_0
+       |  JOIN lutq1 l1 ON l1.query_id = l0.query_id AND l1.cluster = fc.cluster
+       |       AND l1.cid = f1.code_1
+       |  JOIN lutq2 l2 ON l2.query_id = l0.query_id AND l2.cluster = fc.cluster
+       |       AND l2.cid = f2.code_2
+       |  JOIN lutq3 l3 ON l3.query_id = l0.query_id AND l3.cluster = fc.cluster
+       |       AND l3.cid = f3.code_3
+       |  WHERE f0.vec_id != l0.query_id),
        |ranked AS (
        |  SELECT query_id, neighbor_id, cluster, adc,
        |         ROW_NUMBER() OVER (PARTITION BY query_id
