@@ -70,4 +70,35 @@ class InvariantSpec extends SparkTestBase {
         coalesce(col("orders_placed"), lit(0L)) >= 0 &&
           coalesce(col("lines_shipped"), lit(0L)) >= 0)))
   }
+
+  test("gap-filled series: dense unique spine, non-negative fills") {
+    val gap = graft.operators.Reshape.tsGapfill(Tables.events(spark, sf)).cache()
+    try {
+      Checks.assertAll(Seq(
+        unique(gap, "event_type", "day"),
+        notNull(gap, "event_type"),
+        notNull(gap, "day"),
+        expressionIsTrue(gap, "counts non-negative", col("n_events") >= 0)))
+      // density: |rows| must be exactly |types| x |days of the range|
+      val types = gap.select("event_type").distinct().count()
+      val days = gap.select("day").distinct().count()
+      assert(gap.count() == types * days,
+        s"spine not dense: ${gap.count()} rows vs $types types x $days days")
+    } finally gap.unpersist()
+  }
+
+  test("BPE token budgets: one non-negative row per document") {
+    val docs = Tables.documents(spark, sf)
+    val budget = graft.operators.TextAnalysis.bpeTokenCount(docs).cache()
+    try {
+      Checks.assertAll(Seq(
+        unique(budget, "doc_id"),
+        notNull(budget, "n_bpe_tokens"),
+        expressionIsTrue(budget, "budgets non-negative", col("n_bpe_tokens") >= 0)))
+      // coverage: unique doc_id + equal cardinality == every doc has a row
+      // (a relationships() fk check would be a same-lineage self-join here)
+      assert(budget.count() == docs.count(),
+        "the budget ledger must cover every document")
+    } finally budget.unpersist()
+  }
 }
