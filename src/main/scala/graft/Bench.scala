@@ -120,14 +120,22 @@ object Bench {
       // a high straggler among >=5 otherwise-tight samples (r6 saw an
       // 11.6 s iteration against a 1.45 s median with min 1.41) is host
       // noise — GC pause, cron neighbor, page-cache eviction — not the
-      // query. Dropped samples are reported in `query_outliers`, never
-      // silently discarded, and the median is computed AFTER the trim so
-      // it can only move toward the tight cluster.
+      // query. The trim only fires when what REMAINS is itself a tight
+      // cluster (keep.max/keep.min <= spreadLimit): genuinely bimodal
+      // engine behavior (codegen-cache rotation gives 2-8x jumps with a
+      // stable slow mode) leaves a wide kept set and must surface as
+      // spread, not be reclassified as host noise. Dropped samples are
+      // reported in `query_outliers`, never silently discarded, and the
+      // median is computed AFTER the trim so it can only move toward the
+      // tight cluster.
       var droppedHigh = Seq.empty[Double]
       if (warm.size >= 5 && warm.max / warm.min.max(1e-9) > spreadLimit) {
         val med = median(warm)
         val (out, keep) = warm.partition(_ > spreadLimit * med)
-        if (keep.size >= 3) { droppedHigh = out; warm = keep }
+        if (keep.size >= 3 &&
+            keep.max / keep.min.max(1e-9) <= spreadLimit) {
+          droppedHigh = out; warm = keep
+        }
       }
       // drop this query's cached relations before the next query: operators
       // cache intra-query reused staging (by design), and 130+ queries of
@@ -155,6 +163,10 @@ object Bench {
       try scala.io.Source.fromFile("/proc/loadavg").getLines().next()
         .split(" ").take(3).mkString(",")
       catch { case _: Throwable => "" }
+    // the scratch redirect changes what sink round trips measure (tmpfs vs
+    // shared disk), so record the effective path in-band: a BENCH.json from
+    // a host without writable /dev/shm is otherwise silently incomparable
+    val scratchPath = spark.conf.getOption("spark.graft.scratch").getOrElse("")
     val json =
       s"""{"metric":"total","value":$warmTotal,"unit":"sec","warm_iters":$warmIters,""" +
         s""""spread_limit":$spreadLimit,"max_iters":$maxIters,""" +
@@ -162,7 +174,7 @@ object Bench {
         s""""query_q1":${jmap(_.q1)},"query_q3":${jmap(_.q3)},"query_iters":$itersJson,""" +
         s""""query_outliers":$outliersJson,""" +
         s""""cold_total":$coldTotal,"cold_queries":${jmap(_.cold)},""" +
-        s""""errors":$errJson,"loadavg_end":"$loadAvg","sf":"$sfDir"}"""
+        s""""errors":$errJson,"loadavg_end":"$loadAvg","scratch":"$scratchPath","sf":"$sfDir"}"""
     // full per-query timings go to a file; stdout gets a COMPACT line.
     // The driver keeps only the last ~2000 chars of stdout, and the full
     // per-query map is ~7KB — rounds 1-2 therefore recorded `parsed: null`.
@@ -179,7 +191,7 @@ object Bench {
     println(
       s"""{"metric":"total","value":${r3(warmTotal)},"unit":"sec","queries":$top,""" +
         s""""n_queries":${results.size},"warm_iters":$warmIters,"cold_total":${r3(coldTotal)},""" +
-        s""""errors":$errJson,"sf":"$sfDir","full_timings":"BENCH.json"}""")
+        s""""errors":$errJson,"scratch":"$scratchPath","sf":"$sfDir","full_timings":"BENCH.json"}""")
     def rmTree(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rmTree)
       f.delete(): Unit

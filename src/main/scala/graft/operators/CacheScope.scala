@@ -27,9 +27,13 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   * until [[Keep]] LATER registrations occur — a caller that builds a lazy
   * result, then runs ≥ Keep other scoped operators before its first action,
   * silently recomputes (correct, just uncached). Operators whose loop
-  * correctness depends on materialization (dedupClusters, graphCentrality,
-  * bpeTrainMerges) therefore run an eager action / localCheckpoint while
-  * their cache is provably fresh, never relying on registry survival.
+  * correctness depends on materialization (dedupClusters, bpeTrainMerges)
+  * therefore run an eager action / localCheckpoint while their cache is
+  * provably fresh, never relying on registry survival. graphCentrality is
+  * NOT in that set: at iters ≤ its checkpoint period the whole result is
+  * lazy, so its scope-cached edge list only survives if the caller acts on
+  * the result within Keep registrations — a deferred first action
+  * recomputes knnGraph (correct, just slower).
   *
   * Lifecycle: sessions are weakly referenced, and the whole registry drops
   * on SparkListenerApplicationEnd, so a stopped application (or a

@@ -554,6 +554,8 @@ object Similarity {
         col("rank").cast("long").as("rank"))
   }
 
+  private val GraphCheckpointEvery = 8
+
   /** `graph_centrality`: fixed-iteration PageRank over the kNN graph —
     * centrality as a CURATION signal: a high score marks documents sitting
     * in dense, mutually-similar neighborhoods (template families, SEO
@@ -586,8 +588,6 @@ object Similarity {
     * released by the ContextCleaner; on a real cluster swap in reliable
     * `.checkpoint()` (see dedupClusters).
     */
-  private val GraphCheckpointEvery = 8
-
   def graphCentrality(embeddings: DataFrame, iters: Int = 3): DataFrame = {
     val edges = graft.operators.CacheScope.cached(
       knnGraph(embeddings)

@@ -241,23 +241,34 @@ object TextAnalysis {
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
-      val rules = (1 to k).map { rank =>
-        val Array(best) = seqs
+      // the vocabulary can run out of adjacent pairs before rank k (corpus
+      // of only single-letter words, or fully merged already): stop with
+      // the rules learned so far rather than crash — encode/budget
+      // consumers still get a segmentation frame covering every word
+      val rules = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+      var rank = 1
+      var exhausted = false
+      while (rank <= k && !exhausted) {
+        val best = seqs
           .select(col("freq"), explode(pairsOf).as("pair"))
           .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
           .orderBy(col("cnt").desc, col("pair")).limit(1)
           .collect()
-        val (pair, cnt) = (best.getString(0), best.getLong(1))
-        val merged = pair.replace(" ", "")
-        // apply + re-materialize so round r+1 aggregates a leaf, not a
-        // replace chain (rank k included: encode consumers need the final
-        // state; one extra vocabulary-sized projection)
-        seqs = seqs.withColumn("seq",
-          expr(s"replace(seq, ' $pair ', ' $merged ')"))
-          .localCheckpoint(true)
-        (rank.toLong, pair, merged, cnt)
+        if (best.isEmpty) exhausted = true
+        else {
+          val (pair, cnt) = (best(0).getString(0), best(0).getLong(1))
+          val merged = pair.replace(" ", "")
+          // apply + re-materialize so round r+1 aggregates a leaf, not a
+          // replace chain (rank k included: encode consumers need the final
+          // state; one extra vocabulary-sized projection)
+          seqs = seqs.withColumn("seq",
+            expr(s"replace(seq, ' $pair ', ' $merged ')"))
+            .localCheckpoint(true)
+          rules += ((rank.toLong, pair, merged, cnt))
+          rank += 1
+        }
       }
-      (rules, seqs)
+      (rules.toSeq, seqs)
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 

@@ -397,6 +397,28 @@ class OperatorSpec extends SparkTestBase {
     assert(counts == Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 0L), s"got $counts")
   }
 
+  test("BPE: vocabulary with no adjacent pairs stops early instead of crashing") {
+    // every word is a single symbol -> the pair aggregate is empty in round
+    // 1; training must return zero rules (not MatchError), encode must
+    // still give each word a 1-token segmentation, and every doc must get
+    // a budget row (doc 3 has no [a-z]+ words at all)
+    val docs = Seq((1L, "a b c", "en"), (2L, "x y", "en"), (3L, "123 456", "en"))
+      .toDF("doc_id", "text", "lang")
+    assert(graft.operators.TextAnalysis.bpeTrainMerges(docs).collect().isEmpty)
+    val enc = graft.operators.TextAnalysis.bpeEncode(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(enc == Map("a" -> 1L, "b" -> 1L, "c" -> 1L, "x" -> 1L, "y" -> 1L))
+    val counts = graft.operators.TextAnalysis.bpeTokenCount(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts == Map(1L -> 3L, 2L -> 2L, 3L -> 0L), s"got $counts")
+    // pairs exhausted mid-run: "ab" x2 has one pair -> rule 1 merges it,
+    // round 2 finds nothing and stops with the single learned rule
+    val ab = Seq((1L, "ab ab", "en")).toDF("doc_id", "text", "lang")
+    val rules = graft.operators.TextAnalysis.bpeTrainMerges(ab, k = 5).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(rules.toSeq == Seq((1L, "a b", "ab", 2L)), s"got ${rules.toSeq}")
+  }
+
   test("graph_centrality survives convergence-depth iteration counts (bounded-depth plans)") {
     // 16 rounds: without periodic localCheckpoint the plan nests 16 joins
     // deep and analysis time explodes; with the every-8-rounds truncation,
