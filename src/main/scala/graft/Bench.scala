@@ -12,13 +12,17 @@ import org.apache.spark.sql.SparkSession
   * 2-8x one-off jumps between rounds with byte-identical plans.
   * `value` is the sum of warm medians; cold numbers are reported alongside.
   *
-  * Three further spread controls (all reported in-band, nothing silent):
+  * Four further spread controls (all reported in-band, nothing silent):
   * queries run in ALPHABETICAL order so each query's predecessors — and
   * hence codegen/page-cache state — are identical across rounds; scratch
   * sinks land on tmpfs when the host has one (shared-disk fsync latency is
-  * not the engine); and once adaptive re-measurement is exhausted a lone
-  * high straggler among an otherwise tight sample is trimmed into the
-  * `query_outliers` field rather than left to masquerade as spread.
+  * not the engine); once adaptive re-measurement is exhausted a lone high
+  * straggler among an otherwise tight sample is trimmed into the
+  * `query_outliers` field rather than left to masquerade as spread; and
+  * every sample measures PROCESS-CPU next to wall (`query_cpu`), so a
+  * host-contention burst that spans all of one query's samples — the
+  * median-proof "stable phantom" seen once in r6 and twice in r7 — is
+  * distinguishable from an engine regression by cpu staying flat.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -46,14 +50,30 @@ object Bench {
       spark.conf.set("spark.graft.scratch", "/dev/shm/graft_bench")
 
     val errors = scala.collection.mutable.LinkedHashSet[String]()
+    // process-CPU clock (driver + in-process local[N] executors): the
+    // wall/cpu pair makes host contention diagnosable from the artifact
+    // alone. r6/r7 each produced one "stable phantom regression" — a query
+    // whose 3 warm samples all ran 4-8x slow with byte-identical plans
+    // (r6 fct_stock_prices 2.06 s, r7 fct_hn_keyword_sentiment 2.96 s,
+    // dedup_minhash_lsh_fast 5.52 s) — that an isolate re-run on a quieter
+    // host fully reversed. Mechanism: a query's cold+warm samples run
+    // back-to-back inside a few seconds, so a sustained neighbor-load
+    // burst covers ALL of them and the median can't reject it; the victim
+    // moves from round to round. With cpu recorded, wall jumping while cpu
+    // stays flat proves the JVM was descheduled (host), while cpu rising
+    // with wall indicts the engine.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
     // a failed run contributes null (not its partial elapsed time) so the
     // headline `value` only sums successful executions
     def once(name: String,
-        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[(Double, Double)] = {
+      val c0 = osBean.getProcessCpuTime
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).count()
-        Some((System.nanoTime() - t0) / 1e9)
+        Some(((System.nanoTime() - t0) / 1e9,
+          (osBean.getProcessCpuTime - c0) / 1e9))
       } catch {
         case e: Throwable =>
           errors += name
@@ -67,11 +87,17 @@ object Bench {
       if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
     }
 
-    final case class Timing(cold: Option[Double], warm: Seq[Double],
-        dropped: Seq[Double] = Nil) {
-      def med: Option[Double] = if (warm.isEmpty) None else Some(median(warm))
-      def min: Option[Double] = warm.reduceOption(_ min _)
-      def max: Option[Double] = warm.reduceOption(_ max _)
+    // each sample is (wall seconds, process-cpu seconds); all medians,
+    // spread checks and trims key on WALL — cpu rides along as evidence
+    final case class Timing(cold: Option[(Double, Double)],
+        warm: Seq[(Double, Double)], dropped: Seq[Double] = Nil) {
+      private def walls = warm.map(_._1)
+      def med: Option[Double] = if (warm.isEmpty) None else Some(median(walls))
+      def cpuMed: Option[Double] =
+        if (warm.isEmpty) None else Some(median(warm.map(_._2)))
+      def coldWall: Option[Double] = cold.map(_._1)
+      def min: Option[Double] = walls.reduceOption(_ min _)
+      def max: Option[Double] = walls.reduceOption(_ max _)
       // quartiles: the spread interval that matches the median's robustness
       // (raw min/max keeps showing a one-off outlier even after adaptive
       // re-measurement has made the median immune to it)
@@ -79,7 +105,7 @@ object Bench {
       def q3: Option[Double] = quartile(0.75)
       private def quartile(p: Double): Option[Double] =
         if (warm.isEmpty) None
-        else Some(warm.sorted.apply(((warm.size - 1) * p).round.toInt))
+        else Some(walls.sorted.apply(((warm.size - 1) * p).round.toInt))
       def iters: Int = warm.size
     }
 
@@ -110,10 +136,11 @@ object Bench {
       // a query that failed cold will fail warm identically; don't retry it
       // warmIters more times (each attempt re-raises through full planning)
       var warm =
-        if (cold.isEmpty) Seq.empty[Double]
+        if (cold.isEmpty) Seq.empty[(Double, Double)]
         else (1 to warmIters).flatMap(_ => once(name, fn))
-      while (warm.nonEmpty && warm.size < maxIters &&
-          warm.max / warm.min.max(1e-9) > spreadLimit)
+      def spread(xs: Seq[(Double, Double)]): Double =
+        xs.map(_._1).max / xs.map(_._1).min.max(1e-9)
+      while (warm.nonEmpty && warm.size < maxIters && spread(warm) > spreadLimit)
         warm = warm ++ once(name, fn)
       // one-sided outlier rejection once adaptive re-measurement is
       // exhausted: a sample can't legitimately run FASTER than the work, so
@@ -129,12 +156,11 @@ object Bench {
       // median is computed AFTER the trim so it can only move toward the
       // tight cluster.
       var droppedHigh = Seq.empty[Double]
-      if (warm.size >= 5 && warm.max / warm.min.max(1e-9) > spreadLimit) {
-        val med = median(warm)
-        val (out, keep) = warm.partition(_ > spreadLimit * med)
-        if (keep.size >= 3 &&
-            keep.max / keep.min.max(1e-9) <= spreadLimit) {
-          droppedHigh = out; warm = keep
+      if (warm.size >= 5 && spread(warm) > spreadLimit) {
+        val med = median(warm.map(_._1))
+        val (out, keep) = warm.partition(_._1 > spreadLimit * med)
+        if (keep.size >= 3 && spread(keep) <= spreadLimit) {
+          droppedHigh = out.map(_._1); warm = keep
         }
       }
       // drop this query's cached relations before the next query: operators
@@ -149,7 +175,7 @@ object Bench {
         "\"" + k + "\":" + sel(v).map(_.toString).getOrElse("null")
       }.mkString("{", ",", "}")
     val warmTotal = results.flatMap(_._2.med).sum
-    val coldTotal = results.flatMap(_._2.cold).sum
+    val coldTotal = results.flatMap(_._2.coldWall).sum
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val itersJson = results.map { case (k, v) => "\"" + k + "\":" + v.iters }
       .mkString("{", ",", "}")
@@ -172,8 +198,8 @@ object Bench {
         s""""spread_limit":$spreadLimit,"max_iters":$maxIters,""" +
         s""""queries":${jmap(_.med)},"query_min":${jmap(_.min)},"query_max":${jmap(_.max)},""" +
         s""""query_q1":${jmap(_.q1)},"query_q3":${jmap(_.q3)},"query_iters":$itersJson,""" +
-        s""""query_outliers":$outliersJson,""" +
-        s""""cold_total":$coldTotal,"cold_queries":${jmap(_.cold)},""" +
+        s""""query_cpu":${jmap(_.cpuMed)},"query_outliers":$outliersJson,""" +
+        s""""cold_total":$coldTotal,"cold_queries":${jmap(_.coldWall)},""" +
         s""""errors":$errJson,"loadavg_end":"$loadAvg","scratch":"$scratchPath","sf":"$sfDir"}"""
     // full per-query timings go to a file; stdout gets a COMPACT line.
     // The driver keeps only the last ~2000 chars of stdout, and the full
