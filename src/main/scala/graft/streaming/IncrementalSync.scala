@@ -68,7 +68,8 @@ object IncrementalSync {
       checkpoint: String,
       pk: String,
       tsCol: String,
-      nBuckets: Int = 16): DataFrame = {
+      nBuckets: Int = 16,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
 
     assertRenameCapable(targetPath)
     // a previous sync may have died mid-swap; restore before anything reads
@@ -79,8 +80,9 @@ object IncrementalSync {
     // state, while a *new version* of a key (same pk, later ts) passes
     // through and wins in the upsert — keying state on pk alone would
     // swallow updates across runs
-    val stream = spark.readStream
-      .schema(schema)
+    val reader = spark.readStream.schema(schema)
+    val stream = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n.toString))
       .parquet(srcDir)
       .withWatermark(tsCol, "1 day")
       .dropDuplicates(Seq(pk, tsCol))
@@ -105,29 +107,34 @@ object IncrementalSync {
         // metadata-sized driver collect, same class as IVF centroids
         val touched = latest.select("__part").distinct()
           .collect().map(_.getInt(0)).sorted
-        // a crash can land between micro-batches of this very run; repair
-        // before every read so the merge never sees a mid-swap bucket as empty
-        repairInterruptedSwap(targetPath)
-        val exists = new java.io.File(targetPath).exists()
-        val merged =
-          if (exists) {
-            // partition pruning limits the scan to the touched buckets;
-            // untouched bucket directories are never read or rewritten
-            val existing = spark.read.parquet(targetPath)
-              .where(col("__part").isInCollection(touched.map(Integer.valueOf)))
-            Merge.mergeUpsert(existing, latest, Seq(pk))
-          } else latest
-        // write-to-temp-then-swap: never overwrite the files being read
-        // (SURVEY §7.5.7 read-before-overwrite trap) — the tmp write is the
-        // action that drains the scan of the live buckets. The swap is
-        // move-based and failure-checked per bucket: a live bucket dir is
-        // moved aside (not deleted) before its replacement moves in, so a
-        // crash mid-swap leaves either the old or the new bucket on disk,
-        // never neither; Files.move throws on failure instead of renameTo's
-        // silently-ignored boolean.
-        val tmp = targetPath + ".tmp"
-        merged.write.mode("overwrite").partitionBy("__part").parquet(tmp)
-        swapBuckets(targetPath, tmp, touched)
+        // a watermark-only (empty) micro-batch — e.g. the trailing batch a
+        // multi-batch run appends after the watermark advances — touches no
+        // bucket and must not pay a write/swap cycle
+        if (touched.nonEmpty) {
+          // a crash can land between micro-batches of this very run; repair
+          // before every read so the merge never sees a mid-swap bucket as empty
+          repairInterruptedSwap(targetPath)
+          val exists = new java.io.File(targetPath).exists()
+          val merged =
+            if (exists) {
+              // partition pruning limits the scan to the touched buckets;
+              // untouched bucket directories are never read or rewritten
+              val existing = spark.read.parquet(targetPath)
+                .where(col("__part").isInCollection(touched.map(Integer.valueOf)))
+              Merge.mergeUpsert(existing, latest, Seq(pk))
+            } else latest
+          // write-to-temp-then-swap: never overwrite the files being read
+          // (SURVEY §7.5.7 read-before-overwrite trap) — the tmp write is the
+          // action that drains the scan of the live buckets. The swap is
+          // move-based and failure-checked per bucket: a live bucket dir is
+          // moved aside (not deleted) before its replacement moves in, so a
+          // crash mid-swap leaves either the old or the new bucket on disk,
+          // never neither; Files.move throws on failure instead of renameTo's
+          // silently-ignored boolean.
+          val tmp = targetPath + ".tmp"
+          merged.write.mode("overwrite").partitionBy("__part").parquet(tmp)
+          swapBuckets(targetPath, tmp, touched)
+        }
         latest.unpersist()
         ()
       }
@@ -235,11 +242,13 @@ object IncrementalSync {
       checkpoint: String,
       pk: String,
       tsCol: String,
-      nBuckets: Int = 16): DataFrame = {
+      nBuckets: Int = 16,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
 
-    val stream = spark.readStream
-      .schema(schema)
+    val reader = spark.readStream.schema(schema)
+    val stream = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n.toString))
       .parquet(srcDir)
       .withWatermark(tsCol, "1 day")
       .dropDuplicates(Seq(pk, tsCol))
@@ -295,17 +304,22 @@ object IncrementalSync {
   /** `stream_upsert_endstate` (§2.10 driver-checkable row): the full
     * streaming sync driven end-to-end — two parquet drops (initial load,
     * then updated versions of overlapping keys with a later event time)
-    * ingested by two AvailableNow runs over one checkpoint — then the final
-    * table projected to the batch columns. The oracle is the batch
+    * ingested as two micro-batches of one AvailableNow run over one
+    * checkpoint (`maxFilesPerTrigger=1`; two incremental bucket-pruned
+    * merges, exactly as two separate runs would execute them) — then the
+    * final table projected to the batch columns. The oracle is the batch
     * `merge_upsert` SQL verbatim: the streaming path must land the exact
     * same end state the idempotent batch MERGE produces.
+    * `restartPerDrop=true` (the spec form) pays one run per drop,
+    * additionally proving checkpoint recovery across a process boundary.
     *
     * Drop timestamps are synthetic constants (day 1 / day 2) so the
     * watermark horizon is deterministic; in production the horizon is a
     * freshness SLA choice, not a correctness knob, because the foreachBatch
     * upsert stays idempotent for any replay.
     */
-  def streamUpsertEndstate(spark: SparkSession, sfDir: String): DataFrame = {
+  def streamUpsertEndstate(spark: SparkSession, sfDir: String,
+      restartPerDrop: Boolean = false): DataFrame = {
     import graft.sources.Tables
     val base = Tables.events(spark, sfDir)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
@@ -325,7 +339,8 @@ object IncrementalSync {
       .withColumn("ts", to_timestamp(lit("2025-01-02 00:00:00")))
 
     def land(df: DataFrame, name: String): Unit =
-      StreamHarness.land(df, scratch, srcDir, name)
+      StreamHarness.land(df, scratch, srcDir, name,
+        order = name.stripPrefix("drop").toInt - 1)
 
     // demo-scoped lifecycle confs (state partitions, checkpoint checksums)
     // — see StreamHarness.withDemoStreamConfs for the measured rationale
@@ -334,10 +349,17 @@ object IncrementalSync {
       // hash-spread demo drops touch every bucket anyway, so more buckets
       // would only buy small-file overhead here; production sizes nBuckets
       // to (table size / desired rewrite granularity) instead
-      land(drop1, "drop1")
-      syncOnce(spark, drop1.schema, srcDir, target, ckpt, "event_id", "ts", nBuckets = 4)
-      land(drop2, "drop2")
-      syncOnce(spark, drop1.schema, srcDir, target, ckpt, "event_id", "ts", nBuckets = 4)
+      if (restartPerDrop) {
+        land(drop1, "drop1")
+        syncOnce(spark, drop1.schema, srcDir, target, ckpt, "event_id", "ts", nBuckets = 4)
+        land(drop2, "drop2")
+        syncOnce(spark, drop1.schema, srcDir, target, ckpt, "event_id", "ts", nBuckets = 4)
+      } else {
+        land(drop1, "drop1")
+        land(drop2, "drop2")
+        syncOnce(spark, drop1.schema, srcDir, target, ckpt, "event_id", "ts",
+          nBuckets = 4, maxFilesPerTrigger = Some(1))
+      }
     }
     spark.read.parquet(target)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
@@ -349,7 +371,8 @@ object IncrementalSync {
     * the object-store commit path lands the identical end state. The final
     * vacuum exercises garbage collection of the superseded first-drop data.
     */
-  def streamUpsertManifestEndstate(spark: SparkSession, sfDir: String): DataFrame = {
+  def streamUpsertManifestEndstate(spark: SparkSession, sfDir: String,
+      restartPerDrop: Boolean = false): DataFrame = {
     import graft.sources.Tables
     val base = Tables.events(spark, sfDir)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
@@ -366,13 +389,21 @@ object IncrementalSync {
       .withColumn("ts", to_timestamp(lit("2025-01-02 00:00:00")))
 
     def land(df: DataFrame, name: String): Unit =
-      StreamHarness.land(df, scratch, srcDir, name)
+      StreamHarness.land(df, scratch, srcDir, name,
+        order = name.stripPrefix("drop").toInt - 1)
 
     StreamHarness.withDemoStreamConfs(spark) {
-      land(drop1, "drop1")
-      syncOnceManifest(spark, drop1.schema, srcDir, target, ckpt, "event_id", "ts", nBuckets = 4)
-      land(drop2, "drop2")
-      syncOnceManifest(spark, drop1.schema, srcDir, target, ckpt, "event_id", "ts", nBuckets = 4)
+      if (restartPerDrop) {
+        land(drop1, "drop1")
+        syncOnceManifest(spark, drop1.schema, srcDir, target, ckpt, "event_id", "ts", nBuckets = 4)
+        land(drop2, "drop2")
+        syncOnceManifest(spark, drop1.schema, srcDir, target, ckpt, "event_id", "ts", nBuckets = 4)
+      } else {
+        land(drop1, "drop1")
+        land(drop2, "drop2")
+        syncOnceManifest(spark, drop1.schema, srcDir, target, ckpt, "event_id", "ts",
+          nBuckets = 4, maxFilesPerTrigger = Some(1))
+      }
     }
     // GC the superseded commit dirs, then re-resolve: the vacuumed table
     // must still serve the committed tip

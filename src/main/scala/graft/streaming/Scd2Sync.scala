@@ -37,9 +37,13 @@ object Scd2Sync {
       schema: StructType,
       srcDir: String,
       targetPath: String,
-      checkpoint: String): DataFrame = {
+      checkpoint: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     repair(targetPath)
-    val stream = spark.readStream.schema(schema).parquet(srcDir)
+    val reader = spark.readStream.schema(schema)
+    val stream = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n.toString))
+      .parquet(srcDir)
     val query = stream.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
@@ -85,11 +89,15 @@ object Scd2Sync {
 
   /** `stream_scd2_endstate`: the sync driven end-to-end — the pre-cutoff
     * event log landed as drop 1 (dim bootstrap), the post-cutoff window as
-    * drop 2 (snapshot apply), two AvailableNow runs over one checkpoint.
-    * The end state must equal the batch [[Scd.scd2Merge]] exactly — same
-    * oracle SQL verbatim.
+    * drop 2 (snapshot apply), each its own micro-batch of ONE AvailableNow
+    * run over one checkpoint (`maxFilesPerTrigger=1` — version granularity
+    * is per micro-batch, so the two-version history is identical to the
+    * two-run form). The end state must equal the batch [[Scd.scd2Merge]]
+    * exactly — same oracle SQL verbatim. `restartPerDrop=true` pays one
+    * run per drop, proving recovery across a process boundary.
     */
-  def streamScd2Endstate(spark: SparkSession, sfDir: String): DataFrame = {
+  def streamScd2Endstate(spark: SparkSession, sfDir: String,
+      restartPerDrop: Boolean = false): DataFrame = {
     import graft.sources.Tables
     val events = Tables.events(spark, sfDir)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
@@ -103,10 +111,17 @@ object Scd2Sync {
     val drop1 = events.where(col("ts") < cut)
     val drop2 = events.where(col("ts") >= cut)
     StreamHarness.withDemoStreamConfs(spark) {
-      StreamHarness.land(drop1, scratch, srcDir, "drop1")
-      syncOnce(spark, events.schema, srcDir, target, ckpt)
-      StreamHarness.land(drop2, scratch, srcDir, "drop2")
-      syncOnce(spark, events.schema, srcDir, target, ckpt)
+      if (restartPerDrop) {
+        StreamHarness.land(drop1, scratch, srcDir, "drop1", order = 0)
+        syncOnce(spark, events.schema, srcDir, target, ckpt)
+        StreamHarness.land(drop2, scratch, srcDir, "drop2", order = 1)
+        syncOnce(spark, events.schema, srcDir, target, ckpt)
+      } else {
+        StreamHarness.land(drop1, scratch, srcDir, "drop1", order = 0)
+        StreamHarness.land(drop2, scratch, srcDir, "drop2", order = 1)
+        syncOnce(spark, events.schema, srcDir, target, ckpt,
+          maxFilesPerTrigger = Some(1))
+      }
     }
     spark.read.parquet(target)
       .select(col("user_id"), col("state"), col("valid_from"), col("valid_to"),

@@ -27,12 +27,16 @@ object StreamDedup {
 
   /** `stream_dedup_endstate`: two-drop end-to-end demo — drop 1 is half the
     * events table, drop 2 is the FULL table (an exact replay of drop 1 plus
-    * the other half), each processed by its own AvailableNow run against one
-    * checkpoint. The replayed half must be suppressed by state persisted
-    * across runs; the horizon (3650 days) exceeds the table's time span so
-    * no state expires mid-demo and the end state equals batch DISTINCT.
+    * the other half), each its own micro-batch (`maxFilesPerTrigger=1`)
+    * within one AvailableNow run against one checkpoint. The replayed half
+    * must be suppressed by state persisted across batches; the horizon
+    * (3650 days) exceeds the table's time span so no state expires mid-demo
+    * and the end state equals batch DISTINCT. `restartPerDrop=true` (the
+    * StreamingSpec form) stops and restarts the query between the drops,
+    * additionally proving the state survives a process boundary.
     */
-  def streamDedupEndstate(spark: SparkSession, sfDir: String): DataFrame = {
+  def streamDedupEndstate(spark: SparkSession, sfDir: String,
+      restartPerDrop: Boolean = false): DataFrame = {
     import graft.sources.Tables
     import StreamHarness.land
     val events = Tables.events(spark, sfDir)
@@ -44,7 +48,8 @@ object StreamDedup {
     new java.io.File(srcDir).mkdirs()
 
     def runOnce(): Unit = {
-      val stream = spark.readStream.schema(events.schema).parquet(srcDir)
+      val stream = spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
       val q = stream
         .withColumn("content_hash",
           md5(concat_ws("|", col("event_type"), col("props"))))
@@ -62,10 +67,18 @@ object StreamDedup {
     }
 
     StreamHarness.withDemoStreamConfs(spark) {
-      land(events.where(pmod(col("event_id"), lit(2)) === 0), scratch, srcDir, "drop1")
-      runOnce()
-      land(events, scratch, srcDir, "drop2") // full replay + the odd half
-      runOnce()
+      if (restartPerDrop) {
+        land(events.where(pmod(col("event_id"), lit(2)) === 0), scratch, srcDir,
+          "drop1", order = 0)
+        runOnce()
+        land(events, scratch, srcDir, "drop2", order = 1) // full replay + the odd half
+        runOnce()
+      } else {
+        land(events.where(pmod(col("event_id"), lit(2)) === 0), scratch, srcDir,
+          "drop1", order = 0)
+        land(events, scratch, srcDir, "drop2", order = 1) // full replay + the odd half
+        runOnce()
+      }
     }
 
     spark.read.parquet(outDir)

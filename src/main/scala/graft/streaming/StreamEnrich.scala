@@ -21,16 +21,20 @@ import org.apache.spark.sql.streaming.Trigger
 object StreamEnrich {
 
   /** `stream_enrich_endstate`: two-drop end-to-end demo — the even half of
-    * events, then the odd half, each an AvailableNow run on one checkpoint,
-    * with drop 1's file still sitting in the source directory during run 2:
-    * the checkpoint's file bookkeeping must not re-read it (a stateless
-    * join has no dedup state to catch a re-read — file-level exactly-once
-    * is the only guard, and this demo proves it). The appended output must
+    * events, then the odd half, each its own micro-batch
+    * (`maxFilesPerTrigger=1`) in one AvailableNow run on one checkpoint:
+    * the source's file bookkeeping must hand each file to exactly one
+    * batch (a stateless join has no dedup state to catch a re-read —
+    * file-level exactly-once is the only guard). The appended output must
     * equal the BATCH join of events x customer, which is the oracle.
     * Content-level replays (same rows in a NEW file) are ingestion dedup's
-    * job — [[StreamDedup]] — not the enrich stage's.
+    * job — [[StreamDedup]] — not the enrich stage's. `restartPerDrop=true`
+    * (the StreamingSpec form) restarts the query between drops with drop
+    * 1's file still in the source directory, proving the CHECKPOINT's file
+    * log — not just in-memory state — prevents the re-read.
     */
-  def streamEnrichEndstate(spark: SparkSession, sfDir: String): DataFrame = {
+  def streamEnrichEndstate(spark: SparkSession, sfDir: String,
+      restartPerDrop: Boolean = false): DataFrame = {
     import graft.sources.Tables
     import StreamHarness.land
     val events = Tables.events(spark, sfDir)
@@ -44,7 +48,8 @@ object StreamEnrich {
     new java.io.File(srcDir).mkdirs()
 
     def runOnce(): Unit = {
-      val q = spark.readStream.schema(events.schema).parquet(srcDir)
+      val q = spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
         .join(broadcast(customer), col("user_id") === col("c_custkey"))
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("c_mktsegment").as("segment"))
@@ -59,11 +64,21 @@ object StreamEnrich {
     }
 
     StreamHarness.withDemoStreamConfs(spark) {
-      land(events.where(pmod(col("event_id"), lit(2)) === 0), scratch, srcDir, "drop1")
-      runOnce()
-      // drop1.parquet is still in srcDir — run 2 must skip it via checkpoint
-      land(events.where(pmod(col("event_id"), lit(2)) === 1), scratch, srcDir, "drop2")
-      runOnce()
+      if (restartPerDrop) {
+        land(events.where(pmod(col("event_id"), lit(2)) === 0), scratch, srcDir,
+          "drop1", order = 0)
+        runOnce()
+        // drop1.parquet is still in srcDir — run 2 must skip it via checkpoint
+        land(events.where(pmod(col("event_id"), lit(2)) === 1), scratch, srcDir,
+          "drop2", order = 1)
+        runOnce()
+      } else {
+        land(events.where(pmod(col("event_id"), lit(2)) === 0), scratch, srcDir,
+          "drop1", order = 0)
+        land(events.where(pmod(col("event_id"), lit(2)) === 1), scratch, srcDir,
+          "drop2", order = 1)
+        runOnce()
+      }
     }
 
     spark.read.parquet(outDir)

@@ -22,15 +22,30 @@ private[streaming] object StreamHarness {
 
   /** Land `df` as a single parquet file named `name.parquet` in `srcDir`
     * (the file source lists *.parquet at the root).
+    *
+    * `order` >= 0 pins the landed file's modification time to a strictly
+    * increasing per-order value: the file source sorts pending files by
+    * mtime (oldest first), so when several drops are landed BEFORE one
+    * `maxFilesPerTrigger=1` AvailableNow run — the single-lifecycle
+    * endstate form — drop k is guaranteed to be micro-batch k. Without the
+    * pin the ordering rests on the staging writes' natural ms-granularity
+    * timestamps, which is near-certain but not a contract.
     */
-  def land(df: DataFrame, scratch: String, srcDir: String, name: String): Unit = {
+  def land(df: DataFrame, scratch: String, srcDir: String, name: String,
+      order: Int = -1): Unit = {
     val tmp = s"$scratch/stage_$name"
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
     val part = new java.io.File(tmp).listFiles()
       .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
       .getOrElse(sys.error(s"no part file in $tmp"))
-    java.nio.file.Files.move(part.toPath,
-      java.nio.file.Paths.get(s"$srcDir/$name.parquet"))
+    val dest = new java.io.File(s"$srcDir/$name.parquet")
+    java.nio.file.Files.move(part.toPath, dest.toPath)
+    // strictly past timestamps (the source must not see a file from the
+    // future), 60 s apart: the spacing dominates both coarse-mtime
+    // filesystems and the wall-clock drift between successive land() calls
+    // (each call re-reads the clock), so order k is always older than k+1
+    if (order >= 0)
+      dest.setLastModified(System.currentTimeMillis() - 86400000L + order * 60000L): Unit
     delete(new java.io.File(tmp))
   }
 
@@ -47,9 +62,12 @@ private[streaming] object StreamHarness {
     *    store open/commit/snapshot file I/O per micro-batch, so 32 session
     *    partitions mean 64 store commits for two runs of ~20k rows (~4 s of
     *    pure overhead measured); a production deployment sizes this to the
-    *    real drop volume instead. The FIRST run freezes the count into the
-    *    checkpoint, so it must be set before the first run of a given
-    *    checkpoint.
+    *    real drop volume instead. parts=4 is the measured local sweet spot
+    *    (sessionize endstate lifecycle at sf0.1: 2.13 s at 1, 2.36 s at 2,
+    *    1.85 s at 4, 1.90 s at 8 — the data batch wants parallelism, the
+    *    near-empty batches want few stores). The FIRST run freezes the
+    *    count into the checkpoint, so it must be set before the first run
+    *    of a given checkpoint.
     *  - `spark.sql.streaming.checkpoint.fileChecksum.enabled` → false: the
     *    Spark 4 checksum file manager writes a sidecar checksum per
     *    checkpoint file (offsets/commits/state deltas — a dozen small fsyncs
@@ -57,7 +75,7 @@ private[streaming] object StreamHarness {
     *    on remote checkpoints; for a local demo checkpoint it is pure
     *    per-batch latency.
     */
-  def withDemoStreamConfs[T](spark: SparkSession, parts: Int = 2)(body: => T): T = {
+  def withDemoStreamConfs[T](spark: SparkSession, parts: Int = 4)(body: => T): T = {
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     val checksumKey = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
     val prevChecksum = spark.conf.getOption(checksumKey)

@@ -72,11 +72,12 @@ object StreamJoin {
   }
 
   /** `stream_outer_join_endstate`: the outer variant driven end-to-end —
-    * one data run, then TWO sentinel runs: watermarks are computed from the
-    * PREVIOUS batch's max event time, so the first sentinel wave plants the
-    * advanced watermark and the second wave's batch actually evaluates it,
-    * flushing every unmatched click with nulls. The oracle is the batch
-    * LEFT JOIN on the same interval predicate.
+    * one data batch, then TWO sentinel batches, all inside one AvailableNow
+    * lifecycle: watermarks are computed from the PREVIOUS batch's max event
+    * time, so the first sentinel wave plants the advanced watermark and the
+    * second wave's batch actually evaluates it, flushing every unmatched
+    * click with nulls. The oracle is the batch LEFT JOIN on the same
+    * interval predicate.
     */
   def streamOuterJoinEndstate(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.sources.Tables
@@ -119,16 +120,18 @@ object StreamJoin {
       lit(-1L).as("event_id"),
       timestamp_micros(lit(maxUs + daysOut * 24 * 3600 * 1000000L)).as("ts"),
       lit(-1L).as("user_id"))
+    // ONE lifecycle for data + both sentinel waves: maxFilesPerTrigger=1
+    // slices the three landed files per source into micro-batches
+    // (c1+e1 data, then wave 1 plants the advanced watermark, then wave
+    // 2's batch evaluates it and flushes unmatched clicks) — the
+    // pinned-mtime land order is the batch order
     StreamHarness.withDemoStreamConfs(spark) {
-      land(clicks, scratch, srcC, "c1")
-      land(errors, scratch, srcE, "e1")
-      runOnce()
-      // both sentinel waves in one run: wave 1's batch plants the advanced
-      // watermark, wave 2's batch evaluates it and flushes unmatched clicks
-      land(sentinel(30), scratch, srcC, "c2")
-      land(sentinel(30), scratch, srcE, "e2")
-      land(sentinel(31), scratch, srcC, "c3")
-      land(sentinel(31), scratch, srcE, "e3")
+      land(clicks, scratch, srcC, "c1", order = 0)
+      land(errors, scratch, srcE, "e1", order = 0)
+      land(sentinel(30), scratch, srcC, "c2", order = 1)
+      land(sentinel(30), scratch, srcE, "e2", order = 1)
+      land(sentinel(31), scratch, srcC, "c3", order = 2)
+      land(sentinel(31), scratch, srcE, "e3", order = 2)
       runOnce()
     }
 
@@ -141,8 +144,9 @@ object StreamJoin {
   /** `stream_stream_join_endstate`: the join driven end-to-end — clicks and
     * errors land as SEPARATE file streams (split across two drops each, so
     * matches must pair rows from different micro-batches out of the
-    * buffered join state, not just within one batch), two AvailableNow runs
-    * on one checkpoint, append sink. The end state must equal the batch
+    * buffered join state, not just within one batch — `maxFilesPerTrigger=1`
+    * makes each drop its own micro-batch) in one AvailableNow run, append
+    * sink. The end state must equal the batch
     * interval join — the oracle.
     */
   def streamStreamJoinEndstate(spark: SparkSession, sfDir: String): DataFrame = {
@@ -159,8 +163,10 @@ object StreamJoin {
 
     val base = events.select(col("event_id"), col("ts"), col("user_id"))
     def runOnce(): Unit = {
-      val clicks = spark.readStream.schema(base.schema).parquet(srcC)
-      val errors = spark.readStream.schema(base.schema).parquet(srcE)
+      val clicks = spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcC)
+      val errors = spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcE)
       val q = clickErrorAttribution(clicks, errors)
         .writeStream
         .trigger(Trigger.AvailableNow())
@@ -185,12 +191,15 @@ object StreamJoin {
       .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
       .head().toSeq.map(_.asInstanceOf[Long]).toArray
     val midTs = timestamp_micros(lit((minUs + maxUs) / 2))
+    // one lifecycle, two micro-batches per source (maxFilesPerTrigger=1,
+    // pinned land order): cross-boundary pairs — a batch-2 click matching
+    // a batch-1 error within the hour — still come only from the buffered
+    // join state, which is what the timeline split exercises
     StreamHarness.withDemoStreamConfs(spark) {
-      land(clicks.where(col("ts") < midTs), scratch, srcC, "c1")
-      land(errors.where(col("ts") < midTs), scratch, srcE, "e1")
-      runOnce()
-      land(clicks.where(col("ts") >= midTs), scratch, srcC, "c2")
-      land(errors.where(col("ts") >= midTs), scratch, srcE, "e2")
+      land(clicks.where(col("ts") < midTs), scratch, srcC, "c1", order = 0)
+      land(errors.where(col("ts") < midTs), scratch, srcE, "e1", order = 0)
+      land(clicks.where(col("ts") >= midTs), scratch, srcC, "c2", order = 1)
+      land(errors.where(col("ts") >= midTs), scratch, srcE, "e2", order = 1)
       runOnce()
     }
 

@@ -368,8 +368,11 @@ class StreamingSpec extends SparkTestBase {
 
   test("streaming dedup suppresses a full cross-batch replay (one row per content)") {
     // drop 2 replays every drop-1 row: if dedup state were not persisted
-    // across the two AvailableNow runs, the even-half keys would appear twice
-    val out = graft.streaming.StreamDedup.streamDedupEndstate(spark, sf).cache()
+    // across the two AvailableNow runs (restartPerDrop — the registered
+    // query covers the same replay across MICRO-BATCHES of one run), the
+    // even-half keys would appear twice
+    val out = graft.streaming.StreamDedup
+      .streamDedupEndstate(spark, sf, restartPerDrop = true).cache()
     try {
       val total = out.count()
       val hashes = out.select("content_hash").distinct().count()
@@ -383,7 +386,10 @@ class StreamingSpec extends SparkTestBase {
 
   test("stream-static enrich: end state equals the batch join, replay suppressed") {
     import org.apache.spark.sql.functions.col
-    val out = graft.streaming.StreamEnrich.streamEnrichEndstate(spark, sf).cache()
+    // restartPerDrop: drop 1's file survives in the source dir across a
+    // query restart — only the CHECKPOINT's file log prevents the re-read
+    val out = graft.streaming.StreamEnrich
+      .streamEnrichEndstate(spark, sf, restartPerDrop = true).cache()
     try {
       val total = out.count()
       val ids = out.select("event_id").distinct().count()
