@@ -45,7 +45,10 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * atomic primitive and the loser gets [[ConcurrentCommitException]] —
   * its data files stay unreferenced (vacuum food) and it retries against
   * the new tip. [[LocalLinkIfAbsent]] is the POSIX-atomic variant
-  * (hard-link create) the racing-committers property spec uses.
+  * (hard-link create) the racing-committers property spec uses;
+  * [[CreateIfAbsent]] is the object-store variant (create-no-overwrite →
+  * S3 conditional PUT / GCS ifGenerationMatch(0)), spec-covered by a
+  * fault-injecting FileSystem that loses the conditional PUT.
   */
 object ManifestStore {
 
@@ -67,6 +70,47 @@ object ManifestStore {
       if (f.exists(dest)) false
       else if (f.rename(tmp, dest)) true
       else throw new java.io.IOException(s"manifest publish rename failed: $dest")
+  }
+
+  /** Object-store publish: stream the temp's bytes into
+    * `create(dest, overwrite = false)` and close — the close IS the
+    * conditional PUT. On s3a with conditional create enabled (hadoop-aws ≥
+    * 3.4.1, `fs.s3a.create.conditional.enabled`, default on) the object is
+    * materialized with `If-None-Match: *`, so the store — not a
+    * check-then-act race — rejects the slower committer; the GCS connector's
+    * `create(overwrite = false)` carries the equivalent
+    * `ifGenerationMatch(0)` precondition. Either way the loser surfaces as
+    * an absence-conflict IOException (at create OR at close, depending on
+    * where the store evaluates the precondition) and this publish returns
+    * false → [[ConcurrentCommitException]] upstream, with the winner's
+    * manifest untouched.
+    *
+    * NOT for POSIX roots: a local `create(false)` is a TOCTOU exists-check
+    * and exposes the file while it is still being written — use
+    * [[LocalLinkIfAbsent]] there (hard-link create, same contract). On a
+    * store where close() publishes complete objects atomically, the
+    * mid-write visibility problem does not exist.
+    */
+  object CreateIfAbsent extends CommitIfAbsent {
+    def apply(f: FileSystem, tmp: Path, dest: Path): Boolean = {
+      // conflict can surface at create (store evaluates eagerly, or a
+      // local FilterFileSystem test double) or at close (S3 evaluates the
+      // If-None-Match on the final PUT)
+      def conflict(e: java.io.IOException): Boolean =
+        e.isInstanceOf[org.apache.hadoop.fs.FileAlreadyExistsException] ||
+          e.getClass.getSimpleName == "RemoteFileChangedException" ||
+          Option(e.getMessage).exists(_.toLowerCase.contains("already exists"))
+      try {
+        val out = f.create(dest, false)
+        val in = f.open(tmp)
+        try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192, false)
+        finally in.close()
+        out.close()
+        true
+      } catch {
+        case e: java.io.IOException if conflict(e) => false
+      } finally f.delete(tmp, false)
+    }
   }
 
   /** POSIX-atomic publish for `file:` roots: hard-link create fails iff the

@@ -293,6 +293,55 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("object-store CreateIfAbsent: publishes when absent, loses the conditional PUT cleanly") {
+    import graft.streaming.ManifestStore
+    import org.apache.hadoop.fs.{FileSystem, FilterFileSystem, Path, FSDataOutputStream}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = Files.createTempDirectory("graft_condput").toFile.getAbsolutePath
+
+    // happy path: two sequential commits publish v0 then v1; bytes resolve
+    val m0 = ManifestStore.commit(root, Map(0 -> "data/c0/__bucket=0"), None,
+      conf, ManifestStore.CreateIfAbsent)
+    val m1 = ManifestStore.commit(root, Map(1 -> "data/c1/__bucket=1"), Some(m0),
+      conf, ManifestStore.CreateIfAbsent)
+    assert(m1.version == 1L && m1.buckets.keySet == Set(0, 1))
+    assert(ManifestStore.readLatest(root, conf).get == m1)
+
+    // stale-base commit: v1 already exists on the store — the no-overwrite
+    // create must refuse and surface as ConcurrentCommitException
+    intercept[ManifestStore.ConcurrentCommitException] {
+      ManifestStore.commit(root, Map(2 -> "data/c2/__bucket=2"), Some(m0),
+        conf, ManifestStore.CreateIfAbsent)
+    }
+    assert(ManifestStore.readLatest(root, conf).get == m1, "loser must not move the tip")
+
+    // fault injection: a store whose conditional PUT loses AT THE STORE
+    // even though no local exists-check would have caught it — models S3's
+    // If-None-Match / GCS ifGenerationMatch(0) rejecting the slower
+    // committer server-side
+    val local = FileSystem.getLocal(conf)
+    val losingFs = new FilterFileSystem(local) {
+      override def create(p: Path, permission: org.apache.hadoop.fs.permission.FsPermission,
+          overwrite: Boolean, bufferSize: Int, replication: Short, blockSize: Long,
+          progress: org.apache.hadoop.util.Progressable): FSDataOutputStream =
+        if (!overwrite && p.getName.startsWith("manifest-"))
+          throw new org.apache.hadoop.fs.FileAlreadyExistsException(
+            s"412 Precondition Failed (injected conditional-PUT loss): $p")
+        else super.create(p, permission, overwrite, bufferSize, replication, blockSize, progress)
+    }
+    val tmp = new Path(s"$root/manifests/.manifest-2.test.inprogress")
+    val out = losingFs.create(tmp, true)
+    try out.write("version=2\n".getBytes("UTF-8")) finally out.close()
+    assert(!ManifestStore.CreateIfAbsent(losingFs, tmp, new Path(s"$root/manifests/manifest-2")),
+      "a lost conditional PUT must report false, not throw")
+    assert(!new java.io.File(s"$root/manifests/manifest-2").exists())
+    // no in-progress temp leaked by the losing publish
+    val leftovers = new java.io.File(s"$root/manifests").listFiles()
+      .map(_.getName).filter(_.endsWith(".inprogress"))
+    assert(leftovers.isEmpty, s"leaked temps: ${leftovers.toSeq}")
+    assert(ManifestStore.readLatest(root, conf).get == m1)
+  }
+
   test("vacuum retention window keeps N versions resolvable (time travel contract)") {
     import graft.streaming.ManifestStore
     val root = Files.createTempDirectory("graft_retention").toFile.getAbsolutePath
