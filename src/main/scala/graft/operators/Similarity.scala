@@ -370,19 +370,35 @@ object Similarity {
             org.apache.spark.sql.types.LongType), nullable = false)))
     val lutRows: java.util.List[org.apache.spark.sql.Row] =
       java.util.Arrays.asList(queryRows.map { r =>
-        val luts = (0 until m).map { si =>
-          val qs = r.getSeq[Long](1 + si).toArray
-          val qn = qs.map(x => x * x).sum
-          codebooks(si).map { c =>
-            var dot = 0L
-            var i = 0
-            while (i < qs.length) { dot += qs(i) * c(i); i += 1 }
-            qn - 2 * dot + c.map(v => v * v).sum
-          }.toSeq
-        }
-        org.apache.spark.sql.Row.fromSeq(r.getLong(0) +: luts)
+        val target = Array.concat(
+          (0 until m).map(si => r.getSeq[Long](1 + si).toArray): _*)
+        org.apache.spark.sql.Row.fromSeq(
+          r.getLong(0) +: adcLuts(target, codebooks, m))
       }: _*)
     spark.createDataFrame(lutRows, lutSchema)
+  }
+
+  /** Exact-integer ADC lookup tables for ONE target vector against the m
+    * codebooks: `luts(si)(j) = ||t_si||² − 2·t_si·c_j + ||c_j||²` — the
+    * same scale the code-assignment argmin uses, so LUT ranking equals
+    * exact subvector distance ranking. The single LUT routine behind both
+    * [[pqQueryLuts]] (target = the query itself) and [[simSearchIvfPq]]
+    * (target = the query's residual against each probed list): one
+    * definition, so the two call sites cannot drift.
+    */
+  private def adcLuts(target: Array[Long], codebooks: Seq[Seq[Array[Long]]],
+      m: Int): Seq[Seq[Long]] = {
+    val sub = target.length / m
+    (0 until m).map { si =>
+      val ts = target.slice(si * sub, (si + 1) * sub)
+      val tn = ts.map(x => x * x).sum
+      codebooks(si).map { c =>
+        var dot = 0L
+        var i = 0
+        while (i < ts.length) { dot += ts(i) * c(i); i += 1 }
+        tn - 2 * dot + c.map(v => v * v).sum
+      }.toSeq
+    }
   }
 
   /** `sim_search_ivfpq`: the IVF × PQ composition — the architecture every
@@ -455,17 +471,8 @@ object Similarity {
             probed.map { case (_, cid) =>
               val cL = coarse(cid.toInt)
               val target = Array.tabulate(qv.length)(i => qv(i) - cL(i))
-              val luts = (0 until m).map { si =>
-                val ts = target.slice(si * sub, (si + 1) * sub)
-                val tn = ts.map(x => x * x).sum
-                codebooks(si).map { c =>
-                  var dot = 0L
-                  var i = 0
-                  while (i < ts.length) { dot += ts(i) * c(i); i += 1 }
-                  tn - 2 * dot + c.map(v => v * v).sum
-                }.toSeq
-              }
-              org.apache.spark.sql.Row.fromSeq(r.getLong(0) +: cid +: luts)
+              org.apache.spark.sql.Row.fromSeq(
+                r.getLong(0) +: cid +: adcLuts(target, codebooks, m))
             }
           }: _*)
         val lutSchema = org.apache.spark.sql.types.StructType(
