@@ -281,6 +281,10 @@ object SparkEntry {
     "int_hn_keywords" -> ((s, d) => graft.models.TextMarts.intHnKeywords(Tables.documents(s, d))),
     "fct_hn_keyword_sentiment" -> ((s, d) =>
       graft.models.TextMarts.fctHnKeywordSentiment(Tables.documents(s, d))),
+    // the nested-comment recursion the reference punts (hacker_news.py:235-236),
+    // as log-round pointer doubling vs a recursive-CTE oracle
+    "hn_thread_resolve" -> ((s, d) =>
+      graft.models.TextMarts.hnThreadResolve(Tables.documents(s, d))),
     // §2.10 streaming end-state, oracle-checked against the batch MERGE
     // §2.10 lookback-window mart refresh (stale mart + trailing-window splice)
     "incremental_refresh_window" -> ((s, d) =>

@@ -583,9 +583,116 @@ object TextMarts {
        |FROM fin""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // HN nested-comment thread resolution (the recursion the reference
+  // explicitly punts: sources/hacker_news.py:235-236 "Nested comments are
+  // excluded for simplicity - they can be added later via recursive CTE")
+  // ------------------------------------------------------------------
+
+  /** Synthetic nested-comment tree over `documents`, shaped like the HN
+    * `parent` pointer the reference's top-level-only source drops: a comment
+    * is top-level (parent NULL) iff its id is a multiple of 23 or the
+    * derived parent would be negative; otherwise its parent is
+    * `id - (1 + id % 3)`. Parents are strictly smaller than children, so the
+    * forest is acyclic by construction, and the stepping arithmetic gives
+    * data-independent bounded depth (every chain is absorbed at the first
+    * multiple of 23 it lands on; those sit at most ~70 steps apart), so the
+    * DuckDB recursive-CTE oracle stays cheap at every SF while the chains
+    * are still deep enough that single-hop resolution would be wrong.
+    */
+  def hnCommentTree(documents: DataFrame): DataFrame = {
+    val step = col("doc_id") - (lit(1L) + pmod(col("doc_id"), lit(3L)))
+    documents.select(
+      col("doc_id").as("comment_id"),
+      when(pmod(col("doc_id"), lit(23L)) === 0 || step < 0, lit(null).cast("long"))
+        .otherwise(step).as("parent_id"))
+  }
+
+  /** `hn_thread_resolve`: every comment resolved to its thread root, its
+    * depth below that root, and the root's story — the recursive-CTE
+    * computation the reference defers, expressed with the same
+    * pointer-doubling discipline as [[graft.operators.Dedup.dedupClusters]].
+    *
+    * State is one row per comment `(ptr, depth, at_root)` with the invariant
+    * that `ptr` is an ancestor exactly `depth` hops up (roots point at
+    * themselves at depth 0). Each round self-joins the state on `ptr` and
+    * composes the two jumps — `ptr ← ptr(ptr)`, `depth += depth(ptr)` — so
+    * the resolved distance doubles per round and a depth-d forest finishes
+    * in ⌈log₂ d⌉ rounds, not d. That is the 100-TB shape: a sequential
+    * walk is O(depth) driver round-trips over the whole corpus, while
+    * doubling is O(log depth) self-joins each shuffling only
+    * (id, ptr, depth) triples — the corpus body never enters the loop.
+    * Every iterate is `localCheckpoint(eager)`-truncated (same lineage
+    * discipline as dedupClusters; swap in reliable `.checkpoint()` on a
+    * real cluster) and the loop runs at a state-sized partition count, not
+    * the session's corpus-sized one. The convergence check rides the same
+    * materialized leaf (a filter-count on `at_root`), so each round costs
+    * exactly one self-join job.
+    */
+  def hnThreadResolve(documents: DataFrame, maxIters: Int = 12): DataFrame = {
+    val spark = documents.sparkSession
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val com = hnCommentTree(documents)
+      var state = com.select(
+        col("comment_id"),
+        coalesce(col("parent_id"), col("comment_id")).as("ptr"),
+        when(col("parent_id").isNull, lit(0L)).otherwise(lit(1L)).as("depth"),
+        col("parent_id").isNull.as("at_root")).localCheckpoint(true)
+      var converged = false
+      var iter = 0
+      while (!converged && iter < maxIters) {
+        val parentSide = state.select(
+          col("comment_id").as("ptr"), col("ptr").as("pp"),
+          col("depth").as("pd"), col("at_root").as("p_at_root"))
+        val jumped = state.join(parentSide, Seq("ptr"))
+          .select(
+            col("comment_id"),
+            when(col("at_root"), col("ptr")).otherwise(col("pp")).as("ptr"),
+            when(col("at_root"), col("depth"))
+              .otherwise(col("depth") + col("pd")).as("depth"),
+            (col("at_root") || col("p_at_root")).as("at_root"))
+        val updated = jumped.localCheckpoint(true)
+        val remaining = updated.where(!col("at_root")).count()
+        state = updated
+        converged = remaining == 0
+        iter += 1
+      }
+      if (!converged)
+        throw new IllegalStateException(
+          s"hnThreadResolve: pointer doubling did not converge in $maxIters rounds " +
+            s"(thread depth > 2^$maxIters is not plausible for the bounded-depth " +
+            "synthetic tree — indicates a parent-derivation bug)")
+      state.select(
+        col("comment_id"),
+        col("ptr").as("root_comment_id"),
+        col("depth").as("thread_depth"),
+        pmod(col("ptr"), lit(97L)).as("story_id"))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  private val hnThreadOracle: String =
+    s"""WITH RECURSIVE tree AS (
+       |  SELECT doc_id AS comment_id,
+       |         CASE WHEN doc_id % 23 = 0 OR doc_id - (1 + doc_id % 3) < 0 THEN NULL
+       |              ELSE doc_id - (1 + doc_id % 3) END AS parent_id
+       |  FROM documents),
+       |walk AS (
+       |  SELECT comment_id, comment_id AS root_comment_id, 0 AS thread_depth
+       |  FROM tree WHERE parent_id IS NULL
+       |  UNION ALL
+       |  SELECT c.comment_id, w.root_comment_id, w.thread_depth + 1
+       |  FROM tree c JOIN walk w ON c.parent_id = w.comment_id)
+       |SELECT comment_id, root_comment_id,
+       |       CAST(thread_depth AS BIGINT) AS thread_depth,
+       |       root_comment_id % 97 AS story_id
+       |FROM walk""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "int_fda_reactions" -> intFdaOracle,
     "fct_fda_events_by_reaction" -> fctFdaOracle,
     "int_hn_keywords" -> intHnOracle,
-    "fct_hn_keyword_sentiment" -> fctHnOracle)
+    "fct_hn_keyword_sentiment" -> fctHnOracle,
+    "hn_thread_resolve" -> hnThreadOracle)
 }

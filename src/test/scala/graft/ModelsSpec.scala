@@ -179,6 +179,35 @@ class ModelsSpec extends SparkTestBase {
       "battery should surface >= 40 distinct keywords")
   }
 
+  test("hn_thread_resolve matches a sequential walk of the synthetic tree") {
+    // independent ground truth: the same parent arithmetic walked one hop at
+    // a time in plain Scala (the O(depth) algorithm the doubling loop replaces)
+    def parent(id: Long): Option[Long] = {
+      val step = id - (1 + id % 3)
+      if (id % 23 == 0 || step < 0) None else Some(step)
+    }
+    def walk(id: Long): (Long, Long) = {
+      var cur = id; var depth = 0L
+      while (parent(cur).isDefined) { cur = parent(cur).get; depth += 1 }
+      (cur, depth)
+    }
+    val rows = graft.models.TextMarts.hnThreadResolve(
+      graft.sources.Tables.documents(spark, sf)).collect()
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(rows.length == docs.length, "one resolved row per comment")
+    val maxDepth = rows.map(_.getAs[Long]("thread_depth")).max
+    assert(maxDepth >= 4, s"tree must be deep enough to need doubling (max=$maxDepth)")
+    rows.foreach { r =>
+      val id = r.getAs[Long]("comment_id")
+      val (root, depth) = walk(id)
+      assert(r.getAs[Long]("root_comment_id") == root, s"root of $id")
+      assert(r.getAs[Long]("thread_depth") == depth, s"depth of $id")
+      assert(r.getAs[Long]("story_id") == root % 97, s"story of $id")
+      assert(parent(root).isEmpty, s"resolved root $root must be top-level")
+    }
+  }
+
   test("sector performance: counts partition tickers; sentiment consistent") {
     val rows = graft.models.Marts.fctSectorPerformance(
       graft.sources.Tables.prices(spark, sf),
