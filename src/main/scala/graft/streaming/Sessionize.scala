@@ -270,6 +270,85 @@ object Sessionize {
       .select(col("window_start"), col("event_type"), col("event_count"))
   }
 
+  /** `stream_late_data_endstate`: the watermark's LATE-DATA DROP contract
+    * driven end-to-end — the one streaming semantic the other endstates
+    * never exercise (their drops always arrive in event-time order, so the
+    * watermark only ever closes windows, never rejects rows).
+    *
+    * Four drops through one AvailableNow lifecycle (maxFilesPerTrigger=1,
+    * order-pinned — see [[StreamHarness.land]]):
+    *   1. the older half of `events` (on time);
+    *   2. the newer half — ends with the full corpus ingested and the
+    *      watermark advanced to max(ts) − 1 day (watermarks are computed
+    *      from the PREVIOUS batch, so the advance is visible to batch 3);
+    *   3. `__late` probe rows stamped 10 days BEFORE min(ts): their day
+    *      window ended far below the now-advanced watermark, so the
+    *      windowed aggregate must discard every one of them;
+    *   4. a `__sentinel` 30 days out, closing every real window into the
+    *      append sink (the probe windows, having never been created, stay
+    *      absent).
+    *
+    * The oracle is the plain batch daily GROUP BY over `events` — which
+    * never saw the probes. An engine that leaks late rows emits extra
+    * `__late` windows and fails the driver's row/hash compare; one that
+    * over-drops on-time rows undercounts. LateDataSpec also proves the
+    * probes WOULD have appeared had they been on time.
+    *
+    * Scale: identical to [[streamDailyCountsEndstate]] — state is one row
+    * per (open day window × event_type) partitioned across the state store,
+    * and the late-drop happens before state lookup, so a late flood costs
+    * scan only, never state growth.
+    */
+  def streamLateDataEndstate(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.Tables
+    import StreamHarness.land
+    val events = Tables.events(spark, sfDir).select(col("ts"), col("event_type"))
+    val scratch = StreamHarness.freshScratch("stream_late", sfDir)
+    val srcDir = s"$scratch/drops"
+    val outDir = s"$scratch/out"
+    val ckpt = s"$scratch/ckpt"
+    new java.io.File(srcDir).mkdirs()
+
+    // bounded scalars (1-row agg): the split pivot and the probe/sentinel
+    // anchors. minUs/maxUs bound the real data; the probes sit 10 days
+    // before it, the sentinel 30 days past it.
+    val b = events.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+    val (minUs, maxUs) = (b.getLong(0), b.getLong(1))
+    val midUs = minUs + (maxUs - minUs) / 2
+    val day = 24L * 3600 * 1000000
+
+    val late = spark.range(5).select(
+      timestamp_micros(lit(minUs - 10 * day) + col("id")).as("ts"),
+      lit("__late").as("event_type"))
+    val sentinel = spark.range(1).select(
+      timestamp_micros(lit(maxUs + 30 * day)).as("ts"),
+      lit("__sentinel").as("event_type"))
+
+    StreamHarness.withDemoStreamConfs(spark) {
+      land(events.where(unix_micros(col("ts")) < midUs), scratch, srcDir, "drop1", order = 0)
+      land(events.where(unix_micros(col("ts")) >= midUs), scratch, srcDir, "drop2", order = 1)
+      land(late, scratch, srcDir, "drop3", order = 2)
+      land(sentinel, scratch, srcDir, "drop4", order = 3)
+      val stream = spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = dailyTypeCounts(stream)
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .format("parquet")
+        .option("path", outDir)
+        .start()
+      q.awaitTermination()
+    }
+
+    // only the flush sentinel is filtered — `__late` rows are deliberately
+    // NOT: their absence is the assertion under test
+    spark.read.parquet(outDir)
+      .where(col("event_type") =!= "__sentinel")
+      .select(col("window_start"), col("event_type"), col("event_count"))
+  }
+
   /** The batch gap-sessionize SQL — shared verbatim by `sessionize_batch`
     * and `stream_sessionize_endstate` (the streaming path must land the
     * exact same session set; that is the point).
@@ -300,6 +379,13 @@ object Sessionize {
     "sessionize_batch" -> sessionizeSql,
     "stream_sessionize_endstate" -> sessionizeSql,
     "stream_daily_counts_endstate" ->
+      """SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS window_start,
+        |       event_type,
+        |       COUNT(*) AS event_count
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    // same batch oracle on purpose: it never saw the `__late` probes, so a
+    // late-row leak on the Spark side is a row-count/hash mismatch
+    "stream_late_data_endstate" ->
       """SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS window_start,
         |       event_type,
         |       COUNT(*) AS event_count
