@@ -256,6 +256,10 @@ object SparkEntry {
     // watermarked tumbling-window agg driven end-to-end, batch GROUP BY oracle
     "stream_daily_counts_endstate" -> ((s, d) =>
       graft.streaming.Sessionize.streamDailyCountsEndstate(s, d)),
+    // watermark late-data DROP contract: late probes must be discarded, so
+    // the same batch oracle (which never saw them) is the assertion
+    "stream_late_data_endstate" -> ((s, d) =>
+      graft.streaming.Sessionize.streamLateDataEndstate(s, d)),
     // ingestion-time exact dedup: dropDuplicatesWithinWatermark across
     // micro-batch replays, batch DISTINCT oracle
     "stream_dedup_endstate" -> ((s, d) =>

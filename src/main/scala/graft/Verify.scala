@@ -19,6 +19,12 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.TopK.installAll(spark) // strategy + rank-limit rewrite, the library default
     new java.io.File(outDir).mkdirs()
+    // Failed queries are recorded loudly in _errors.json beside the oracle
+    // dump (not just stderr): an errored query must be distinguishable from
+    // an unregistered one in the correctness artifact — in r8 a mass reader
+    // failure surfaced only in BENCH's error list because Verify's rc stayed
+    // 0 and the driver's CORRECTNESS simply omitted the rows.
+    val errs = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -26,6 +32,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errs(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(500)
       }
       finally spark.catalog.clearCache() // per-query cache isolation
     }
@@ -44,6 +51,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errs.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_errors.json"), errJson)
+    if (errs.nonEmpty)
+      System.err.println(s"[verify] ${errs.size} queries FAILED: ${errs.keys.mkString(", ")}")
     spark.stop()
   }
 }

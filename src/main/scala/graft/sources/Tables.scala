@@ -26,14 +26,26 @@ object Tables {
   def orders(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "orders")
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "lineitem")
 
-  /** events.parquet stores TIMESTAMP(NANOS) which Spark's parquet reader
-    * rejects; read nanos as long (legacy conf) and truncate to micros with
-    * exact integer division — identical to DuckDB `CAST(ts AS TIMESTAMP)`.
+  /** events.parquet's physical `ts` encoding has varied across testdata
+    * generations: TIMESTAMP(NANOS) (which Spark's parquet reader rejects
+    * without the legacy nanos-as-long conf), plain timestamp[us] without
+    * UTC adjustment (read as TIMESTAMP_NTZ), or an adjusted timestamp.
+    * Adapt on the loaded dtype so every generation normalizes to a session
+    * TIMESTAMP identical to DuckDB's `CAST(ts AS TIMESTAMP)` under the UTC
+    * session TZ: nanos-long → exact integer division to micros; NTZ → cast
+    * (wall time reinterpreted in the UTC session TZ = same micros value);
+    * TIMESTAMP → pass through.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = table(spark, sfDir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
