@@ -289,6 +289,10 @@ object SparkEntry {
     // as log-round pointer doubling vs a recursive-CTE oracle
     "hn_thread_resolve" -> ((s, d) =>
       graft.models.TextMarts.hnThreadResolve(Tables.documents(s, d))),
+    // per-thread rollup (size / max depth / direct-reply fan-out) over the
+    // resolved forest — analytics the top-level-only reference source can't do
+    "hn_thread_stats" -> ((s, d) =>
+      graft.models.TextMarts.hnThreadStats(Tables.documents(s, d))),
     // §2.10 streaming end-state, oracle-checked against the batch MERGE
     // §2.10 lookback-window mart refresh (stale mart + trailing-window splice)
     "incremental_refresh_window" -> ((s, d) =>

@@ -672,6 +672,25 @@ object TextMarts {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
+  /** `hn_thread_stats`: per-thread rollup over [[hnThreadResolve]] — the
+    * analytics the reference's top-level-only HN source cannot produce
+    * (sources/hacker_news.py:235-236 drops nested comments entirely): thread
+    * size, maximum nesting depth, and direct-reply fan-out per root, keyed
+    * to the root's story.
+    *
+    * Scale: one hash aggregation over the resolved (id, root, depth) state —
+    * the expensive part is the O(log depth) resolution, already paid and
+    * shared; the rollup itself shuffles only thread-count-sized partials
+    * after map-side combine.
+    */
+  def hnThreadStats(documents: DataFrame): DataFrame =
+    hnThreadResolve(documents)
+      .groupBy(col("root_comment_id"), col("story_id"))
+      .agg(
+        count(lit(1)).as("comment_count"),
+        max(col("thread_depth")).as("max_depth"),
+        count(when(col("thread_depth") === 1, lit(1))).as("direct_replies"))
+
   private val hnThreadOracle: String =
     s"""WITH RECURSIVE tree AS (
        |  SELECT doc_id AS comment_id,
@@ -694,5 +713,12 @@ object TextMarts {
     "fct_fda_events_by_reaction" -> fctFdaOracle,
     "int_hn_keywords" -> intHnOracle,
     "fct_hn_keyword_sentiment" -> fctHnOracle,
-    "hn_thread_resolve" -> hnThreadOracle)
+    "hn_thread_resolve" -> hnThreadOracle,
+    "hn_thread_stats" ->
+      s"""WITH resolved AS ($hnThreadOracle)
+         |SELECT root_comment_id, story_id,
+         |       COUNT(*) AS comment_count,
+         |       MAX(thread_depth) AS max_depth,
+         |       COUNT(CASE WHEN thread_depth = 1 THEN 1 END) AS direct_replies
+         |FROM resolved GROUP BY 1, 2""".stripMargin)
 }

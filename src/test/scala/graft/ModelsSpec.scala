@@ -208,6 +208,32 @@ class ModelsSpec extends SparkTestBase {
     }
   }
 
+  test("hn_thread_stats rolls up the sequential-walk ground truth") {
+    def parent(id: Long): Option[Long] = {
+      val step = id - (1 + id % 3)
+      if (id % 23 == 0 || step < 0) None else Some(step)
+    }
+    def root(id: Long): Long = parent(id).map(root).getOrElse(id)
+    def depth(id: Long): Long = parent(id).map(depth(_) + 1).getOrElse(0L)
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0))
+    val expected = docs.groupBy(root).map { case (r, ids) =>
+      r -> ((ids.length.toLong, ids.map(depth).max,
+        ids.count(i => depth(i) == 1).toLong))
+    }
+    val rows = graft.models.TextMarts.hnThreadStats(
+      graft.sources.Tables.documents(spark, sf)).collect()
+    assert(rows.length == expected.size, "one row per thread root")
+    rows.foreach { r =>
+      val rid = r.getAs[Long]("root_comment_id")
+      val (n, d, dr) = expected(rid)
+      assert(r.getAs[Long]("comment_count") == n, s"size of thread $rid")
+      assert(r.getAs[Long]("max_depth") == d, s"max depth of thread $rid")
+      assert(r.getAs[Long]("direct_replies") == dr, s"fan-out of thread $rid")
+      assert(r.getAs[Long]("story_id") == rid % 97, s"story of thread $rid")
+    }
+  }
+
   test("sector performance: counts partition tickers; sentiment consistent") {
     val rows = graft.models.Marts.fctSectorPerformance(
       graft.sources.Tables.prices(spark, sf),
