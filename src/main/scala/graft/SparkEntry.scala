@@ -112,6 +112,7 @@ object SparkEntry {
     // forward and nearest merge_asof directions (shared one-sort plan)
     "join_asof_forward" -> ((s, d) => Joins.joinAsofForward(Tables.events(s, d))),
     "join_asof_nearest" -> ((s, d) => Joins.joinAsofNearest(Tables.events(s, d))),
+    "join_asof_tolerance" -> ((s, d) => Joins.joinAsofTolerance(Tables.events(s, d))),
     "join_range_bucketed" -> ((s, d) => Joins.joinRangeBucketed(Tables.events(s, d))),
     "join_fuzzy_blocked" -> ((s, d) => Joins.joinFuzzyBlocked(Tables.part(s, d))),
     "join_interval_overlap" -> ((s, d) => Joins.joinIntervalOverlap(Tables.events(s, d))),
@@ -122,6 +123,7 @@ object SparkEntry {
       SetOps.unionDistinct(Tables.orders(s, d), Tables.lineitem(s, d), Tables.events(s, d))),
     "union_all_rollup" -> ((s, d) => SetOps.unionAllRollup(Tables.orders(s, d))),
     "union_participants" -> ((s, d) => SetOps.unionParticipants(Tables.lineitem(s, d))),
+    "union_by_name_evolve" -> ((s, d) => SetOps.unionByNameEvolve(Tables.orders(s, d))),
     // §2.8 arrays / json
     "arr_literal_unnest" -> ((s, _) => Arrays.arrLiteralUnnest(s)),
     "struct_arr_lookup" -> ((s, d) => Arrays.structArrLookup(s, Tables.orders(s, d))),
@@ -215,6 +217,8 @@ object SparkEntry {
     "sample_weighted_mix" -> ((s, d) => Curation.sampleWeightedMix(Tables.documents(s, d))),
     "sample_stratified" -> ((s, d) => Curation.sampleStratified(Tables.documents(s, d))),
     "sample_bottomk" -> ((s, d) => Curation.sampleBottomK(Tables.documents(s, d))),
+    "sample_reservoir_weighted" -> ((s, d) =>
+      Curation.sampleReservoirWeighted(Tables.documents(s, d))),
     "shard_shuffle" -> ((s, d) => Curation.shardShuffle(Tables.documents(s, d))),
     "split_train_test" -> ((s, d) => Curation.splitTrainTest(Tables.documents(s, d))),
     "split_leakage_safe" -> ((s, d) => Curation.splitLeakageSafe(Tables.documents(s, d))),

@@ -259,6 +259,33 @@ object Curation {
         explode(sequence(lit(0L), col("n_copies") - 1L)).as("copy_idx"))
   }
 
+  /** `sample_reservoir_weighted`: weight-proportional k-sample per source —
+    * priority sampling (Duffield–Lund–Thorup, JACM 2007): every doc gets
+    * priority q = w / u with u a uniform hash of its key, and the k LARGEST
+    * priorities per group form a sample whose inclusion probability is
+    * proportional to the weight (here `n_chars`, the token-budget proxy —
+    * long documents carry more training signal per pick). The classic
+    * sequential weighted reservoir made distributed: priorities are a pure
+    * per-row projection, and the per-source rank-k filter auto-plans
+    * through TopKPerKey (bounded per-partition heaps, merge of
+    * `partitions × k` rows — no global sort, no per-group sort at 100 TB).
+    * Deterministic like every sampler here: u is the portable md5 hash, so
+    * the sample is a pure function of corpus content, reproducible across
+    * runs and engines — no RNG, no seed bookkeeping. The priority double is
+    * one IEEE division of two exactly-representable longs, so ordering is
+    * engine-identical; ties (never observed; would need hash collisions)
+    * break on doc_id.
+    */
+  def sampleReservoirWeighted(documents: DataFrame, k: Int = 50): DataFrame = {
+    val u = PortableHash.hash32(concat(lit("rw:"), col("doc_id").cast("string"))) + lit(1L)
+    val w = Window.partitionBy("source").orderBy(col("priority").desc, col("doc_id"))
+    documents
+      .select(col("doc_id"), col("source"), col("n_chars").as("weight"),
+        (col("n_chars").cast(DoubleType) / u.cast(DoubleType)).as("priority"))
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .where(col("sample_rank") <= k)
+  }
+
   /** `sample_bottomk`: uniform-without-replacement k-sample of the corpus as
     * a BOTTOM-K SKETCH — rank every doc by a portable hash of its key and
     * keep the k smallest. Statistically a uniform sample (the hash order is
@@ -608,6 +635,19 @@ object Curation {
          |       UNNEST(range(0, n_copies)) AS copy_idx
          |FROM c WHERE n_copies > 0""".stripMargin
     },
+    "sample_reservoir_weighted" ->
+      s"""WITH p AS (
+         |  SELECT doc_id, source, n_chars AS weight,
+         |         CAST(n_chars AS DOUBLE) /
+         |           CAST(${h("'rw:' || CAST(doc_id AS VARCHAR)")} + 1 AS DOUBLE) AS priority
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, source, weight, priority,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY source
+         |           ORDER BY priority DESC, doc_id) AS BIGINT) AS sample_rank
+         |  FROM p)
+         |SELECT doc_id, source, weight, priority, sample_rank
+         |FROM r WHERE sample_rank <= 50""".stripMargin,
     "sample_bottomk" ->
       s"""SELECT doc_id, source,
          |       ${h("'bk:' || CAST(doc_id AS VARCHAR)")} AS rank_key

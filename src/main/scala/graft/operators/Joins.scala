@@ -271,6 +271,24 @@ object Joins {
         (unix_micros(col("ts")) - unix_micros(col("error_ts"))).as("staleness_us"))
   }
 
+  /** `join_asof_tolerance`: the backward as-of join under pandas
+    * `merge_asof`'s `tolerance` parameter — a match older than the window
+    * is no match at all. Composition, not a new operator: [[joinAsof]]'s
+    * union+window construction already carries the most recent error
+    * forward, and the tolerance is a pure projection over its output
+    * (staleness beyond the bound nulls the whole right side), so the plan
+    * keeps the single key shuffle + single sort and gains nothing but a
+    * WHEN per row. Tolerance default 6h in exact integer micros.
+    */
+  def joinAsofTolerance(events: DataFrame, tolUs: Long = 21600000000L): DataFrame = {
+    val in = col("staleness_us") <= tolUs
+    joinAsof(events).select(
+      col("event_id"), col("user_id"), col("ts"),
+      when(in, col("error_event_id")).as("error_event_id"),
+      when(in, col("error_ts")).as("error_ts"),
+      when(in, col("staleness_us")).as("staleness_us"))
+  }
+
   /** `join_range_bucketed`: RANGE (point-in-interval) join — for each
     * user's first-day activity window [first_event, first_event + 1 day),
     * count every event landing inside it. Spark has no native range-join
@@ -526,6 +544,23 @@ object Joins {
         |       CAST(epoch_us(c.ts) - epoch_us(e.ts) AS BIGINT) AS staleness_us
         |FROM clicks c ASOF LEFT JOIN err e
         |  ON c.user_id = e.user_id AND c.ts >= e.ts""".stripMargin,
+    "join_asof_tolerance" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |err AS (
+        |  SELECT user_id, ts, MAX(event_id) AS err_id
+        |  FROM events WHERE event_type = 'error' GROUP BY 1, 2),
+        |m AS (
+        |  SELECT c.event_id, c.user_id, c.ts,
+        |         e.err_id, e.ts AS e_ts,
+        |         CAST(epoch_us(c.ts) - epoch_us(e.ts) AS BIGINT) AS stale
+        |  FROM clicks c ASOF LEFT JOIN err e
+        |    ON c.user_id = e.user_id AND c.ts >= e.ts)
+        |SELECT event_id, user_id, ts,
+        |       CASE WHEN stale <= 21600000000 THEN err_id END AS error_event_id,
+        |       CASE WHEN stale <= 21600000000 THEN e_ts END AS error_ts,
+        |       CASE WHEN stale <= 21600000000 THEN stale END AS staleness_us
+        |FROM m""".stripMargin,
     "join_asof_forward" ->
       """WITH clicks AS (
         |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),

@@ -66,7 +66,42 @@ object SetOps {
           .when(col("review_count") > 0, "reviewer")
           .otherwise("commenter"))
 
+  /** `union_by_name_evolve`: union across SCHEMA GENERATIONS by column
+    * name — the `unionByName(allowMissingColumns = true)` surface that a
+    * long-lived ingested table needs when old partitions predate a column.
+    * Two generations are carved deterministically from `orders`: the "v1"
+    * era (orderkey mod 2 = 0) predates the `priority` column and the "v2"
+    * era carries it; v1 rows surface the missing column as NULL, and the
+    * generation tag records provenance. Pure per-row projection + UNION
+    * ALL — no shuffle; Catalyst pushes each era's filter and pruning into
+    * its scan.
+    */
+  def unionByNameEvolve(orders: DataFrame): DataFrame = {
+    val v1 = orders.where(pmod(col("o_orderkey"), lit(2)) === 0)
+      .select(col("o_orderkey").as("order_id"),
+        col("o_orderstatus").as("status"),
+        Num.dollars(Num.cents(col("o_totalprice"))).as("total_price"),
+        lit("v1").as("schema_gen"))
+    val v2 = orders.where(pmod(col("o_orderkey"), lit(2)) === 1)
+      .select(col("o_orderkey").as("order_id"),
+        col("o_orderstatus").as("status"),
+        Num.dollars(Num.cents(col("o_totalprice"))).as("total_price"),
+        col("o_orderpriority").as("priority"),
+        lit("v2").as("schema_gen"))
+    v1.unionByName(v2, allowMissingColumns = true)
+  }
+
   val oracles: Map[String, String] = Map(
+    "union_by_name_evolve" ->
+      """SELECT o_orderkey AS order_id, o_orderstatus AS status,
+        |       CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS DOUBLE) / 100.0 AS total_price,
+        |       'v1' AS schema_gen, CAST(NULL AS VARCHAR) AS priority
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT o_orderkey, o_orderstatus,
+        |       CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS DOUBLE) / 100.0,
+        |       'v2', o_orderpriority
+        |FROM orders WHERE o_orderkey % 2 = 1""".stripMargin,
     "union_distinct" ->
       """WITH spine AS (
         |  SELECT DISTINCT week FROM (

@@ -169,6 +169,57 @@ class OperatorSpec extends SparkTestBase {
     assert(near(3L) == ((2L, "backward"))) // distance 0 via the backward frame
     assert(near(5L) == ((4L, "backward"))) // 30min back vs nothing ahead
     assert(near(6L) == ((-1L, null)))      // other user: no match either way
+
+    // tolerance: a match older than the window is no match at all — event 5
+    // keeps its 30-min-stale error under a 1h bound but loses it at 10min;
+    // matched rows inside the bound are identical to the plain as-of
+    def tol(us: Long) = graft.operators.Joins.joinAsofTolerance(events, us)
+      .select("event_id", "error_event_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(tol(3600000000L) == Map(1L -> -1L, 3L -> 2L, 5L -> 4L, 6L -> -1L))
+    assert(tol(600000000L) == Map(1L -> -1L, 3L -> 2L, 5L -> -1L, 6L -> -1L))
+  }
+
+  test("weighted reservoir sample: per-group cap, weight bias, exact priorities") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val out = graft.operators.Curation.sampleReservoirWeighted(docs, k = 20).collect()
+    val bySource = out.groupBy(_.getAs[String]("source"))
+    bySource.foreach { case (src, rows) =>
+      assert(rows.length <= 20, s"source $src over cap")
+      val ranks = rows.map(_.getAs[Long]("sample_rank")).sorted
+      assert(ranks.sameElements(1L to rows.length), s"ranks not dense for $src")
+    }
+    // exact replay: the k largest driver-computed priorities per source
+    // must be precisely the sampled ids (determinism + correct top-k)
+    val all = docs.select(col("doc_id"), col("source"), col("n_chars"),
+        graft.functions.PortableHash.hash32(
+          concat(lit("rw:"), col("doc_id").cast("string"))).as("u"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val expected = all.groupBy(_._2).values.flatMap { rows =>
+      rows.sortBy { case (id, _, w, u) => (-(w.toDouble / (u + 1).toDouble), id) }
+        .take(20).map(_._1).toSeq
+    }.toSet
+    assert(out.map(_.getAs[Long]("doc_id")).toSet == expected)
+    // weight bias: sampled docs should skew long — their mean length beats
+    // the corpus mean (deterministic given the fixed hash, not a flaky
+    // statistical assertion: checked once, holds for this corpus)
+    val sampledMean = out.map(_.getAs[Long]("weight")).sum.toDouble / out.length
+    val corpusMean = all.map(_._3).sum.toDouble / all.length
+    assert(sampledMean > corpusMean,
+      f"weighted sample not length-biased: $sampledMean%.1f <= $corpusMean%.1f")
+  }
+
+  test("union by name across schema generations null-fills the missing column") {
+    val orders = graft.sources.Tables.orders(spark, sf)
+    val out = graft.operators.SetOps.unionByNameEvolve(orders)
+    assert(out.count() == orders.count(), "every order survives the union")
+    val gens = out.groupBy("schema_gen")
+      .agg(count(lit(1)).as("n"),
+        count(col("priority")).as("with_priority"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(gens("v1")._2 == 0L, "v1 era must have NULL priority throughout")
+    assert(gens("v2")._1 == gens("v2")._2, "v2 era must carry priority on every row")
   }
 
   test("range join (bucketed) equals the naive range predicate, incl. cross-bucket spans") {
