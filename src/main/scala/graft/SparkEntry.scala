@@ -58,6 +58,9 @@ object SparkEntry {
     "winsorize" -> ((s, d) => Aggregates.winsorize(Tables.events(s, d))),
     // pairwise segment overlap matrix with exact audience Jaccard
     "agg_audience_overlap" -> ((s, d) => Aggregates.aggAudienceOverlap(Tables.events(s, d))),
+    // the sketch-algebra scale path: register tables + bucket-max union +
+    // inclusion-exclusion, corpus touched once
+    "agg_hll_overlap" -> ((s, d) => Aggregates.aggHllOverlap(Tables.events(s, d))),
     "agg_quantiles_fast" -> ((s, d) => Aggregates.aggQuantilesFastAudit(Tables.events(s, d))),
     "agg_corr" -> ((s, d) => Aggregates.aggCorr(Tables.lineitem(s, d))),
     "agg_histogram" -> ((s, d) => Aggregates.aggHistogram(Tables.events(s, d))),

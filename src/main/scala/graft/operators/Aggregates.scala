@@ -234,18 +234,7 @@ object Aggregates {
         when(col("w") === 0, 21L).otherwise(lit(21L) - length(bin(col("w")))))
       .groupBy(col("return_flag"), col("key_type"), col("bucket"))
       .agg(max(col("rho")).as("mreg"))
-    val alpha = lit(0.7213) / (lit(1) + lit(1.079) / lit(4096))
-    val ests = regs
-      .groupBy(col("return_flag"), col("key_type"))
-      .agg(
-        (sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(25 - mreg AS INT))")) +
-          (lit(4096L) - count(lit(1))) * lit(1L << 25)).as("t"),
-        (lit(4096L) - count(lit(1))).as("v"))
-      .withColumn("raw", alpha * 4096 * 4096 * lit(1L << 25) / col("t").cast("double"))
-      .withColumn("est",
-        when(col("raw") <= 10240.0 && col("v") > 0,
-          floor(lit(4096) * log(lit(4096.0) / col("v"))))
-          .otherwise(floor(col("raw"))).cast("long"))
+    val ests = hllEstimate(regs, Seq("return_flag", "key_type"))
     ests.groupBy(col("return_flag"))
       .pivot("key_type", Seq("parts", "suppliers", "orders"))
       .agg(first(col("est")))
@@ -641,6 +630,85 @@ object Aggregates {
         count(lit(1)).as("n_events"))
   }
 
+  /** Portable-HLL cardinality estimate over a register frame
+    * (keys..., bucket, mreg) — the estimator of [[aggApproxDistinct]]
+    * factored out so register TABLES (which, unlike finished estimates,
+    * are mergeable by bucket-wise max) can be built once and estimated
+    * many times. Same integer discipline: everything exact until one
+    * final double division + the fixed-order linear-counting branch.
+    */
+  private def hllEstimate(regs: DataFrame, keys: Seq[String]): DataFrame = {
+    val alpha = lit(0.7213) / (lit(1) + lit(1.079) / lit(4096))
+    regs
+      .groupBy(keys.map(col): _*)
+      .agg(
+        (sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(25 - mreg AS INT))")) +
+          (lit(4096L) - count(lit(1))) * lit(1L << 25)).as("t"),
+        (lit(4096L) - count(lit(1))).as("v"))
+      .withColumn("raw", alpha * 4096 * 4096 * lit(1L << 25) / col("t").cast("double"))
+      .withColumn("est",
+        when(col("raw") <= 10240.0 && col("v") > 0,
+          floor(lit(4096) * log(lit(4096.0) / col("v"))))
+          .otherwise(floor(col("raw"))).cast("long"))
+      .select(keys.map(col) :+ col("est"): _*)
+  }
+
+  /** `agg_hll_overlap`: pairwise audience overlap from HLL SKETCH ALGEBRA —
+    * the 100-TB path for [[aggAudienceOverlap]], whose exact form self-joins
+    * the membership table on user (per-user work quadratic in segments per
+    * user, corpus-sized shuffle). Here the corpus is touched ONCE: one hash
+    * + bucket-max aggregation builds a 4096-register table per segment, and
+    * everything after is sketch-sized — union registers are the bucket-wise
+    * MAX over each pair's two register sets (HLL's lossless union, the only
+    * exact operation in the sketch algebra), intersections come from
+    * inclusion–exclusion |A∩B| = |A| + |B| − |A∪B| clamped at 0, and the
+    * Jaccard estimate is one double division. Register tables are the
+    * mergeable artifact a warehouse materializes per day/partition and
+    * folds associatively; at S segments the pair stage handles S²/2 × 4096
+    * fixed-width rows — model-sized, independent of the corpus.
+    *
+    * Estimates reuse the portable md5 HLL of [[aggApproxDistinct]]
+    * (m = 4096, integer registers, fixed-order estimator), so the DuckDB
+    * oracle reproduces every estimate bit for bit. Inclusion–exclusion on
+    * HLLs has no error floor on tiny intersections (production wanting
+    * tight small-overlap bounds graduates to theta/KMV sketches), which is
+    * why the exact twin stays in the registry as the validation-scale
+    * reference.
+    */
+  def aggHllOverlap(events: DataFrame): DataFrame = {
+    import graft.functions.PortableHash
+    val regs = events
+      .select(col("event_type").as("segment"),
+        PortableHash.hash32(col("user_id").cast("string")).as("h"))
+      .select(col("segment"),
+        pmod(col("h"), lit(4096L)).as("bucket"),
+        expr("h div 4096").as("w"))
+      .withColumn("rho",
+        when(col("w") === 0, 21L).otherwise(lit(21L) - length(bin(col("w")))))
+      .groupBy(col("segment"), col("bucket"))
+      .agg(max(col("rho")).as("mreg"))
+    val singles = hllEstimate(regs, Seq("segment"))
+    val segs = singles.select(col("segment"))
+    val pairs = segs.select(col("segment").as("seg_a"))
+      .crossJoin(broadcast(segs.select(col("segment").as("seg_b"))))
+      .where(col("seg_a") < col("seg_b"))
+    // one (pair, member) row per side keeps the register join an equi-join
+    // (an OR-predicate join would plan nested-loop)
+    val pairMembers = pairs.select(col("seg_a"), col("seg_b"),
+      explode(array(col("seg_a"), col("seg_b"))).as("segment"))
+    val unionRegs = regs.join(broadcast(pairMembers), Seq("segment"))
+      .groupBy(col("seg_a"), col("seg_b"), col("bucket"))
+      .agg(max(col("mreg")).as("mreg"))
+    val unions = hllEstimate(unionRegs, Seq("seg_a", "seg_b"))
+      .withColumnRenamed("est", "est_union")
+    unions
+      .join(broadcast(singles.select(col("segment").as("seg_a"), col("est").as("est_a"))), Seq("seg_a"))
+      .join(broadcast(singles.select(col("segment").as("seg_b"), col("est").as("est_b"))), Seq("seg_b"))
+      .select(col("seg_a"), col("seg_b"), col("est_a"), col("est_b"), col("est_union"),
+        greatest(lit(0L), col("est_a") + col("est_b") - col("est_union")).as("est_shared"))
+      .withColumn("jaccard_est", Num.ratio(col("est_shared"), col("est_union")))
+  }
+
   /** Portable-HLL oracle: mirrors aggApproxDistinct step for step (same hash,
     * same integer registers, same single final double division).
     */
@@ -685,7 +753,70 @@ object Aggregates {
        |FROM e GROUP BY 1""".stripMargin
   }
 
+  /** Mirrors [[aggHllOverlap]] step for step: same registers, same union
+    * max, same estimator arithmetic in the same op order.
+    */
+  private val hllOverlapOracle: String = {
+    val h = graft.functions.PortableHash.duckSql("CAST(user_id AS VARCHAR)")
+    s"""WITH hx AS (
+       |  SELECT event_type AS segment, $h AS h FROM events),
+       |b AS (
+       |  SELECT segment, h % 4096 AS bucket, h // 4096 AS w FROM hx),
+       |r AS (
+       |  SELECT segment, bucket,
+       |         MAX(CASE WHEN w = 0 THEN 21 ELSE 21 - length(bin(w)) END) AS mreg
+       |  FROM b GROUP BY 1, 2),
+       |t1 AS (
+       |  SELECT segment,
+       |         CAST(SUM(CAST(1 AS BIGINT) << CAST(25 - mreg AS INT))
+       |              + (4096 - COUNT(*)) * 33554432 AS BIGINT) AS t,
+       |         CAST(4096 - COUNT(*) AS BIGINT) AS v
+       |  FROM r GROUP BY 1),
+       |e1 AS (
+       |  SELECT segment,
+       |         CAST(CASE WHEN raw <= 10240.0 AND v > 0
+       |                   THEN FLOOR(4096 * ln(CAST(4096 AS DOUBLE) / v))
+       |                   ELSE FLOOR(raw) END AS BIGINT) AS est
+       |  FROM (SELECT segment, v,
+       |               (CAST(0.7213 AS DOUBLE) / (1 + CAST(1.079 AS DOUBLE) / 4096))
+       |                 * 4096 * 4096 * 33554432 / CAST(t AS DOUBLE) AS raw
+       |        FROM t1)),
+       |pairs AS (
+       |  SELECT a.segment AS seg_a, b2.segment AS seg_b
+       |  FROM e1 a, e1 b2 WHERE a.segment < b2.segment),
+       |pm AS (
+       |  SELECT seg_a, seg_b, seg_a AS segment FROM pairs
+       |  UNION ALL
+       |  SELECT seg_a, seg_b, seg_b FROM pairs),
+       |ur AS (
+       |  SELECT seg_a, seg_b, bucket, MAX(mreg) AS mreg
+       |  FROM r JOIN pm USING (segment) GROUP BY 1, 2, 3),
+       |t2 AS (
+       |  SELECT seg_a, seg_b,
+       |         CAST(SUM(CAST(1 AS BIGINT) << CAST(25 - mreg AS INT))
+       |              + (4096 - COUNT(*)) * 33554432 AS BIGINT) AS t,
+       |         CAST(4096 - COUNT(*) AS BIGINT) AS v
+       |  FROM ur GROUP BY 1, 2),
+       |e2 AS (
+       |  SELECT seg_a, seg_b,
+       |         CAST(CASE WHEN raw <= 10240.0 AND v > 0
+       |                   THEN FLOOR(4096 * ln(CAST(4096 AS DOUBLE) / v))
+       |                   ELSE FLOOR(raw) END AS BIGINT) AS est_union
+       |  FROM (SELECT seg_a, seg_b, v,
+       |               (CAST(0.7213 AS DOUBLE) / (1 + CAST(1.079 AS DOUBLE) / 4096))
+       |                 * 4096 * 4096 * 33554432 / CAST(t AS DOUBLE) AS raw
+       |        FROM t2))
+       |SELECT e2.seg_a, e2.seg_b, ea.est AS est_a, eb.est AS est_b, e2.est_union,
+       |       CAST(GREATEST(0, ea.est + eb.est - e2.est_union) AS BIGINT) AS est_shared,
+       |       CAST(GREATEST(0, ea.est + eb.est - e2.est_union) AS DOUBLE)
+       |         / CAST(NULLIF(e2.est_union, 0) AS DOUBLE) AS jaccard_est
+       |FROM e2
+       |JOIN e1 ea ON e2.seg_a = ea.segment
+       |JOIN e1 eb ON e2.seg_b = eb.segment""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "agg_hll_overlap" -> hllOverlapOracle,
     "agg_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         |       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,

@@ -210,6 +210,33 @@ class OperatorSpec extends SparkTestBase {
       f"weighted sample not length-biased: $sampledMean%.1f <= $corpusMean%.1f")
   }
 
+  test("hll overlap estimates track the exact audience overlap") {
+    val events = graft.sources.Tables.events(spark, sf)
+    val exact = Aggregates.aggAudienceOverlap(events).collect()
+      .map(r => (r.getAs[String]("type_a"), r.getAs[String]("type_b")) ->
+        ((r.getAs[Long]("size_a"), r.getAs[Long]("size_b"), r.getAs[Long]("shared_users"))))
+      .toMap
+    val est = Aggregates.aggHllOverlap(events).collect()
+    // the exact twin only emits pairs with shared > 0; the sketch emits all
+    assert(est.length >= exact.size)
+    est.foreach { r =>
+      val key = (r.getAs[String]("seg_a"), r.getAs[String]("seg_b"))
+      exact.get(key).foreach { case (sa, sb, shared) =>
+        val union = sa + sb - shared
+        def within(e: Long, x: Long, what: String): Unit =
+          assert(math.abs(e - x) <= math.max(5.0, 0.05 * x),
+            s"$key $what: est $e vs exact $x")
+        within(r.getAs[Long]("est_a"), sa, "A")
+        within(r.getAs[Long]("est_b"), sb, "B")
+        within(r.getAs[Long]("est_union"), union, "union")
+        // inclusion-exclusion compounds three estimates: union-magnitude slack
+        assert(math.abs(r.getAs[Long]("est_shared") - shared) <=
+          math.max(10.0, 0.08 * union),
+          s"$key shared: est ${r.getAs[Long]("est_shared")} vs exact $shared")
+      }
+    }
+  }
+
   test("union by name across schema generations null-fills the missing column") {
     val orders = graft.sources.Tables.orders(spark, sf)
     val out = graft.operators.SetOps.unionByNameEvolve(orders)

@@ -64,7 +64,8 @@ class PlanAuditSpec extends SparkTestBase {
         "knn_graph" -> graft.operators.Similarity.knnGraph(Tables.embeddings(spark, sf)),
         "agg_mode" -> graft.operators.Aggregates.aggMode(Tables.orders(spark, sf)),
         "dedup_semantic" -> graft.operators.Similarity.dedupSemantic(Tables.embeddings(spark, sf)),
-        "mine_hard_negatives" -> graft.operators.Similarity.mineHardNegatives(Tables.embeddings(spark, sf)))
+        "mine_hard_negatives" -> graft.operators.Similarity.mineHardNegatives(Tables.embeddings(spark, sf)),
+        "sample_reservoir_weighted" -> graft.operators.Curation.sampleReservoirWeighted(Tables.documents(spark, sf)))
       targets.foreach { case (name, df) =>
         val plan = df.queryExecution.executedPlan
         val topks = plan.collect { case t: TopKPerKeyExec => t }
