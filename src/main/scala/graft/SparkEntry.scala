@@ -61,6 +61,9 @@ object SparkEntry {
     // the sketch-algebra scale path: register tables + bucket-max union +
     // inclusion-exclusion, corpus touched once
     "agg_hll_overlap" -> ((s, d) => Aggregates.aggHllOverlap(Tables.events(s, d))),
+    // KMV bottom-k sketches: direct union/Jaccard estimates, error ~1/sqrt(k)
+    // even on tiny intersections where HLL inclusion-exclusion drowns
+    "agg_kmv_overlap" -> ((s, d) => Aggregates.aggKmvOverlap(Tables.events(s, d))),
     "agg_quantiles_fast" -> ((s, d) => Aggregates.aggQuantilesFastAudit(Tables.events(s, d))),
     "agg_corr" -> ((s, d) => Aggregates.aggCorr(Tables.lineitem(s, d))),
     "agg_histogram" -> ((s, d) => Aggregates.aggHistogram(Tables.events(s, d))),

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 import graft.functions.Num
@@ -753,6 +754,75 @@ object Aggregates {
        |FROM e GROUP BY 1""".stripMargin
   }
 
+  /** `agg_kmv_overlap`: pairwise audience overlap from KMV (k-minimum-
+    * values) BOTTOM-K SKETCHES — the estimator that fixes HLL's weak spot.
+    * [[aggHllOverlap]]'s inclusion–exclusion subtracts three ~1.6%-error
+    * estimates, so a small intersection drowns in the union's error floor;
+    * a KMV sketch instead keeps the k smallest distinct hash values per
+    * segment, and the merged pair sketch yields DIRECT estimates: the k-th
+    * smallest merged hash τ gives |A∪B| ≈ (k−1)·2³²/τ (order statistics of
+    * uniform hashes), and the fraction of merged values present in BOTH
+    * sketches is an unbiased Jaccard estimate with error ~1/√k regardless
+    * of how small the intersection is (Beyer et al., SIGMOD 2007). A
+    * segment with fewer than k distinct users has a COMPLETE sketch and
+    * every estimate collapses to exact.
+    *
+    * Scale shape: one distinct pass over (segment, user-hash) — the only
+    * corpus-sized stage — then per-segment bottom-k through TopKPerKey
+    * (bounded heaps, the same auto-planned rewrite as every rank-k here),
+    * and pair work over S²/2 × k fixed-width rows. Like the register
+    * tables, bottom-k sketches are the mergeable warehouse artifact: the
+    * bottom-k of a union is computable from per-partition bottom-ks.
+    * Deterministic portable hash ⇒ the DuckDB oracle reproduces every
+    * estimate bit for bit.
+    */
+  def aggKmvOverlap(events: DataFrame, k: Int = 256): DataFrame = {
+    import graft.functions.PortableHash
+    val distinctHashes = events
+      .select(col("event_type").as("segment"),
+        PortableHash.hash32(col("user_id").cast("string")).as("h"))
+      .distinct()
+    val wk = Window.partitionBy("segment").orderBy("h")
+    val sketches = distinctHashes
+      .withColumn("rk", row_number().over(wk))
+      .where(col("rk") <= k)
+      .drop("rk")
+    val segs = sketches.select(col("segment")).distinct()
+    val pairs = segs.select(col("segment").as("seg_a"))
+      .crossJoin(broadcast(segs.select(col("segment").as("seg_b"))))
+      .where(col("seg_a") < col("seg_b"))
+    val pairMembers = pairs.select(col("seg_a"), col("seg_b"),
+      explode(array(col("seg_a"), col("seg_b"))).as("segment"))
+    // per (pair, hash): how many of the pair's two sketches carry it (1|2)
+    val tagged = sketches.join(broadcast(pairMembers), Seq("segment"))
+      .groupBy(col("seg_a"), col("seg_b"), col("h"))
+      .agg(count(lit(1)).as("n_sides"))
+    val wm = Window.partitionBy("seg_a", "seg_b").orderBy("h")
+    val merged = tagged
+      .withColumn("rk", row_number().over(wm))
+      .where(col("rk") <= k)
+    merged
+      .groupBy(col("seg_a"), col("seg_b"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        max(col("h")).as("tau"),
+        sum(when(col("n_sides") === 2, 1L).otherwise(0L)).as("both_cnt"))
+      .select(
+        col("seg_a"), col("seg_b"),
+        // cnt < k ⟺ both sketches complete ⟹ exact set arithmetic
+        when(col("cnt") < k, col("cnt"))
+          .otherwise(expr(s"(${(k - 1).toLong} * 4294967296) div greatest(tau, 1)"))
+          .as("est_union"),
+        (col("both_cnt").cast(DoubleType) / col("cnt").cast(DoubleType))
+          .as("jaccard_est"),
+        when(col("cnt") < k, col("both_cnt"))
+          .otherwise(floor(
+            (col("both_cnt").cast(DoubleType) / col("cnt").cast(DoubleType)) *
+              expr(s"(${(k - 1).toLong} * 4294967296) div greatest(tau, 1)")
+                .cast(DoubleType)).cast("long"))
+          .as("est_shared"))
+  }
+
   /** Mirrors [[aggHllOverlap]] step for step: same registers, same union
     * max, same estimator arithmetic in the same op order.
     */
@@ -815,7 +885,51 @@ object Aggregates {
        |JOIN e1 eb ON e2.seg_b = eb.segment""".stripMargin
   }
 
+  /** Mirrors [[aggKmvOverlap]] step for step: same distinct-hash pass, same
+    * bottom-k ranks, same estimator arithmetic in the same op order.
+    */
+  private val kmvOverlapOracle: String = {
+    val h = graft.functions.PortableHash.duckSql("CAST(user_id AS VARCHAR)")
+    s"""WITH dh AS (
+       |  SELECT DISTINCT event_type AS segment, $h AS h FROM events),
+       |sk AS (
+       |  SELECT segment, h FROM (
+       |    SELECT segment, h,
+       |           ROW_NUMBER() OVER (PARTITION BY segment ORDER BY h) AS rk
+       |    FROM dh) WHERE rk <= 256),
+       |segs AS (SELECT DISTINCT segment FROM sk),
+       |pairs AS (
+       |  SELECT a.segment AS seg_a, b.segment AS seg_b
+       |  FROM segs a, segs b WHERE a.segment < b.segment),
+       |pm AS (
+       |  SELECT seg_a, seg_b, seg_a AS segment FROM pairs
+       |  UNION ALL
+       |  SELECT seg_a, seg_b, seg_b FROM pairs),
+       |tg AS (
+       |  SELECT seg_a, seg_b, h, COUNT(*) AS n_sides
+       |  FROM sk JOIN pm USING (segment) GROUP BY 1, 2, 3),
+       |mg AS (
+       |  SELECT seg_a, seg_b, h, n_sides FROM (
+       |    SELECT seg_a, seg_b, h, n_sides,
+       |           ROW_NUMBER() OVER (PARTITION BY seg_a, seg_b ORDER BY h) AS rk
+       |    FROM tg) WHERE rk <= 256),
+       |ag AS (
+       |  SELECT seg_a, seg_b, COUNT(*) AS cnt, MAX(h) AS tau,
+       |         CAST(SUM(CASE WHEN n_sides = 2 THEN 1 ELSE 0 END) AS BIGINT) AS both_cnt
+       |  FROM mg GROUP BY 1, 2)
+       |SELECT seg_a, seg_b,
+       |       CAST(CASE WHEN cnt < 256 THEN cnt
+       |            ELSE (255 * 4294967296) // GREATEST(tau, 1) END AS BIGINT) AS est_union,
+       |       CAST(both_cnt AS DOUBLE) / CAST(cnt AS DOUBLE) AS jaccard_est,
+       |       CAST(CASE WHEN cnt < 256 THEN both_cnt
+       |            ELSE CAST(FLOOR((CAST(both_cnt AS DOUBLE) / CAST(cnt AS DOUBLE))
+       |                 * CAST((255 * 4294967296) // GREATEST(tau, 1) AS DOUBLE)) AS BIGINT)
+       |            END AS BIGINT) AS est_shared
+       |FROM ag""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "agg_kmv_overlap" -> kmvOverlapOracle,
     "agg_hll_overlap" -> hllOverlapOracle,
     "agg_rollup" ->
       """SELECT l_returnflag, l_linestatus,

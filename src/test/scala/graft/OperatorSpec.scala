@@ -237,6 +237,39 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("kmv + hll overlap estimators hold on the truncated-sketch branch") {
+    // the testdata has only 150 users (every sketch complete → exact path);
+    // this synthetic pair forces the estimator branch: |A|=10k, |B|=10k,
+    // |A∩B|=5k ⇒ union 15k, jaccard 1/3
+    val a = spark.range(0L, 10000L)
+      .select(lit("a").as("event_type"), col("id").as("user_id"))
+    val b = spark.range(5000L, 15000L)
+      .select(lit("b").as("event_type"), col("id").as("user_id"))
+    val events = a.union(b)
+
+    val kmv = Aggregates.aggKmvOverlap(events).collect()
+    assert(kmv.length == 1)
+    val kr = kmv.head
+    // k=256 ⇒ relative error ~1/sqrt(k) ≈ 6%; bounds at ~2.5σ
+    assert(math.abs(kr.getAs[Long]("est_union") - 15000L) <= 2250,
+      s"kmv union: ${kr.getAs[Long]("est_union")}")
+    assert(math.abs(kr.getAs[Double]("jaccard_est") - 1.0 / 3) <= 0.1,
+      s"kmv jaccard: ${kr.getAs[Double]("jaccard_est")}")
+    assert(math.abs(kr.getAs[Long]("est_shared") - 5000L) <= 1500,
+      s"kmv shared: ${kr.getAs[Long]("est_shared")}")
+
+    val hll = Aggregates.aggHllOverlap(events).collect()
+    assert(hll.length == 1)
+    val hr = hll.head
+    assert(math.abs(hr.getAs[Long]("est_a") - 10000L) <= 800,
+      s"hll |A|: ${hr.getAs[Long]("est_a")}")
+    assert(math.abs(hr.getAs[Long]("est_union") - 15000L) <= 1200,
+      s"hll union: ${hr.getAs[Long]("est_union")}")
+    // inclusion-exclusion compounds three estimates — looser bound
+    assert(math.abs(hr.getAs[Long]("est_shared") - 5000L) <= 2000,
+      s"hll shared: ${hr.getAs[Long]("est_shared")}")
+  }
+
   test("union by name across schema generations null-fills the missing column") {
     val orders = graft.sources.Tables.orders(spark, sf)
     val out = graft.operators.SetOps.unionByNameEvolve(orders)
