@@ -143,6 +143,8 @@ object SparkEntry {
     "merge_upsert" -> ((s, d) => Merge.mergeUpsertQuery(Tables.events(s, d))),
     // CDC audit: classify every key across two snapshots (full outer + null-safe compare)
     "snapshot_diff" -> ((s, d) => Merge.snapshotDiffQuery(Tables.events(s, d))),
+    // the MERGE with deletes: apply a snapshotDiff changelog back to base
+    "merge_apply_cdc" -> ((s, d) => Merge.mergeApplyCdcQuery(Tables.events(s, d))),
     "schema_evolve" -> ((s, d) => Merge.schemaEvolveQuery(Tables.events(s, d))),
     "load_truncate" -> ((s, d) => Merge.loadTruncateQuery(s, Tables.events(s, d))),
     "nan_clean" -> ((s, d) => Merge.nanClean(Tables.events(s, d))),

@@ -120,6 +120,46 @@ object Merge {
       .drop("__in_old", "__in_new")
   }
 
+  /** Apply a [[snapshotDiff]]-shaped changeset (pk, change_type, new_*) to
+    * a keyed base table — the MERGE that handles DELETES, which
+    * [[mergeUpsert]] (insert/update only) cannot express: the Delta/Iceberg
+    * `WHEN MATCHED THEN DELETE` clause as plain relational algebra. One
+    * full-outer pk join: base-only rows pass through, inserted/updated keys
+    * take the changeset's values, deleted keys drop. With base and
+    * changelog bucketed on the pk (the incremental sink's layout) the join
+    * is co-located — a day's CDC apply costs O(base partition + changes),
+    * and `applyCdc(base, snapshotDiff(base, next)) == next` is the
+    * round-trip invariant MergeSpec pins.
+    */
+  def applyCdc(base: DataFrame, changes: DataFrame, pk: Seq[String]): DataFrame = {
+    val dataCols = base.columns.filterNot(pk.contains).toSeq
+    val ch = changes
+      .select(pk.map(col) ++ (col("change_type") +: dataCols.map(c => col(s"new_$c"))): _*)
+      .withColumn("__in_ch", lit(true))
+    base.join(ch, pk, "full_outer")
+      .where(!(col("change_type") <=> lit("deleted")))
+      .select(pk.map(col) ++ dataCols.map(c =>
+        when(col("__in_ch").isNotNull, col(s"new_$c")).otherwise(col(c)).as(c)): _*)
+  }
+
+  /** `merge_apply_cdc` driver row: carve base / desired-next states from
+    * `events` with all three change classes live (deletes 0-999, updates
+    * 6000-7999, inserts 8000-8999), derive the changelog via
+    * [[snapshotDiff]], and apply it back — output must equal the desired
+    * state, which is what the oracle states directly.
+    */
+  def mergeApplyCdcQuery(events: DataFrame): DataFrame = {
+    val base0 = events.select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val base = base0.where(col("event_id") < 8000)
+    val next = base.where(col("event_id") >= 1000)
+      .withColumn("value",
+        when(col("event_id") >= 6000, col("value") + 0.5).otherwise(col("value")))
+      .unionByName(base0.where(col("event_id") >= 8000 && col("event_id") < 9000))
+    val changes = snapshotDiff(base, next, Seq("event_id"))
+      .where(col("change_type") =!= "unchanged")
+    applyCdc(base, changes, Seq("event_id"))
+  }
+
   /** `snapshot_diff` driver row: diff the merge demo's target against its
     * post-upsert state — inserts are source-only keys, updates the
     * overlapping range, deletes impossible (upsert never removes).
@@ -180,6 +220,15 @@ object Merge {
         |            ELSE 'unchanged' END AS change_type,
         |       old_value, new_value
         |FROM d""".stripMargin,
+    "merge_apply_cdc" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM events WHERE event_id >= 1000 AND event_id < 6000
+        |UNION ALL
+        |SELECT event_id, user_id, event_type, value + 0.5
+        |FROM events WHERE event_id >= 6000 AND event_id < 8000
+        |UNION ALL
+        |SELECT event_id, user_id, event_type, value
+        |FROM events WHERE event_id >= 8000 AND event_id < 9000""".stripMargin,
     "merge_upsert" ->
       """WITH base AS (
         |  SELECT event_id, user_id, event_type, value FROM events),

@@ -34,6 +34,28 @@ class MergeSpec extends SparkTestBase {
     assert(res.passed, res.status.toString)
   }
 
+  test("applyCdc round-trips snapshotDiff: apply(base, diff(base, next)) == next") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "v")
+    // next exercises all four classes: 1 deleted, 2 updated, 3/4 unchanged,
+    // 5 inserted
+    val next = Seq((2L, "B"), (3L, "c"), (4L, "d"), (5L, "E")).toDF("id", "v")
+    val diff = Merge.snapshotDiff(base, next, Seq("id"))
+    val classes = diff.collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("change_type")).toMap
+    assert(classes == Map(1L -> "deleted", 2L -> "updated", 3L -> "unchanged",
+      4L -> "unchanged", 5L -> "inserted"))
+    val applied = Merge.applyCdc(base,
+        diff.where(col("change_type") =!= "unchanged"), Seq("id"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(applied == Set((2L, "B"), (3L, "c"), (4L, "d"), (5L, "E")))
+    // the full (unfiltered) changelog applies to the same state — unchanged
+    // rows carry new_* equal to old, so filtering them is an optimization,
+    // not a correctness requirement
+    val appliedAll = Merge.applyCdc(base, diff, Seq("id"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(appliedAll == applied)
+  }
+
   test("schema evolution pads missing columns with NULL") {
     val existing = Seq((1L, 1.0)).toDF("id", "v")
     val batch = Seq((2L, 2.0, "x")).toDF("id", "v", "extra")
