@@ -58,6 +58,53 @@ object Pipeline {
         Num.ratio(sum(col("n_tokens")), count(lit(1))).as("avg_tokens"))
   }
 
+  /** v3 — the full pretraining-shard manifest: quality floor → exact-dedup
+    * keepers → benchmark DECONTAMINATION (drop both the held-out benchmark
+    * docs and every corpus doc whose 3-gram shingle overlap with them is
+    * ≥ 20% — the `contamination_check` criterion as a filter instead of a
+    * report) → per-source cap (hash-ordered, skew-proof) → deterministic
+    * shard assignment, summarized per shard. This is the end-to-end
+    * composition a pretraining run executes before writing shards; every
+    * stage is one of the registry's own operators, fused by Catalyst into:
+    * one corpus scan feeding quality + shingle projections, one broadcast
+    * semi/anti pair for dedup + decontamination, one (source) window for
+    * the cap, one final shard aggregate. The per-shard row (docs, tokens,
+    * sources) is the manifest trainers read to size epochs.
+    */
+  def pretrainShards(documents: DataFrame, nShards: Int = 8, cap: Int = 120): DataFrame = {
+    import graft.functions.PortableHash
+    import org.apache.spark.sql.expressions.Window
+    val quality = TextAnalysis.textQuality(documents)
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+    val keepers = documents
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keeper_doc_id"))
+      .select(col("keeper_doc_id").as("doc_id"))
+    val contaminated = Curation.contaminationCheck(documents)
+      .where(col("contamination_rate") >= 0.2)
+      .select(col("doc_id"))
+    val kept = quality
+      .where(col("quality_score") >= 40.0 && pmod(col("doc_id"), lit(97)) =!= 0)
+      .join(keepers, Seq("doc_id"), "left_semi")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .join(documents.select(col("doc_id"), col("source")), Seq("doc_id"))
+    val w = Window.partitionBy("source").orderBy(col("pick"), col("doc_id"))
+    val capped = kept
+      .withColumn("pick",
+        PortableHash.hash32(concat(lit("cap:"), col("doc_id").cast("string"))))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= cap)
+    capped
+      .withColumn("shard",
+        pmod(PortableHash.hash32(concat(lit("shuf:"), col("doc_id").cast("string"))),
+          lit(nShards.toLong)))
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("doc_count"),
+        sum(col("n_tokens")).as("total_tokens"),
+        countDistinct(col("source")).as("n_sources"))
+  }
+
   private def curationV2Oracle: String =
     s"""WITH RECURSIVE q0 AS (
        |  SELECT doc_id, text,
@@ -99,7 +146,64 @@ object Pipeline {
        |  AND doc_id NOT IN (SELECT doc_id FROM clusters WHERE doc_id != cluster_id)
        |GROUP BY 1, 2""".stripMargin
 
+  /** Mirrors [[pretrainShards]] stage for stage (same quality arithmetic,
+    * shingle grams, portable hashes, rank and shard rules).
+    */
+  private def pretrainShardsOracle: String = {
+    val hCap = graft.functions.PortableHash.duckSql("'cap:' || CAST(doc_id AS VARCHAR)")
+    val hShuf = graft.functions.PortableHash.duckSql("'shuf:' || CAST(doc_id AS VARCHAR)")
+    s"""WITH q0 AS (
+       |  SELECT doc_id, text,
+       |         string_split(lower(text), ' ') AS toks
+       |  FROM documents),
+       |quality AS (
+       |  SELECT doc_id,
+       |         CAST(len(toks) AS BIGINT) AS n_tokens,
+       |         LEAST(100.0, GREATEST(0.0,
+       |           CAST(len(toks) AS DOUBLE) / 2.0 +
+       |           CAST(len(list_intersect(list_distinct(toks), ['the','a','of','and'])) AS BIGINT) * 10.0 +
+       |           CAST(len(list_filter(toks, x -> length(x) >= 5)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 30.0)) AS quality_score
+       |  FROM q0),
+       |keepers AS (
+       |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+       |sh AS (
+       |  SELECT doc_id,
+       |         CASE WHEN len(toks) >= 3 THEN list_distinct(list_transform(
+       |           range(1, len(toks) - 1),
+       |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+       |         ELSE CAST([] AS VARCHAR[]) END AS shingles
+       |  FROM q0),
+       |bench AS (
+       |  SELECT DISTINCT UNNEST(shingles) AS shingle FROM sh WHERE doc_id % 97 = 0),
+       |contaminated AS (
+       |  SELECT e.doc_id
+       |  FROM (SELECT doc_id, len(shingles) AS n_sh, UNNEST(shingles) AS shingle
+       |        FROM sh WHERE doc_id % 97 <> 0) e
+       |  JOIN bench b ON e.shingle = b.shingle
+       |  GROUP BY e.doc_id, e.n_sh
+       |  HAVING CAST(COUNT(*) AS DOUBLE) / CAST(e.n_sh AS DOUBLE) >= 0.2),
+       |kept AS (
+       |  SELECT q.doc_id, q.n_tokens, d.source
+       |  FROM quality q JOIN documents d USING (doc_id)
+       |  WHERE q.quality_score >= 40.0
+       |    AND q.doc_id % 97 <> 0
+       |    AND q.doc_id IN (SELECT doc_id FROM keepers)
+       |    AND q.doc_id NOT IN (SELECT doc_id FROM contaminated)),
+       |capped AS (
+       |  SELECT doc_id, n_tokens, source FROM (
+       |    SELECT doc_id, n_tokens, source,
+       |           ROW_NUMBER() OVER (PARTITION BY source
+       |             ORDER BY $hCap, doc_id) AS rn
+       |    FROM kept) WHERE rn <= 120)
+       |SELECT CAST($hShuf % 8 AS BIGINT) AS shard,
+       |       COUNT(*) AS doc_count,
+       |       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       |       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+       |FROM capped GROUP BY 1""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "pipeline_pretrain_shards" -> pretrainShardsOracle,
     "pipeline_curation_v2" -> curationV2Oracle,
     "pipeline_training_data" ->
       """WITH q0 AS (
