@@ -119,6 +119,8 @@ object SparkEntry {
     "join_asof_forward" -> ((s, d) => Joins.joinAsofForward(Tables.events(s, d))),
     "join_asof_nearest" -> ((s, d) => Joins.joinAsofNearest(Tables.events(s, d))),
     "join_asof_tolerance" -> ((s, d) => Joins.joinAsofTolerance(Tables.events(s, d))),
+    // sorted-neighborhood ER: rank-range buckets, skew-proof by construction
+    "join_sorted_neighborhood" -> ((s, d) => Joins.joinSortedNeighborhood(Tables.part(s, d))),
     "join_range_bucketed" -> ((s, d) => Joins.joinRangeBucketed(Tables.events(s, d))),
     "join_fuzzy_blocked" -> ((s, d) => Joins.joinFuzzyBlocked(Tables.part(s, d))),
     "join_interval_overlap" -> ((s, d) => Joins.joinIntervalOverlap(Tables.events(s, d))),

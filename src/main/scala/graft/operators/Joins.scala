@@ -478,7 +478,70 @@ object Joins {
         coalesce(col("n"), lit(0L)).as("n_fuzzy_matches"))
   }
 
+  /** `join_sorted_neighborhood`: entity resolution by the SORTED-
+    * NEIGHBORHOOD method (Hernández & Stolfo, SIGMOD 1995) — order the
+    * corpus by a sort key that clusters likely duplicates (here the name),
+    * slide a fixed window of `window` positions, and verify only pairs
+    * inside it: candidates are O(n·window) by construction. The blocking
+    * complement of [[joinFuzzyBlocked]]: length buckets key on an attribute
+    * VALUE (one hot length ⇒ one hot bucket), while SNM's buckets are RANK
+    * ranges — every bucket holds exactly `window` records no matter how
+    * skewed the data, so the candidate join cannot have a hot key.
+    *
+    * The global dense rank is computed the scale-honest way, not with a
+    * single-partition window: range-repartition on the sort key, rank
+    * WITHIN each partition, then add per-partition row-count offsets — the
+    * only driver-side state is one row count per partition (model-sized,
+    * same discipline as every collect here). Pairs within `window − 1`
+    * positions span at most adjacent width-`window` rank buckets, so a
+    * 3-bucket probe equi-join + exact |Δrank| post-filter is lossless.
+    */
+  def joinSortedNeighborhood(part: DataFrame, window: Int = 6, threshold: Int = 2): DataFrame = {
+    val spark = part.sparkSession
+    import spark.implicits._
+    val parts = spark.sparkContext.defaultParallelism
+    val sorted = part.select(col("p_partkey"), col("p_name"))
+      .repartitionByRange(parts, col("p_name"), col("p_partkey"))
+      .withColumn("pid", spark_partition_id())
+    val wpid = Window.partitionBy(col("pid")).orderBy(col("p_name"), col("p_partkey"))
+    val local = sorted.withColumn("lrn", row_number().over(wpid).cast("long"))
+    val counts = local.groupBy(col("pid")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.map(_._1)
+      .zip(counts.map(_._2).scanLeft(0L)(_ + _).dropRight(1))
+    val ranked = local
+      .join(broadcast(offsets.toSeq.toDF("pid", "off")), Seq("pid"))
+      .select(col("p_partkey"), col("p_name"),
+        (col("lrn") + col("off")).as("rn"),
+        expr(s"(lrn + off) div $window").as("blk"))
+    val probe = ranked.select(col("p_partkey").as("k"), col("p_name").as("name"),
+      col("rn").as("krn"),
+      explode(sequence(col("blk") - 1, col("blk") + 1)).as("blk"))
+    val matches = probe.join(ranked, Seq("blk"))
+      .where(col("k") =!= col("p_partkey") &&
+        abs(col("krn") - col("rn")) < window &&
+        levenshtein(col("name"), col("p_name")) <= threshold)
+      .groupBy(col("k")).agg(count(lit(1)).as("n"))
+    ranked.join(matches, ranked("p_partkey") === matches("k"), "left")
+      .select(col("p_partkey"), col("p_name"),
+        coalesce(col("n"), lit(0L)).as("n_snm_matches"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "join_sorted_neighborhood" ->
+      """WITH r AS (
+        |  SELECT p_partkey, p_name,
+        |         CAST(ROW_NUMBER() OVER (ORDER BY p_name, p_partkey) AS BIGINT) AS rn
+        |  FROM part),
+        |m AS (
+        |  SELECT a.p_partkey AS k, COUNT(*) AS n
+        |  FROM r a JOIN r c
+        |    ON c.rn BETWEEN a.rn - 5 AND a.rn + 5
+        |   AND c.rn != a.rn
+        |   AND levenshtein(a.p_name, c.p_name) <= 2
+        |  GROUP BY 1)
+        |SELECT r.p_partkey, r.p_name, COALESCE(m.n, 0) AS n_snm_matches
+        |FROM r LEFT JOIN m ON r.p_partkey = m.k""".stripMargin,
     "join_fuzzy_blocked" ->
       """WITH b AS (
         |  SELECT p_partkey, p_name, length(p_name) // 4 AS blk FROM part),

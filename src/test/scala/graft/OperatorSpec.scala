@@ -237,6 +237,31 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("sorted-neighborhood join equals the naive windowed pair count") {
+    import spark.implicits._
+    // 40 rows across the session's partitions — the distributed rank must
+    // stitch window pairs across every range-partition boundary
+    val rows = (0 until 40).map(i => ((i * 7 % 40).toLong, f"rec${i * 7 % 40}%03d"))
+    val df = rows.toDF("p_partkey", "p_name")
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val window = 4
+    val ranked = rows.sortBy(r => (r._2, r._1)).zipWithIndex
+    val expected = ranked.map { case ((k, name), rn) =>
+      k -> ranked.count { case ((k2, n2), rn2) =>
+        k2 != k && math.abs(rn - rn2) < window && lev(name, n2) <= 2 }.toLong
+    }.toMap
+    val out = graft.operators.Joins.joinSortedNeighborhood(df, window = window)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_snm_matches")).toMap
+    assert(out == expected)
+  }
+
   test("kmv + hll overlap estimators hold on the truncated-sketch branch") {
     // the testdata has only 150 users (every sketch complete → exact path);
     // this synthetic pair forces the estimator branch: |A|=10k, |B|=10k,
