@@ -85,6 +85,19 @@ class PropertiesSpec extends SparkTestBase {
     }, n = 20)
   }
 
+  test("bottom-k sketch merge identity holds on arbitrary sets") {
+    // justifies agg_kmv_overlap's "mergeable warehouse artifact" claim and
+    // Spark's per-partition-heap plan: the bottom-k of a union is exactly
+    // computable from per-part bottom-ks, for ANY k and any partitioning
+    val gen = Gen.zip(
+      Gen.listOf(Gen.choose(0L, 200L)), Gen.listOf(Gen.choose(0L, 200L)),
+      Gen.choose(1, 16))
+    checkProp(Prop.forAll(gen) { case (a, b, k) =>
+      def bottomK(s: Set[Long]): Set[Long] = s.toSeq.sorted.take(k).toSet
+      bottomK(bottomK(a.toSet) ++ bottomK(b.toSet)) == bottomK(a.toSet ++ b.toSet)
+    }, 30)
+  }
+
   test("merge upsert output size = |target keys ∪ source keys|") {
     val gen = Gen.listOfN(25, Gen.choose(0L, 12L))
     checkProp(Prop.forAll(gen, gen) { (t, s) =>
