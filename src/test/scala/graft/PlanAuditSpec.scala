@@ -119,6 +119,18 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("pipeline_pretrain_shards joins stay broadcast (no sort-merge, no nested-loop)") {
+    import org.apache.spark.sql.execution.joins.{SortMergeJoinExec, BroadcastNestedLoopJoinExec}
+    withoutAqe {
+      val plan = graft.operators.Pipeline.pretrainShards(Tables.documents(spark, sf))
+        .queryExecution.executedPlan
+      val smj = plan.collect { case j: SortMergeJoinExec => j }
+      val bnl = plan.collect { case j: BroadcastNestedLoopJoinExec => j }
+      assert(smj.isEmpty && bnl.isEmpty,
+        s"pretrain pipeline lost its broadcast-only join shape:\n$plan")
+    }
+  }
+
   test("chunk_fixed_tokens plans with ZERO exchanges (pure per-document explode)") {
     import org.apache.spark.sql.execution.exchange.Exchange
     withoutAqe {
