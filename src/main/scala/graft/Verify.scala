@@ -24,6 +24,11 @@ object Verify {
     // an unregistered one in the correctness artifact — in r8 a mass reader
     // failure surfaced only in BENCH's error list because Verify's rc stayed
     // 0 and the driver's CORRECTNESS simply omitted the rows.
+    // The exit code deliberately STAYS 0 on per-query failures: the driver
+    // must still receive the partial parquet dump + oracle_sql.json to
+    // grade the queries that ran — a nonzero rc would risk zeroing the
+    // whole round's correctness instead of recording a partial one.
+    // _errors.json (and the stderr summary below) is the failure signal.
     val errs = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

@@ -631,6 +631,25 @@ object Aggregates {
         count(lit(1)).as("n_events"))
   }
 
+  /** Sketch size for [[aggKmvOverlap]] — shared with its oracle so the
+    * registered query and its SQL cannot silently diverge on k.
+    */
+  private[operators] val KmvOverlapK = 256
+
+  /** Ordered segment pairs exploded to one (seg_a, seg_b, member) row per
+    * side — the scaffolding both sketch-overlap operators use to keep the
+    * per-pair sketch join an equi-join (an OR-predicate join would plan
+    * nested-loop). `withSegments` just needs a `segment` column.
+    */
+  private def segmentPairMembers(withSegments: DataFrame): DataFrame = {
+    val segs = withSegments.select(col("segment")).distinct()
+    segs.select(col("segment").as("seg_a"))
+      .crossJoin(broadcast(segs.select(col("segment").as("seg_b"))))
+      .where(col("seg_a") < col("seg_b"))
+      .select(col("seg_a"), col("seg_b"),
+        explode(array(col("seg_a"), col("seg_b"))).as("segment"))
+  }
+
   /** Portable-HLL cardinality estimate over a register frame
     * (keys..., bucket, mreg) — the estimator of [[aggApproxDistinct]]
     * factored out so register TABLES (which, unlike finished estimates,
@@ -689,15 +708,7 @@ object Aggregates {
       .groupBy(col("segment"), col("bucket"))
       .agg(max(col("rho")).as("mreg"))
     val singles = hllEstimate(regs, Seq("segment"))
-    val segs = singles.select(col("segment"))
-    val pairs = segs.select(col("segment").as("seg_a"))
-      .crossJoin(broadcast(segs.select(col("segment").as("seg_b"))))
-      .where(col("seg_a") < col("seg_b"))
-    // one (pair, member) row per side keeps the register join an equi-join
-    // (an OR-predicate join would plan nested-loop)
-    val pairMembers = pairs.select(col("seg_a"), col("seg_b"),
-      explode(array(col("seg_a"), col("seg_b"))).as("segment"))
-    val unionRegs = regs.join(broadcast(pairMembers), Seq("segment"))
+    val unionRegs = regs.join(broadcast(segmentPairMembers(regs)), Seq("segment"))
       .groupBy(col("seg_a"), col("seg_b"), col("bucket"))
       .agg(max(col("mreg")).as("mreg"))
     val unions = hllEstimate(unionRegs, Seq("seg_a", "seg_b"))
@@ -776,7 +787,7 @@ object Aggregates {
     * Deterministic portable hash ⇒ the DuckDB oracle reproduces every
     * estimate bit for bit.
     */
-  def aggKmvOverlap(events: DataFrame, k: Int = 256): DataFrame = {
+  def aggKmvOverlap(events: DataFrame, k: Int = KmvOverlapK): DataFrame = {
     import graft.functions.PortableHash
     val distinctHashes = events
       .select(col("event_type").as("segment"),
@@ -787,14 +798,8 @@ object Aggregates {
       .withColumn("rk", row_number().over(wk))
       .where(col("rk") <= k)
       .drop("rk")
-    val segs = sketches.select(col("segment")).distinct()
-    val pairs = segs.select(col("segment").as("seg_a"))
-      .crossJoin(broadcast(segs.select(col("segment").as("seg_b"))))
-      .where(col("seg_a") < col("seg_b"))
-    val pairMembers = pairs.select(col("seg_a"), col("seg_b"),
-      explode(array(col("seg_a"), col("seg_b"))).as("segment"))
     // per (pair, hash): how many of the pair's two sketches carry it (1|2)
-    val tagged = sketches.join(broadcast(pairMembers), Seq("segment"))
+    val tagged = sketches.join(broadcast(segmentPairMembers(sketches)), Seq("segment"))
       .groupBy(col("seg_a"), col("seg_b"), col("h"))
       .agg(count(lit(1)).as("n_sides"))
     val wm = Window.partitionBy("seg_a", "seg_b").orderBy("h")
@@ -890,13 +895,14 @@ object Aggregates {
     */
   private val kmvOverlapOracle: String = {
     val h = graft.functions.PortableHash.duckSql("CAST(user_id AS VARCHAR)")
+    val k = KmvOverlapK
     s"""WITH dh AS (
        |  SELECT DISTINCT event_type AS segment, $h AS h FROM events),
        |sk AS (
        |  SELECT segment, h FROM (
        |    SELECT segment, h,
        |           ROW_NUMBER() OVER (PARTITION BY segment ORDER BY h) AS rk
-       |    FROM dh) WHERE rk <= 256),
+       |    FROM dh) WHERE rk <= $k),
        |segs AS (SELECT DISTINCT segment FROM sk),
        |pairs AS (
        |  SELECT a.segment AS seg_a, b.segment AS seg_b
@@ -912,18 +918,18 @@ object Aggregates {
        |  SELECT seg_a, seg_b, h, n_sides FROM (
        |    SELECT seg_a, seg_b, h, n_sides,
        |           ROW_NUMBER() OVER (PARTITION BY seg_a, seg_b ORDER BY h) AS rk
-       |    FROM tg) WHERE rk <= 256),
+       |    FROM tg) WHERE rk <= $k),
        |ag AS (
        |  SELECT seg_a, seg_b, COUNT(*) AS cnt, MAX(h) AS tau,
        |         CAST(SUM(CASE WHEN n_sides = 2 THEN 1 ELSE 0 END) AS BIGINT) AS both_cnt
        |  FROM mg GROUP BY 1, 2)
        |SELECT seg_a, seg_b,
-       |       CAST(CASE WHEN cnt < 256 THEN cnt
-       |            ELSE (255 * 4294967296) // GREATEST(tau, 1) END AS BIGINT) AS est_union,
+       |       CAST(CASE WHEN cnt < $k THEN cnt
+       |            ELSE (${(k - 1).toLong} * 4294967296) // GREATEST(tau, 1) END AS BIGINT) AS est_union,
        |       CAST(both_cnt AS DOUBLE) / CAST(cnt AS DOUBLE) AS jaccard_est,
-       |       CAST(CASE WHEN cnt < 256 THEN both_cnt
+       |       CAST(CASE WHEN cnt < $k THEN both_cnt
        |            ELSE CAST(FLOOR((CAST(both_cnt AS DOUBLE) / CAST(cnt AS DOUBLE))
-       |                 * CAST((255 * 4294967296) // GREATEST(tau, 1) AS DOUBLE)) AS BIGINT)
+       |                 * CAST((${(k - 1).toLong} * 4294967296) // GREATEST(tau, 1) AS DOUBLE)) AS BIGINT)
        |            END AS BIGINT) AS est_shared
        |FROM ag""".stripMargin
   }

@@ -17,6 +17,13 @@ import graft.functions.Num
   */
 object Joins {
 
+  /** Registered-query parameters shared with the oracles below, so the
+    * Spark plan and its SQL cannot silently diverge on a constant.
+    */
+  private[operators] val AsofToleranceUs = 21600000000L // 6h
+  private[operators] val SnmWindow = 6
+  private[operators] val SnmThreshold = 2
+
   /** `join_left_denorm` (fct_issues.sql:68-72): star denormalization with a
     * self-join (customer → referrer customer via derived referrer_id).
     */
@@ -280,7 +287,7 @@ object Joins {
     * keeps the single key shuffle + single sort and gains nothing but a
     * WHEN per row. Tolerance default 6h in exact integer micros.
     */
-  def joinAsofTolerance(events: DataFrame, tolUs: Long = 21600000000L): DataFrame = {
+  def joinAsofTolerance(events: DataFrame, tolUs: Long = AsofToleranceUs): DataFrame = {
     val in = col("staleness_us") <= tolUs
     joinAsof(events).select(
       col("event_id"), col("user_id"), col("ts"),
@@ -496,7 +503,8 @@ object Joins {
     * positions span at most adjacent width-`window` rank buckets, so a
     * 3-bucket probe equi-join + exact |Δrank| post-filter is lossless.
     */
-  def joinSortedNeighborhood(part: DataFrame, window: Int = 6, threshold: Int = 2): DataFrame = {
+  def joinSortedNeighborhood(part: DataFrame, window: Int = SnmWindow,
+      threshold: Int = SnmThreshold): DataFrame = {
     val spark = part.sparkSession
     import spark.implicits._
     val parts = spark.sparkContext.defaultParallelism
@@ -513,7 +521,9 @@ object Joins {
       .join(broadcast(offsets.toSeq.toDF("pid", "off")), Seq("pid"))
       .select(col("p_partkey"), col("p_name"),
         (col("lrn") + col("off")).as("rn"),
-        expr(s"(lrn + off) div $window").as("blk"))
+        // rank is 1-based: shift before bucketing so EVERY bucket holds
+        // exactly `window` ranks (bucket 0 would otherwise hold window-1)
+        expr(s"(lrn + off - 1) div $window").as("blk"))
     val probe = ranked.select(col("p_partkey").as("k"), col("p_name").as("name"),
       col("rn").as("krn"),
       explode(sequence(col("blk") - 1, col("blk") + 1)).as("blk"))
@@ -529,16 +539,16 @@ object Joins {
 
   val oracles: Map[String, String] = Map(
     "join_sorted_neighborhood" ->
-      """WITH r AS (
+      s"""WITH r AS (
         |  SELECT p_partkey, p_name,
         |         CAST(ROW_NUMBER() OVER (ORDER BY p_name, p_partkey) AS BIGINT) AS rn
         |  FROM part),
         |m AS (
         |  SELECT a.p_partkey AS k, COUNT(*) AS n
         |  FROM r a JOIN r c
-        |    ON c.rn BETWEEN a.rn - 5 AND a.rn + 5
+        |    ON c.rn BETWEEN a.rn - ${SnmWindow - 1} AND a.rn + ${SnmWindow - 1}
         |   AND c.rn != a.rn
-        |   AND levenshtein(a.p_name, c.p_name) <= 2
+        |   AND levenshtein(a.p_name, c.p_name) <= $SnmThreshold
         |  GROUP BY 1)
         |SELECT r.p_partkey, r.p_name, COALESCE(m.n, 0) AS n_snm_matches
         |FROM r LEFT JOIN m ON r.p_partkey = m.k""".stripMargin,
@@ -608,7 +618,7 @@ object Joins {
         |FROM clicks c ASOF LEFT JOIN err e
         |  ON c.user_id = e.user_id AND c.ts >= e.ts""".stripMargin,
     "join_asof_tolerance" ->
-      """WITH clicks AS (
+      s"""WITH clicks AS (
         |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
         |err AS (
         |  SELECT user_id, ts, MAX(event_id) AS err_id
@@ -620,9 +630,9 @@ object Joins {
         |  FROM clicks c ASOF LEFT JOIN err e
         |    ON c.user_id = e.user_id AND c.ts >= e.ts)
         |SELECT event_id, user_id, ts,
-        |       CASE WHEN stale <= 21600000000 THEN err_id END AS error_event_id,
-        |       CASE WHEN stale <= 21600000000 THEN e_ts END AS error_ts,
-        |       CASE WHEN stale <= 21600000000 THEN stale END AS staleness_us
+        |       CASE WHEN stale <= $AsofToleranceUs THEN err_id END AS error_event_id,
+        |       CASE WHEN stale <= $AsofToleranceUs THEN e_ts END AS error_ts,
+        |       CASE WHEN stale <= $AsofToleranceUs THEN stale END AS staleness_us
         |FROM m""".stripMargin,
     "join_asof_forward" ->
       """WITH clicks AS (

@@ -12,13 +12,17 @@ import graft.functions.Num
   */
 object Pipeline {
 
+  /** Shard count / per-source cap for [[pretrainShards]] — shared with the
+    * oracle so the registered query and its SQL cannot silently diverge.
+    */
+  private[operators] val PretrainShardCount = 8
+  private[operators] val PretrainSourceCap = 120
+
   /** Kept-corpus summary per (predicted language, quality bucket). */
   def trainingDataCuration(documents: DataFrame): DataFrame = {
     val quality = TextAnalysis.textQuality(documents)
       .select(col("doc_id"), col("n_tokens"), col("quality_score"), col("quality_bucket"))
-    val keepers = documents
-      .groupBy(md5(col("text")).as("content_hash"))
-      .agg(min(col("doc_id")).as("keeper_doc_id"))
+    val keepers = Dedup.dedupExact(documents)
       .select(col("keeper_doc_id").as("doc_id"))
     val langs = TextAnalysis.textLangid(documents)
       .select(col("doc_id"), col("predicted_lang"))
@@ -71,14 +75,13 @@ object Pipeline {
     * the cap, one final shard aggregate. The per-shard row (docs, tokens,
     * sources) is the manifest trainers read to size epochs.
     */
-  def pretrainShards(documents: DataFrame, nShards: Int = 8, cap: Int = 120): DataFrame = {
+  def pretrainShards(documents: DataFrame, nShards: Int = PretrainShardCount,
+      cap: Int = PretrainSourceCap): DataFrame = {
     import graft.functions.PortableHash
     import org.apache.spark.sql.expressions.Window
     val quality = TextAnalysis.textQuality(documents)
       .select(col("doc_id"), col("n_tokens"), col("quality_score"))
-    val keepers = documents
-      .groupBy(md5(col("text")).as("content_hash"))
-      .agg(min(col("doc_id")).as("keeper_doc_id"))
+    val keepers = Dedup.dedupExact(documents)
       .select(col("keeper_doc_id").as("doc_id"))
     val contaminated = Curation.contaminationCheck(documents)
       .where(col("contamination_rate") >= 0.2)
@@ -194,8 +197,8 @@ object Pipeline {
        |    SELECT doc_id, n_tokens, source,
        |           ROW_NUMBER() OVER (PARTITION BY source
        |             ORDER BY $hCap, doc_id) AS rn
-       |    FROM kept) WHERE rn <= 120)
-       |SELECT CAST($hShuf % 8 AS BIGINT) AS shard,
+       |    FROM kept) WHERE rn <= $PretrainSourceCap)
+       |SELECT CAST($hShuf % $PretrainShardCount AS BIGINT) AS shard,
        |       COUNT(*) AS doc_count,
        |       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
        |       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources

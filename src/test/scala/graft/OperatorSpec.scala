@@ -219,6 +219,12 @@ class OperatorSpec extends SparkTestBase {
     val est = Aggregates.aggHllOverlap(events).collect()
     // the exact twin only emits pairs with shared > 0; the sketch emits all
     assert(est.length >= exact.size)
+    // the per-pair bounds below only run on matched keys — make sure the
+    // key conventions actually line up or the loop is vacuous
+    val matched = est.map(r => (r.getAs[String]("seg_a"), r.getAs[String]("seg_b")))
+      .count(exact.contains)
+    assert(matched == exact.size,
+      s"only $matched of ${exact.size} exact pairs matched the sketch keys")
     est.foreach { r =>
       val key = (r.getAs[String]("seg_a"), r.getAs[String]("seg_b"))
       exact.get(key).foreach { case (sa, sb, shared) =>
