@@ -265,6 +265,8 @@ object SparkEntry {
     // product-analytics rollups: strictly-ordered funnel + cohort retention
     "funnel_steps" -> ((s, d) => Funnel.funnelSteps(Tables.events(s, d))),
     "retention_cohorts" -> ((s, d) => Funnel.retentionCohorts(Tables.events(s, d))),
+    // first-touch attribution: bucket-decomposed lookback join, tie-broken min
+    "attribution_first_touch" -> ((s, d) => Funnel.attributionFirstTouch(Tables.events(s, d))),
     // §2.10 stateful-streaming twin: flatMapGroupsWithState sessionizer driven
     // end-to-end, checked against the SAME batch oracle SQL
     "stream_sessionize_endstate" -> ((s, d) =>

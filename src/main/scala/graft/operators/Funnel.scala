@@ -66,7 +66,84 @@ object Funnel {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Lookback for [[attributionFirstTouch]] — shared with the oracle so
+    * the registered query and its SQL cannot silently diverge.
+    */
+  private[operators] val AttributionLookbackUs = 7L * 86400000000L // 7 days
+
+  /** `attribution_first_touch`: marketing attribution — each purchase is
+    * credited to the user's EARLIEST click inside a 7-day lookback window
+    * (ties at the first timestamp break on the smaller click id; purchases
+    * with no in-window click surface NULLs = "direct"). The third leg of
+    * the product-analytics family: funnel counts conversions, retention
+    * counts return visits, attribution answers which touch earned the
+    * purchase.
+    *
+    * Scale shape: the same bucket decomposition as `join_range_bucketed` —
+    * a purchase explodes into its lookback's 8 day-buckets, clicks key by
+    * their own bucket, and the (user, bucket) hash equi-join + exact bound
+    * post-filter finds candidates in O(purchases × 8 + clicks + matches),
+    * never a per-user cross product. The first-touch pick is a candidate-
+    * sized min + tie-break join — both orders of magnitude below the event
+    * corpus. A hot day-bucket splits under AQE skew handling like every
+    * bucketed join here.
+    */
+  def attributionFirstTouch(events: DataFrame): DataFrame = {
+    val DayUs = 86400000000L
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("c_t"),
+        col("event_id").as("click_id"))
+      .withColumn("blk", expr(s"c_t div $DayUs"))
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("p_t"),
+        col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+    val cand = purchases
+      .withColumn("blk", explode(sequence(
+        expr(s"(p_t - $AttributionLookbackUs) div $DayUs"), expr(s"p_t div $DayUs"))))
+      .join(clicks, Seq("user_id", "blk"))
+      .where(col("c_t") > col("p_t") - AttributionLookbackUs && col("c_t") <= col("p_t"))
+      .select(col("purchase_id"), col("c_t"), col("click_id"))
+    val firstTs = cand.groupBy(col("purchase_id")).agg(min(col("c_t")).as("first_t"))
+    val first = cand.join(firstTs, Seq("purchase_id"))
+      .where(col("c_t") === col("first_t"))
+      .groupBy(col("purchase_id"))
+      .agg(min(col("click_id")).as("first_click_id"), min(col("c_t")).as("ft"))
+    purchases.join(first, Seq("purchase_id"), "left")
+      .select(
+        col("purchase_id"), col("user_id"), col("purchase_ts"),
+        col("first_click_id"),
+        timestamp_micros(col("ft")).as("first_click_ts"),
+        (col("p_t") - col("ft")).as("latency_us"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "attribution_first_touch" ->
+      s"""WITH clicks AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS c_t, event_id AS click_id
+        |  FROM events WHERE event_type = 'click'),
+        |purchases AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS p_t,
+        |         event_id AS purchase_id, CAST(ts AS TIMESTAMP) AS purchase_ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |cand AS (
+        |  SELECT p.purchase_id, c.c_t, c.click_id
+        |  FROM purchases p JOIN clicks c
+        |    ON p.user_id = c.user_id
+        |   AND c.c_t > p.p_t - $AttributionLookbackUs
+        |   AND c.c_t <= p.p_t),
+        |f AS (SELECT purchase_id, MIN(c_t) AS first_t FROM cand GROUP BY 1),
+        |fc AS (
+        |  SELECT cand.purchase_id,
+        |         MIN(cand.click_id) AS first_click_id,
+        |         MIN(cand.c_t) AS ft
+        |  FROM cand JOIN f ON cand.purchase_id = f.purchase_id
+        |                  AND cand.c_t = f.first_t
+        |  GROUP BY 1)
+        |SELECT p.purchase_id, p.user_id, p.purchase_ts,
+        |       fc.first_click_id,
+        |       make_timestamp(fc.ft) AS first_click_ts,
+        |       CAST(p.p_t - fc.ft AS BIGINT) AS latency_us
+        |FROM purchases p LEFT JOIN fc ON p.purchase_id = fc.purchase_id""".stripMargin,
     "funnel_steps" ->
       """WITH staged AS (
         |  SELECT user_id,

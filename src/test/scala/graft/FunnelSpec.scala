@@ -37,6 +37,28 @@ class FunnelSpec extends SparkTestBase {
     assert(out.map(r => (r.getLong(0), r.getLong(2))).toSet == Set((1L, 1L)))
   }
 
+  test("attribution_first_touch: earliest in-window click, tie on id, window bounds") {
+    val df = events(
+      // user 1: clicks on day 2 and 4, purchase day 5 → first touch = day-2 click
+      (1L, 2, 1, 1L, "click"), (2L, 4, 1, 1L, "click"), (3L, 5, 1, 1L, "purchase"),
+      // user 2: two clicks at the SAME first instant → smaller id wins
+      (5L, 3, 2, 2L, "click"), (4L, 3, 2, 2L, "click"), (6L, 6, 1, 2L, "purchase"),
+      // user 3: only click is 8 days before the purchase → outside 7d lookback
+      (7L, 1, 1, 3L, "click"), (8L, 9, 2, 3L, "purchase"),
+      // user 4: click EXACTLY at the purchase instant → inclusive bound
+      (9L, 7, 4, 4L, "click"), (10L, 7, 4, 4L, "purchase"))
+    val out = Funnel.attributionFirstTouch(df).collect()
+      .map(r => r.getAs[Long]("purchase_id") ->
+        (if (r.isNullAt(3)) -1L else r.getAs[Long]("first_click_id"))).toMap
+    assert(out == Map(3L -> 1L, 6L -> 4L, 8L -> -1L, 10L -> 9L))
+    // latency is exact micros between purchase and first click
+    val lat = Funnel.attributionFirstTouch(df).collect()
+      .map(r => r.getAs[Long]("purchase_id") ->
+        (if (r.isNullAt(5)) -1L else r.getAs[Long]("latency_us"))).toMap
+    assert(lat(3L) == 3L * 86400000000L)
+    assert(lat(10L) == 0L)
+  }
+
   test("retention_cohorts: offset 0 holds cohort size; returning users counted once per week") {
     // 2024-01-01 is a Monday. user 1 active weeks 0 and 2 (twice in week 2);
     // user 2 joins week 1, returns week 2.
