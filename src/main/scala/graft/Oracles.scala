@@ -81,6 +81,20 @@ object Oracles {
          |  CAST(close_cents - LAG(close_cents) OVER (PARTITION BY ticker ORDER BY trade_date) AS DOUBLE) / 100.0 AS day_change
          |FROM prices""".stripMargin,
 
+    "win_twap" ->
+      s"""WITH $pricesSql,
+         |l AS (
+         |  SELECT ticker, close_cents, volume,
+         |         CAST(date_diff('day', trade_date,
+         |           LEAD(trade_date) OVER (PARTITION BY ticker ORDER BY trade_date)) AS BIGINT) AS dt
+         |  FROM prices)
+         |SELECT ticker, COUNT(*) AS n_obs,
+         |       CAST(SUM(close_cents * dt) AS DOUBLE)
+         |         / CAST(SUM(dt) AS DOUBLE) / 100.0 AS twap,
+         |       CAST(SUM(close_cents * volume) AS DOUBLE)
+         |         / CAST(SUM(volume) AS DOUBLE) / 100.0 AS vwap
+         |FROM l GROUP BY 1""".stripMargin,
+
     "win_lag_n" ->
       s"""WITH $trendsSql,
          |w AS (

@@ -22,6 +22,8 @@ object SparkEntry {
     "fct_stock_prices" -> ((s, d) => Windows.fctStockPrices(Tables.prices(s, d))),
     "fct_keyword_trends" -> ((s, d) => graft.models.Models.fctKeywordTrends(Tables.trends(s, d))),
     "win_lag1" -> ((s, d) => Windows.winLag1(Tables.prices(s, d))),
+    // time- and volume-weighted average price; lead-gap day weights
+    "win_twap" -> ((s, d) => Windows.winTwap(Tables.prices(s, d))),
     "win_lag_n" -> ((s, d) => Windows.winLagN(Tables.trends(s, d))),
     "win_rolling_avg" -> ((s, d) => Windows.winRollingAvg(Tables.prices(s, d))),
     "win_rolling_extrema" -> ((s, d) => Windows.winRollingExtrema(Tables.prices(s, d))),

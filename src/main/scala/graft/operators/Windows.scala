@@ -86,6 +86,34 @@ object Windows {
         Num.dollars(col("prev_close_cents")).as("prev_close"),
         Num.dollars(col("close_cents") - col("prev_close_cents")).as("day_change"))
 
+  /** `win_twap`: time- and volume-weighted average price per ticker — the
+    * two canonical fair-price summaries of an irregular daily series. TWAP
+    * weights each close by the number of days it was the standing price
+    * (lead-date gap; the last observation has no forward interval and
+    * drops out of the numerator AND denominator), so gaps in the calendar
+    * weight correctly instead of every row counting equally. VWAP weights
+    * by traded volume. All weights are exact integer products
+    * (cents × days, cents × volume — bounded far below 2^53), one double
+    * division each at the end, fixed op order (Num discipline) so both
+    * engines agree bit for bit.
+    *
+    * Plan: one lead() window over a hash(ticker) exchange, then the
+    * per-ticker aggregate rides the SAME partitioning — window and groupBy
+    * share one exchange (the prices adapter's own (ticker, date) shuffle
+    * is upstream and unavoidable for any consumer).
+    */
+  def winTwap(prices: DataFrame): DataFrame =
+    prices
+      .withColumn("dt",
+        datediff(lead(col("trade_date"), 1).over(byTicker), col("trade_date")).cast("long"))
+      .groupBy(col("ticker"))
+      .agg(
+        count(lit(1)).as("n_obs"),
+        (sum(col("close_cents") * col("dt")).cast(DoubleType) /
+          sum(col("dt")).cast(DoubleType) / 100.0).as("twap"),
+        (sum(col("close_cents") * col("volume")).cast(DoubleType) /
+          sum(col("volume")).cast(DoubleType) / 100.0).as("vwap"))
+
   /** `win_lag_n` (fct_keyword_trends.sql:36-46): 7-row WoW / 30-row MoM offsets. */
   def winLagN(trends: DataFrame): DataFrame = {
     val byKw = Window.partitionBy("keyword").orderBy("date")

@@ -243,6 +243,21 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("win_twap: lead-gap day weights, last row drops, vwap hand-checked") {
+    import java.sql.Date
+    val prices = Seq(
+      (1L, Date.valueOf("2024-01-01"), 100L, 10L),
+      (1L, Date.valueOf("2024-01-03"), 200L, 30L), // 2-day gap before it
+      (1L, Date.valueOf("2024-01-04"), 400L, 60L)  // last: no forward interval
+    ).toDF("ticker", "trade_date", "close_cents", "volume")
+    val r = graft.operators.Windows.winTwap(prices).collect().head
+    assert(r.getAs[Long]("n_obs") == 3L)
+    // twap = (100*2 + 200*1) / 3 / 100 — day-1's close stood for 2 days
+    assert(math.abs(r.getAs[Double]("twap") - 400.0 / 3 / 100) < 1e-12)
+    // vwap = (100*10 + 200*30 + 400*60) / 100 / 100
+    assert(math.abs(r.getAs[Double]("vwap") - 3.1) < 1e-12)
+  }
+
   test("sorted-neighborhood join equals the naive windowed pair count") {
     import spark.implicits._
     // 40 rows across the session's partitions — the distributed rank must
