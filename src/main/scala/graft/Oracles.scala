@@ -95,6 +95,23 @@ object Oracles {
          |         / CAST(SUM(volume) AS DOUBLE) / 100.0 AS vwap
          |FROM l GROUP BY 1""".stripMargin,
 
+    "win_drawdown" ->
+      s"""WITH $pricesSql,
+         |w AS (
+         |  SELECT ticker, close_cents,
+         |         MAX(close_cents) OVER (PARTITION BY ticker ORDER BY trade_date
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak_cents
+         |  FROM prices),
+         |d AS (
+         |  SELECT ticker, close_cents, peak_cents,
+         |         (peak_cents - close_cents) * 1000000 // peak_cents AS dd_ppm
+         |  FROM w)
+         |SELECT ticker, COUNT(*) AS n_obs,
+         |       MAX(close_cents) AS peak_close_cents,
+         |       CAST(MAX(dd_ppm) AS BIGINT) AS max_drawdown_ppm,
+         |       CAST(MAX(dd_ppm) AS DOUBLE) / 10000.0 AS max_drawdown_pct
+         |FROM d GROUP BY 1""".stripMargin,
+
     "win_lag_n" ->
       s"""WITH $trendsSql,
          |w AS (

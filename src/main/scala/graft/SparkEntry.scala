@@ -24,6 +24,8 @@ object SparkEntry {
     "win_lag1" -> ((s, d) => Windows.winLag1(Tables.prices(s, d))),
     // time- and volume-weighted average price; lead-gap day weights
     "win_twap" -> ((s, d) => Windows.winTwap(Tables.prices(s, d))),
+    // max drawdown from the running peak, exact integer ppm
+    "win_drawdown" -> ((s, d) => Windows.winDrawdown(Tables.prices(s, d))),
     "win_lag_n" -> ((s, d) => Windows.winLagN(Tables.trends(s, d))),
     "win_rolling_avg" -> ((s, d) => Windows.winRollingAvg(Tables.prices(s, d))),
     "win_rolling_extrema" -> ((s, d) => Windows.winRollingExtrema(Tables.prices(s, d))),
@@ -269,6 +271,8 @@ object SparkEntry {
     "retention_cohorts" -> ((s, d) => Funnel.retentionCohorts(Tables.events(s, d))),
     // first-touch attribution: bucket-decomposed lookback join, tie-broken min
     "attribution_first_touch" -> ((s, d) => Funnel.attributionFirstTouch(Tables.events(s, d))),
+    // time-bounded funnel: each step must land inside the conversion window
+    "funnel_windowed" -> ((s, d) => Funnel.funnelStepsWindowed(Tables.events(s, d))),
     // §2.10 stateful-streaming twin: flatMapGroupsWithState sessionizer driven
     // end-to-end, checked against the SAME batch oracle SQL
     "stream_sessionize_endstate" -> ((s, d) =>

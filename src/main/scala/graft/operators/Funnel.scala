@@ -45,6 +45,45 @@ object Funnel {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Conversion window for [[funnelStepsWindowed]] — shared with the
+    * oracle so the registered query and its SQL cannot silently diverge.
+    */
+  private[operators] val FunnelConvWindowUs = 86400000000L // 1 day
+
+  /** `funnel_windowed`: the TIME-BOUNDED funnel — the analytics-product
+    * default ([[funnelSteps]] is the unbounded variant): step k counts only
+    * if it happens strictly after step k−1 AND within the conversion
+    * window of it, so a purchase three weeks after the click no longer
+    * "converts". Same single-exchange stacked-window plan as the unbounded
+    * funnel — the bound is one more predicate inside each step's
+    * conditional min, zero additional shuffles or state.
+    */
+  def funnelStepsWindowed(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    def within(prev: String) =
+      unix_micros(col("ts")) <= unix_micros(col(prev)) + FunnelConvWindowUs
+    val staged = events
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .withColumn("t1", min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("t2", min(when(
+        col("event_type") === "click" && col("ts") > col("t1") && within("t1"),
+        col("ts"))).over(w))
+      .withColumn("t3", min(when(
+        col("event_type") === "purchase" && col("ts") > col("t2") && within("t2"),
+        col("ts"))).over(w))
+    val perUser = staged
+      .groupBy(col("user_id"))
+      .agg(max(col("t1")).as("t1"), max(col("t2")).as("t2"), max(col("t3")).as("t3"))
+    perUser
+      .select(explode(array(
+        struct(lit(1L).as("step"), lit("view").as("step_name"), col("t1").isNotNull.as("reached")),
+        struct(lit(2L).as("step"), lit("click").as("step_name"), col("t2").isNotNull.as("reached")),
+        struct(lit(3L).as("step"), lit("purchase").as("step_name"), col("t3").isNotNull.as("reached")))).as("s"))
+      .where(col("s.reached"))
+      .groupBy(col("s.step").as("step"), col("s.step_name").as("step_name"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** `retention_cohorts`: the cohort retention matrix — users bucketed by
     * first-seen week, counted in every subsequent week they were active.
     * (cohort_week, week_offset=0) is the cohort size; later offsets over it
@@ -160,6 +199,38 @@ object Funnel {
         |s3 AS (
         |  SELECT user_id, t1, t2,
         |         MIN(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+        |           OVER (PARTITION BY user_id) AS t3
+        |  FROM s2),
+        |per_user AS (
+        |  SELECT user_id, MAX(t1) AS t1, MAX(t2) AS t2, MAX(t3) AS t3
+        |  FROM s3 GROUP BY 1)
+        |SELECT step, step_name, COUNT(*) AS n_users FROM (
+        |  SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name, t1 IS NOT NULL AS reached FROM per_user
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT), 'click', t2 IS NOT NULL FROM per_user
+        |  UNION ALL
+        |  SELECT CAST(3 AS BIGINT), 'purchase', t3 IS NOT NULL FROM per_user)
+        |WHERE reached GROUP BY 1, 2""".stripMargin,
+    "funnel_windowed" ->
+      s"""WITH staged AS (
+        |  SELECT user_id,
+        |         MIN(CASE WHEN event_type = 'view' THEN ts END)
+        |           OVER (PARTITION BY user_id) AS t1,
+        |         ts, event_type
+        |  FROM events),
+        |s2 AS (
+        |  SELECT user_id, t1,
+        |         MIN(CASE WHEN event_type = 'click' AND ts > t1
+        |                   AND epoch_us(ts) <= epoch_us(t1) + $FunnelConvWindowUs
+        |                  THEN ts END)
+        |           OVER (PARTITION BY user_id) AS t2,
+        |         ts, event_type
+        |  FROM staged),
+        |s3 AS (
+        |  SELECT user_id, t1, t2,
+        |         MIN(CASE WHEN event_type = 'purchase' AND ts > t2
+        |                   AND epoch_us(ts) <= epoch_us(t2) + $FunnelConvWindowUs
+        |                  THEN ts END)
         |           OVER (PARTITION BY user_id) AS t3
         |  FROM s2),
         |per_user AS (

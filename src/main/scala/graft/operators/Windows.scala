@@ -114,6 +114,29 @@ object Windows {
         (sum(col("close_cents") * col("volume")).cast(DoubleType) /
           sum(col("volume")).cast(DoubleType) / 100.0).as("vwap"))
 
+  /** `win_drawdown`: maximum drawdown per ticker — the standard risk
+    * summary: how far the price fell from its running peak, at the worst
+    * point of the series. The running peak is an unbounded-preceding max
+    * over the ticker sort; the per-row drawdown is EXACT integer
+    * parts-per-million (`(peak − close) · 10⁶ div peak` — integer division,
+    * no float in the scan), and only the final pct rendering divides once.
+    * Window and aggregate share one hash(ticker) exchange, same shape as
+    * [[winTwap]].
+    */
+  def winDrawdown(prices: DataFrame): DataFrame =
+    prices
+      .withColumn("peak_cents",
+        max(col("close_cents")).over(
+          byTicker.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("dd_ppm",
+        expr("((peak_cents - close_cents) * 1000000) div peak_cents"))
+      .groupBy(col("ticker"))
+      .agg(
+        count(lit(1)).as("n_obs"),
+        max(col("close_cents")).as("peak_close_cents"),
+        max(col("dd_ppm")).as("max_drawdown_ppm"),
+        (max(col("dd_ppm")).cast(DoubleType) / 10000.0).as("max_drawdown_pct"))
+
   /** `win_lag_n` (fct_keyword_trends.sql:36-46): 7-row WoW / 30-row MoM offsets. */
   def winLagN(trends: DataFrame): DataFrame = {
     val byKw = Window.partitionBy("keyword").orderBy("date")

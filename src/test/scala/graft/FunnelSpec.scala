@@ -37,6 +37,23 @@ class FunnelSpec extends SparkTestBase {
     assert(out.map(r => (r.getLong(0), r.getLong(2))).toSet == Set((1L, 1L)))
   }
 
+  test("funnel_windowed: steps beyond the conversion window do not convert") {
+    val df = events(
+      // user 1: view -> click (+4h) -> purchase (+3h): all inside the 1d window
+      (1L, 1, 1, 1L, "view"), (2L, 1, 5, 1L, "click"), (3L, 1, 8, 1L, "purchase"),
+      // user 2: click lands 2 DAYS after the view -> step 2 not reached
+      (4L, 1, 1, 2L, "view"), (5L, 3, 1, 2L, "click"),
+      // user 3: purchase lands 2 days after the click -> step 3 not reached
+      (6L, 1, 1, 3L, "view"), (7L, 1, 3, 3L, "click"), (8L, 3, 3, 3L, "purchase"))
+    val out = Funnel.funnelStepsWindowed(df).orderBy("step").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(2))).toSeq ==
+      Seq((1L, 3L), (2L, 2L), (3L, 1L)))
+    // the unbounded funnel counts all three users through every step
+    val unbounded = Funnel.funnelSteps(df).orderBy("step").collect()
+    assert(unbounded.map(r => (r.getLong(0), r.getLong(2))).toSeq ==
+      Seq((1L, 3L), (2L, 3L), (3L, 2L)))
+  }
+
   test("attribution_first_touch: earliest in-window click, tie on id, window bounds") {
     val df = events(
       // user 1: clicks on day 2 and 4, purchase day 5 → first touch = day-2 click

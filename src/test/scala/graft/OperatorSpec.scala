@@ -258,6 +258,20 @@ class OperatorSpec extends SparkTestBase {
     assert(math.abs(r.getAs[Double]("vwap") - 3.1) < 1e-12)
   }
 
+  test("win_drawdown: running-peak fall in exact ppm") {
+    import java.sql.Date
+    val prices = (Seq(
+      ("2024-01-01", 100L), ("2024-01-02", 80L),   // 20% below the 100 peak
+      ("2024-01-03", 120L), ("2024-01-04", 60L))   // then 50% below the 120 peak
+      .map { case (d, c) => (1L, Date.valueOf(d), c, 1L) })
+      .toDF("ticker", "trade_date", "close_cents", "volume")
+    val r = graft.operators.Windows.winDrawdown(prices).collect().head
+    assert(r.getAs[Long]("n_obs") == 4L)
+    assert(r.getAs[Long]("peak_close_cents") == 120L)
+    assert(r.getAs[Long]("max_drawdown_ppm") == 500000L)
+    assert(r.getAs[Double]("max_drawdown_pct") == 50.0)
+  }
+
   test("sorted-neighborhood join equals the naive windowed pair count") {
     import spark.implicits._
     // 40 rows across the session's partitions — the distributed rank must
