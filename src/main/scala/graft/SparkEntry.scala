@@ -273,6 +273,10 @@ object SparkEntry {
     "attribution_first_touch" -> ((s, d) => Funnel.attributionFirstTouch(Tables.events(s, d))),
     // time-bounded funnel: each step must land inside the conversion window
     "funnel_windowed" -> ((s, d) => Funnel.funnelStepsWindowed(Tables.events(s, d))),
+    // rolling retention: counted at k if active at k or ANY later week
+    "retention_rolling" -> ((s, d) => Funnel.retentionRolling(Tables.events(s, d))),
+    // declared-vs-predicted language confusion matrix (metadata-trust audit)
+    "text_lang_confusion" -> ((s, d) => CorpusStats.langConfusion(Tables.documents(s, d))),
     // §2.10 stateful-streaming twin: flatMapGroupsWithState sessionizer driven
     // end-to-end, checked against the SAME batch oracle SQL
     "stream_sessionize_endstate" -> ((s, d) =>

@@ -169,7 +169,61 @@ object CorpusStats {
         sum((col("c") - col("gc")) * (col("c") - col("gc"))).as("centroid_dist2"))
   }
 
+  /** `text_lang_confusion`: declared-vs-predicted language confusion matrix
+    * — the metadata-trust audit a multilingual curation run emits before
+    * deciding whether to filter on the declared `lang` tag or the
+    * classifier ([[TextAnalysis.textLangid]]): the diagonal is agreement,
+    * hot off-diagonal cells are either mislabeled sources or classifier
+    * blind spots, and `pct_of_labeled` normalizes each row so sources of
+    * different sizes compare. One corpus scan (the langid scores are a
+    * pure projection), one tiny (lang × lang) aggregate, one broadcast
+    * row-total join-back.
+    */
+  def langConfusion(documents: DataFrame): DataFrame = {
+    val pred = TextAnalysis.textLangid(documents)
+      .select(col("labeled_lang"), col("predicted_lang"))
+    val totals = pred.groupBy(col("labeled_lang"))
+      .agg(count(lit(1)).as("labeled_total"))
+    pred
+      .groupBy(col("labeled_lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .join(broadcast(totals), Seq("labeled_lang"))
+      .select(col("labeled_lang"), col("predicted_lang"),
+        col("n_docs"), col("labeled_total"),
+        (col("n_docs").cast(DoubleType) / col("labeled_total").cast(DoubleType)
+          * 100.0).as("pct_of_labeled"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "text_lang_confusion" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang AS labeled_lang,
+        |         list_distinct(string_split(lower(text), ' ')) AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, labeled_lang,
+        |    CAST(len(list_intersect(toks, ['the','a','fast','slow','small','big'])) AS BIGINT) AS score_en,
+        |    CAST(len(list_intersect(toks, ['data','table','window','stream','hash'])) AS BIGINT) AS score_de,
+        |    CAST(len(list_intersect(toks, ['sort','merge','join','order','group'])) AS BIGINT) AS score_es,
+        |    CAST(len(list_intersect(toks, ['query','row','column','value','filter'])) AS BIGINT) AS score_fr,
+        |    CAST(len(list_intersect(toks, ['spark','batch','vector','key','line'])) AS BIGINT) AS score_zh
+        |  FROM t),
+        |p AS (
+        |  SELECT labeled_lang,
+        |         CASE GREATEST(score_de * 8 + 0, score_en * 8 + 1, score_es * 8 + 2,
+        |                       score_fr * 8 + 3, score_zh * 8 + 4) % 8
+        |           WHEN 0 THEN 'de' WHEN 1 THEN 'en' WHEN 2 THEN 'es'
+        |           WHEN 3 THEN 'fr' WHEN 4 THEN 'zh' END AS predicted_lang
+        |  FROM s),
+        |m AS (
+        |  SELECT labeled_lang, predicted_lang, COUNT(*) AS n_docs
+        |  FROM p GROUP BY 1, 2),
+        |tt AS (
+        |  SELECT labeled_lang, COUNT(*) AS labeled_total FROM p GROUP BY 1)
+        |SELECT m.labeled_lang, m.predicted_lang, m.n_docs, tt.labeled_total,
+        |       CAST(m.n_docs AS DOUBLE) / CAST(tt.labeled_total AS DOUBLE) * 100.0
+        |         AS pct_of_labeled
+        |FROM m JOIN tt ON m.labeled_lang = tt.labeled_lang""".stripMargin,
     "embed_label_drift" ->
       """WITH q AS (
         |  SELECT CAST(label AS BIGINT) AS label,

@@ -155,7 +155,50 @@ object Funnel {
         (col("p_t") - col("ft")).as("latency_us"))
   }
 
+  /** `retention_rolling`: ROLLING (a.k.a. unbounded) retention — a user
+    * counts at offset k if they returned at week k OR ANY LATER week, the
+    * "will they ever come back" curve product teams pair with the classic
+    * matrix ([[retentionCohorts]] counts only exact-week returns). Per
+    * user the state collapses to one row (cohort, last-seen offset); the
+    * explode emits at most the series' week span per user, and the rollup
+    * is the tiny (cohort, offset) aggregate. Monotone non-increasing per
+    * cohort by construction.
+    */
+  def retentionRolling(events: DataFrame): DataFrame = {
+    val weeks = events
+      .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("week"))
+      .distinct()
+    val w = Window.partitionBy("user_id")
+    val perUser = weeks
+      .withColumn("cohort_week", min(col("week")).over(w))
+      .groupBy(col("user_id"), col("cohort_week"))
+      .agg(max(expr("datediff(week, cohort_week) div 7")).as("last_offset"))
+    perUser
+      .select(col("cohort_week"),
+        explode(sequence(lit(0L), col("last_offset"))).as("week_offset"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "retention_rolling" ->
+      """WITH weeks AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+        |  FROM events),
+        |c AS (
+        |  SELECT user_id, week,
+        |         MIN(week) OVER (PARTITION BY user_id) AS cohort_week
+        |  FROM weeks),
+        |p AS (
+        |  SELECT user_id, cohort_week,
+        |         MAX((week - cohort_week) // 7) AS last_offset
+        |  FROM c GROUP BY 1, 2),
+        |e AS (
+        |  SELECT cohort_week, UNNEST(range(0, last_offset + 1)) AS week_offset
+        |  FROM p)
+        |SELECT cohort_week, CAST(week_offset AS BIGINT) AS week_offset,
+        |       COUNT(*) AS n_users
+        |FROM e GROUP BY 1, 2""".stripMargin,
     "attribution_first_touch" ->
       s"""WITH clicks AS (
         |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS c_t, event_id AS click_id

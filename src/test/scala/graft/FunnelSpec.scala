@@ -76,6 +76,22 @@ class FunnelSpec extends SparkTestBase {
     assert(lat(10L) == 0L)
   }
 
+  test("retention_rolling: active-later users fill intermediate offsets") {
+    val df = events(
+      // user 1 active in week 0 and week 2 (skips week 1)
+      (1L, 1, 1, 1L, "view"), (2L, 15, 1, 1L, "view"),
+      // user 2 active only in week 0
+      (3L, 2, 1, 2L, "view"))
+    val out = Funnel.retentionRolling(df).collect()
+      .map(r => r.getAs[Long]("week_offset") -> r.getAs[Long]("n_users")).toMap
+    // rolling: user 1 counts at offsets 0,1,2 (came back at-or-after each)
+    assert(out == Map(0L -> 2L, 1L -> 1L, 2L -> 1L))
+    // the classic matrix leaves the skipped week empty
+    val classic = Funnel.retentionCohorts(df).collect()
+      .map(r => r.getAs[Long]("week_offset") -> r.getAs[Long]("n_users")).toMap
+    assert(classic == Map(0L -> 2L, 2L -> 1L))
+  }
+
   test("retention_cohorts: offset 0 holds cohort size; returning users counted once per week") {
     // 2024-01-01 is a Monday. user 1 active weeks 0 and 2 (twice in week 2);
     // user 2 joins week 1, returns week 2.
