@@ -112,6 +112,17 @@ object Oracles {
          |       CAST(MAX(dd_ppm) AS DOUBLE) / 10000.0 AS max_drawdown_pct
          |FROM d GROUP BY 1""".stripMargin,
 
+    "agg_ohlc_weekly" ->
+      s"""WITH $pricesSql
+         |SELECT ticker, CAST(date_trunc('week', trade_date) AS DATE) AS week,
+         |       arg_min(close_cents, trade_date) AS open_cents,
+         |       MAX(high_cents) AS high_cents,
+         |       MIN(low_cents) AS low_cents,
+         |       arg_max(close_cents, trade_date) AS close_cents,
+         |       CAST(SUM(volume) AS BIGINT) AS volume,
+         |       COUNT(*) AS n_days
+         |FROM prices GROUP BY 1, 2""".stripMargin,
+
     "win_lag_n" ->
       s"""WITH $trendsSql,
          |w AS (

@@ -26,6 +26,8 @@ object SparkEntry {
     "win_twap" -> ((s, d) => Windows.winTwap(Tables.prices(s, d))),
     // max drawdown from the running peak, exact integer ppm
     "win_drawdown" -> ((s, d) => Windows.winDrawdown(Tables.prices(s, d))),
+    // daily -> weekly OHLC resample: min_by/max_by firsts, one hash aggregate
+    "agg_ohlc_weekly" -> ((s, d) => Windows.aggOhlcWeekly(Tables.prices(s, d))),
     "win_lag_n" -> ((s, d) => Windows.winLagN(Tables.trends(s, d))),
     "win_rolling_avg" -> ((s, d) => Windows.winRollingAvg(Tables.prices(s, d))),
     "win_rolling_extrema" -> ((s, d) => Windows.winRollingExtrema(Tables.prices(s, d))),
@@ -277,6 +279,8 @@ object SparkEntry {
     "retention_rolling" -> ((s, d) => Funnel.retentionRolling(Tables.events(s, d))),
     // declared-vs-predicted language confusion matrix (metadata-trust audit)
     "text_lang_confusion" -> ((s, d) => CorpusStats.langConfusion(Tables.documents(s, d))),
+    // near-dup provenance matrix: which sources duplicate which
+    "dedup_cross_source" -> ((s, d) => Dedup.dedupCrossSource(Tables.documents(s, d))),
     // §2.10 stateful-streaming twin: flatMapGroupsWithState sessionizer driven
     // end-to-end, checked against the SAME batch oracle SQL
     "stream_sessionize_endstate" -> ((s, d) =>

@@ -686,6 +686,47 @@ object Dedup {
        |SELECT doc_id_1, doc_id_2, lang, est_jaccard
        |FROM est WHERE est_jaccard >= 0.5""".stripMargin
 
+  /** `dedup_cross_source`: the near-dup PROVENANCE matrix — which sources
+    * duplicate which: every confirmed minhash-LSH pair joined to its two
+    * docs' sources, pair-canonicalized (least/greatest) so direction
+    * doesn't split cells, rolled up to (source_a, source_b) with the count
+    * and mean estimated Jaccard. The diagonal is within-source duplication
+    * (crawl echo); hot off-diagonal cells are mirror/scrape relationships —
+    * the report that decides which source loses its copies in
+    * `dedup_keep_best`. Cost on top of the LSH pass: two doc_id-keyed
+    * joins against a 2-column projection and a source²-sized rollup. The
+    * mean is order-independent despite double summation: est_jaccard is
+    * k-quantized to sixteenths, exactly representable, so partial sums
+    * never round.
+    */
+  def dedupCrossSource(documents: DataFrame): DataFrame = {
+    val src = documents.select(col("doc_id"), col("source"))
+    dedupMinhashLsh(documents)
+      .join(src.select(col("doc_id").as("doc_id_1"), col("source").as("src_1")), Seq("doc_id_1"))
+      .join(src.select(col("doc_id").as("doc_id_2"), col("source").as("src_2")), Seq("doc_id_2"))
+      .select(least(col("src_1"), col("src_2")).as("source_a"),
+        greatest(col("src_1"), col("src_2")).as("source_b"),
+        col("est_jaccard"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        (sum(col("est_jaccard")) / count(lit(1)).cast(DoubleType)).as("avg_jaccard"))
+  }
+
+  private val crossSourceOracle: String =
+    s"""WITH ${minhashCtes(hashedShingleCtes)},
+       |pairs AS (
+       |  SELECT doc_id_1, doc_id_2, est_jaccard FROM est WHERE est_jaccard >= 0.5),
+       |j AS (
+       |  SELECT LEAST(d1.source, d2.source) AS source_a,
+       |         GREATEST(d1.source, d2.source) AS source_b,
+       |         p.est_jaccard
+       |  FROM pairs p
+       |  JOIN documents d1 ON d1.doc_id = p.doc_id_1
+       |  JOIN documents d2 ON d2.doc_id = p.doc_id_2)
+       |SELECT source_a, source_b, COUNT(*) AS n_pairs,
+       |       SUM(est_jaccard) / CAST(COUNT(*) AS DOUBLE) AS avg_jaccard
+       |FROM j GROUP BY 1, 2""".stripMargin
+
   /** Paragraph-span oracle: the paragraph CTE mirrors [[paragraphs]] (same
     * window/cap/packed span id), then the shared minhash CTEs run over it.
     */
@@ -942,6 +983,7 @@ object Dedup {
     "dedup_clusters" -> clustersOracle,
     "dedup_embedding_lsh" -> embeddingLshOracle,
     "dedup_minhash_lsh" -> minhashOracle,
+    "dedup_cross_source" -> crossSourceOracle,
     // seeded-recall audits of the xxhash fast twins: the oracle computes
     // the identical-pair truth and asserts the pipeline recovered ALL of it
     "dedup_minhash_lsh_fast" -> recallFloorOracle,

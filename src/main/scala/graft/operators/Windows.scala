@@ -137,6 +137,27 @@ object Windows {
         max(col("dd_ppm")).as("max_drawdown_ppm"),
         (max(col("dd_ppm")).cast(DoubleType) / 10000.0).as("max_drawdown_pct"))
 
+  /** `agg_ohlc_weekly`: daily → weekly OHLC resample — the canonical
+    * financial downsample: per (ticker, week) the OPEN is the first close
+    * of the week, HIGH/LOW the extrema, CLOSE the last, volume summed.
+    * First/last are `min_by`/`max_by` on the date — deterministic because
+    * (ticker, trade_date) is unique — which DuckDB mirrors as
+    * `arg_min`/`arg_max`; no window pass at all, one hash aggregate with
+    * map-side combine, so the resample costs a single shuffle of
+    * (ticker, week) partials at any scale.
+    */
+  def aggOhlcWeekly(prices: DataFrame): DataFrame =
+    prices
+      .groupBy(col("ticker"),
+        to_date(date_trunc("week", col("trade_date"))).as("week"))
+      .agg(
+        min_by(col("close_cents"), col("trade_date")).as("open_cents"),
+        max(col("high_cents")).as("high_cents"),
+        min(col("low_cents")).as("low_cents"),
+        max_by(col("close_cents"), col("trade_date")).as("close_cents"),
+        sum(col("volume")).as("volume"),
+        count(lit(1)).as("n_days"))
+
   /** `win_lag_n` (fct_keyword_trends.sql:36-46): 7-row WoW / 30-row MoM offsets. */
   def winLagN(trends: DataFrame): DataFrame = {
     val byKw = Window.partitionBy("keyword").orderBy("date")

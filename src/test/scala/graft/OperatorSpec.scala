@@ -258,6 +258,22 @@ class OperatorSpec extends SparkTestBase {
     assert(math.abs(r.getAs[Double]("vwap") - 3.1) < 1e-12)
   }
 
+  test("agg_ohlc_weekly: first/last by date, extrema, week boundary") {
+    import java.sql.Date
+    val prices = Seq(
+      (1L, Date.valueOf("2024-01-01"), 100L, 110L, 90L, 10L),
+      (1L, Date.valueOf("2024-01-03"), 200L, 220L, 180L, 20L),
+      (1L, Date.valueOf("2024-01-08"), 300L, 310L, 290L, 30L) // next Monday
+    ).toDF("ticker", "trade_date", "close_cents", "high_cents", "low_cents", "volume")
+    val out = graft.operators.Windows.aggOhlcWeekly(prices).collect()
+      .map(r => r.getAs[Date]("week").toString ->
+        ((r.getAs[Long]("open_cents"), r.getAs[Long]("high_cents"),
+          r.getAs[Long]("low_cents"), r.getAs[Long]("close_cents"),
+          r.getAs[Long]("volume"), r.getAs[Long]("n_days")))).toMap
+    assert(out("2024-01-01") == ((100L, 220L, 90L, 200L, 30L, 2L)))
+    assert(out("2024-01-08") == ((300L, 310L, 290L, 300L, 30L, 1L)))
+  }
+
   test("win_drawdown: running-peak fall in exact ppm") {
     import java.sql.Date
     val prices = (Seq(
