@@ -123,6 +123,61 @@ object Oracles {
          |       COUNT(*) AS n_days
          |FROM prices GROUP BY 1, 2""".stripMargin,
 
+    "win_rsi" ->
+      s"""WITH $pricesSql,
+         |g AS (
+         |  -- CASE keeps the first row's undefined delta NULL (GREATEST
+         |  -- would swallow it to 0 and count a phantom warmup period)
+         |  SELECT ticker, trade_date, close_cents,
+         |         CASE WHEN LAG(close_cents) OVER w IS NULL THEN NULL
+         |              ELSE GREATEST(close_cents - LAG(close_cents) OVER w, 0) END AS gain,
+         |         CASE WHEN LAG(close_cents) OVER w IS NULL THEN NULL
+         |              ELSE GREATEST(LAG(close_cents) OVER w - close_cents, 0) END AS loss
+         |  FROM prices
+         |  WINDOW w AS (PARTITION BY ticker ORDER BY trade_date)),
+         |r AS (
+         |  SELECT ticker, trade_date, close_cents,
+         |         COUNT(gain) OVER f AS n_periods,
+         |         CAST(SUM(gain) OVER f AS BIGINT) AS sum_gain,
+         |         CAST(SUM(loss) OVER f AS BIGINT) AS sum_loss
+         |  FROM g
+         |  WINDOW f AS (PARTITION BY ticker ORDER BY trade_date
+         |               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+         |SELECT ticker, trade_date,
+         |       CAST(close_cents AS DOUBLE) / 100.0 AS close_price,
+         |       CASE WHEN n_periods < 14 THEN NULL
+         |            WHEN sum_loss = 0 THEN 100.0
+         |            ELSE 100.0 - 100.0 /
+         |              (1.0 + CAST(sum_gain AS DOUBLE) / CAST(sum_loss AS DOUBLE))
+         |       END AS rsi_14
+         |FROM r""".stripMargin,
+
+    "win_volatility" ->
+      s"""WITH $pricesSql,
+         |rets AS (
+         |  -- Spark's `div` truncates toward zero; DuckDB's // floors.
+         |  -- Negative returns would differ by one ppm, so truncation is
+         |  -- spelled out via the sign split (prev close is always > 0).
+         |  SELECT ticker,
+         |         CASE WHEN close_cents >= LAG(close_cents) OVER w
+         |              THEN (close_cents - LAG(close_cents) OVER w) * 1000000
+         |                     // LAG(close_cents) OVER w
+         |              ELSE -((LAG(close_cents) OVER w - close_cents) * 1000000
+         |                     // LAG(close_cents) OVER w)
+         |         END AS ret_ppm
+         |  FROM prices
+         |  WINDOW w AS (PARTITION BY ticker ORDER BY trade_date)),
+         |m AS (
+         |  SELECT ticker, COUNT(*) AS n_rets,
+         |         SUM(ret_ppm) AS s, SUM(ret_ppm * ret_ppm) AS sq
+         |  FROM rets WHERE ret_ppm IS NOT NULL GROUP BY 1)
+         |SELECT ticker, n_rets,
+         |       SQRT((CAST(n_rets AS DOUBLE) * CAST(sq AS DOUBLE)
+         |              - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+         |            / (CAST(n_rets AS DOUBLE) * (CAST(n_rets AS DOUBLE) - 1.0)))
+         |         / 10000.0 AS daily_vol_pct
+         |FROM m""".stripMargin,
+
     "win_lag_n" ->
       s"""WITH $trendsSql,
          |w AS (

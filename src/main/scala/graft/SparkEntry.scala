@@ -28,6 +28,10 @@ object SparkEntry {
     "win_drawdown" -> ((s, d) => Windows.winDrawdown(Tables.prices(s, d))),
     // daily -> weekly OHLC resample: min_by/max_by firsts, one hash aggregate
     "agg_ohlc_weekly" -> ((s, d) => Windows.aggOhlcWeekly(Tables.prices(s, d))),
+    // Cutler's 14-period RSI: integer gain/loss sums, one float at the end
+    "win_rsi" -> ((s, d) => Windows.winRsi(Tables.prices(s, d))),
+    // sample stddev of integer-ppm daily returns (exact-moments discipline)
+    "win_volatility" -> ((s, d) => Windows.winVolatility(Tables.prices(s, d))),
     "win_lag_n" -> ((s, d) => Windows.winLagN(Tables.trends(s, d))),
     "win_rolling_avg" -> ((s, d) => Windows.winRollingAvg(Tables.prices(s, d))),
     "win_rolling_extrema" -> ((s, d) => Windows.winRollingExtrema(Tables.prices(s, d))),

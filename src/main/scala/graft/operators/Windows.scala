@@ -158,6 +158,64 @@ object Windows {
         sum(col("volume")).as("volume"),
         count(lit(1)).as("n_days"))
 
+  /** `win_rsi`: 14-period relative strength index, Cutler's variant —
+    * plain rolling averages of gains and losses rather than Wilder's
+    * recursive smoothing, BECAUSE the recursion is sequential state a
+    * declarative plan can't express and Cutler's is the standard
+    * order-n-window equivalent. Gains/losses are exact integer cents
+    * (greatest(Δ,0) / greatest(−Δ,0)); the 14-row sums stay integers
+    * (the /14 cancels inside RS), so the only float is the final
+    * 100 − 100/(1+RS) with its conventional avgLoss=0 → 100 branch.
+    * Rows without 14 full periods emit NULL. One ticker-sorted window
+    * pass — shares [[winTwap]]'s single exchange shape.
+    */
+  def winRsi(prices: DataFrame, periods: Int = 14): DataFrame = {
+    val delta = col("close_cents") - lag(col("close_cents"), 1).over(byTicker)
+    val frame = byTicker.rowsBetween(-(periods - 1), Window.currentRow)
+    prices
+      // greatest() ignores NULLs in both engines, which would silently turn
+      // the first row's undefined delta into a counted zero-gain period —
+      // preserve the NULL so warmup really means `periods` FULL deltas
+      .withColumn("gain", when(delta.isNotNull, greatest(delta, lit(0L))))
+      .withColumn("loss", when(delta.isNotNull, greatest(-delta, lit(0L))))
+      .withColumn("n_periods", count(col("gain")).over(frame))
+      .withColumn("sum_gain", sum(col("gain")).over(frame))
+      .withColumn("sum_loss", sum(col("loss")).over(frame))
+      .select(col("ticker"), col("trade_date"),
+        Num.dollars(col("close_cents")).as("close_price"),
+        when(col("n_periods") < periods, lit(null).cast("double"))
+          .when(col("sum_loss") === 0, 100.0)
+          .otherwise(lit(100.0) - lit(100.0) /
+            (lit(1.0) + col("sum_gain").cast(DoubleType) / col("sum_loss").cast(DoubleType)))
+          .as("rsi_14"))
+  }
+
+  /** `win_volatility`: per-ticker volatility of daily simple returns —
+    * the risk number beside [[winDrawdown]]'s worst case. Returns are
+    * EXACT integer parts-per-million (`(close − prev) · 10⁶ div prev`), so
+    * the five-moment variance arithmetic is order-independent integer sums
+    * (the [[Aggregates.aggCorr]] discipline — no float until one final
+    * fixed-order expression; sums ride DECIMAL(38,0) against overflow) and
+    * the sample stddev matches the oracle bit for bit. Output in percent.
+    */
+  def winVolatility(prices: DataFrame): DataFrame = {
+    val rets = prices
+      .withColumn("ret_ppm", expr(
+        s"((close_cents - lag(close_cents, 1) over (partition by ticker order by trade_date))" +
+          s" * 1000000) div lag(close_cents, 1) over (partition by ticker order by trade_date)"))
+      .where(col("ret_ppm").isNotNull)
+    val d = (c: org.apache.spark.sql.Column) => c.cast(DoubleType)
+    rets
+      .groupBy(col("ticker"))
+      .agg(
+        count(lit(1)).as("n_rets"),
+        sum(col("ret_ppm").cast("decimal(38,0)")).as("s"),
+        sum((col("ret_ppm") * col("ret_ppm")).cast("decimal(38,0)")).as("sq"))
+      .select(col("ticker"), col("n_rets"),
+        (sqrt((d(col("n_rets")) * d(col("sq")) - d(col("s")) * d(col("s"))) /
+          (d(col("n_rets")) * (d(col("n_rets")) - 1.0))) / 10000.0).as("daily_vol_pct"))
+  }
+
   /** `win_lag_n` (fct_keyword_trends.sql:36-46): 7-row WoW / 30-row MoM offsets. */
   def winLagN(trends: DataFrame): DataFrame = {
     val byKw = Window.partitionBy("keyword").orderBy("date")

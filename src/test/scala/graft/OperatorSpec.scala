@@ -274,6 +274,43 @@ class OperatorSpec extends SparkTestBase {
     assert(out("2024-01-08") == ((300L, 310L, 290L, 300L, 30L, 1L)))
   }
 
+  test("win_rsi: warmup NULL, gain/loss arithmetic, all-gain convention") {
+    import java.sql.Date
+    val prices = Seq(
+      ("2024-01-01", 100L), ("2024-01-02", 110L),
+      ("2024-01-03", 105L), ("2024-01-04", 105L))
+      .map { case (d, c) => (1L, Date.valueOf(d), c, c + 5, c - 5, 1L) }
+      .toDF("ticker", "trade_date", "close_cents", "high_cents", "low_cents", "volume")
+    val out = graft.operators.Windows.winRsi(prices, periods = 2).collect()
+      .map(r => r.getAs[java.sql.Date]("trade_date").toString ->
+        (if (r.isNullAt(3)) Double.NaN else r.getAs[Double]("rsi_14"))).toMap
+    assert(out("2024-01-01").isNaN && out("2024-01-02").isNaN) // warmup
+    // frame (+10, -5): RS = 2 -> RSI = 100 - 100/3
+    assert(math.abs(out("2024-01-03") - (100.0 - 100.0 / 3)) < 1e-12)
+    // frame (-5, 0): no gains -> RSI 0
+    assert(out("2024-01-04") == 0.0)
+    // monotone rise: sum_loss = 0 -> the conventional 100
+    val rising = Seq(("2024-01-01", 100L), ("2024-01-02", 110L), ("2024-01-03", 120L))
+      .map { case (d, c) => (1L, Date.valueOf(d), c, c, c, 1L) }
+      .toDF("ticker", "trade_date", "close_cents", "high_cents", "low_cents", "volume")
+    val r3 = graft.operators.Windows.winRsi(rising, periods = 2).collect()
+      .filter(_.getAs[java.sql.Date]("trade_date").toString == "2024-01-03").head
+    assert(r3.getAs[Double]("rsi_14") == 100.0)
+  }
+
+  test("win_volatility: exact ppm returns, sample stddev hand-checked") {
+    import java.sql.Date
+    val prices = Seq(
+      ("2024-01-01", 100L), ("2024-01-02", 110L), ("2024-01-03", 99L))
+      .map { case (d, c) => (1L, Date.valueOf(d), c, c, c, 1L) }
+      .toDF("ticker", "trade_date", "close_cents", "high_cents", "low_cents", "volume")
+    val r = graft.operators.Windows.winVolatility(prices).collect().head
+    assert(r.getAs[Long]("n_rets") == 2L)
+    // rets: +100000 ppm, then (-11e6) div 110 = -100000 ppm (truncation);
+    // mean 0, sample var = 2e10 -> sd/1e4 = sqrt(2e10)/1e4
+    assert(math.abs(r.getAs[Double]("daily_vol_pct") - math.sqrt(2e10) / 10000.0) < 1e-9)
+  }
+
   test("win_drawdown: running-peak fall in exact ppm") {
     import java.sql.Date
     val prices = (Seq(
