@@ -119,6 +119,26 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("financial window ops cost at most one exchange beyond the prices adapter") {
+    import org.apache.spark.sql.execution.exchange.Exchange
+    withoutAqe {
+      // the adapter's (ticker, date) groupBy is one exchange; each operator
+      // claims to add at most ONE more (its ticker partitioning), with the
+      // window and any final aggregate sharing it
+      val targets: Seq[(String, DataFrame)] = Seq(
+        "win_twap" -> graft.operators.Windows.winTwap(Tables.prices(spark, sf)),
+        "win_drawdown" -> graft.operators.Windows.winDrawdown(Tables.prices(spark, sf)),
+        "win_rsi" -> graft.operators.Windows.winRsi(Tables.prices(spark, sf)),
+        "win_volatility" -> graft.operators.Windows.winVolatility(Tables.prices(spark, sf)),
+        "agg_ohlc_weekly" -> graft.operators.Windows.aggOhlcWeekly(Tables.prices(spark, sf)))
+      targets.foreach { case (name, df) =>
+        val exchanges = df.queryExecution.executedPlan.collect { case e: Exchange => e }
+        assert(exchanges.size <= 2,
+          s"$name grew beyond adapter + one exchange:\n${df.queryExecution.executedPlan}")
+      }
+    }
+  }
+
   test("pipeline_pretrain_shards joins stay broadcast (no sort-merge, no nested-loop)") {
     import org.apache.spark.sql.execution.joins.{SortMergeJoinExec, BroadcastNestedLoopJoinExec}
     withoutAqe {
