@@ -89,9 +89,12 @@ object Oracles {
          |           LEAD(trade_date) OVER (PARTITION BY ticker ORDER BY trade_date)) AS BIGINT) AS dt
          |  FROM prices)
          |SELECT ticker, COUNT(*) AS n_obs,
-         |       CAST(SUM(close_cents * dt) AS DOUBLE)
+         |       -- products summed as DECIMAL(38,0) to mirror the Spark
+         |       -- side's overflow guard (DuckDB would promote to HUGEINT;
+         |       -- the decimal keeps the two engines' lattices aligned)
+         |       CAST(SUM(CAST(close_cents * dt AS DECIMAL(38,0))) AS DOUBLE)
          |         / CAST(SUM(dt) AS DOUBLE) / 100.0 AS twap,
-         |       CAST(SUM(close_cents * volume) AS DOUBLE)
+         |       CAST(SUM(CAST(close_cents * volume AS DECIMAL(38,0))) AS DOUBLE)
          |         / CAST(SUM(volume) AS DOUBLE) / 100.0 AS vwap
          |FROM l GROUP BY 1""".stripMargin,
 
@@ -172,10 +175,15 @@ object Oracles {
          |         SUM(ret_ppm) AS s, SUM(ret_ppm * ret_ppm) AS sq
          |  FROM rets WHERE ret_ppm IS NOT NULL GROUP BY 1)
          |SELECT ticker, n_rets,
-         |       SQRT((CAST(n_rets AS DOUBLE) * CAST(sq AS DOUBLE)
-         |              - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
-         |            / (CAST(n_rets AS DOUBLE) * (CAST(n_rets AS DOUBLE) - 1.0)))
-         |         / 10000.0 AS daily_vol_pct
+         |       -- n_rets = 1 guard mirrors the Spark side: 0/0 is NaN in
+         |       -- Spark doubles but NULL here — define the degenerate
+         |       -- two-row ticker as NULL in both engines
+         |       CASE WHEN n_rets > 1 THEN
+         |         SQRT((CAST(n_rets AS DOUBLE) * CAST(sq AS DOUBLE)
+         |                - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+         |              / (CAST(n_rets AS DOUBLE) * (CAST(n_rets AS DOUBLE) - 1.0)))
+         |           / 10000.0
+         |       END AS daily_vol_pct
          |FROM m""".stripMargin,
 
     "win_lag_n" ->

@@ -212,6 +212,11 @@ object Aggregates {
     // projection out first — ~30 bytes/row, far cheaper than serial md5.
     // At scale this is a no-op: a real corpus scan already has ≥ cores
     // splits, and the branch keeps the extra exchange out of that plan.
+    // NOTE: the branch makes the PLAN SHAPE environment-dependent (it
+    // reads the scan's split count and the session's parallelism at
+    // construction time, and `.rdd` forces eager physical planning), while
+    // the RESULT is partition-invariant. Plan-audit assertions must not
+    // cover this operator's exchange count for exactly that reason.
     val spark = lineitem.sparkSession
     val narrow = lineitem.select(
       col("l_returnflag"), col("l_partkey"), col("l_suppkey"), col("l_orderkey"))

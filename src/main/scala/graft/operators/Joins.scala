@@ -496,34 +496,33 @@ object Joins {
     * skewed the data, so the candidate join cannot have a hot key.
     *
     * The global dense rank is computed the scale-honest way, not with a
-    * single-partition window: range-repartition on the sort key, rank
-    * WITHIN each partition, then add per-partition row-count offsets — the
-    * only driver-side state is one row count per partition (model-sized,
-    * same discipline as every collect here). Pairs within `window − 1`
-    * positions span at most adjacent width-`window` rank buckets, so a
-    * 3-bucket probe equi-join + exact |Δrank| post-filter is lossless.
+    * single-partition window: RDD `sortBy` + `zipWithIndex` in ONE
+    * structure. `sortBy` fixes its range-partitioner bounds eagerly (the
+    * sampling job runs at call time and the bounds live in the partitioner
+    * object), so — unlike a `repartitionByRange` plan whose sampling seed
+    * is re-drawn per execution — the zipWithIndex count job and the final
+    * query cannot disagree on the partitioning; the only driver-side state
+    * is one row count per partition (model-sized, same discipline as every
+    * collect here), and the rank itself is total-order-determined by
+    * (p_name, p_partkey) wherever the bounds fall. Pairs within
+    * `window − 1` positions span at most adjacent width-`window` rank
+    * buckets, so a 3-bucket probe equi-join + exact |Δrank| post-filter is
+    * lossless.
     */
   def joinSortedNeighborhood(part: DataFrame, window: Int = SnmWindow,
       threshold: Int = SnmThreshold): DataFrame = {
     val spark = part.sparkSession
     import spark.implicits._
     val parts = spark.sparkContext.defaultParallelism
-    val sorted = part.select(col("p_partkey"), col("p_name"))
-      .repartitionByRange(parts, col("p_name"), col("p_partkey"))
-      .withColumn("pid", spark_partition_id())
-    val wpid = Window.partitionBy(col("pid")).orderBy(col("p_name"), col("p_partkey"))
-    val local = sorted.withColumn("lrn", row_number().over(wpid).cast("long"))
-    val counts = local.groupBy(col("pid")).count()
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    val offsets = counts.map(_._1)
-      .zip(counts.map(_._2).scanLeft(0L)(_ + _).dropRight(1))
-    val ranked = local
-      .join(broadcast(offsets.toSeq.toDF("pid", "off")), Seq("pid"))
-      .select(col("p_partkey"), col("p_name"),
-        (col("lrn") + col("off")).as("rn"),
-        // rank is 1-based: shift before bucketing so EVERY bucket holds
-        // exactly `window` ranks (bucket 0 would otherwise hold window-1)
-        expr(s"(lrn + off - 1) div $window").as("blk"))
+    val ranked = part.select(col("p_partkey").cast("long"), col("p_name"))
+      .as[(Long, String)].rdd
+      .sortBy({ case (key, name) => (name, key) }, ascending = true,
+        numPartitions = parts)
+      .zipWithIndex()
+      // index is 0-based: bucketing it directly keeps EVERY bucket exactly
+      // `window` ranks wide (a 1-based rank would leave bucket 0 short)
+      .map { case ((key, name), idx) => (key, name, idx + 1L, idx / window) }
+      .toDF("p_partkey", "p_name", "rn", "blk")
     val probe = ranked.select(col("p_partkey").as("k"), col("p_name").as("name"),
       col("rn").as("krn"),
       explode(sequence(col("blk") - 1, col("blk") + 1)).as("blk"))

@@ -109,9 +109,12 @@ object Windows {
       .groupBy(col("ticker"))
       .agg(
         count(lit(1)).as("n_obs"),
-        (sum(col("close_cents") * col("dt")).cast(DoubleType) /
+        // products ride DECIMAL(38,0) like winVolatility's sums: a Long
+        // product sum silently wraps at corpus scale (ANSI off) while
+        // DuckDB promotes to HUGEINT — the decimal keeps both exact
+        (sum((col("close_cents") * col("dt")).cast("decimal(38,0)")).cast(DoubleType) /
           sum(col("dt")).cast(DoubleType) / 100.0).as("twap"),
-        (sum(col("close_cents") * col("volume")).cast(DoubleType) /
+        (sum((col("close_cents") * col("volume")).cast("decimal(38,0)")).cast(DoubleType) /
           sum(col("volume")).cast(DoubleType) / 100.0).as("vwap"))
 
   /** `win_drawdown`: maximum drawdown per ticker — the standard risk
@@ -212,8 +215,13 @@ object Windows {
         sum(col("ret_ppm").cast("decimal(38,0)")).as("s"),
         sum((col("ret_ppm") * col("ret_ppm")).cast("decimal(38,0)")).as("sq"))
       .select(col("ticker"), col("n_rets"),
-        (sqrt((d(col("n_rets")) * d(col("sq")) - d(col("s")) * d(col("s"))) /
-          (d(col("n_rets")) * (d(col("n_rets")) - 1.0))) / 10000.0).as("daily_vol_pct"))
+        // n_rets = 1 (a two-row ticker) makes the denominator 0: Spark
+        // doubles give NaN where DuckDB's 0/0 yields NULL — guard the
+        // degenerate case to NULL identically in both engines
+        when(col("n_rets") > 1,
+          sqrt((d(col("n_rets")) * d(col("sq")) - d(col("s")) * d(col("s"))) /
+            (d(col("n_rets")) * (d(col("n_rets")) - 1.0))) / 10000.0)
+          .as("daily_vol_pct"))
   }
 
   /** `win_lag_n` (fct_keyword_trends.sql:36-46): 7-row WoW / 30-row MoM offsets. */
