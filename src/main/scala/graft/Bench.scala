@@ -176,6 +176,10 @@ object Bench {
       }.mkString("{", ",", "}")
     val warmTotal = results.flatMap(_._2.med).sum
     val coldTotal = results.flatMap(_._2.coldWall).sum
+    // host-load-insensitive total: cross-round regression checks should
+    // compare this first (wall up / cpu flat = the JVM was descheduled;
+    // wall and cpu up together = the engine regressed)
+    val cpuTotal = results.flatMap(_._2.cpuMed).sum
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val itersJson = results.map { case (k, v) => "\"" + k + "\":" + v.iters }
       .mkString("{", ",", "}")
@@ -200,6 +204,7 @@ object Bench {
         s""""query_q1":${jmap(_.q1)},"query_q3":${jmap(_.q3)},"query_iters":$itersJson,""" +
         s""""query_cpu":${jmap(_.cpuMed)},"query_outliers":$outliersJson,""" +
         s""""cold_total":$coldTotal,"cold_queries":${jmap(_.coldWall)},""" +
+        s""""total_cpu":$cpuTotal,""" +
         s""""errors":$errJson,"loadavg_end":"$loadAvg","scratch":"$scratchPath","sf":"$sfDir"}"""
     // full per-query timings go to a file; stdout gets a COMPACT line.
     // The driver keeps only the last ~2000 chars of stdout, and the full
@@ -217,6 +222,7 @@ object Bench {
     println(
       s"""{"metric":"total","value":${r3(warmTotal)},"unit":"sec","queries":$top,""" +
         s""""n_queries":${results.size},"warm_iters":$warmIters,"cold_total":${r3(coldTotal)},""" +
+        s""""total_cpu":${r3(cpuTotal)},""" +
         s""""errors":$errJson,"scratch":"$scratchPath","sf":"$sfDir","full_timings":"BENCH.json"}""")
     def rmTree(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rmTree)

@@ -393,27 +393,51 @@ object Dedup {
           col("n_fingerprints").cast("double")).as("dup_fraction"))
   }
 
-  /** `dedup_simhash`: 16-bit simhash over shingle hashes; nibble-banded
-    * candidate join; near-dup at hamming ≤ 3. Oracle-exact via
-    * [[graft.functions.PortableHash]]; recall checked in DedupSpec.
+  /** `dedup_simhash`: simhash over shingle hashes, banded candidate join,
+    * near-dup at hamming ≤ 3. Two signature widths, one code path:
+    *
+    *  - portable (oracled): 16 bits, 4-bit nibble bands — every arithmetic
+    *    step reproduced by the DuckDB twin via
+    *    [[graft.functions.PortableHash]]; recall checked in DedupSpec.
+    *  - fast (the 100-TB path): 64-bit xxhash simhash, 4 × 16-bit bands.
+    *    The width is not a tuning nicety but THE scale variable: a 16-bit
+    *    band key space has only 2⁴ values per band, so candidate buckets —
+    *    and the true hamming ≤ 3 pair set itself, ≈ n²·697/2¹⁷ under
+    *    uniform sigs — grow quadratically with corpus size. Measured on the
+    *    synthetic 10× scale point before the fix: 28.6× wall for 10× docs
+    *    (docs/SCALE.md). 64-bit sigs put the band key space at 2¹⁶ and the
+    *    expected bucket size back at n/2¹⁶ per band — linear candidates at
+    *    any corpus this side of 2⁶⁴ shingles.
+    *
+    * Both widths keep the hamming ≤ 3 guarantee lossless by pigeonhole
+    * (3 flipped bits touch ≤ 3 of the 4 bands, so one band always agrees),
+    * and the `_fast` seeded-recall audit holds at ANY width — identical
+    * docs have identical signatures, collide in every band, and verify at
+    * hamming 0.
     */
   def dedupSimhash(documents: DataFrame, fastHash: Boolean = false): DataFrame = {
+    val bits = if (fastHash) 64 else 16
+    val bandBits = bits / 4
     val sh = withTokens(documents, col("doc_id"), col("lang"))
       .select(col("doc_id"), col("lang"), explode_outer(shinglesCol(col("toks"))).as("shingle"))
       .where(col("shingle").isNotNull)
-      .withColumn("x", pmod(shingleHash(fastHash), lit(65536L)))
-    val bitAggs = (0 until 16).map { bit =>
-      sum(when(shiftright(col("x"), bit) % 2 === 1, 1).otherwise(-1)).as(s"b_$bit")
+      // full 64 independent bits for the fast sig (no P-mod, which would
+      // zero the high bits); the portable sig keeps its oracled 16-bit form
+      .withColumn("x", if (fastHash) xxhash64(col("shingle"))
+                       else pmod(shingleHash(fastHash), lit(65536L)))
+    val bitAggs = (0 until bits).map { bit =>
+      sum(when(shiftrightunsigned(col("x"), bit) % 2 === 1, 1).otherwise(-1)).as(s"b_$bit")
     }
     val sig = sh.groupBy(col("doc_id"), col("lang"))
       .agg(bitAggs.head, bitAggs.tail: _*)
       .withColumn("simhash",
-        (0 until 16).map(bit =>
+        (0 until bits).map(bit =>
           when(col(s"b_$bit") >= 0, 1L << bit).otherwise(0L)).reduce(_ + _))
       .select(col("doc_id"), col("lang"), col("simhash"))
     val banded = sig.select(col("doc_id"), col("lang"), col("simhash"),
-      posexplode(array((0 until 4).map(nib =>
-        shiftright(col("simhash"), nib * 4) % 16): _*)).as(Seq("nib_idx", "nib_val")))
+      posexplode(array((0 until 4).map(band =>
+        pmod(shiftrightunsigned(col("simhash"), band * bandBits),
+          lit(1L << bandBits))): _*)).as(Seq("nib_idx", "nib_val")))
     val a = banded.select(col("lang"), col("nib_idx"), col("nib_val"),
       col("doc_id").as("doc_id_1"), col("simhash").as("h1"))
     val b = banded.select(col("lang"), col("nib_idx"), col("nib_val"),
