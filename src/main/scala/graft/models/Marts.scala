@@ -32,8 +32,28 @@ object Marts {
     * (buying store + county via customer nation) and part/supplier dims.
     */
   def sales(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
-      nation: DataFrame, part: DataFrame, supplier: DataFrame): DataFrame =
-    lineitem
+      nation: DataFrame, part: DataFrame, supplier: DataFrame): DataFrame = {
+    // Every join below broadcasts, so the fact SCAN's split count is the
+    // parallelism of the whole cached staging frame and of every mart agg
+    // that reads it. A validation-SF lineitem is ~3 row groups ⇒ 3-way
+    // "parallel" Expand+partial-agg on a 32-core session (bench r9:
+    // fct_top_vendors 1.56 s wall / 1.96 s cpu — near-serial). Widen the
+    // scan when it is narrower than the session — but only MODESTLY
+    // (2× splits, floor 8, cap cores): a measured width sweep of the full
+    // query showed warm wall 0.8 s at 3 partitions, 0.4 s at 8, but ~1.0 s
+    // at 32 with process-cpu 4-6× higher — at this data size 32 concurrent
+    // string-keyed agg tasks pay more in per-task G1 churn (23 GC threads
+    // on this host) than they recover in parallelism. At real scale a fact
+    // scan already has ≥ cores splits and the branch is a no-op.
+    // NOTE: like aggApproxDistinct's small-scan branch, this makes the PLAN
+    // SHAPE environment-dependent (plan audits must not pin this mart
+    // family's exchange count); the RESULT is partition-invariant.
+    val cores = lineitem.sparkSession.sparkContext.defaultParallelism
+    val splits = lineitem.rdd.getNumPartitions
+    val fact =
+      if (splits >= cores) lineitem
+      else lineitem.repartition(math.min(cores, math.max(splits * 2, 8)))
+    fact
       .join(orders, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
@@ -50,6 +70,7 @@ object Marts {
         col("p_name").as("item_name"),
         col("s_name").as("vendor_name"),
         Num.cents(col("p_retailprice")).as("retail_cents"))
+  }
 
   /** Cache the staging frame unless an equivalent plan is already cached:
     * `storageLevel` consults the CacheManager by canonicalized plan, so two

@@ -342,6 +342,66 @@ class StreamingSpec extends SparkTestBase {
     assert(ManifestStore.readLatest(root, conf).get == m1)
   }
 
+  test("racing committers through CreateIfAbsent: the STORE's conditional PUT decides") {
+    // Same two-writer race as the LocalLinkIfAbsent property above, but
+    // driven through the object-store publish path: a FilterFileSystem
+    // whose create(overwrite = false) evaluates exists-or-create atomically
+    // under a store-side lock — the minio/S3 If-None-Match model, where the
+    // STORE (not a client check-then-act) rejects the slower committer.
+    // Raw-local create(false) alone would be a TOCTOU window; the lock is
+    // what the real store's precondition provides.
+    import graft.streaming.ManifestStore
+    import org.apache.hadoop.fs.{FileSystem, FilterFileSystem, Path, FSDataOutputStream}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val storeLock = new Object
+    val atomicFs = new FilterFileSystem(FileSystem.getLocal(conf)) {
+      override def create(p: Path, permission: org.apache.hadoop.fs.permission.FsPermission,
+          overwrite: Boolean, bufferSize: Int, replication: Short, blockSize: Long,
+          progress: org.apache.hadoop.util.Progressable): FSDataOutputStream =
+        if (!overwrite) storeLock.synchronized {
+          if (exists(p)) throw new org.apache.hadoop.fs.FileAlreadyExistsException(
+            s"412 Precondition Failed (store-side If-None-Match): $p")
+          super.create(p, permission, true, bufferSize, replication, blockSize, progress)
+        }
+        else super.create(p, permission, overwrite, bufferSize, replication, blockSize, progress)
+    }
+    val viaStore = new ManifestStore.CommitIfAbsent {
+      def apply(f: FileSystem, tmp: Path, dest: Path): Boolean =
+        ManifestStore.CreateIfAbsent(atomicFs, tmp, dest)
+    }
+    (1 to 20).foreach { trial =>
+      val root = Files.createTempDirectory("graft_race_put").toFile.getAbsolutePath
+      val base = Some(ManifestStore.commit(
+        root, Map(0 -> "data/seed/__bucket=0"), None, conf, viaStore))
+      val latch = new java.util.concurrent.CountDownLatch(1)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      val futures = (1 to 2).map { w =>
+        pool.submit(new java.util.concurrent.Callable[Either[Throwable, ManifestStore.Manifest]] {
+          def call(): Either[Throwable, ManifestStore.Manifest] = {
+            latch.await()
+            try Right(ManifestStore.commit(root,
+              Map(w -> s"data/w$w/__bucket=$w"), base, conf, viaStore))
+            catch { case t: Throwable => Left(t) }
+          }
+        })
+      }
+      latch.countDown()
+      val outs = futures.map(_.get())
+      pool.shutdown()
+      val wins = outs.collect { case Right(m) => m }
+      val losses = outs.collect { case Left(t) => t }
+      assert(wins.size == 1, s"trial $trial: expected exactly one winner, got $outs")
+      assert(losses.forall(_.isInstanceOf[ManifestStore.ConcurrentCommitException]),
+        s"trial $trial: loser must fail with ConcurrentCommitException, got $losses")
+      val tip = ManifestStore.readLatest(root, conf).get
+      assert(tip.version == 1L && tip.buckets == wins.head.buckets,
+        s"trial $trial: tip must be the winner's manifest")
+      val leftovers = new java.io.File(s"$root/manifests").listFiles()
+        .map(_.getName).filter(_.endsWith(".inprogress"))
+      assert(leftovers.isEmpty, s"trial $trial: leaked temps ${leftovers.toSeq}")
+    }
+  }
+
   test("vacuum retention window keeps N versions resolvable (time travel contract)") {
     import graft.streaming.ManifestStore
     val root = Files.createTempDirectory("graft_retention").toFile.getAbsolutePath
