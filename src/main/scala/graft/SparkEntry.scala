@@ -343,6 +343,10 @@ object SparkEntry {
     // the same sync through the object-store manifest commit (same oracle)
     "stream_upsert_manifest_endstate" -> ((s, d) =>
       graft.streaming.IncrementalSync.streamUpsertManifestEndstate(s, d)),
+    // the sync under a 90%-one-key re-delivery storm: salted two-phase
+    // keep-latest (skew-safe argmax) vs the per-key-window oracle
+    "stream_upsert_skew_endstate" -> ((s, d) =>
+      graft.streaming.IncrementalSync.streamUpsertSkewEndstate(s, d)),
     // stream-stream interval join (watermarked state both sides)
     "stream_stream_join_endstate" -> ((s, d) =>
       graft.streaming.StreamJoin.streamStreamJoinEndstate(s, d)),

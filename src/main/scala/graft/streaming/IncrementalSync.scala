@@ -69,7 +69,8 @@ object IncrementalSync {
       pk: String,
       tsCol: String,
       nBuckets: Int = 16,
-      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+      maxFilesPerTrigger: Option[Int] = None,
+      saltedKeepLatest: Boolean = false): DataFrame = {
 
     assertRenameCapable(targetPath)
     // a previous sync may have died mid-swap; restore before anything reads
@@ -92,15 +93,10 @@ object IncrementalSync {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        // defensive keep-latest per pk (stg_hn__comments.sql:5-11): a replay
-        // batch can carry several versions of a key; MERGE needs one
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(pk).orderBy(col(tsCol).desc)
         // persisted because two actions consume it: the touched-bucket probe
         // and the merged write — without the cache the keep-latest window
         // recomputes per action
-        val latest = batch.withColumn("__rn", row_number().over(w))
-          .where(col("__rn") === 1).drop("__rn")
+        val latest = keepLatest(batch, pk, tsCol, saltedKeepLatest)
           .withColumn("__part", pmod(xxhash64(col(pk)), lit(nBuckets)).cast("int"))
           .persist()
         // which buckets does this batch touch? Bounded by nBuckets — a
@@ -142,6 +138,42 @@ object IncrementalSync {
     query.awaitTermination()
     spark.read.parquet(targetPath)
   }
+
+  /** Defensive keep-latest per pk (stg_hn__comments.sql:5-11): a replay
+    * batch can carry several versions of a key; MERGE needs one.
+    *
+    * Two exact plans for the same reduction:
+    *  - `salted = false` (default): one `row_number` window per pk — the
+    *    right plan when versions-per-key is small (the common replay case).
+    *  - `salted = true`: two-phase `max_by` argmax — versions of one key
+    *    first reduce per (pk, salt-of-ts) partial group, then the ≤`salts`
+    *    partials reduce per pk. A 90%-one-key batch (re-delivery storm,
+    *    hot-entity CDC feed) puts 90% of the window's work on ONE task;
+    *    the salted route spreads it across `salts` tasks and ships one row
+    *    per (pk, salt) to the final reduction. Exact, not approximate: the
+    *    stream upstream dedups on (pk, ts), so ts is duplicate-free within
+    *    a key and argmax-by-ts has a unique winner at both phases.
+    *    (`skew_salted_sum` is the same two-phase shape for sums;
+    *    StreamingSpec pins salted ≡ windowed on a skewed frame.)
+    */
+  private[graft] def keepLatest(batch: DataFrame, pk: String,
+      tsCol: String, salted: Boolean, salts: Int = 16): DataFrame =
+    if (!salted) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(pk).orderBy(col(tsCol).desc)
+      batch.withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1).drop("__rn")
+    } else {
+      val cols = batch.columns.toSeq
+      val packed = struct(cols.map(col): _*)
+      batch
+        .groupBy(col(pk).as("__pk"),
+          pmod(xxhash64(col(tsCol)), lit(salts)).as("__salt"))
+        .agg(max_by(packed, col(tsCol)).as("__row"))
+        .groupBy(col("__pk"))
+        .agg(max_by(col("__row"), col("__row").getField(tsCol)).as("__row"))
+        .select(cols.map(c => col("__row").getField(c).as(c)): _*)
+    }
 
   private def delete(f: java.io.File): Unit = StreamHarness.delete(f)
 
@@ -258,10 +290,7 @@ object IncrementalSync {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(pk).orderBy(col(tsCol).desc)
-        val latest = batch.withColumn("__rn", row_number().over(w))
-          .where(col("__rn") === 1).drop("__rn")
+        val latest = keepLatest(batch, pk, tsCol, salted = false)
           .withColumn("__part", pmod(xxhash64(col(pk)), lit(nBuckets)).cast("int"))
           .persist()
         val touched = latest.select("__part").distinct()
@@ -365,6 +394,55 @@ object IncrementalSync {
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
   }
 
+  /** `stream_upsert_skew_endstate`: the sync under a pathological key
+    * distribution — drop 2 is a re-delivery storm where ~90% of the rows
+    * are VERSIONS OF ONE KEY (every source event_id not divisible by 10
+    * collapses onto pk 6000, each with a distinct ts so every version
+    * survives the stream's (pk, ts) dedup and the keep-latest reduction
+    * has real work). This is the worst case for the sink's per-pk
+    * reduction: the default `row_number` window would put ~90% of the
+    * batch on one task, so this endstate drives [[keepLatest]]'s salted
+    * two-phase argmax (`saltedKeepLatest = true`) and the oracle pins that
+    * the skew-safe plan lands the exact same end state the per-key window
+    * semantics define. The bucketed merge itself cannot hot-spot here:
+    * after keep-latest the batch is one row per key, and bucket membership
+    * is xxhash64(pk) — uniform regardless of the version skew.
+    */
+  def streamUpsertSkewEndstate(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.Tables
+    val base = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val scratch = StreamHarness.freshScratch("stream_scratch_skew", sfDir)
+    val srcDir = s"$scratch/drops"
+    val target = s"$scratch/table"
+    val ckpt = s"$scratch/ckpt"
+    new java.io.File(srcDir).mkdirs()
+
+    val drop1 = base.where(col("event_id") < 8000)
+      .withColumn("ts", to_timestamp(lit("2025-01-01 00:00:00")))
+    // hot-key storm: collapse 9 of 10 keys onto 6000; ts encodes the source
+    // event_id (epoch of 2025-01-02 00:00:00 UTC + event_id seconds) so
+    // versions are distinct and the latest is well-defined
+    val drop2 = base.where(col("event_id") >= 6000 && col("event_id") < 20000)
+      .withColumn("ts", timestamp_seconds(lit(1735776000L) + col("event_id")))
+      .withColumn("event_id",
+        when(col("event_id") % 10 =!= 0, lit(6000L)).otherwise(col("event_id")))
+      .withColumn("value", col("value") + 0.5)
+
+    def land(df: DataFrame, name: String): Unit =
+      StreamHarness.land(df, scratch, srcDir, name,
+        order = name.stripPrefix("drop").toInt - 1)
+
+    StreamHarness.withDemoStreamConfs(spark) {
+      land(drop1, "drop1")
+      land(drop2, "drop2")
+      syncOnce(spark, drop1.schema, srcDir, target, ckpt, "event_id", "ts",
+        nBuckets = 4, maxFilesPerTrigger = Some(1), saltedKeepLatest = true)
+    }
+    spark.read.parquet(target)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+  }
+
   /** `stream_upsert_manifest_endstate`: [[streamUpsertEndstate]] driven
     * through the MANIFEST commit protocol instead of the rename swap — the
     * same two drops, checkpoint lifecycle, and batch-merge oracle, proving
@@ -427,8 +505,34 @@ object IncrementalSync {
       |UNION ALL
       |SELECT * FROM source""".stripMargin
 
+  /** Oracle for the skew endstate: per-key latest over the collapsed-key
+    * storm, expressed with the WINDOW semantics (`row_number` by version) —
+    * the salted two-phase plan must be indistinguishable in the result.
+    * Version order in the oracle is the source event_id, which is exactly
+    * the ts order the Spark side encodes (epoch + event_id seconds).
+    */
+  private val upsertSkewEndstateOracle =
+    """WITH base AS (
+      |  SELECT event_id, user_id, event_type, value FROM events),
+      |target AS (SELECT * FROM base WHERE event_id < 8000),
+      |src_raw AS (
+      |  SELECT CASE WHEN event_id % 10 <> 0 THEN 6000 ELSE event_id END AS pk,
+      |         event_id AS version, user_id, event_type, value + 0.5 AS value
+      |  FROM base WHERE event_id >= 6000 AND event_id < 20000),
+      |source AS (
+      |  SELECT pk AS event_id, user_id, event_type, value
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY pk ORDER BY version DESC) AS rn
+      |        FROM src_raw)
+      |  WHERE rn = 1)
+      |SELECT t.* FROM target t
+      |WHERE t.event_id NOT IN (SELECT event_id FROM source)
+      |UNION ALL
+      |SELECT * FROM source""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "stream_upsert_endstate" -> upsertEndstateOracle,
     // the commit protocol must be invisible in the result
-    "stream_upsert_manifest_endstate" -> upsertEndstateOracle)
+    "stream_upsert_manifest_endstate" -> upsertEndstateOracle,
+    // the salted keep-latest must be invisible in the result
+    "stream_upsert_skew_endstate" -> upsertSkewEndstateOracle)
 }

@@ -512,4 +512,24 @@ class StreamingSpec extends SparkTestBase {
       assert(out.where(col("segment").isNull).count() == 0)
     } finally out.unpersist()
   }
+
+  test("salted keep-latest equals the per-key window on a 90%-one-key frame") {
+    import org.apache.spark.sql.functions._
+    // re-delivery storm: 900 versions of key 1, ten versions each of keys
+    // 2..11 — ts distinct within a key (the stream's (pk, ts) dedup
+    // contract), so argmax-by-ts has a unique winner
+    val storm = spark.range(1000).select(
+      when(col("id") < 900, lit(1L)).otherwise(col("id") % 10 + 2).as("id"),
+      timestamp_seconds(lit(1700000000L) + col("id")).as("ts"),
+      concat(lit("v"), col("id")).as("v"))
+    val windowed = IncrementalSync.keepLatest(storm, "id", "ts", salted = false)
+    val salted = IncrementalSync.keepLatest(storm, "id", "ts", salted = true)
+    assert(salted.count() == windowed.count())
+    assert(salted.exceptAll(windowed).isEmpty && windowed.exceptAll(salted).isEmpty,
+      "salted two-phase argmax must be result-identical to the row_number window")
+    // and the salted plan actually avoids the single-partition window: no
+    // Window operator anywhere in its physical plan
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"salted path must not plan a window:\n$plan")
+  }
 }
