@@ -217,6 +217,10 @@ object SparkEntry {
     "text_fingerprint" -> ((s, d) => TextAnalysis.textFingerprint(Tables.documents(s, d))),
     "text_repetition" -> ((s, d) => TextAnalysis.textRepetition(Tables.documents(s, d))),
     "text_bigram_lm" -> ((s, d) => TextAnalysis.textBigramLm(Tables.documents(s, d))),
+    // CCNet-style head/middle/tail LM-quality tiers; thresholds from the
+    // model-sized (lang, score_ppm) distribution, not a per-lang rank window
+    "text_perplexity_buckets" -> ((s, d) =>
+      TextAnalysis.textPerplexityBuckets(Tables.documents(s, d))),
     "text_tfidf_terms" -> ((s, d) => TextAnalysis.textTfidfTerms(Tables.documents(s, d))),
     // extensions: multimodal columns
     "mm_metadata" -> ((s, d) => Multimodal.mmMetadata(Tables.documents(s, d))),

@@ -356,7 +356,16 @@ object TextAnalysis {
     * stopword bigram is one model row against many corpus rows — AQE
     * skew-split territory, no driver state anywhere.
     */
-  def textBigramLm(documents: DataFrame): DataFrame = {
+  def textBigramLm(documents: DataFrame): DataFrame =
+    bigramDocScores(documents)
+      .select(col("doc_id"), col("lang"), col("n_bigrams"), col("sum_ppm"),
+        (d(col("sum_ppm")) / d(col("n_bigrams"))).as("lm_score"))
+
+  /** Per-doc bigram-LM totals (shared by `text_bigram_lm` and
+    * `text_perplexity_buckets`): one row per scored document with the
+    * bigram count and the exact integer-ppm probability sum.
+    */
+  private def bigramDocScores(documents: DataFrame): DataFrame = {
     val toks = documents.select(col("doc_id"), col("lang"),
       split(lower(col("text")), " ").as("t"))
     val bg = toks
@@ -371,8 +380,50 @@ object TextAnalysis {
       .withColumn("q", expr("(c2 * 1000000) div c1"))
       .groupBy("doc_id", "lang")
       .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("sum_ppm"))
-      .select(col("doc_id"), col("lang"), col("n_bigrams"), col("sum_ppm"),
-        (d(col("sum_ppm")) / d(col("n_bigrams"))).as("lm_score"))
+  }
+
+  /** `text_perplexity_buckets`: CCNet-style quality tiers — every document
+    * lands in the `head` (most LM-predictable quarter of its language),
+    * `tail` (least predictable quarter), or `middle` bucket, the partition
+    * the standard curation recipe uses to mix or drop data by LM quality
+    * (head/middle/tail in the CCNet pipeline; here quartiles of the
+    * integer-ppm bigram score, highest score = head).
+    *
+    * The scale design is the point: NO per-language rank window (a global
+    * sort whose per-lang partitions are exactly as skewed as the corpus's
+    * language mix). Instead the per-lang score DISTRIBUTION is aggregated —
+    * `(lang, score_ppm) → count`, bounded at 1e6+1 rows per language by the
+    * ppm quantization regardless of corpus size — quartile thresholds fall
+    * out of cumulative counts over that model-sized table, and docs get
+    * their bucket by a broadcast join on (lang, score_ppm). Corpus-sized
+    * work is therefore one aggregation + one broadcast probe; the only
+    * window runs over the distribution table. Bucket edges are value-based
+    * and deterministic under ties: a score value whose docs straddle a
+    * quartile boundary falls wholly on the side its cumulative count puts
+    * it (tail wins over head if a degenerate distribution satisfies both),
+    * so `head`/`tail` hold AT MOST a quarter of docs each, never split a
+    * score value, and the DuckDB twin reproduces the assignment exactly.
+    */
+  def textPerplexityBuckets(documents: DataFrame): DataFrame = {
+    // staged through CacheScope: the scored frame feeds BOTH the threshold
+    // distribution and the final probe — uncached, the whole LM pipeline
+    // (two model aggregations + the score join) plans and runs twice
+    val scored = CacheScope.cached(bigramDocScores(documents)
+      .withColumn("score_ppm", expr("sum_ppm div n_bigrams")))
+    val dist = scored.groupBy(col("lang"), col("score_ppm"))
+      .agg(count(lit(1)).as("cnt"))
+    val wcum = Window.partitionBy(col("lang")).orderBy(col("score_ppm"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wall = Window.partitionBy(col("lang"))
+    val buckets = dist
+      .withColumn("cum", sum(col("cnt")).over(wcum))
+      .withColumn("n", sum(col("cnt")).over(wall))
+      .select(col("lang"), col("score_ppm"),
+        when(col("cum") * 4 <= col("n"), lit("tail"))
+          .when((col("n") - col("cum") + col("cnt")) * 4 <= col("n"), lit("head"))
+          .otherwise(lit("middle")).as("bucket"))
+    scored.join(broadcast(buckets), Seq("lang", "score_ppm"))
+      .select(col("doc_id"), col("lang"), col("score_ppm"), col("bucket"))
   }
 
   /** `text_token_count`: whitespace tokens + BPE-ish regex token count
@@ -464,6 +515,39 @@ object TextAnalysis {
         |       CAST(SUM(q) AS BIGINT) AS sum_ppm,
         |       CAST(SUM(q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS lm_score
         |FROM q GROUP BY 1, 2""".stripMargin,
+    "text_perplexity_buckets" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, string_split(lower(text), ' ') AS toks FROM documents),
+        |bg AS (
+        |  SELECT doc_id, lang, toks[CAST(i AS INT)] AS w1, toks[CAST(i + 1 AS INT)] AS w2
+        |  FROM (SELECT doc_id, lang, toks, UNNEST(range(1, len(toks))) AS i FROM t)),
+        |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+        |q AS (
+        |  SELECT bg.doc_id, bg.lang, (c2.c2 * 1000000) // c1.c1 AS q
+        |  FROM bg JOIN c2 ON bg.w1 = c2.w1 AND bg.w2 = c2.w2
+        |         JOIN c1 ON bg.w1 = c1.w1),
+        |scored AS (
+        |  SELECT doc_id, lang,
+        |         CAST(SUM(q) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS score_ppm
+        |  FROM q GROUP BY 1, 2),
+        |dist AS (
+        |  SELECT lang, score_ppm, COUNT(*) AS cnt FROM scored GROUP BY 1, 2),
+        |edges AS (
+        |  SELECT lang, score_ppm, cnt,
+        |         SUM(cnt) OVER (PARTITION BY lang ORDER BY score_ppm
+        |                        ROWS UNBOUNDED PRECEDING) AS cum,
+        |         SUM(cnt) OVER (PARTITION BY lang) AS n
+        |  FROM dist),
+        |buckets AS (
+        |  SELECT lang, score_ppm,
+        |         CASE WHEN cum * 4 <= n THEN 'tail'
+        |              WHEN (n - cum + cnt) * 4 <= n THEN 'head'
+        |              ELSE 'middle' END AS bucket
+        |  FROM edges)
+        |SELECT s.doc_id, s.lang, s.score_ppm, b.bucket
+        |FROM scored s JOIN buckets b
+        |  ON s.lang = b.lang AND s.score_ppm = b.score_ppm""".stripMargin,
     "text_repetition" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),

@@ -138,6 +138,36 @@ class CurationSpec extends SparkTestBase {
       s"common continuations must outscore rare ones: $out")
   }
 
+  test("perplexity buckets: quartile tiers per lang, score values never split") {
+    // 8 en docs with distinct scores -> exactly 2 head, 2 tail, 4 middle;
+    // a second lang gets its own independent thresholds
+    val en = (1L to 8L).map { i =>
+      // doc i repeats "w(i) next" so its score is driven by how common its
+      // continuation is; distinct common-ness per doc gives distinct scores
+      val uniq = s"tok$i"
+      (i, (s"$uniq follow " * i.toInt).trim, "en", "a")
+    }
+    val de = Seq((100L, "ein zwei ein zwei", "de", "a"),
+      (101L, "ein drei", "de", "a"))
+    val out = graft.operators.TextAnalysis
+      .textPerplexityBuckets(docs(en ++ de: _*))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("bucket"), r.getAs[Long]("score_ppm"))).toMap
+    val enBuckets = (1L to 8L).map(out(_)._1)
+    assert(enBuckets.count(_ == "head") == 2 && enBuckets.count(_ == "tail") == 2
+      && enBuckets.count(_ == "middle") == 4,
+      s"8 distinct-score docs must tier 2/4/2: $out")
+    // head holds the HIGHEST scores (most predictable), tail the lowest
+    val byScore = (1L to 8L).sortBy(out(_)._2)
+    assert(byScore.take(2).forall(out(_)._1 == "tail")
+      && byScore.takeRight(2).forall(out(_)._1 == "head"), s"tier order: $out")
+    // a value shared across the boundary goes wholly to one side: with only
+    // 2 de docs, neither quarter can hold a whole value -> all middle
+    assert(out(100L)._1 == "middle" && out(101L)._1 == "middle",
+      s"degenerate distribution must not split or over-fill tiers: $out")
+  }
+
   test("text_repetition scores a stuffed doc high and a diverse doc low") {
     val df = docs(
       (1L, "spam spam spam ham", "en", "a"),
