@@ -275,7 +275,8 @@ object IncrementalSync {
       pk: String,
       tsCol: String,
       nBuckets: Int = 16,
-      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+      maxFilesPerTrigger: Option[Int] = None,
+      saltedKeepLatest: Boolean = false): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
 
     val reader = spark.readStream.schema(schema)
@@ -290,7 +291,7 @@ object IncrementalSync {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        val latest = keepLatest(batch, pk, tsCol, salted = false)
+        val latest = keepLatest(batch, pk, tsCol, saltedKeepLatest)
           .withColumn("__part", pmod(xxhash64(col(pk)), lit(nBuckets)).cast("int"))
           .persist()
         val touched = latest.select("__part").distinct()
