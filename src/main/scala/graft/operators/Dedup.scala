@@ -399,25 +399,28 @@ object Dedup {
     *  - portable (oracled): 16 bits, 4-bit nibble bands — every arithmetic
     *    step reproduced by the DuckDB twin via
     *    [[graft.functions.PortableHash]]; recall checked in DedupSpec.
-    *  - fast (the 100-TB path): 64-bit xxhash simhash, 4 × 16-bit bands.
-    *    The width is not a tuning nicety but THE scale variable: a 16-bit
-    *    band key space has only 2⁴ values per band, so candidate buckets —
-    *    and the true hamming ≤ 3 pair set itself, ≈ n²·697/2¹⁷ under
-    *    uniform sigs — grow quadratically with corpus size. Measured on the
-    *    synthetic 10× scale point before the fix: 28.6× wall for 10× docs
-    *    (docs/SCALE.md). 64-bit sigs put the band key space at 2¹⁶ and the
-    *    expected bucket size back at n/2¹⁶ per band — linear candidates at
-    *    any corpus this side of 2⁶⁴ shingles.
+    *  - fast (the 100-TB path): 64-bit xxhash simhash, banded on the
+    *    block-permutation scheme of Manku/Jain/Sarma (WWW'07, §3): the 64
+    *    bits split into 6 blocks (4×11 + 2×10 bits) and each of the
+    *    C(6,3) = 20 three-block combinations keys a band (~32-bit keys).
+    *    Band-key width is THE scale variable: expected candidate volume is
+    *    n²·bands/keyspace, so 4 × 16-bit bands (the first fast form) went
+    *    quadratic at the x100 scale point (9.4× cpu for 3.3× data,
+    *    docs/SCALE.md) exactly as n²·4/2¹⁶ predicts, while 20 three-block
+    *    bands put the keyspace at ~2³² — ~13,000× fewer expected
+    *    collisions for 5× the (linear) explode volume, pushing the
+    *    quadratic knee past 10⁹ docs per language.
     *
-    * Both widths keep the hamming ≤ 3 guarantee lossless by pigeonhole
-    * (3 flipped bits touch ≤ 3 of the 4 bands, so one band always agrees),
-    * and the `_fast` seeded-recall audit holds at ANY width — identical
-    * docs have identical signatures, collide in every band, and verify at
+    * Both schemes keep the hamming ≤ 3 guarantee lossless by pigeonhole —
+    * 3 flipped bits touch ≤ 3 blocks, so 3 of the 6 blocks are intact and
+    * THAT three-block combination is one of the 20 bands (for the portable
+    * 4-band form: ≤ 3 of 4 nibbles touched, one nibble agrees) — and the
+    * `_fast` seeded-recall audit holds under ANY banding — identical docs
+    * have identical signatures, collide in every band, and verify at
     * hamming 0.
     */
   def dedupSimhash(documents: DataFrame, fastHash: Boolean = false): DataFrame = {
     val bits = if (fastHash) 64 else 16
-    val bandBits = bits / 4
     val sh = withTokens(documents, col("doc_id"), col("lang"))
       .select(col("doc_id"), col("lang"), explode_outer(shinglesCol(col("toks"))).as("shingle"))
       .where(col("shingle").isNotNull)
@@ -434,10 +437,22 @@ object Dedup {
         (0 until bits).map(bit =>
           when(col(s"b_$bit") >= 0, 1L << bit).otherwise(0L)).reduce(_ + _))
       .select(col("doc_id"), col("lang"), col("simhash"))
+    val bandKeys: Seq[Column] =
+      if (fastHash) {
+        // 6 blocks of the 64-bit sig; a band per 3-block combination. Keys
+        // pack into one long (block values < 2¹¹, so 11-bit lanes suffice).
+        val widths = Seq(11, 11, 11, 11, 10, 10)
+        val offsets = widths.scanLeft(0)(_ + _).init
+        def block(i: Int): Column =
+          pmod(shiftrightunsigned(col("simhash"), offsets(i)), lit(1L << widths(i)))
+        for {
+          i <- 0 until 6; j <- (i + 1) until 6; k <- (j + 1) until 6
+        } yield shiftleft(block(i), 22) + shiftleft(block(j), 11) + block(k)
+      } else
+        (0 until 4).map(band =>
+          pmod(shiftrightunsigned(col("simhash"), band * 4), lit(16L)))
     val banded = sig.select(col("doc_id"), col("lang"), col("simhash"),
-      posexplode(array((0 until 4).map(band =>
-        pmod(shiftrightunsigned(col("simhash"), band * bandBits),
-          lit(1L << bandBits))): _*)).as(Seq("nib_idx", "nib_val")))
+      posexplode(array(bandKeys: _*)).as(Seq("nib_idx", "nib_val")))
     val a = banded.select(col("lang"), col("nib_idx"), col("nib_val"),
       col("doc_id").as("doc_id_1"), col("simhash").as("h1"))
     val b = banded.select(col("lang"), col("nib_idx"), col("nib_val"),
