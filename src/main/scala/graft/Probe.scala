@@ -2,21 +2,30 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import graft.functions.LongDot.long_dot
 
 /** Dev tool: ad-hoc micro-timings for plan investigation (not part of the
   * library surface; keeps experiments out of the operators).
+  *
+  * Current experiment (round 10): cost structure of the banded hyperplane
+  * bucketing — how does a sign-bit projection scale with plane count, and
+  * does packing the sign bits into one signature column change it?
   */
 object Probe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000L).selectExpr("sum(id)").collect()
-    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = emb.select(col("vec_id"),
+      transform(col("embedding"), x => round(x.cast("double") * 10000).cast("long")).as("q"))
+      .cache()
+    q.count()
 
     def time(name: String)(f: => Any): Unit = (1 to 2).foreach { i =>
       val t0 = System.nanoTime()
@@ -24,26 +33,15 @@ object Probe {
       println(f"[probe] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($r)")
     }
 
-    val toks = split(lower(col("text")), " ")
-    time("tokenize-only")(docs.select(size(toks).as("n")).agg(sum("n")).collect()(0))
-    val grams3 = transform(sequence(lit(1), size(toks) - 2), i =>
-      concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))
-    time("ngram-hof")(docs.select(size(array_distinct(grams3)).as("n")).agg(sum("n")).collect()(0))
-    val toksC = col("toks")
-    val grams3c = transform(sequence(lit(1), size(toksC) - 2), i =>
-      concat_ws(" ", element_at(toksC, i), element_at(toksC, i + 1), element_at(toksC, i + 2)))
-    time("ngram-hof-pretok")(docs.select(toks.as("toks"))
-      .select(size(array_distinct(grams3c)).as("n")).agg(sum("n")).collect()(0))
-    // zip_with variant (Dedup.shinglesCol shape)
-    val n = size(toksC) - 2
-    val zipped = zip_with(
-      zip_with(slice(toksC, lit(1), n), slice(toksC, lit(2), n), (x, y) => concat(x, lit(" "), y)),
-      slice(toksC, lit(3), n), (xy, z) => concat(xy, lit(" "), z))
-    time("ngram-zipwith")(docs.select(toks.as("toks"))
-      .select(size(array_distinct(zipped)).as("n")).agg(sum("n")).collect()(0))
-    time("explode-count")(docs.select(toks.as("toks"))
-      .select(explode_outer(zipped).as("s")).where(col("s").isNotNull)
-      .agg(count(lit(1))).collect()(0))
+    def planes(n: Int): Seq[Seq[Long]] = (0 until n).map(j => (0 until 64).map(d =>
+      ((j * 131 + d * 37) % 19 - 9 + ((j * 67 + d * 29) % 17 - 8) * 19).toLong))
+
+    for (np <- Seq(8, 16, 32, 64)) {
+      val sig = planes(np).zipWithIndex.map { case (p, j) =>
+        when(long_dot(col("q"), typedLit(p)) >= 0, lit(1L)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      time(s"signbits-$np")(q.select(sum(sig)).collect()(0))
+    }
     spark.stop()
   }
 }

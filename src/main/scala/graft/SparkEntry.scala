@@ -195,6 +195,10 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) => Dedup.dedupSimhash(Tables.documents(s, d))),
     "dedup_embedding_cosine" -> ((s, d) => Dedup.dedupEmbeddingCosine(Tables.embeddings(s, d))),
     "dedup_embedding_lsh" -> ((s, d) => Dedup.dedupEmbeddingLsh(Tables.embeddings(s, d))),
+    // the corpus-scale banding (4 tables x 16 sign bits): n^2*4/2^16
+    // candidates vs the baseline's n^2/2^8 — see docs/SCALE.md x100 table
+    "dedup_embedding_lsh_wide" -> ((s, d) =>
+      Dedup.dedupEmbeddingLshWide(Tables.embeddings(s, d))),
     // extensions: similarity search
     "sim_search_bruteforce" -> ((s, d) => Similarity.simSearchBruteforce(Tables.embeddings(s, d))),
     "sim_search_lsh" -> ((s, d) => Similarity.simSearchLsh(Tables.embeddings(s, d))),

@@ -963,6 +963,62 @@ object Dedup {
       .select(col("vec_id_1"), col("vec_id_2"), col("bucket"), col("cosine"))
   }
 
+  /** `dedup_embedding_lsh_wide`: the corpus-scale banding of
+    * [[dedupEmbeddingLsh]]. The 8-bit single-table form is the oracled
+    * baseline, but its 256 fixed buckets make candidate volume n²/2⁸ — the
+    * x100 scale point measured it 15.4× cpu for 10× data (docs/SCALE.md),
+    * the same quadratic-knee class as the simhash banding ladder. This form
+    * bands `bands` independent tables of `bandBits` sign bits
+    * (default 4 × 16): candidates ~ n²·bands/2^bandBits — 64× fewer at the
+    * defaults — while UNION-of-tables collision raises recall over any
+    * single table (1−(1−p¹⁶)⁴ > p⁸ for per-plane agreement p > ~0.8, i.e.
+    * every near-dup regime this operator targets). A pair colliding in
+    * several bands is deduplicated AFTER the per-collision cosine (narrow
+    * distinct on ids+cosine, the minhash-LSH discipline) so the wide arrays
+    * never shuffle twice.
+    */
+  def dedupEmbeddingLshWide(embeddings: DataFrame,
+      bandBits: Int = 16, bands: Int = 4): DataFrame = {
+    val q = quantized(embeddings)
+      .withColumn("norm2", long_dot(col("q"), col("q")))
+      .select(col("vec_id"), col("q"), col("norm2"),
+        posexplode(Similarity.bandBucketsCol(bandBits, bands)).as(Seq("band", "bucket")))
+    val a = q.select(col("band"), col("bucket"), col("vec_id").as("vec_id_1"),
+      col("q").as("q1"), col("norm2").as("n1"))
+    val b = q.select(col("band"), col("bucket"), col("vec_id").as("vec_id_2"),
+      col("q").as("q2"), col("norm2").as("n2"))
+    a.join(b, Seq("band", "bucket"))
+      .where(col("vec_id_1") < col("vec_id_2"))
+      .withColumn("cosine", cosine(long_dot(col("q1"), col("q2")), col("n1"), col("n2")))
+      .where(col("cosine") >= 0.95)
+      .select(col("vec_id_1"), col("vec_id_2"), col("cosine"))
+      .distinct()
+  }
+
+  private val embeddingLshWideOracle: String =
+    s"""WITH ${Similarity.quantCte},
+       |planes AS (
+       |  SELECT j, list_transform(range(0, 64), d ->
+       |    (j * 131 + d * 37) % 19 - 9 + ((j * 67 + d * 29) % 17 - 8) * 19) AS plane
+       |  FROM range(0, 64) t(j)),
+       |sb AS (
+       |  SELECT n.vec_id, n.q, n.norm2, p.j,
+       |         CASE WHEN list_sum(list_transform(list_zip(n.q, p.plane),
+       |                z -> z[1] * z[2])) >= 0 THEN 1 ELSE 0 END AS s
+       |  FROM n CROSS JOIN planes p),
+       |bucketed AS (
+       |  SELECT vec_id, q, norm2, j // 16 AS band,
+       |         CAST(SUM(CASE WHEN s = 1 THEN 1 << CAST(j % 16 AS INTEGER)
+       |                  ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM sb GROUP BY vec_id, q, norm2, j // 16),
+       |pairs AS (
+       |  SELECT DISTINCT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
+       |         CAST(list_sum(list_transform(list_zip(a.q, b.q), z -> z[1] * z[2])) AS DOUBLE)
+       |           / (SQRT(CAST(a.norm2 AS DOUBLE)) * SQRT(CAST(b.norm2 AS DOUBLE))) AS cosine
+       |  FROM bucketed a JOIN bucketed b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |SELECT vec_id_1, vec_id_2, cosine FROM pairs WHERE cosine >= 0.95""".stripMargin
+
   private val embeddingLshOracle: String =
     s"""WITH ${Similarity.quantCte},
        |planes AS (
@@ -1021,6 +1077,7 @@ object Dedup {
          |FROM r WHERE rn = 1""".stripMargin,
     "dedup_clusters" -> clustersOracle,
     "dedup_embedding_lsh" -> embeddingLshOracle,
+    "dedup_embedding_lsh_wide" -> embeddingLshWideOracle,
     "dedup_minhash_lsh" -> minhashOracle,
     "dedup_cross_source" -> crossSourceOracle,
     // seeded-recall audits of the xxhash fast twins: the oracle computes

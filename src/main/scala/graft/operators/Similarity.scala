@@ -63,6 +63,30 @@ object Similarity {
       when(long_dot(col("q"), typedLit(p)) >= 0, 1L << j).otherwise(0L)
     }.reduce(_ + _)
 
+  /** Banded multi-table hyperplane buckets (the scale form of [[bucketCol]]):
+    * `bands` independent tables of `bandBits` sign bits each, as an array of
+    * per-band bucket values. Two residue systems (mod 19 and mod 17) mix into
+    * the plane weights so all `bands*bandBits` planes are DISTINCT — the
+    * single-residue [[Planes]] formula cycles with period 19 in `j`, which
+    * would duplicate planes (and correlate band bits) beyond 19 planes. The
+    * weights stay small integers (|w| ≤ 161), so the quantized dot is exact
+    * in a Long with > 2¹⁰ headroom, and both engines reproduce it digit-for-
+    * digit.
+    */
+  private[operators] def bandBucketsCol(bandBits: Int, bands: Int): Column = {
+    require(bands * bandBits <= 64, "the signature packs into one long")
+    val planes: Seq[Seq[Long]] = (0 until bands * bandBits).map(j =>
+      (0 until 64).map(d =>
+        ((j * 131 + d * 37) % 19 - 9 + ((j * 67 + d * 29) % 17 - 8) * 19).toLong))
+    // all sign bits in ONE generated nested loop (HyperplaneSig scaladoc has
+    // the measured why: a 64-plane when/long_dot projection blows the JIT
+    // method threshold and runs interpreted); bands are then bit slices
+    val sig = graft.functions.HyperplaneSig.hyperplane_sig(col("q"), planes)
+    array((0 until bands).map { b =>
+      pmod(shiftrightunsigned(sig, b * bandBits), lit(1L << bandBits))
+    }: _*)
+  }
+
   /** `sim_search_lsh`: bucketed ANN — queries compare only against corpus
     * vectors in their hyperplane bucket, plus (multi-probe) the 8 buckets at
     * hamming distance 1 — the standard recall fix for hash-boundary misses

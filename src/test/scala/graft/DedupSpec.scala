@@ -164,6 +164,19 @@ class DedupSpec extends SparkTestBase {
       assert(recall > 0.0, s"bucketed blocking found none of ${truth.size} true pairs")
       info(s"bucketed embedding dedup recall: $recall over ${truth.size} true pairs")
     }
+    // the wide (banded multi-table) form: same precision guarantee, and its
+    // union-of-tables collision must not lose recall against the single
+    // 8-bit table on these near-identical pairs
+    val foundWide = Dedup.dedupEmbeddingLshWide(emb)
+      .select($"vec_id_1", $"vec_id_2").as[(Long, Long)].collect().toSet
+    assert(foundWide.subsetOf(truth), "wide-banded pairs must all be true near-dups")
+    if (truth.nonEmpty) {
+      val recallWide = (foundWide & truth).size.toDouble / truth.size
+      val recall = (found & truth).size.toDouble / truth.size
+      assert(recallWide >= recall,
+        s"4x16-bit banding must not trail the 8-bit table: $recallWide < $recall")
+      info(s"wide-banded embedding dedup recall: $recallWide over ${truth.size} true pairs")
+    }
   }
 
   test("knn_graph recall vs exact all-pairs top-k truth on the testdata corpus") {

@@ -694,6 +694,29 @@ class OperatorSpec extends SparkTestBase {
     assert(both.where(col("native") =!= col("structs")).count() == 0)
   }
 
+  test("HyperplaneSig matches the when/long_dot composition incl. NULLs and mismatch") {
+    import graft.functions.HyperplaneSig.hyperplane_sig
+    import graft.functions.LongDot.long_dot
+    val planes: Seq[Seq[Long]] = (0 until 64).map(j => (0 until 64).map(d =>
+      ((j * 131 + d * 37) % 19 - 9 + ((j * 67 + d * 29) % 17 - 8) * 19).toLong))
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(round(cast(x as double) * 10000) as bigint))").as("q"))
+    // composed form: 64 separate sign columns folded into the same long
+    val composed = planes.zipWithIndex.map { case (p, j) =>
+      when(long_dot(col("q"), typedLit(p)) >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val both = emb.select(hyperplane_sig(col("q"), planes).as("native"), composed.as("slow"))
+    assert(both.where(col("native") =!= col("slow")).count() == 0)
+    assert(both.where(col("native").isNull).count() == 0)
+    // NULL vector and dimension mismatch → NULL (the poisoned-dot contract)
+    val edge = Seq((1L, Some(Seq(1L, 2L))), (2L, None))
+      .toDF("id", "q")
+    val got = edge.select(col("id"), hyperplane_sig(col("q"), planes).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(got == Map(1L -> true, 2L -> true), s"got $got")
+  }
+
   test("RollingHash matches the HOF ascii-fold on ASCII strings") {
     import graft.functions.RollingHash.rolling_hash
     val df = Seq("the quick brown fox", "", "a", "x " * 500).toDF("s")
