@@ -36,12 +36,25 @@ object Probe {
     def planes(n: Int): Seq[Seq[Long]] = (0 until n).map(j => (0 until 64).map(d =>
       ((j * 131 + d * 37) % 19 - 9 + ((j * 67 + d * 29) % 17 - 8) * 19).toLong))
 
-    for (np <- Seq(8, 16, 32, 64)) {
-      val sig = planes(np).zipWithIndex.map { case (p, j) =>
-        when(long_dot(col("q"), typedLit(p)) >= 0, lit(1L)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      time(s"signbits-$np")(q.select(sum(sig)).collect()(0))
-    }
+
+    // tf-idf stage decomposition at the current SF
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val toks = docs.select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+      .where(length(col("term")) >= 3)
+    time("tfidf-explode-count")(toks.agg(count(lit(1))).collect()(0))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    time("tfidf-tf-agg")(tf.agg(count(lit(1))).collect()(0))
+    val dfc = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    time("tfidf-df-agg")(dfc.agg(count(lit(1))).collect()(0))
+    val n = docs.select(count(lit(1)).as("n_docs"))
+    val joined = tf.join(dfc, "term").crossJoin(broadcast(n))
+      .withColumn("score_ppm", expr("(cast(tf as decimal(38,0)) * 1000000 * n_docs) div df"))
+    time("tfidf-join-score")(joined.agg(count(lit(1))).collect()(0))
+    val joinedLong = tf.join(dfc, "term").crossJoin(broadcast(n))
+      .withColumn("score_ppm", expr("(tf * 1000000L * n_docs) div df"))
+    time("tfidf-join-score-long")(joinedLong.agg(count(lit(1))).collect()(0))
+    time("tfidf-full")(graft.operators.TextAnalysis.textTfidfTerms(docs).agg(count(lit(1))).collect()(0))
+
     spark.stop()
   }
 }

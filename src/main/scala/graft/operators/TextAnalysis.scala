@@ -152,20 +152,31 @@ object TextAnalysis {
     * tf·ln(N/df), but there is no transcendental in the plan, so ranking
     * and hash-compare are engine-identical (ln is the one op the
     * cross-engine ulp contract cannot cover). Plan: one explode → (doc,
-    * term) tf aggregate → vocabulary-sized df aggregate → term-keyed join
-    * back + single-row N broadcast → rank-k per doc through TopKPerKey
-    * (RewriteRankLimitToTopK). At 100 TB the df side is vocabulary-sized
-    * (bounded), the join shuffles on term hash, and no per-doc sort exists.
+    * term) tf aggregate → vocabulary-sized df aggregate → BROADCAST df back
+    * onto tf + single-row N broadcast → rank-k per doc through TopKPerKey
+    * (RewriteRankLimitToTopK). The df broadcast is the Heaps'-law argument
+    * the BPE trainer already rests on — vocabulary is sublinear in corpus
+    * size and df is one (term, count) row per vocabulary entry — and it is
+    * measured, not stylistic: the static planner cannot see that the
+    * aggregate is small, plans SortMergeJoin, and shuffles + sorts the
+    * whole corpus-sized tf frame on skewed term strings (x100 slope point:
+    * 25× cpu for 10× data before, ~linear after; docs/SCALE.md). No per-doc
+    * sort exists anywhere (TopKPerKey bounded heaps).
     */
   def textTfidfTerms(documents: DataFrame, k: Int = 5): DataFrame = {
     val toks = documents
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
       .where(length(col("term")) >= 3)
-    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    // staged through CacheScope: tf feeds BOTH the broadcast df aggregate
+    // and the probe side — without the cache the broadcast branch recomputes
+    // the corpus explode + tf aggregation (broadcast exchanges cannot reuse
+    // the probe side's shuffle exchange the way the old SMJ plan could)
+    val tf = CacheScope.cached(
+      toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = documents.select(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy("doc_id").orderBy(col("score_ppm").desc, col("term"))
-    tf.join(df, "term").crossJoin(broadcast(n))
+    tf.join(broadcast(df), "term").crossJoin(broadcast(n))
       // The product is computed in decimal(38,0) (DuckDB twin: HUGEINT) so
       // the tf·10⁶·N intermediate cannot overflow 64 bits on a large corpus
       // (tf ~1e4 × N ~1e9 already exceeds 2^63); only the final SCORE must
