@@ -37,6 +37,19 @@ object Probe {
       ((j * 131 + d * 37) % 19 - 9 + ((j * 67 + d * 29) % 17 - 8) * 19).toLong))
 
 
+    // knn_graph blocking scaling law: fixed 8-bit multiprobe (B ~ 28) vs
+    // k-means blocking with k ~ sqrt(N) (the IVF scaling-law form)
+    val emb2 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val nVec = emb2.count()
+    val rootN = math.max(16, math.sqrt(nVec.toDouble).toInt)
+    if (!sys.env.contains("SPARK_GRAFT_PROBE_SKIP_MULTIPROBE"))
+      time(s"knn-multiprobe")(graft.operators.Similarity.knnGraph(emb2)
+        .agg(count(lit(1))).collect()(0))
+    time(s"knn-kmeans-k$rootN")(graft.operators.Similarity.knnGraph(emb2,
+      kmeansK = Some(rootN)).agg(count(lit(1))).collect()(0))
+    time(s"hardneg-kmeans-k$rootN")(graft.operators.Similarity.mineHardNegatives(emb2,
+      kmeansK = Some(rootN)).agg(count(lit(1))).collect()(0))
+
     // tf-idf stage decomposition at the current SF
     val docs = graft.sources.Tables.documents(spark, sfDir)
     val toks = docs.select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))

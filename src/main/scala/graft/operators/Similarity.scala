@@ -538,16 +538,53 @@ object Similarity {
     * bucket's self-join partition-local; the quadratic term is bounded by
     * the largest bucket (expected N/256), the standard LSH trade.
     */
-  def knnGraph(embeddings: DataFrame, k: Int = 3): DataFrame = {
-    val corpus = prep(embeddings).withColumn("bucket", bucketCol)
-    val probeFlips = array((0 until 9).map(f =>
-      lit(if (f == 0) 0L else 1L << (f - 1))): _*)
-    val probes = corpus
-      .select(col("vec_id").as("query_id"), col("q").as("qv"), col("norm2").as("qn"),
-        explode(transform(probeFlips, f => col("bucket").bitwiseXOR(f))).as("bucket"))
+  /** Candidate blocking for the corpus-wide kNN operators. Every ONE-SHOT
+    * fixed-parameter blocking makes candidate volume Θ(N²/B) — B is the
+    * effective bucket count (the 8-bit multiprobe default: 2⁸/9 ≈ 28), so
+    * the x100 slope point measured `knn_graph` at 27× cpu for 10× data,
+    * exactly as N²/B predicts. That is not a bug to band away (the wide
+    * 16-bit bands fix DEDUP because near-dup pairs sit at cosine ≈ 1 where
+    * per-band collision stays high; mid-similarity kNN neighbors would
+    * lose most of their recall). The production answer is a blocking whose
+    * B GROWS with the corpus: `kmeansK = Some(k)` blocks by the
+    * deterministic integer k-means cluster instead, and sizing k ∝ √N
+    * makes candidate work N²/k = N^1.5 — the standard IVF scaling law,
+    * measured in docs/SCALE.md (graft.Probe carries the harness). The
+    * default stays the oracled multiprobe form; k-means blocking reuses
+    * [[trainKmeans]]/[[clusterCol]], so its assignment is the same
+    * oracle-reproducible math `embed_kmeans` ships.
+    */
+  private def knnBlocked(corpus: DataFrame, kmeansK: Option[Int],
+      extraProbeCols: Seq[(String, String)] = Nil): (DataFrame, DataFrame) = {
+    val extra = extraProbeCols.map { case (src, dst) => col(src).as(dst) }
+    kmeansK match {
+      case Some(kk) =>
+        // staged: training makes iters+1 passes and the join reads it twice
+        val cached = graft.operators.CacheScope.cached(corpus)
+        val cents = trainKmeans(cached, kk, iters = 2)
+        val bucketed = cached.withColumn("bucket", clusterCol(cents))
+        val probes = bucketed.select(Seq(col("vec_id").as("query_id"),
+          col("q").as("qv"), col("norm2").as("qn"), col("bucket")) ++ extra: _*)
+        (bucketed, probes)
+      case None =>
+        val bucketed = corpus.withColumn("bucket", bucketCol)
+        val probeFlips = array((0 until 9).map(f =>
+          lit(if (f == 0) 0L else 1L << (f - 1))): _*)
+        val probes = bucketed.select(Seq(col("vec_id").as("query_id"),
+          col("q").as("qv"), col("norm2").as("qn"),
+          explode(transform(probeFlips, f => col("bucket").bitwiseXOR(f))).as("bucket"))
+          ++ extra: _*)
+        (bucketed, probes)
+    }
+  }
+
+  def knnGraph(embeddings: DataFrame, k: Int = 3,
+      kmeansK: Option[Int] = None): DataFrame = {
+    val corpus = prep(embeddings)
+    val (bucketed, probes) = knnBlocked(corpus, kmeansK)
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("vec_id"))
-    corpus.join(probes, Seq("bucket"))
+    bucketed.join(probes, Seq("bucket"))
       .where(col("vec_id") =!= col("query_id"))
       .withColumn("cosine", cosine(long_dot(col("q"), col("qv")), col("norm2"), col("qn")))
       .withColumn("rank", row_number().over(w))
@@ -565,17 +602,14 @@ object Similarity {
     * story are inherited unchanged (the filter only THINS candidates —
     * cost stays bucket-bounded, never all-pairs).
     */
-  def mineHardNegatives(embeddings: DataFrame, k: Int = 3): DataFrame = {
-    val corpus = prep(embeddings).withColumn("bucket", bucketCol)
-    val probeFlips = array((0 until 9).map(f =>
-      lit(if (f == 0) 0L else 1L << (f - 1))): _*)
-    val probes = corpus
-      .select(col("vec_id").as("query_id"), col("label").as("q_label"),
-        col("q").as("qv"), col("norm2").as("qn"),
-        explode(transform(probeFlips, f => col("bucket").bitwiseXOR(f))).as("bucket"))
+  def mineHardNegatives(embeddings: DataFrame, k: Int = 3,
+      kmeansK: Option[Int] = None): DataFrame = {
+    val corpus = prep(embeddings)
+    val (bucketed, probes) =
+      knnBlocked(corpus, kmeansK, extraProbeCols = Seq("label" -> "q_label"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("vec_id"))
-    corpus.join(probes, Seq("bucket"))
+    bucketed.join(probes, Seq("bucket"))
       .where(col("vec_id") =!= col("query_id") && col("label") =!= col("q_label"))
       .withColumn("cosine", cosine(long_dot(col("q"), col("qv")), col("norm2"), col("qn")))
       .withColumn("rank", row_number().over(w))
