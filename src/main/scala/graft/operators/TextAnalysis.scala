@@ -379,15 +379,22 @@ object TextAnalysis {
   private def bigramDocScores(documents: DataFrame): DataFrame = {
     val toks = documents.select(col("doc_id"), col("lang"),
       split(lower(col("text")), " ").as("t"))
-    val bg = toks
+    // staged: the corpus bigram frame is consumed three times (c2 model,
+    // c1 model, score probe); staging replaces two recomputed corpus
+    // explodes with one materialization
+    val bg = CacheScope.cached(toks
       .where(size(col("t")) >= 2)
       .select(col("doc_id"), col("lang"), explode(
         expr("transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i + 1] AS w2))"))
         .as("b"))
-      .select(col("doc_id"), col("lang"), col("b.w1"), col("b.w2"))
+      .select(col("doc_id"), col("lang"), col("b.w1"), col("b.w2")))
     val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    // c1 is UNIGRAM-vocabulary-sized (the same Heaps'-law bound as the
+    // tf-idf df broadcast); c2 is distinct-BIGRAM-sized — quadratic in
+    // vocabulary, so it stays a hash join on the bigram key rather than a
+    // broadcast the plan cannot honestly promise at corpus scale
     val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
-    bg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+    bg.join(c2, Seq("w1", "w2")).join(broadcast(c1), Seq("w1"))
       .withColumn("q", expr("(c2 * 1000000) div c1"))
       .groupBy("doc_id", "lang")
       .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("sum_ppm"))
