@@ -653,9 +653,14 @@ object Similarity {
     * released by the ContextCleaner; on a real cluster swap in reliable
     * `.checkpoint()` (see dedupClusters).
     */
-  def graphCentrality(embeddings: DataFrame, iters: Int = 3): DataFrame = {
+  def graphCentrality(embeddings: DataFrame, iters: Int = 3,
+      kmeansK: Option[Int] = None): DataFrame = {
+    // kmeansK threads through to the kNN edge build: the PageRank itself is
+    // linear in |E| per round, so the graph construction's blocking is this
+    // operator's entire scale story (see knnBlocked) — production passes
+    // k ~ sqrt(N) here too; the default stays the oracled multiprobe form
     val edges = graft.operators.CacheScope.cached(
-      knnGraph(embeddings)
+      knnGraph(embeddings, kmeansK = kmeansK)
         .select(col("query_id").as("src"), col("neighbor_id").as("dst")))
     // loop invariants: degrees from the cached edges; the vertex spine the
     // per-round outer join re-anchors on (dangling nodes keep teleport)
