@@ -37,6 +37,14 @@ object Probe {
       ((j * 131 + d * 37) % 19 - 9 + ((j * 67 + d * 29) % 17 - 8) * 19).toLong))
 
 
+    // simhash_fast pair-volume diagnostic: is the x300 slope candidates or constants?
+    if (sys.env.contains("SPARK_GRAFT_PROBE_SIMHASH")) {
+      val docsS = graft.sources.Tables.documents(spark, sfDir)
+      time("simhash-fast-pairs")(graft.operators.Dedup.dedupSimhash(docsS, fastHash = true)
+        .agg(count(lit(1))).collect()(0))
+      spark.stop(); return
+    }
+
     // knn_graph blocking scaling law: fixed 8-bit multiprobe (B ~ 28) vs
     // k-means blocking with k ~ sqrt(N) (the IVF scaling-law form)
     val emb2 = spark.read.parquet(s"$sfDir/embeddings.parquet")
