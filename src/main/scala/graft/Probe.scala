@@ -2,7 +2,6 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.functions.LongDot.long_dot
 
 /** Dev tool: ad-hoc micro-timings for plan investigation (not part of the
   * library surface; keeps experiments out of the operators).
@@ -20,22 +19,13 @@ object Probe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    spark.range(1000000L).selectExpr("sum(id)").collect()
-    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    val q = emb.select(col("vec_id"),
-      transform(col("embedding"), x => round(x.cast("double") * 10000).cast("long")).as("q"))
-      .cache()
-    q.count()
+    spark.range(1000000L).selectExpr("sum(id)").collect() // JIT/codegen warmup
 
     def time(name: String)(f: => Any): Unit = (1 to 2).foreach { i =>
       val t0 = System.nanoTime()
       val r = f
       println(f"[probe] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($r)")
     }
-
-    def planes(n: Int): Seq[Seq[Long]] = (0 until n).map(j => (0 until 64).map(d =>
-      ((j * 131 + d * 37) % 19 - 9 + ((j * 67 + d * 29) % 17 - 8) * 19).toLong))
-
 
     // simhash_fast pair-volume diagnostic: is the x300 slope candidates or constants?
     if (sys.env.contains("SPARK_GRAFT_PROBE_SIMHASH")) {

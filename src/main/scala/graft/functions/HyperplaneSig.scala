@@ -26,12 +26,20 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * or a dimension mismatch against any plane → NULL (the poisoned-dot
   * discipline, so the banded join silently drops malformed vectors instead
   * of bucketing them arbitrarily).
+  *
+  * `planes` is a Seq (not Array) so case-class equality compares CONTENTS:
+  * two sig expressions over the same planes canonicalize equal, which is
+  * what common-subexpression elimination and plan-keyed cache matching
+  * (CacheScope) key on. The hot paths index a transient primitive copy.
   */
-case class HyperplaneSig(child: Expression, planes: Array[Array[Long]])
+case class HyperplaneSig(child: Expression, planes: Seq[Seq[Long]])
     extends UnaryExpression {
 
   require(planes.nonEmpty && planes.length <= 64,
     s"1..64 planes (one sign bit each), got ${planes.length}")
+
+  @transient private lazy val planeArr: Array[Array[Long]] =
+    planes.map(_.toArray).toArray
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
@@ -41,8 +49,8 @@ case class HyperplaneSig(child: Expression, planes: Array[Array[Long]])
     val dims = x.numElements()
     var sig = 0L
     var j = 0
-    while (j < planes.length) {
-      val p = planes(j)
+    while (j < planeArr.length) {
+      val p = planeArr(j)
       if (p.length != dims) return null
       var acc = 0L
       var i = 0
@@ -59,7 +67,7 @@ case class HyperplaneSig(child: Expression, planes: Array[Array[Long]])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
-      val ps = ctx.addReferenceObj("planes", planes, "long[][]")
+      val ps = ctx.addReferenceObj("planes", planeArr, "long[][]")
       val dims = ctx.freshName("dims")
       val sig = ctx.freshName("sig")
       val p = ctx.freshName("p")
@@ -90,6 +98,5 @@ case class HyperplaneSig(child: Expression, planes: Array[Array[Long]])
 object HyperplaneSig {
   /** Column API: 64-bit (or fewer) hyperplane sign signature. */
   def hyperplane_sig(q: Column, planes: Seq[Seq[Long]]): Column =
-    SqlBridge.column(HyperplaneSig(SqlBridge.expression(q),
-      planes.map(_.toArray).toArray))
+    SqlBridge.column(HyperplaneSig(SqlBridge.expression(q), planes))
 }

@@ -977,8 +977,14 @@ object Dedup {
     * distinct on ids+cosine, the minhash-LSH discipline) so the wide arrays
     * never shuffle twice.
     */
+  /** Default wide-banding geometry — `dedupEmbeddingLshWide` and its oracle
+    * both derive from these, so a retuning cannot silently diverge the two.
+    */
+  private[operators] val WideBandBits = 16
+  private[operators] val WideBands = 4
+
   def dedupEmbeddingLshWide(embeddings: DataFrame,
-      bandBits: Int = 16, bands: Int = 4): DataFrame = {
+      bandBits: Int = WideBandBits, bands: Int = WideBands): DataFrame = {
     val q = quantized(embeddings)
       .withColumn("norm2", long_dot(col("q"), col("q")))
       .select(col("vec_id"), col("q"), col("norm2"),
@@ -995,22 +1001,23 @@ object Dedup {
       .distinct()
   }
 
+  // parameterized by the SAME constants as dedupEmbeddingLshWide's defaults
   private val embeddingLshWideOracle: String =
     s"""WITH ${Similarity.quantCte},
        |planes AS (
        |  SELECT j, list_transform(range(0, 64), d ->
        |    (j * 131 + d * 37) % 19 - 9 + ((j * 67 + d * 29) % 17 - 8) * 19) AS plane
-       |  FROM range(0, 64) t(j)),
+       |  FROM range(0, ${WideBands * WideBandBits}) t(j)),
        |sb AS (
        |  SELECT n.vec_id, n.q, n.norm2, p.j,
        |         CASE WHEN list_sum(list_transform(list_zip(n.q, p.plane),
        |                z -> z[1] * z[2])) >= 0 THEN 1 ELSE 0 END AS s
        |  FROM n CROSS JOIN planes p),
        |bucketed AS (
-       |  SELECT vec_id, q, norm2, j // 16 AS band,
-       |         CAST(SUM(CASE WHEN s = 1 THEN 1 << CAST(j % 16 AS INTEGER)
+       |  SELECT vec_id, q, norm2, j // $WideBandBits AS band,
+       |         CAST(SUM(CASE WHEN s = 1 THEN 1 << CAST(j % $WideBandBits AS INTEGER)
        |                  ELSE 0 END) AS BIGINT) AS bucket
-       |  FROM sb GROUP BY vec_id, q, norm2, j // 16),
+       |  FROM sb GROUP BY vec_id, q, norm2, j // $WideBandBits),
        |pairs AS (
        |  SELECT DISTINCT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
        |         CAST(list_sum(list_transform(list_zip(a.q, b.q), z -> z[1] * z[2])) AS DOUBLE)

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.StructType
@@ -150,30 +150,42 @@ object IncrementalSync {
     *    partials reduce per pk. A 90%-one-key batch (re-delivery storm,
     *    hot-entity CDC feed) puts 90% of the window's work on ONE task;
     *    the salted route spreads it across `salts` tasks and ships one row
-    *    per (pk, salt) to the final reduction. Exact, not approximate: the
-    *    stream upstream dedups on (pk, ts), so ts is duplicate-free within
-    *    a key and argmax-by-ts has a unique winner at both phases.
+    *    per (pk, salt) to the final reduction.
     *    (`skew_salted_sum` is the same two-phase shape for sums;
     *    StreamingSpec pins salted ≡ windowed on a skewed frame.)
+    *
+    * Both plans argmax the SAME total order — `(ts, whole-row)`, with a
+    * NULL ts ranking below every non-NULL ts (struct field ordering) — so
+    * they are result-identical even off-contract: duplicate ts within a
+    * key ties-break on the row itself, and an all-NULL-ts key keeps a real
+    * row on both routes (bare `max_by(_, ts)` would ignore NULL ordering
+    * keys and emit an all-NULL struct on the salted route only; bare
+    * `row_number` over ties would keep a partitioning-dependent row).
     */
   private[graft] def keepLatest(batch: DataFrame, pk: String,
-      tsCol: String, salted: Boolean, salts: Int = 16): DataFrame =
+      tsCol: String, salted: Boolean, salts: Int = 16): DataFrame = {
+    val cols = batch.columns.toSeq
+    val packed = struct(cols.map(col): _*)
+    // total order for "latest": ts first (NULL smallest — struct ordering
+    // compares fields nulls-first), then the full row as tiebreak
+    val ord = struct(col(tsCol).as("__ts"), packed.as("__tie"))
     if (!salted) {
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(pk).orderBy(col(tsCol).desc)
+        .partitionBy(pk).orderBy(ord.desc)
       batch.withColumn("__rn", row_number().over(w))
         .where(col("__rn") === 1).drop("__rn")
     } else {
-      val cols = batch.columns.toSeq
-      val packed = struct(cols.map(col): _*)
+      def ordOf(row: Column) = struct(
+        row.getField(tsCol).as("__ts"), row.as("__tie"))
       batch
         .groupBy(col(pk).as("__pk"),
           pmod(xxhash64(col(tsCol)), lit(salts)).as("__salt"))
-        .agg(max_by(packed, col(tsCol)).as("__row"))
+        .agg(max_by(packed, ord).as("__row"))
         .groupBy(col("__pk"))
-        .agg(max_by(col("__row"), col("__row").getField(tsCol)).as("__row"))
+        .agg(max_by(col("__row"), ordOf(col("__row"))).as("__row"))
         .select(cols.map(c => col("__row").getField(c).as(c)): _*)
     }
+  }
 
   private def delete(f: java.io.File): Unit = StreamHarness.delete(f)
 

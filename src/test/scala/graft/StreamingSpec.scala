@@ -532,4 +532,27 @@ class StreamingSpec extends SparkTestBase {
     val plan = salted.queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"salted path must not plan a window:\n$plan")
   }
+
+  test("keep-latest routes agree off-contract: NULL and duplicate ts keys") {
+    import org.apache.spark.sql.functions._
+    // three contract violations in one frame: key 1 all-NULL ts (bare
+    // max_by would emit an all-NULL struct on the salted route), key 2
+    // mixed NULL/non-NULL ts (non-NULL must win on both routes), key 3
+    // duplicate ts (tiebreak must be the same total order on both routes)
+    val rows = Seq(
+      (1L, None, "a1"), (1L, None, "b1"),
+      (2L, None, "a2"), (2L, Some(1700000005L), "b2"),
+      (3L, Some(1700000009L), "a3"), (3L, Some(1700000009L), "b3"))
+    val df = spark.createDataFrame(rows).toDF("id", "sec", "v")
+      .select(col("id"), timestamp_seconds(col("sec")).as("ts"), col("v"))
+    val windowed = IncrementalSync.keepLatest(df, "id", "ts", salted = false)
+    val salted = IncrementalSync.keepLatest(df, "id", "ts", salted = true)
+    val w = windowed.collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    val s = salted.collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    assert(w.size == 3 && s == w,
+      s"routes diverge off-contract: windowed=$w salted=$s")
+    // the all-NULL-ts key keeps a REAL row (the row-tiebreak max), never a
+    // null-struct artifact
+    assert(s(1L) == "b1" && s(2L) == "b2" && s(3L) == "b3")
+  }
 }
