@@ -29,9 +29,13 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val warmIters = sys.env.getOrElse("SPARK_GRAFT_WARM_ITERS", "3").toInt.max(1)
+    // input-proportional shuffle sizing (Tuning scaladoc): identical to the
+    // historical fixed `cpus` below ~x30 of sf0.1, scales with the data
+    // past it — the fixed count was the measured x30→x100 marts knee
+    val shufflePartitions = Tuning.adaptiveShufflePartitions(sfDir, cpus.toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -204,7 +208,7 @@ object Bench {
         s""""query_q1":${jmap(_.q1)},"query_q3":${jmap(_.q3)},"query_iters":$itersJson,""" +
         s""""query_cpu":${jmap(_.cpuMed)},"query_outliers":$outliersJson,""" +
         s""""cold_total":$coldTotal,"cold_queries":${jmap(_.coldWall)},""" +
-        s""""total_cpu":$cpuTotal,""" +
+        s""""total_cpu":$cpuTotal,"shuffle_partitions":$shufflePartitions,""" +
         s""""errors":$errJson,"loadavg_end":"$loadAvg","scratch":"$scratchPath","sf":"$sfDir"}"""
     // full per-query timings go to a file; stdout gets a COMPACT line.
     // The driver keeps only the last ~2000 chars of stdout, and the full

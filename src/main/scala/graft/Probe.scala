@@ -6,11 +6,62 @@ import org.apache.spark.sql.functions._
 /** Dev tool: ad-hoc micro-timings for plan investigation (not part of the
   * library surface; keeps experiments out of the operators).
   *
-  * Current experiment (round 10): cost structure of the banded hyperplane
-  * bucketing — how does a sign-bit projection scale with plane count, and
-  * does packing the sign bits into one signature column change it?
+  * Current experiment (round 11): WHERE does the marts' large-scale cpu
+  * knee come from? Interleaved A/B of shuffle-partition counts within ONE
+  * JVM (separate bench processes confound the comparison with host drift),
+  * instrumented with task-level metrics — spill bytes, GC time, peak
+  * execution memory — so the attribution is the measured mechanism, not
+  * the plausible one.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=<dir> runMain graft.Probe [parts1,parts2,...]
   */
 object Probe {
+
+  /** Aggregates task metrics between marks (driver-side listener — local
+    * mode delivers every TaskEnd to the driver bus).
+    */
+  private final class MetricsProbe extends org.apache.spark.scheduler.SparkListener {
+    var memSpill, diskSpill, gcMs, shuffleWrite, peakExec, tasks = 0L
+    // per-stage spill attribution: stageId -> (spill bytes, tasks)
+    val stageSpill = scala.collection.mutable.Map.empty[Int, (Long, Long)]
+    val stageNames = scala.collection.mutable.Map.empty[Int, String]
+    override def onStageSubmitted(
+        s: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
+      synchronized {
+        // first line of the stage's physical-plan detail names the operator
+        stageNames(s.stageInfo.stageId) =
+          s.stageInfo.details.linesIterator.take(1).mkString.take(120)
+      }
+    override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) synchronized {
+        memSpill += m.memoryBytesSpilled
+        diskSpill += m.diskBytesSpilled
+        gcMs += m.jvmGCTime
+        shuffleWrite += m.shuffleWriteMetrics.bytesWritten
+        peakExec = math.max(peakExec, m.peakExecutionMemory)
+        tasks += 1
+        val (s0, n0) = stageSpill.getOrElse(t.stageId, (0L, 0L))
+        stageSpill(t.stageId) = (s0 + m.memoryBytesSpilled, n0 + 1)
+      }
+    }
+    def reset(): Unit = synchronized {
+      memSpill = 0; diskSpill = 0; gcMs = 0; shuffleWrite = 0; peakExec = 0; tasks = 0
+      stageSpill.clear(); stageNames.clear()
+    }
+    def report: String = synchronized {
+      f"spillMem=${memSpill / 1e9}%.1fGB spillDisk=${diskSpill / 1e9}%.1fGB " +
+        f"gc=${gcMs / 1e3}%.1fs shufWrite=${shuffleWrite / 1e9}%.2fGB " +
+        f"peakTaskExecMem=${peakExec / 1e6}%.0fMB tasks=$tasks"
+    }
+    def spillStages: String = synchronized {
+      stageSpill.toSeq.filter(_._2._1 > 0).sortBy(-_._2._1).take(5).map {
+        case (id, (sp, n)) =>
+          f"\n[probe]   stage $id spill=${sp / 1e9}%.1fGB tasks=$n ${stageNames.getOrElse(id, "?")}"
+      }.mkString
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
@@ -21,10 +72,21 @@ object Probe {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000L).selectExpr("sum(id)").collect() // JIT/codegen warmup
 
-    def time(name: String)(f: => Any): Unit = (1 to 2).foreach { i =>
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    val probe = new MetricsProbe
+    spark.sparkContext.addSparkListener(probe)
+
+    def time(name: String, iters: Int = 2)(f: => Any): Unit = (1 to iters).foreach { i =>
+      probe.reset()
+      val c0 = osBean.getProcessCpuTime
       val t0 = System.nanoTime()
       val r = f
-      println(f"[probe] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($r)")
+      // listener bus drains asynchronously; give TaskEnd events a beat
+      Thread.sleep(300)
+      println(f"[probe] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s " +
+        f"cpu ${(osBean.getProcessCpuTime - c0) / 1e9}%.1f s  ${probe.report} ($r)" +
+        probe.spillStages)
     }
 
     // simhash_fast pair-volume diagnostic: is the x300 slope candidates or constants?
@@ -35,37 +97,52 @@ object Probe {
       spark.stop(); return
     }
 
-    // knn_graph blocking scaling law: fixed 8-bit multiprobe (B ~ 28) vs
-    // k-means blocking with k ~ sqrt(N) (the IVF scaling-law form)
-    val emb2 = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    val nVec = emb2.count()
-    val rootN = math.max(16, math.sqrt(nVec.toDouble).toInt)
-    if (!sys.env.contains("SPARK_GRAFT_PROBE_SKIP_MULTIPROBE"))
-      time(s"knn-multiprobe")(graft.operators.Similarity.knnGraph(emb2)
-        .agg(count(lit(1))).collect()(0))
-    time(s"knn-kmeans-k$rootN")(graft.operators.Similarity.knnGraph(emb2,
-      kmeansK = Some(rootN)).agg(count(lit(1))).collect()(0))
-    time(s"hardneg-kmeans-k$rootN")(graft.operators.Similarity.mineHardNegatives(emb2,
-      kmeansK = Some(rootN)).agg(count(lit(1))).collect()(0))
+    // isolate the prices-grain groupBy (the stage stock/sector share) and
+    // A/B its two plan shapes interleaved: partial-agg-then-shuffle vs
+    // shuffle-raw-then-complete-agg (group count ~ 0.89x row count, so
+    // partial aggregation reduces only ~11% — is it worth its hash table?)
+    if (sys.env.contains("SPARK_GRAFT_PROBE_PRICES")) {
+      import graft.functions.Num
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      def aggCols = Seq(
+        sum(Num.cents(col("l_extendedprice"))).as("close_cents"),
+        max(Num.cents(col("l_extendedprice"))).as("high_cents"),
+        min(Num.cents(col("l_extendedprice"))).as("low_cents"),
+        sum(Num.asLong(col("l_quantity"))).as("volume"))
+      def partialAgg = li
+        .groupBy(col("l_suppkey").as("ticker"), to_date(col("l_shipdate")).as("trade_date"))
+        .agg(aggCols.head, aggCols.tail: _*)
+      def shuffleRaw = li
+        .select(col("l_suppkey").as("ticker"), to_date(col("l_shipdate")).as("trade_date"),
+          col("l_extendedprice"), col("l_quantity"))
+        .repartition(col("ticker"), col("trade_date"))
+        .groupBy(col("ticker"), col("trade_date"))
+        .agg(aggCols.head, aggCols.tail: _*)
+      (1 to 3).foreach { round =>
+        time(s"prices-partialAgg-r$round", iters = 1)(
+          partialAgg.agg(count(lit(1))).collect()(0))
+        time(s"prices-shuffleRaw-r$round", iters = 1)(
+          shuffleRaw.agg(count(lit(1))).collect()(0))
+      }
+      spark.stop(); return
+    }
 
-    // tf-idf stage decomposition at the current SF
-    val docs = graft.sources.Tables.documents(spark, sfDir)
-    val toks = docs.select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
-      .where(length(col("term")) >= 3)
-    time("tfidf-explode-count")(toks.agg(count(lit(1))).collect()(0))
-    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    time("tfidf-tf-agg")(tf.agg(count(lit(1))).collect()(0))
-    val dfc = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    time("tfidf-df-agg")(dfc.agg(count(lit(1))).collect()(0))
-    val n = docs.select(count(lit(1)).as("n_docs"))
-    val joined = tf.join(dfc, "term").crossJoin(broadcast(n))
-      .withColumn("score_ppm", expr("(cast(tf as decimal(38,0)) * 1000000 * n_docs) div df"))
-    time("tfidf-join-score")(joined.agg(count(lit(1))).collect()(0))
-    val joinedLong = tf.join(dfc, "term").crossJoin(broadcast(n))
-      .withColumn("score_ppm", expr("(tf * 1000000L * n_docs) div df"))
-    time("tfidf-join-score-long")(joinedLong.agg(count(lit(1))).collect()(0))
-    time("tfidf-full")(graft.operators.TextAnalysis.textTfidfTerms(docs).agg(count(lit(1))).collect()(0))
-
+    // marts knee attribution: the three marts the x300 sweep flagged, each
+    // run at every candidate partition count, interleaved so host drift
+    // lands evenly across configs
+    // map-side hypothesis knob: smaller scan splits -> smaller partial-agg
+    // hash tables. Runtime-settable; applies to plans built after the set.
+    sys.env.get("SPARK_GRAFT_MAX_PARTITION_BYTES")
+      .foreach(v => spark.conf.set("spark.sql.files.maxPartitionBytes", v))
+    val partCounts = args.headOption.map(_.split(",").toSeq.map(_.trim.toInt))
+      .getOrElse(Seq(32, Tuning.adaptiveShufflePartitions(sfDir, 32)))
+    val marts = Seq("fct_reviewer_activity", "fct_stock_prices", "fct_sector_performance")
+    for (name <- marts; parts <- partCounts) {
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      time(s"$name-p$parts")(
+        SparkEntry.queries(name)(spark, sfDir).agg(count(lit(1))).collect()(0))
+      spark.catalog.clearCache()
+    }
     spark.stop()
   }
 }
