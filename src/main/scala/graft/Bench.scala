@@ -52,6 +52,12 @@ object Bench {
     if (spark.conf.getOption("spark.graft.scratch").isEmpty &&
         new java.io.File("/dev/shm").canWrite)
       spark.conf.set("spark.graft.scratch", "/dev/shm/graft_bench")
+    // production staging shape for big intermediates (CacheScope scaladoc):
+    // past the leaf-bytes threshold a staged frame materializes as a
+    // parquet staging table instead of an executor-memory cache — below it
+    // (every driver sf) this is byte-identical to the historical cache mode
+    if (spark.conf.getOption("spark.graft.staging").isEmpty)
+      spark.conf.set("spark.graft.staging", "auto")
 
     val errors = scala.collection.mutable.LinkedHashSet[String]()
     // process-CPU clock (driver + in-process local[N] executors): the

@@ -6,9 +6,11 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerApplicationEnd}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.datasources.LogicalRelation
 
-/** Bounded cache registry for operators that cache an intra-query reused
-  * staging frame (minhash signatures, say) but return a LAZY result.
+/** Bounded cache registry for operators that stage an intra-query reused
+  * frame (minhash signatures, token/bigram explodes, the tf table) but
+  * return a LAZY result.
   *
   * Those operators cannot use the `try { ... } finally unpersist()`
   * discipline of the eager Similarity builders: cache substitution happens
@@ -17,11 +19,41 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   * cache live forever is the opposite failure — executor storage grows
   * linearly in the number of registered queries a session runs.
   *
-  * The registry keeps the last [[Keep]] DISTINCT cached plans per session
-  * (LRU) and unpersists evictions. No single operator registers more than
-  * two staging caches, so an in-flight query can never lose its own cache;
+  * The registry keeps the last [[Keep]] DISTINCT staged plans per session
+  * (LRU) and drops evictions. No single operator registers more than
+  * two staging frames, so an in-flight query can never lose its own stage;
   * re-invoking the SAME operator (warm benchmark iterations) is a no-op
-  * that leaves the materialized cache in place.
+  * that leaves the materialized stage in place.
+  *
+  * ==Two staging backends==
+  *
+  * `spark.graft.staging` picks how a registered frame materializes:
+  *  - `cache` — `df.cache()` (in-memory/disk blocks). The right call while
+  *    the staged frame fits executor storage.
+  *  - `parquet` — write once to a staging table under
+  *    `spark.graft.scratch`, return the read-back. This is the production
+  *    shape: a warehouse pipeline materializes big intermediate stages as
+  *    TABLES between jobs (the incremental-mart layer here does exactly
+  *    that), it does not pin them in executor memory. Columnar-compressed,
+  *    survives executor churn, and rereads cost a scan instead of a full
+  *    upstream recompute.
+  *  - `auto` (Bench sets it) — `parquet` when the frame's LEAF input
+  *    bytes (actual file sizes from the scan relations — the one size
+  *    estimate that is reliable pre-execution) exceed
+  *    `spark.graft.staging.threshold`, else `cache`. The default
+  *    threshold (1 GB) is deliberately conservative: the round-11 x300
+  *    A/B (docs/SCALE.md) measured cache-or-recompute BEATING parquet
+  *    staging at every locally reachable scale (Spark's cache degrades
+  *    gracefully — evicted blocks recompute — while staging pays
+  *    write+read up front), so the cutover sits past the scales where
+  *    that measurement holds. The backend exists for the regime where
+  *    neither caching nor recompute is viable (cross-job reuse, corpus-
+  *    scale stages) — the shape the incremental-mart layer already uses
+  *    for its persisted tables.
+  *
+  * Default is `cache`: byte-identical to the historical behavior, and the
+  * correctness gate (Verify at sf0.01) keeps exercising the same path it
+  * always did. OperatorSpec pins cache ≡ parquet result identity.
   *
   * Eviction caveat for LAZY results: a frame scoped here is only protected
   * until [[Keep]] LATER registrations occur — a caller that builds a lazy
@@ -29,32 +61,58 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   * silently recomputes (correct, just uncached). Operators whose loop
   * correctness depends on materialization (dedupClusters, bpeTrainMerges)
   * therefore run an eager action / localCheckpoint while their cache is
-  * provably fresh, never relying on registry survival. graphCentrality is
-  * NOT in that set: at iters ≤ its checkpoint period the whole result is
-  * lazy, so its scope-cached edge list only survives if the caller acts on
-  * the result within Keep registrations — a deferred first action
-  * recomputes knnGraph (correct, just slower).
+  * provably fresh, never relying on registry survival. (In `parquet` mode
+  * the stage is materialized eagerly at registration, so eviction of the
+  * registry ENTRY only deletes the staging files after [[Keep]] later
+  * registrations — the returned read-back frame must not outlive that
+  * window either.)
   *
   * Lifecycle: sessions are weakly referenced, and the whole registry drops
-  * on SparkListenerApplicationEnd, so a stopped application (or a
-  * dereferenced short-lived session) cannot stay pinned here along with up
-  * to Keep cached frames.
+  * on SparkListenerApplicationEnd (parquet staging dirs deleted), so a
+  * stopped application cannot stay pinned here along with up to Keep
+  * staged frames.
   */
 object CacheScope {
   private val Keep = 4
 
-  // canonicalized plan → the cached frame, insertion-ordered for LRU.
+  private sealed trait Stage { def frame: DataFrame }
+  private final case class Cached(frame: DataFrame) extends Stage
+  private final case class Staged(frame: DataFrame, path: String) extends Stage
+
+  // canonicalized plan → the staged frame, insertion-ordered for LRU.
   // Weak session keys: a dropped session's registry entries become
   // collectable (its cached blocks die with the session's executors state).
   private val live =
-    new java.util.WeakHashMap[SparkSession, mutable.LinkedHashMap[LogicalPlan, DataFrame]]
+    new java.util.WeakHashMap[SparkSession, mutable.LinkedHashMap[LogicalPlan, Stage]]
 
   // contexts that already carry the application-end cleanup hook
   private val hooked = mutable.Set.empty[org.apache.spark.SparkContext]
 
-  /** Caches `df` (if an equivalent plan isn't already registered) and
-    * returns it; evicts + unpersists the least-recently registered scoped
-    * caches beyond the retention bound.
+  private def deleteDir(path: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(path))
+  }
+
+  /** Sum of the actual on-disk bytes of the plan's leaf scan relations —
+    * the only size signal that is reliable before execution (downstream
+    * cardinality estimates drift by orders of magnitude through explodes
+    * and joins, but leaf file sizes are facts).
+    */
+  private def leafInputBytes(df: DataFrame): Long =
+    df.queryExecution.optimizedPlan.collect {
+      case r: LogicalRelation => r.relation.sizeInBytes
+    }.sum
+
+  private def stagingDir(session: SparkSession): String =
+    session.conf.getOption("spark.graft.scratch")
+      .getOrElse(System.getProperty("java.io.tmpdir")) + "/graft_staging"
+
+  /** Stages `df` (if an equivalent plan isn't already registered) and
+    * returns the staged frame; evicts + drops the least-recently registered
+    * scoped stages beyond the retention bound.
     */
   def cached(df: DataFrame): DataFrame = synchronized {
     val session = df.sparkSession
@@ -62,6 +120,11 @@ object CacheScope {
       session.sparkContext.addSparkListener(new SparkListener {
         override def onApplicationEnd(end: SparkListenerApplicationEnd): Unit =
           CacheScope.synchronized {
+            val it = live.values().iterator()
+            while (it.hasNext) it.next().values.foreach {
+              case Staged(_, path) => deleteDir(path)
+              case _ => ()
+            }
             live.clear()
             hooked.clear()
           }
@@ -69,32 +132,77 @@ object CacheScope {
     }
     var reg = live.get(session)
     if (reg == null) {
-      reg = mutable.LinkedHashMap.empty[LogicalPlan, DataFrame]
+      reg = mutable.LinkedHashMap.empty[LogicalPlan, Stage]
       live.put(session, reg)
     }
     val key = df.queryExecution.analyzed.canonicalized
     reg.remove(key) match {
-      case Some(prev) =>
+      case Some(prev @ Cached(frame)) =>
         // an external clearCache() (Verify/Bench per-query isolation) may
         // have dropped the relation while the registry entry survived —
         // re-arm it, or the caller silently runs uncached (storageLevel
         // consults the CacheManager by canonicalized plan, so this is a
         // no-op when the cache is still live)
-        if (prev.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-          prev.cache()
+        if (frame.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+          frame.cache()
         reg.put(key, prev) // LRU bump
-        prev
+        frame
+      case Some(prev @ Staged(frame, path)) =>
+        // staging files survive clearCache(); only an external delete of
+        // the scratch dir forces a rewrite
+        if (new java.io.File(path).exists()) {
+          reg.put(key, prev)
+          frame
+        } else stage(df, key, reg)
       case None =>
-        df.cache()
-        reg.put(key, df)
-        while (reg.size > Keep) {
-          val (k, old) = reg.head
-          reg.remove(k)
-          // an external clearCache() (Verify/Bench per-query isolation) may
-          // have already dropped it; unpersist is idempotent
-          old.unpersist()
+        val mode = session.conf.getOption("spark.graft.staging").getOrElse("cache")
+        val threshold = session.conf
+          .getOption("spark.graft.staging.threshold").map(_.toLong)
+          .getOrElse(1L << 30)
+        val toParquet = mode match {
+          case "parquet" => true
+          case "auto" => leafInputBytes(df) > threshold
+          case _ => false
         }
-        df
+        val out =
+          if (toParquet) stage(df, key, reg)
+          else {
+            df.cache()
+            reg.put(key, Cached(df))
+            df
+          }
+        evict(reg)
+        out
     }
   }
+
+  private def stage(df: DataFrame,
+      key: LogicalPlan, reg: mutable.LinkedHashMap[LogicalPlan, Stage]): DataFrame = {
+    val dir = stagingDir(df.sparkSession)
+    // semanticHash keys equivalent plans to the same table; the registry
+    // key (full canonicalized plan) disambiguates the unlikely collision
+    // by simply rewriting
+    val path = f"$dir/stage_${key.semanticHash()}%08x"
+    // 16 MB row groups: the default 128 MB block means every concurrent
+    // writer task buffers ~a block, and 32 local tasks × 128 MB of writer
+    // state OOM'd an 8 GB heap at x300 — staging tables are read back
+    // immediately and whole, so large row groups buy nothing here
+    df.write.mode("overwrite")
+      .option("parquet.block.size", (16 << 20).toString)
+      .parquet(path)
+    val back = df.sparkSession.read.parquet(path)
+    reg.put(key, Staged(back, path))
+    back
+  }
+
+  private def evict(reg: mutable.LinkedHashMap[LogicalPlan, Stage]): Unit =
+    while (reg.size > Keep) {
+      val (k, old) = reg.head
+      reg.remove(k)
+      old match {
+        // an external clearCache() may have already dropped it; idempotent
+        case Cached(f) => f.unpersist()
+        case Staged(_, p) => deleteDir(p)
+      }
+    }
 }

@@ -755,6 +755,30 @@ class OperatorSpec extends SparkTestBase {
     assert(Reshape.tsGapfill(df.limit(0)).count() == 0)
   }
 
+  test("parquet staging backend is result-identical to the cache backend") {
+    // CacheScope's production staging shape (spark.graft.staging=parquet)
+    // must be a pure plan substitution: same values, same column types,
+    // for an operator that stages an intermediate (tf-idf stages the tf
+    // table; minhash stages its signature frame)
+    def run(s: org.apache.spark.sql.SparkSession): Map[String, Seq[org.apache.spark.sql.Row]] = {
+      val docs = graft.sources.Tables.documents(s, sf)
+      Map(
+        "tfidf" -> graft.operators.TextAnalysis.textTfidfTerms(docs)
+          .orderBy("doc_id", "term").collect().toSeq,
+        "minhash" -> graft.operators.Dedup.dedupMinhashLsh(docs)
+          .orderBy("doc_id_1", "doc_id_2").collect().toSeq)
+    }
+    val viaCache = run(spark)
+    // a fresh session: its own conf AND its own CacheScope registry, so the
+    // staged frames re-register under the parquet backend instead of
+    // hitting the cache-mode entries
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.staging", "parquet")
+    s2.conf.set("spark.graft.scratch", "/tmp/graft_test_scratch")
+    val viaParquet = run(s2)
+    assert(viaParquet == viaCache, "staging backend changed operator results")
+  }
+
   test("orc_ingest round-trips the canonical event projection value-exactly") {
     val events = graft.sources.Tables.events(spark, sf)
     val back = graft.sources.FileFormats.orcIngest(spark, events)
