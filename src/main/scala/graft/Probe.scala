@@ -89,6 +89,16 @@ object Probe {
         probe.spillStages)
     }
 
+    // dump registry query schemas (dev aid for digest-column selection)
+    sys.env.get("SPARK_GRAFT_PROBE_SCHEMAS").foreach { names =>
+      names.split(",").foreach { n =>
+        val df = SparkEntry.queries(n.trim)(spark, sfDir)
+        println(s"[schema] $n :: " + df.schema.map(f =>
+          s"${f.name}:${f.dataType.simpleString}").mkString(", "))
+      }
+      spark.stop(); return
+    }
+
     // simhash_fast pair-volume diagnostic: is the x300 slope candidates or constants?
     if (sys.env.contains("SPARK_GRAFT_PROBE_SIMHASH")) {
       val docsS = graft.sources.Tables.documents(spark, sfDir)

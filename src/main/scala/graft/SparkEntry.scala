@@ -387,10 +387,19 @@ object SparkEntry {
     "dedup_simhash_fast" -> ((s, d) =>
       Dedup.dedupSimhashFastAudit(Tables.documents(s, d))),
     "dedup_paragraph_fast" -> ((s, d) =>
-      Dedup.dedupParagraphFastAudit(Tables.documents(s, d)))
+      Dedup.dedupParagraphFastAudit(Tables.documents(s, d))),
+    // the reference's `dbt build` lifecycle as ONE program (SURVEY §3.2):
+    // every mart/intermediate model from raw inputs in one plan, reduced to
+    // a per-model manifest row (Dag scaladoc)
+    "dag_full_build" -> ((s, d) => graft.models.Dag.fullBuild(s, d, queries))
   )
 
-  def oracleSql: Map[String, String] =
+  def oracleSql: Map[String, String] = {
+    val base = baseOracleSql
+    base + ("dag_full_build" -> graft.models.Dag.oracle(base))
+  }
+
+  private def baseOracleSql: Map[String, String] =
     Oracles.all ++ Aggregates.oracles ++ Staging.oracles ++ Scalars.oracles ++
       Sorts.oracles ++ Joins.oracles ++ SetOps.oracles ++ Arrays.oracles ++
       Layout.oracles ++

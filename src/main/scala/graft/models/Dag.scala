@@ -1,0 +1,130 @@
+package graft.models
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.PortableHash
+
+/** `dag_full_build`: the reference's `dbt build` lifecycle as ONE Spark
+  * program (Makefile:110-111, dbt/dbt_project.yml:19-26 — the reference
+  * materializes its 43-model DAG with dbt; the registry's per-model queries
+  * verify each model in isolation, this composes them the way a production
+  * run actually executes: one driver program, one planner pass, shared
+  * staging subtrees).
+  *
+  * The output is a per-model MANIFEST row — `(model, n_rows, key_digest)` —
+  * the digest being a multiset checksum: sum over rows of the portable
+  * 32-bit hash ([[PortableHash]], DuckDB-exact) of the model's exact-typed
+  * columns rendered canonically (`string` verbatim, integers/dates/booleans
+  * via CAST-to-string, NULL → `ø`; both engines render these types
+  * identically). Double columns are excluded BY DESIGN — their values are
+  * verified value-exactly by each model's own registry entry, while a
+  * cross-engine string render of a double is formatting-fragile. The digest
+  * therefore certifies the COMPOSITION (every model present, every row
+  * multiset intact through the one-program build), not per-column float
+  * equality it would re-verify redundantly.
+  *
+  * Scale/plan note: building all models in one plan is what lets Catalyst
+  * dedup the shared staging work — the per-model queries build their
+  * staging subtrees through the same code paths, so equivalent subtrees
+  * canonicalize equal and `ReuseExchange`/CacheScope collapse them (the
+  * prices series feeds two stock marts, the 6-table sales join feeds two
+  * Iowa marts, the FDA regex battery feeds two FDA models, the HN keyword
+  * explode feeds two HN models). PlanAuditSpec pins the effect: the
+  * one-program plan must carry FEWER exchanges than the 16 models planned
+  * separately, and must contain reused subtrees.
+  */
+object Dag {
+
+  /** Model → digest columns (exact-typed only: string/bigint/date/boolean).
+    * For `int_fda_reactions` (49 columns, mostly a regex-flag battery whose
+    * members are hash-verified by its own entry) the digest keys on the
+    * grain + the category rollups rather than all 42 flags.
+    */
+  val digestCols: Seq[(String, Seq[String])] = Seq(
+    "fct_stock_prices" -> Seq("ticker", "trade_date", "volume", "recency_rank",
+      "ma_trend", "volume_trend"),
+    "fct_sector_performance" -> Seq("sector", "trade_date", "ticker_count",
+      "gainers", "losers", "unchanged", "high_volume_count", "low_volume_count",
+      "above_ma_count", "below_ma_count", "best_performer_ticker",
+      "worst_performer_ticker", "sector_sentiment"),
+    "fct_sales_by_county" -> Seq("county", "total_bottles", "transaction_count",
+      "store_count", "top_category"),
+    "fct_top_vendors" -> Seq("vendor_name", "total_bottles", "product_count",
+      "store_count", "top_product"),
+    "dim_users" -> Seq("user_id", "email", "linear_user_id",
+      "linear_display_name", "linear_name", "linear_is_active", "github_user_id",
+      "github_username", "github_name", "github_avatar_url", "display_name",
+      "source"),
+    "fct_issues" -> Seq("issue_id", "identifier", "title", "state", "estimate",
+      "assignee_name", "cycle_name", "labels", "parent_identifier",
+      "parent_title", "is_child", "is_parent", "child_count", "is_active_cycle",
+      "days_since_created"),
+    "fct_pull_requests" -> Seq("pull_request_id", "title", "state", "author_id",
+      "merged", "review_count", "approved_count", "comment_count",
+      "hours_to_merge", "hours_to_first_review"),
+    "fct_reviewer_activity" -> Seq("participant_id", "pull_request_id",
+      "review_count", "comment_count", "author_id"),
+    "fct_oura_daily" -> Seq("day", "sleep_score", "readiness_score",
+      "activity_score", "steps", "sleep_category", "readiness_category",
+      "activity_category"),
+    "fct_keyword_trends" -> Seq("keyword", "date", "interest", "wow_change",
+      "mom_change", "is_local_peak"),
+    "int_fda_reactions" -> Seq("report_number", "reactions", "outcomes",
+      "gender", "event_year", "reaction_categories", "reaction_count"),
+    "fct_fda_events_by_reaction" -> Seq("reaction", "reaction_category",
+      "event_count", "female_count", "male_count", "hospitalization_count",
+      "death_count", "first_year", "last_year"),
+    "int_hn_keywords" -> Seq("comment_id", "story_id", "day", "keyword"),
+    "fct_hn_keyword_sentiment" -> Seq("keyword", "day", "comment_count",
+      "story_count"),
+    "hn_thread_resolve" -> Seq("comment_id", "root_comment_id", "thread_depth",
+      "story_id"),
+    "hn_thread_stats" -> Seq("root_comment_id", "story_id", "comment_count",
+      "max_depth", "direct_replies"))
+
+  /** One digest row for `df` under `name` (shared by fullBuild and the
+    * per-model plan audit).
+    */
+  def digestRow(name: String, df: DataFrame, cols: Seq[String]): DataFrame = {
+    val rendered = cols.map(c => coalesce(col(c).cast("string"), lit("ø")))
+    df.select(PortableHash.hash32(concat_ws("|", rendered: _*)).as("__h"))
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(sum(col("__h")), lit(0L)).as("key_digest"))
+      .select(lit(name).as("model"), col("n_rows"), col("key_digest"))
+  }
+
+  /** The whole DAG, one program: every model built from the raw inputs via
+    * the registry's own closures, reduced to its manifest row, unioned.
+    *
+    * CacheScope's retention bound is raised for the build (16 models
+    * register ~10 staged frames between them; at the default bound of 4 the
+    * early stages — the sales join, the oura dailies — would be evicted
+    * before the single execution ever runs, silently recomputing). Restored
+    * after: the bound is consulted at registration time, so the staged
+    * frames themselves survive until other queries register past them.
+    */
+  def fullBuild(spark: SparkSession, sfDir: String,
+      queries: Map[String, (SparkSession, String) => DataFrame]): DataFrame = {
+    val prev = spark.conf.getOption("spark.graft.staging.keep")
+    spark.conf.set("spark.graft.staging.keep", 3 * digestCols.size)
+    try
+      digestCols.map { case (name, cols) =>
+        digestRow(name, queries(name)(spark, sfDir), cols)
+      }.reduce(_ union _)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.graft.staging.keep", v)
+      case None => spark.conf.unset("spark.graft.staging.keep")
+    }
+  }
+
+  /** DuckDB twin: the same manifest from the same per-model oracle SQL. */
+  def oracle(base: Map[String, String]): String =
+    digestCols.map { case (name, cols) =>
+      val concat = "concat_ws('|', " +
+        cols.map(c => s"COALESCE(CAST($c AS VARCHAR), 'ø')").mkString(", ") + ")"
+      s"""SELECT '$name' AS model, COUNT(*) AS n_rows,
+         |       COALESCE(CAST(SUM(${PortableHash.duckSql("__k")}) AS BIGINT), 0) AS key_digest
+         |FROM (SELECT $concat AS __k FROM (${base(name)}) __m) __h""".stripMargin
+    }.mkString("\nUNION ALL\n")
+}

@@ -19,8 +19,9 @@ import org.apache.spark.sql.execution.datasources.LogicalRelation
   * cache live forever is the opposite failure — executor storage grows
   * linearly in the number of registered queries a session runs.
   *
-  * The registry keeps the last [[Keep]] DISTINCT staged plans per session
-  * (LRU) and drops evictions. No single operator registers more than
+  * The registry keeps the last `keep` DISTINCT staged plans per session
+  * (LRU; `spark.graft.staging.keep`, default 4) and drops evictions. No
+  * single operator registers more than
   * two staging frames, so an in-flight query can never lose its own stage;
   * re-invoking the SAME operator (warm benchmark iterations) is a no-op
   * that leaves the materialized stage in place.
@@ -56,24 +57,31 @@ import org.apache.spark.sql.execution.datasources.LogicalRelation
   * always did. OperatorSpec pins cache ≡ parquet result identity.
   *
   * Eviction caveat for LAZY results: a frame scoped here is only protected
-  * until [[Keep]] LATER registrations occur — a caller that builds a lazy
-  * result, then runs ≥ Keep other scoped operators before its first action,
+  * until `keep` LATER registrations occur — a caller that builds a lazy
+  * result, then runs that many other scoped operators before its first action,
   * silently recomputes (correct, just uncached). Operators whose loop
   * correctness depends on materialization (dedupClusters, bpeTrainMerges)
   * therefore run an eager action / localCheckpoint while their cache is
   * provably fresh, never relying on registry survival. (In `parquet` mode
   * the stage is materialized eagerly at registration, so eviction of the
-  * registry ENTRY only deletes the staging files after [[Keep]] later
+  * registry ENTRY only deletes the staging files after `keep` later
   * registrations — the returned read-back frame must not outlive that
   * window either.)
   *
   * Lifecycle: sessions are weakly referenced, and the whole registry drops
   * on SparkListenerApplicationEnd (parquet staging dirs deleted), so a
-  * stopped application cannot stay pinned here along with up to Keep
+  * stopped application cannot stay pinned here along with its
   * staged frames.
   */
 object CacheScope {
-  private val Keep = 4
+  /** Retention bound — how many distinct staged plans a session keeps
+    * (LRU). 4 suffices for any single registry query (none stages more
+    * than two frames); a DAG-scale program that builds MANY queries into
+    * one plan (Dag.fullBuild) raises `spark.graft.staging.keep` for the
+    * build so early stages aren't evicted before the single execution.
+    */
+  private def keep(session: SparkSession): Int =
+    session.conf.getOption("spark.graft.staging.keep").map(_.toInt).getOrElse(4)
 
   private sealed trait Stage { def frame: DataFrame }
   private final case class Cached(frame: DataFrame) extends Stage
@@ -171,7 +179,7 @@ object CacheScope {
             reg.put(key, Cached(df))
             df
           }
-        evict(reg)
+        evict(reg, keep(session))
         out
     }
   }
@@ -195,8 +203,8 @@ object CacheScope {
     back
   }
 
-  private def evict(reg: mutable.LinkedHashMap[LogicalPlan, Stage]): Unit =
-    while (reg.size > Keep) {
+  private def evict(reg: mutable.LinkedHashMap[LogicalPlan, Stage], keep: Int): Unit =
+    while (reg.size > keep) {
       val (k, old) = reg.head
       reg.remove(k)
       old match {

@@ -139,6 +139,41 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("dag_full_build shares staging subtrees: fewer exchanges than the models planned separately") {
+    import org.apache.spark.sql.execution.exchange.{Exchange, ReusedExchangeExec}
+    withoutAqe {
+      // the one-program DAG must plan LESS total shuffle machinery than the
+      // 16 models planned as separate queries — otherwise composing the
+      // lifecycle into one plan bought nothing (Dag scaladoc: prices feeds
+      // two stock marts, the sales join feeds two Iowa marts, the FDA/HN
+      // stagings feed two models each)
+      val dagPlan = SparkEntry.queries("dag_full_build")(spark, sf)
+        .queryExecution.executedPlan
+      val dagExchanges = dagPlan.collect { case e: Exchange => e }.size
+      val reused = dagPlan.collect { case r: ReusedExchangeExec => r }.size
+      // fair comparison: the same digest-wrapped models planned as 16
+      // separate queries (the digest aggregate itself costs an exchange per
+      // model, so comparing against the bare models would overstate)
+      val separate = graft.models.Dag.digestCols.map { case (name, cols) =>
+        graft.models.Dag.digestRow(name, SparkEntry.queries(name)(spark, sf), cols)
+          .queryExecution.executedPlan.collect { case e: Exchange => e }.size
+      }.sum
+      assert(reused > 0, s"no ReusedExchange in the DAG plan")
+      assert(dagExchanges < separate,
+        s"one-program DAG planned $dagExchanges exchanges vs $separate separate " +
+          s"(reused=$reused) — shared staging did not collapse")
+      // the narrow shared stages (no shuffle boundary to reuse) collapse via
+      // CacheScope instead: at least one cached stage must be scanned by
+      // more than one model in the single plan
+      import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+      val scansPerCache = dagPlan.collect { case s: InMemoryTableScanExec =>
+        System.identityHashCode(s.relation.cacheBuilder)
+      }.groupBy(identity).map(_._2.size)
+      assert(scansPerCache.exists(_ >= 2),
+        s"no staged frame is shared across models in the DAG plan")
+    }
+  }
+
   test("pipeline_pretrain_shards joins stay broadcast (no sort-merge, no nested-loop)") {
     import org.apache.spark.sql.execution.joins.{SortMergeJoinExec, BroadcastNestedLoopJoinExec}
     withoutAqe {
