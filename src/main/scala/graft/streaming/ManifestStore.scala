@@ -37,12 +37,11 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * Writer concurrency: the commit point is "make `manifest-<v+1>` visible
   * IFF it does not already exist". That one primitive is store-specific —
   * S3 conditional PUT (If-None-Match), GCS `ifGenerationMatch(0)`, HDFS
-  * no-overwrite rename — so it is INJECTABLE via [[CommitIfAbsent]]. The
-  * default ([[RenameIfAbsent]]) is exists-check + rename: atomic on HDFS,
-  * a TOCTOU window on raw-local/object stores, which is exactly the
-  * reference's deployment model of one cron sync per table
-  * (CLAUDE.md:66-68). A deployment with racing writers injects its store's
-  * atomic primitive and the loser gets [[ConcurrentCommitException]] —
+  * no-overwrite rename — so it is INJECTABLE via [[CommitIfAbsent]], and
+  * the default ([[AutoIfAbsent]]) resolves the right primitive from the
+  * table root's scheme: conditional PUT on object stores, hard-link
+  * create on POSIX `file:` roots, no-overwrite rename on HDFS. A racing
+  * loser gets [[ConcurrentCommitException]] —
   * its data files stay unreferenced (vacuum food) and it retries against
   * the new tip. [[LocalLinkIfAbsent]] is the POSIX-atomic variant
   * (hard-link create) the racing-committers property spec uses;
@@ -130,6 +129,27 @@ object ManifestStore {
     }
   }
 
+  /** Scheme-dispatched publish: the conditional-PUT primitive is a property
+    * of the STORE, not a per-caller choice, so the default resolves it from
+    * the filesystem's scheme — object stores get [[CreateIfAbsent]] (the
+    * store's own If-None-Match / ifGenerationMatch(0)), POSIX `file:` roots
+    * get [[LocalLinkIfAbsent]] (hard-link create, atomic across processes),
+    * HDFS keeps [[RenameIfAbsent]] (its rename refuses an existing
+    * destination atomically). Callers with a store this table doesn't know
+    * still inject their own primitive explicitly.
+    */
+  object AutoIfAbsent extends CommitIfAbsent {
+    private[graft] def forScheme(scheme: String): CommitIfAbsent =
+      scheme match {
+        case "graftobj" | "s3a" | "s3" | "gs" | "abfs" | "abfss" | "oss" |
+             "wasb" | "wasbs" | "cos" => CreateIfAbsent
+        case "file" | null | "" => LocalLinkIfAbsent
+        case _ => RenameIfAbsent // hdfs, viewfs, o3fs: atomic no-overwrite rename
+      }
+    def apply(f: FileSystem, tmp: Path, dest: Path): Boolean =
+      forScheme(f.getUri.getScheme)(f, tmp, dest)
+  }
+
   /** A racing committer already published this version; retry against the
     * new tip (the lost commit's data files are unreferenced — vacuum food).
     */
@@ -208,7 +228,7 @@ object ManifestStore {
       newDirs: Map[Int, String],
       base: Option[Manifest],
       conf: Configuration,
-      publish: CommitIfAbsent = RenameIfAbsent): Manifest = {
+      publish: CommitIfAbsent = AutoIfAbsent): Manifest = {
     val version = base.map(_.version + 1).getOrElse(0L)
     val merged = base.map(_.buckets).getOrElse(SortedMap.empty[Int, String]) ++ newDirs
     val body = (s"version=$version" +:
@@ -229,6 +249,23 @@ object ManifestStore {
       s".manifest-$version.${java.util.UUID.randomUUID().toString.take(8)}.inprogress")
     val out = f.create(tmp, true)
     try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    // fault-injection barrier for the racing-committer specs: when
+    // `graft.manifest.commit.barrier` names a directory, every committer
+    // announces readiness there and holds between tmp-write and publish
+    // until `<dir>/go` appears — so independent PROCESSES provably reach
+    // the conditional PUT with the same target version. Never set outside
+    // tests; absent ⇒ zero-cost no-op.
+    Option(conf.get("graft.manifest.commit.barrier")).foreach { b =>
+      val barrier = new java.io.File(b)
+      barrier.mkdirs()
+      val ready = new java.io.File(barrier,
+        s"ready-${java.util.UUID.randomUUID().toString.take(8)}")
+      ready.createNewFile()
+      val go = new java.io.File(barrier, "go")
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (!go.exists() && System.nanoTime() < deadline) Thread.sleep(10)
+      require(go.exists(), s"commit barrier $b never released")
+    }
     if (!publish(f, tmp, new Path(dir, s"manifest-$version"))) {
       f.delete(tmp, false)
       throw new ConcurrentCommitException(version)

@@ -430,6 +430,191 @@ class StreamingSpec extends SparkTestBase {
     assert(ManifestStore.readLatest(root, conf).get.version == 2L)
   }
 
+  test("graftobj filesystem: writes invisible until close; close IS the store's conditional PUT") {
+    import graft.streaming.ObjectStoreFileSystem
+    import org.apache.hadoop.fs.{FileAlreadyExistsException, Path}
+    val bucket = Files.createTempDirectory("graft_objfs").toFile.getAbsolutePath
+    val conf = ObjectStoreFileSystem.configured(bucket)
+    val obj = new Path("graftobj://store/a/b/o1")
+    // two independent clients (disable.cache ⇒ separate FS instances), as
+    // two processes would see the store
+    val clientA = obj.getFileSystem(conf)
+    val clientB = obj.getFileSystem(conf)
+    assert(clientA ne clientB)
+
+    // A starts a conditional PUT and writes bytes — nothing is visible
+    val outA = clientA.create(obj, false)
+    outA.write("from-A".getBytes("UTF-8"))
+    intercept[java.io.FileNotFoundException](clientB.getFileStatus(obj))
+
+    // B races the same key and completes FIRST — B's close materializes it
+    val outB = clientB.create(obj, false)
+    outB.write("from-B".getBytes("UTF-8"))
+    outB.close()
+    assert(clientA.getFileStatus(obj).getLen == 6L)
+
+    // A's close is the losing PUT: the STORE rejects it (If-None-Match),
+    // and the winner's bytes are untouched
+    intercept[FileAlreadyExistsException](outA.close())
+    val in = clientB.open(obj, 4096)
+    val got = try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+    finally in.close()
+    assert(got == "from-B")
+    // no half-written or temp objects visible under the prefix
+    val names = clientA.listStatus(new Path("graftobj://store/a/b")).map(_.getPath.getName)
+    assert(names.toSeq == Seq("o1"), s"store leaked internals: ${names.toSeq}")
+
+    // rename exists for committers but is copy+delete, never atomic — the
+    // commit protocol must not (and does not) rely on it
+    val renamed = new Path("graftobj://store/a/b/o2")
+    assert(clientA.rename(obj, renamed) && clientA.exists(renamed) && !clientA.exists(obj))
+    intercept[IllegalArgumentException](
+      IncrementalSync.assertRenameCapable("graftobj://store/a/b"))
+  }
+
+  test("manifest sync end-to-end on the object store; AutoIfAbsent picks the store's primitive") {
+    import graft.streaming.{ManifestStore, ObjectStoreFileSystem}
+    // the default publish resolves per scheme — object stores get the
+    // conditional PUT, POSIX gets the hard link, HDFS keeps rename
+    assert(ManifestStore.AutoIfAbsent.forScheme("graftobj") == ManifestStore.CreateIfAbsent)
+    assert(ManifestStore.AutoIfAbsent.forScheme("s3a") == ManifestStore.CreateIfAbsent)
+    assert(ManifestStore.AutoIfAbsent.forScheme("file") == ManifestStore.LocalLinkIfAbsent)
+    assert(ManifestStore.AutoIfAbsent.forScheme("hdfs") == ManifestStore.RenameIfAbsent)
+
+    val bucket = Files.createTempDirectory("graft_objsync").toFile.getAbsolutePath
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.set("fs.graftobj.impl", classOf[ObjectStoreFileSystem].getName)
+    hconf.set("fs.graftobj.root.dir", bucket)
+    hconf.set("fs.graftobj.impl.disable.cache", "true")
+    val target = "graftobj://store/warehouse/t"
+    val local = Files.createTempDirectory("graft_objsync_local").toFile.getAbsolutePath
+    val src = s"$local/in"
+    new java.io.File(src).mkdirs()
+
+    def rows(rs: (Long, String, String)*) =
+      rs.map { case (id, t, v) => (id, Timestamp.valueOf(t), v) }.toDF("id", "ts", "v")
+    var n = 0
+    def deliver(df: org.apache.spark.sql.DataFrame): Unit = {
+      n += 1
+      val staging = s"$local/staging$n"
+      df.coalesce(1).write.parquet(staging)
+      new java.io.File(staging).listFiles().filter(_.getName.endsWith(".parquet"))
+        .foreach(f => Files.move(f.toPath, new java.io.File(s"$src/b$n.parquet").toPath))
+    }
+
+    // full sync — Spark writes the data files THROUGH the object-store FS
+    // (copy+delete committer renames), the commit is the conditional PUT
+    deliver(rows((0L until 32L).map(i => (i, "2024-01-01 00:00:00", s"v$i")): _*))
+    IncrementalSync.syncOnceManifest(
+      spark, schema, src, target, s"$local/ck", "id", "ts", nBuckets = 4)
+    deliver(rows((7L, "2024-01-02 00:00:00", "v7-new")))
+    val after = IncrementalSync.syncOnceManifest(
+      spark, schema, src, target, s"$local/ck", "id", "ts", nBuckets = 4)
+    val byId = after.collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("v")).toMap
+    assert(byId.size == 32 && byId(7L) == "v7-new" && byId(6L) == "v6")
+    val tip = ManifestStore.readLatest(target, hconf).get
+    assert(tip.version == 1L && tip.buckets.size == 4)
+    // a stale-base commit is refused BY THE STORE (AutoIfAbsent → CreateIfAbsent)
+    intercept[ManifestStore.ConcurrentCommitException] {
+      ManifestStore.commit(target, Map(0 -> "data/stale/__bucket=0"),
+        Some(ManifestStore.readVersion(target, 0L, hconf)), hconf)
+    }
+    assert(ManifestStore.readLatest(target, hconf).get == tip)
+  }
+
+  test("cross-process manifest race: two JVMs' syncs, one winner, third-process reader resolves") {
+    import graft.streaming.ManifestStore
+    val bucket = Files.createTempDirectory("graft_xproc_store").toFile.getAbsolutePath
+    val work = Files.createTempDirectory("graft_xproc_work").toFile.getAbsolutePath
+    val barrier = s"$work/barrier"
+    val target = "graftobj://store/race/t"
+    def mkRows(ids: Range, v: String) =
+      ids.map(i => (i.toLong, Timestamp.valueOf("2024-01-01 00:00:00"), v)).toDF("id", "ts", "v")
+    def writeDrop(name: String, df: org.apache.spark.sql.DataFrame): String = {
+      val dir = s"$work/$name"
+      df.coalesce(1).write.parquet(dir); dir
+    }
+    val srcA = writeDrop("srcA", mkRows(0 until 100, "a"))
+    val srcB = writeDrop("srcB", mkRows(50 until 150, "b"))
+
+    def fork(main: String, args: Seq[String], tag: String): (Process, java.io.File) = {
+      val out = new java.io.File(work, s"$tag.log")
+      val javaBin = System.getProperty("java.home") + "/bin/java"
+      val opens = Seq("java.lang", "java.lang.invoke", "java.lang.reflect", "java.io",
+        "java.net", "java.nio", "java.util", "java.util.concurrent",
+        "java.util.concurrent.atomic", "sun.nio.ch", "sun.nio.cs",
+        "sun.security.action", "sun.util.calendar")
+        .flatMap(p => Seq("--add-opens", s"java.base/$p=ALL-UNNAMED"))
+      val cmd = Seq(javaBin, "-Xmx2g") ++ opens ++
+        Seq("-cp", System.getProperty("java.class.path"), main) ++ args
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.redirectErrorStream(true)
+      pb.redirectOutput(out)
+      (pb.start(), out)
+    }
+    def logTail(f: java.io.File): String =
+      scala.util.Try(new String(Files.readAllBytes(f.toPath), "UTF-8"))
+        .map(_.linesIterator.toSeq.takeRight(15).mkString("\n")).getOrElse("<no log>")
+
+    // two committers, nothing shared but the store; the commit barrier
+    // proves both reach the publish targeting the same version
+    val (pA, logA) = fork("graft.streaming.RaceSyncMain",
+      Seq(bucket, target, srcA, s"$work/ckA", barrier), "raceA")
+    val (pB, logB) = fork("graft.streaming.RaceSyncMain",
+      Seq(bucket, target, srcB, s"$work/ckB", barrier), "raceB")
+    val deadline = System.nanoTime() + 180L * 1000 * 1000 * 1000
+    def readyCount = Option(new java.io.File(barrier).listFiles())
+      .fold(0)(_.count(_.getName.startsWith("ready-")))
+    while (readyCount < 2 && System.nanoTime() < deadline) {
+      assert(pA.isAlive || readyCount >= 1,
+        s"committer A died before the barrier:\n${logTail(logA)}")
+      assert(pB.isAlive || readyCount >= 1,
+        s"committer B died before the barrier:\n${logTail(logB)}")
+      Thread.sleep(100)
+    }
+    assert(readyCount == 2, s"barrier never reached: A:\n${logTail(logA)}\nB:\n${logTail(logB)}")
+    Files.write(new java.io.File(barrier, "go").toPath, Array.emptyByteArray)
+    assert(pA.waitFor(120, java.util.concurrent.TimeUnit.SECONDS), "A hung")
+    assert(pB.waitFor(120, java.util.concurrent.TimeUnit.SECONDS), "B hung")
+    val codes = Seq(pA.exitValue(), pB.exitValue())
+    assert(codes.sorted == Seq(0, 17),
+      s"expected one winner (0) and one clean loser (17), got $codes\n" +
+        s"A:\n${logTail(logA)}\nB:\n${logTail(logB)}")
+
+    // third process: resolve the tip with nothing but the store
+    val (pR, logR) = fork("graft.streaming.RaceReadMain", Seq(bucket, target), "raceRead")
+    assert(pR.waitFor(60, java.util.concurrent.TimeUnit.SECONDS) && pR.exitValue() == 0,
+      s"reader failed:\n${logTail(logR)}")
+    val line = new String(Files.readAllBytes(logR.toPath), "UTF-8").trim
+    val fields = line.split(' ').map(_.split('=')).map(a => a(0) -> a(1).toLong).toMap
+    assert(fields("version") == 0L && fields("buckets") > 0 && fields("files") > 0,
+      s"reader resolved a bad tip: '$line'")
+
+    // the tip's CONTENT is exactly the winner's drop — the loser's data
+    // files are unreferenced orphans until vacuum reclaims them.
+    // spark.read resolves graftobj:// against the SESSION's hadoop conf, so
+    // point it at this test's bucket (not a side Configuration).
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.set("fs.graftobj.impl",
+      classOf[graft.streaming.ObjectStoreFileSystem].getName)
+    hconf.set("fs.graftobj.root.dir", bucket)
+    hconf.set("fs.graftobj.impl.disable.cache", "true")
+    val tip = ManifestStore.readLatest(target, hconf).get
+    val winner = if (codes.head == 0) "a" else "b"
+    val rows = spark.read.parquet(tip.allPaths(target): _*)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("v")).toMap
+    val expectedIds = if (winner == "a") (0L until 100L) else (50L until 150L)
+    assert(rows.keySet == expectedIds.toSet && rows.values.toSet == Set(winner),
+      s"tip content must be the winner's ($winner) drop; got ${rows.size} rows")
+    val dataDirs = new org.apache.hadoop.fs.Path(s"$target/data")
+    val fs = dataDirs.getFileSystem(hconf)
+    assert(fs.listStatus(dataDirs).length == 2, "expected winner commit + loser orphan")
+    ManifestStore.vacuum(target, hconf)
+    assert(fs.listStatus(dataDirs).length == 1, "vacuum must reclaim the loser's orphan")
+    assert(spark.read.parquet(ManifestStore.readLatest(target, hconf).get
+      .allPaths(target): _*).count() == 100L)
+  }
+
   test("stream-stream join pairs rows across runs from buffered state; late side drops") {
     import graft.streaming.StreamJoin
     val root = Files.createTempDirectory("graft_ssjoin").toFile.getAbsolutePath
