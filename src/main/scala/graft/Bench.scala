@@ -13,8 +13,11 @@ import org.apache.spark.sql.SparkSession
   * `value` is the sum of warm medians; cold numbers are reported alongside.
   *
   * Four further spread controls (all reported in-band, nothing silent):
-  * queries run in ALPHABETICAL order so each query's predecessors — and
-  * hence codegen/page-cache state — are identical across rounds; scratch
+  * queries run in a DETERMINISTIC INTERLEAVED order (sorted by md5 of the
+  * name) so each query's predecessors — and hence codegen/page-cache
+  * state — are identical across rounds while name-prefixed families never
+  * run back-to-back (a host burst can't masquerade as a family
+  * regression); scratch
   * sinks land on tmpfs when the host has one (shared-disk fsync latency is
   * not the engine); once adaptive re-measurement is exhausted a lone high
   * straggler among an otherwise tight sample is trimmed into the
@@ -123,13 +126,21 @@ object Bench {
     // single query's regression without paying the full-suite wall clock
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    // alphabetical execution order: the registry Map's hash order moves a
-    // query's neighborhood whenever ANY query is added, which round-over-
-    // round showed up as phantom per-query regressions (codegen-cache and
-    // page-cache state differ by predecessor). Sorted order pins each
-    // query's predecessors across rounds, so a changed number means a
-    // changed query, not a reshuffled registry.
-    val all = SparkEntry.queries.toSeq.sortBy(_._1)
+    // DETERMINISTIC INTERLEAVED execution order: sort by md5(name). Two
+    // properties, both load-bearing. (1) Stable across rounds — the order is
+    // a pure function of the names, so each query's predecessors (and hence
+    // codegen/page-cache state) are pinned, and a changed number means a
+    // changed query, not a reshuffled registry (the registry Map's hash
+    // order lacked this). (2) Family-scattering — the old ALPHABETICAL order
+    // ran name-prefixed families (the 11 stream_* endstates, the dedup_*
+    // block) back-to-back, so one sustained host burst covered a whole
+    // family and read as a family regression; under the hash permutation
+    // family members land far apart, making any family-wide movement
+    // structural by construction.
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val all = SparkEntry.queries.toSeq.sortBy { case (k, _) => (md5hex(k), k) }
     val selected = only match {
       case Some(names) => all.filter { case (k, _) => names(k) }
       case None => all
@@ -207,6 +218,15 @@ object Bench {
     // shared disk), so record the effective path in-band: a BENCH.json from
     // a host without writable /dev/shm is otherwise silently incomparable
     val scratchPath = spark.conf.getOption("spark.graft.scratch").getOrElse("")
+    // per-family totals (family = name up to the first '_'): with families
+    // interleaved, a family whose TOTAL moves while its members ran minutes
+    // apart moved for engine reasons, not one host burst
+    def family(name: String): String = name.takeWhile(_ != '_')
+    def fmap(sel: Timing => Option[Double]) =
+      results.groupBy { case (k, _) => family(k) }.toSeq.sortBy(_._1)
+        .map { case (f, rs) =>
+          "\"" + f + "\":" + math.rint(rs.flatMap(r => sel(r._2)).sum * 1000) / 1000
+        }.mkString("{", ",", "}")
     val json =
       s"""{"metric":"total","value":$warmTotal,"unit":"sec","warm_iters":$warmIters,""" +
         s""""spread_limit":$spreadLimit,"max_iters":$maxIters,""" +
@@ -215,6 +235,8 @@ object Bench {
         s""""query_cpu":${jmap(_.cpuMed)},"query_outliers":$outliersJson,""" +
         s""""cold_total":$coldTotal,"cold_queries":${jmap(_.coldWall)},""" +
         s""""total_cpu":$cpuTotal,"shuffle_partitions":$shufflePartitions,""" +
+        s""""order":"md5-interleaved","family_wall":${fmap(_.med)},""" +
+        s""""family_cpu":${fmap(_.cpuMed)},""" +
         s""""errors":$errJson,"loadavg_end":"$loadAvg","scratch":"$scratchPath","sf":"$sfDir"}"""
     // full per-query timings go to a file; stdout gets a COMPACT line.
     // The driver keeps only the last ~2000 chars of stdout, and the full
