@@ -82,10 +82,14 @@ object Probe {
       val c0 = osBean.getProcessCpuTime
       val t0 = System.nanoTime()
       val r = f
+      // capture the clocks BEFORE the listener-bus drain sleep, or every
+      // reported wall/cpu figure is inflated by the 0.3 s pause
+      val wall = (System.nanoTime() - t0) / 1e9
+      val cpu = (osBean.getProcessCpuTime - c0) / 1e9
       // listener bus drains asynchronously; give TaskEnd events a beat
       Thread.sleep(300)
-      println(f"[probe] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s " +
-        f"cpu ${(osBean.getProcessCpuTime - c0) / 1e9}%.1f s  ${probe.report} ($r)" +
+      println(f"[probe] $name run$i: $wall%.2f s " +
+        f"cpu $cpu%.1f s  ${probe.report} ($r)" +
         probe.spillStages)
     }
 

@@ -89,7 +89,7 @@ object Marts {
     else df
 
   /** Shared oracle CTE for [[sales]]. */
-  private val salesSql: String =
+  private[models] val salesSql: String =
     """sales AS (
       |  SELECT n_name AS county,
       |         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS sale_cents,

@@ -35,6 +35,15 @@ object ModelAdapters {
   def users(customer: DataFrame): DataFrame =
     customer.select(col("c_custkey").as("user_id"), col("c_name").as("name"))
 
+  /** stg_linear__users-shaped (stg_linear__users.sql): [[users]] plus the
+    * dim_users email scheme (Marts.dimUsers) — unique by construction.
+    */
+  def linearUsers(customer: DataFrame): DataFrame =
+    customer.select(
+      col("c_custkey").as("user_id"),
+      col("c_name").as("name"),
+      concat(lit("user"), col("c_custkey") * 2, lit("@x.com")).as("email"))
+
   def cycles(spark: SparkSession): DataFrame =
     spark.range(0, 20).select(
       col("id").as("cycle_id"),
@@ -137,6 +146,18 @@ object ModelAdapters {
           pmod(count(lit(1)), lit(500L))).as("total_calories"))
       .withColumn("activity_id", concat(lit("activity_"), col("day")))
 
+  /** stg_oura__sleep_sessions-shaped (stg_oura__sleep_sessions.sql:4-16):
+    * session grain below [[sleep]]'s day grain — one row per sleep event with
+    * a deterministic duration.
+    */
+  def sleepSessions(events: DataFrame): DataFrame =
+    events.where(col("event_type") === "view")
+      .select(
+        col("event_id").as("sleep_session_id"),
+        to_date(col("ts")).as("day"),
+        (lit(18000L) + pmod(col("event_id") * 97, lit(14400L)))
+          .as("total_sleep_duration_seconds"))
+
   def fctOuraDaily(events: DataFrame): DataFrame = {
     // scope-cached: each daily aggregate feeds BOTH the union spine and its
     // own left join — uncached, the three aggregations would each run
@@ -148,7 +169,7 @@ object ModelAdapters {
 
   // ---- oracles ------------------------------------------------------------
 
-  private val issuesCtes: String =
+  private[models] val issuesCtes: String =
     """issues AS (
       |  SELECT o_orderkey AS id,
       |         'ISS-' || o_orderkey AS identifier,
@@ -169,7 +190,7 @@ object ModelAdapters {
       |         TIMESTAMP '1995-01-01 00:00:00' + INTERVAL (i * 30 + 30) DAY AS ends_at
       |  FROM (SELECT UNNEST(range(0, 20)) AS i))""".stripMargin
 
-  private val prsCtes: String =
+  private[models] val prsCtes: String =
     """prs AS (
       |  SELECT o_orderkey AS id,
       |         'PR ' || o_orderkey AS title,

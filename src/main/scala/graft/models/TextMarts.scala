@@ -120,7 +120,7 @@ object TextMarts {
   }
 
   /** Shared oracle CTE for [[fdaEvents]]. */
-  private val fdaEventsSql: String = {
+  private[models] val fdaEventsSql: String = {
     val vocab = fdaVocab.map(v => s"'$v'").mkString("[", ", ", "]")
     val outc = fdaOutcomes.map(v => s"'$v'").mkString("[", ", ", "]")
     s"""fda AS (
@@ -137,6 +137,32 @@ object TextMarts {
        |         CAST(year(CAST(ts AS TIMESTAMP)) AS BIGINT) AS event_year
        |  FROM events)""".stripMargin
   }
+
+  /** stg_fda__recalls-shaped adapter (stg_fda__recalls.sql:23-36): recall
+    * grain with the reference's exact Class I/II/III classification domain
+    * and its severity ordinal, synthesized deterministically from orders.
+    */
+  def fdaRecalls(orders: DataFrame): DataFrame =
+    orders.select(
+      col("o_orderkey").as("recall_number"),
+      when(pmod(col("o_orderkey"), lit(3)) === 0, "Class I")
+        .when(pmod(col("o_orderkey"), lit(3)) === 1, "Class II")
+        .otherwise("Class III").as("classification"),
+      (pmod(col("o_orderkey"), lit(3)) + 1).as("classification_severity"),
+      concat(lit("S"), pmod(col("o_orderkey"), lit(50))).as("state_code"),
+      col("o_orderdate").as("recall_initiation_date"))
+
+  /** Shared oracle CTE for [[fdaRecalls]]. */
+  private[models] val fdaRecallsSql: String =
+    """recalls AS (
+      |  SELECT o_orderkey AS recall_number,
+      |         CASE WHEN o_orderkey % 3 = 0 THEN 'Class I'
+      |              WHEN o_orderkey % 3 = 1 THEN 'Class II'
+      |              ELSE 'Class III' END AS classification,
+      |         o_orderkey % 3 + 1 AS classification_severity,
+      |         'S' || CAST(o_orderkey % 50 AS VARCHAR) AS state_code,
+      |         o_orderdate AS recall_initiation_date
+      |  FROM orders)""".stripMargin
 
   private val groups: Seq[String] =
     Seq("gastrointestinal", "allergic", "respiratory", "cardiovascular",
@@ -385,7 +411,7 @@ object TextMarts {
   }
 
   /** Shared oracle CTE for [[hnComments]]. */
-  private val hnCommentsSql: String = {
+  private[models] val hnCommentsSql: String = {
     val vocab = hnVocab.map(v => s"'$v'").mkString("[", ", ", "]")
     s"""com AS (
        |  SELECT doc_id AS comment_id,
@@ -394,6 +420,20 @@ object TextMarts {
        |         concat(text, ' ', ($vocab)[CAST((doc_id * 5 + 1) % 52 AS INT) + 1], ' ', ($vocab)[CAST((doc_id * 11 + 4) % 52 AS INT) + 1]) AS comment_text
        |  FROM documents)""".stripMargin
   }
+
+  /** stg_hn__stories-shaped adapter (stg_hn__stories.sql:10-20): story grain
+    * derived from [[hnComments]] (same parent-id scheme), with deterministic
+    * title/score/domain — composing it in the DAG reuses the comment
+    * staging subtree the HN marts already share.
+    */
+  def hnStories(documents: DataFrame): DataFrame =
+    hnComments(documents)
+      .groupBy(col("story_id"))
+      .agg(count(lit(1)).as("comment_count"), min(col("day")).as("posted_at"))
+      .withColumn("title", concat(lit("Story "), col("story_id")))
+      .withColumn("score", pmod(col("story_id") * 7, lit(500)))
+      .withColumn("domain",
+        concat(lit("site"), pmod(col("story_id"), lit(3)), lit(".com")))
 
   /** int_hn__comment_keywords (:20-83): one row per (comment, matched
     * keyword) — the 49 literal rlike patterns evaluate in the scan stage and

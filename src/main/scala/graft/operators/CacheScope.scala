@@ -63,10 +63,10 @@ import org.apache.spark.sql.execution.datasources.LogicalRelation
   * correctness depends on materialization (dedupClusters, bpeTrainMerges)
   * therefore run an eager action / localCheckpoint while their cache is
   * provably fresh, never relying on registry survival. (In `parquet` mode
-  * the stage is materialized eagerly at registration, so eviction of the
-  * registry ENTRY only deletes the staging files after `keep` later
-  * registrations — the returned read-back frame must not outlive that
-  * window either.)
+  * the stage is materialized eagerly at registration; evicting the
+  * registry ENTRY only drops the LRU slot — the staging files are kept on
+  * disk until application end, so a read-back frame embedded in a caller's
+  * lazy result keeps scanning valid files even past eviction.)
   *
   * Lifecycle: sessions are weakly referenced, and the whole registry drops
   * on SparkListenerApplicationEnd (parquet staging dirs deleted), so a
@@ -95,6 +95,14 @@ object CacheScope {
 
   // contexts that already carry the application-end cleanup hook
   private val hooked = mutable.Set.empty[org.apache.spark.SparkContext]
+
+  // staging dirs whose registry entry was evicted but whose files must
+  // outlive the eviction: a previously returned read-back frame may still
+  // be embedded in a caller's lazy result, and deleting eagerly would turn
+  // the documented eviction race (cache mode: graceful recompute) into a
+  // FileNotFoundException (parquet mode: hard job failure). Reaped at
+  // application end alongside the live entries.
+  private val deferredDeletes = mutable.Buffer.empty[String]
 
   private def deleteDir(path: String): Unit = {
     def rm(f: java.io.File): Unit = {
@@ -133,6 +141,8 @@ object CacheScope {
               case Staged(_, path) => deleteDir(path)
               case _ => ()
             }
+            deferredDeletes.foreach(deleteDir)
+            deferredDeletes.clear()
             live.clear()
             hooked.clear()
           }
@@ -187,10 +197,14 @@ object CacheScope {
   private def stage(df: DataFrame,
       key: LogicalPlan, reg: mutable.LinkedHashMap[LogicalPlan, Stage]): DataFrame = {
     val dir = stagingDir(df.sparkSession)
-    // semanticHash keys equivalent plans to the same table; the registry
-    // key (full canonicalized plan) disambiguates the unlikely collision
-    // by simply rewriting
-    val path = f"$dir/stage_${key.semanticHash()}%08x"
+    // Path fingerprint = 128-bit MD5 of the full canonicalized plan string,
+    // not the 32-bit semanticHash: equivalent plans still key to the same
+    // table, but two DIFFERENT live plans can no longer collide onto one
+    // path (a 32-bit clash would have silently overwritten the other
+    // entry's files while its registry record kept serving the read-back).
+    val planBytes = key.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val digest = java.security.MessageDigest.getInstance("MD5").digest(planBytes)
+    val path = s"$dir/stage_" + digest.map(b => f"$b%02x").mkString
     // 16 MB row groups: the default 128 MB block means every concurrent
     // writer task buffers ~a block, and 32 local tasks × 128 MB of writer
     // state OOM'd an 8 GB heap at x300 — staging tables are read back
@@ -210,7 +224,9 @@ object CacheScope {
       old match {
         // an external clearCache() may have already dropped it; idempotent
         case Cached(f) => f.unpersist()
-        case Staged(_, p) => deleteDir(p)
+        // files deleted at application end, not now: a caller's lazy
+        // result may still scan them (see deferredDeletes)
+        case Staged(_, p) => deferredDeletes += p
       }
     }
 }

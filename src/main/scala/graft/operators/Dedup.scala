@@ -860,17 +860,19 @@ object Dedup {
       // costing seconds per round and dominating the query.
       // Cluster caveat: localCheckpoint truncates lineage, so a lost
       // executor cannot recompute its blocks — on a real cluster set
-      // `spark.sparkContext.setCheckpointDir` and swap in reliable
-      // `.checkpoint()` (same plan-truncation effect, HDFS-backed blocks);
+      // `spark.sparkContext.setCheckpointDir` and
+      // `spark.graft.checkpoint.reliable=true` so Iterate.materialize swaps
+      // in reliable `.checkpoint()` (same plan-truncation effect, file-
+      // backed blocks; CheckpointRecoverySpec pins the recovery contract);
       // local[*] has no executor loss, so the cheap variant is correct here.
       val edges = dedupMinhashLsh(documents)
         .select(col("doc_id_1"), col("doc_id_2")).cache()
-      val sym = edges.union(
-        edges.select(col("doc_id_2").as("doc_id_1"), col("doc_id_1").as("doc_id_2")))
-        .localCheckpoint(true) // one evaluation of the LSH pipeline, then a leaf
+      // one evaluation of the LSH pipeline, then a leaf
+      val sym = Iterate.materialize(edges.union(
+        edges.select(col("doc_id_2").as("doc_id_1"), col("doc_id_1").as("doc_id_2"))))
       edges.unpersist()
-      var labels = sym.select(col("doc_id_1").as("node")).distinct()
-        .withColumn("label", col("node")).localCheckpoint(true)
+      var labels = Iterate.materialize(sym.select(col("doc_id_1").as("node")).distinct()
+        .withColumn("label", col("node")))
       var converged = false
       var iter = 0
       while (!converged && iter < maxIters) {
@@ -896,7 +898,7 @@ object Dedup {
               least(col("cand"), coalesce(col("cand_label"), col("cand"))).as("label"))
         // materialize + truncate; old_label rides along so the convergence
         // check is a filter-count on the SAME materialized leaf, not a join
-        val updated = jumped.localCheckpoint(true)
+        val updated = Iterate.materialize(jumped)
         val changes = updated.where(col("label") =!= col("old_label")).count()
         if (sys.env.contains("GRAFT_CLUSTERS_DEBUG"))
           System.err.println(s"[clusters] iter=$iter changes=$changes")

@@ -650,8 +650,9 @@ object Similarity {
     * degree table and vertex spine stay lazy for the same reason — they
     * re-derive from the cached edges / a column-pruned parquet scan inside
     * whatever segment evaluates them. Blocks of superseded iterates are
-    * released by the ContextCleaner; on a real cluster swap in reliable
-    * `.checkpoint()` (see dedupClusters).
+    * released by the ContextCleaner; on a real cluster set
+    * `spark.graft.checkpoint.reliable=true` for reliable `.checkpoint()`
+    * (see dedupClusters; CheckpointRecoverySpec pins recovery).
     */
   def graphCentrality(embeddings: DataFrame, iters: Int = 3,
       kmeansK: Option[Int] = None): DataFrame = {
@@ -681,7 +682,7 @@ object Similarity {
       // periodic truncation bounds plan depth without charging short runs
       // an eager materialization barrier per round
       if (r % GraphCheckpointEvery == 0 && r < iters)
-        scores = scores.localCheckpoint(true)
+        scores = Iterate.materialize(scores)
     }
     scores
   }

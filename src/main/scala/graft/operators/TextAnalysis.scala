@@ -214,8 +214,9 @@ object TextAnalysis {
     * 100 TB the corpus enters through the ONE initial word-frequency
     * aggregate, and per-round cost is corpus-independent. The loop runs at
     * a vocabulary-sized shuffle partition count (restored after); like all
-    * localCheckpoint loops, on a real cluster swap in reliable
-    * `.checkpoint()` so executor loss can recover.
+    * localCheckpoint loops, on a real cluster set
+    * `spark.graft.checkpoint.reliable=true` (Iterate.materialize swaps in
+    * reliable `.checkpoint()`) so executor loss can recover.
     */
   def bpeTrainMerges(documents: DataFrame, k: Int = 3): DataFrame = {
     val spark = documents.sparkSession
@@ -237,9 +238,8 @@ object TextAnalysis {
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
     // " a b c " — sentinel spaces make every adjacency a ' x y ' literal.
     // The ONLY corpus-wide evaluation: everything after iterates this leaf.
-    var seqs = words.select(col("w"), col("freq"),
-      concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")).as("seq"))
-      .localCheckpoint(true)
+    var seqs = Iterate.materialize(words.select(col("w"), col("freq"),
+      concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")).as("seq")))
     val pairsOf = {
       val toks = split(trim(col("seq")), " ")
       // guarded: Spark's sequence(1, 0) counts DOWN, so a single-symbol
@@ -272,9 +272,8 @@ object TextAnalysis {
           // apply + re-materialize so round r+1 aggregates a leaf, not a
           // replace chain (rank k included: encode consumers need the final
           // state; one extra vocabulary-sized projection)
-          seqs = seqs.withColumn("seq",
-            expr(s"replace(seq, ' $pair ', ' $merged ')"))
-            .localCheckpoint(true)
+          seqs = Iterate.materialize(seqs.withColumn("seq",
+            expr(s"replace(seq, ' $pair ', ' $merged ')")))
           rules += ((rank.toLong, pair, merged, cnt))
           rank += 1
         }

@@ -154,21 +154,39 @@ object IncrementalSync {
     *    (`skew_salted_sum` is the same two-phase shape for sums;
     *    StreamingSpec pins salted ≡ windowed on a skewed frame.)
     *
-    * Both plans argmax the SAME total order — `(ts, whole-row)`, with a
+    * Both plans argmax the SAME total order — `(ts, fingerprint)`, with a
     * NULL ts ranking below every non-NULL ts (struct field ordering) — so
     * they are result-identical even off-contract: duplicate ts within a
-    * key ties-break on the row itself, and an all-NULL-ts key keeps a real
-    * row on both routes (bare `max_by(_, ts)` would ignore NULL ordering
-    * keys and emit an all-NULL struct on the salted route only; bare
-    * `row_number` over ties would keep a partitioning-dependent row).
+    * key ties-break on a deterministic 64-bit fingerprint of the whole
+    * row, and an all-NULL-ts key keeps a real row on both routes (bare
+    * `max_by(_, ts)` would ignore NULL ordering keys and emit an all-NULL
+    * struct on the salted route only; bare `row_number` over ties would
+    * keep a partitioning-dependent row).
+    *
+    * The tiebreak is a FINGERPRINT, not the packed row itself, for two
+    * reasons. (1) Orderability: struct ordering requires every field to be
+    * orderable, so a raw-row tiebreak rejects any synced table carrying a
+    * map-typed column at analysis — map-bearing columns hash through their
+    * JSON form instead. (2) Bytes: a raw-row tiebreak ships every row
+    * TWICE through the window sort / max_by shuffle — ~2× shuffled bytes
+    * on a wide production table — where the fingerprint adds 8 bytes/row.
+    * Residual: two distinct rows sharing (pk, ts, 64-bit fingerprint)
+    * would tie non-totally (route-dependent winner) — a 2^-64-per-pair
+    * event, and only reachable off the (pk, ts)-unique contract.
     */
   private[graft] def keepLatest(batch: DataFrame, pk: String,
       tsCol: String, salted: Boolean, salts: Int = 16): DataFrame = {
     val cols = batch.columns.toSeq
+    val fields = batch.schema.fields.toSeq
     val packed = struct(cols.map(col): _*)
+    // deterministic 64-bit row fingerprint: hashable columns raw,
+    // map-bearing columns via their JSON form (xxhash64 rejects MapType)
+    def fingerprint(field: String => Column) = xxhash64(fields.map { f =>
+      if (containsMap(f.dataType)) to_json(struct(field(f.name))) else field(f.name)
+    }: _*)
     // total order for "latest": ts first (NULL smallest — struct ordering
-    // compares fields nulls-first), then the full row as tiebreak
-    val ord = struct(col(tsCol).as("__ts"), packed.as("__tie"))
+    // compares fields nulls-first), then the row fingerprint as tiebreak
+    val ord = struct(col(tsCol).as("__ts"), fingerprint(col).as("__tie"))
     if (!salted) {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(pk).orderBy(ord.desc)
@@ -176,7 +194,8 @@ object IncrementalSync {
         .where(col("__rn") === 1).drop("__rn")
     } else {
       def ordOf(row: Column) = struct(
-        row.getField(tsCol).as("__ts"), row.as("__tie"))
+        row.getField(tsCol).as("__ts"),
+        fingerprint(n => row.getField(n)).as("__tie"))
       batch
         .groupBy(col(pk).as("__pk"),
           pmod(xxhash64(col(tsCol)), lit(salts)).as("__salt"))
@@ -184,6 +203,19 @@ object IncrementalSync {
         .groupBy(col("__pk"))
         .agg(max_by(col("__row"), ordOf(col("__row"))).as("__row"))
         .select(cols.map(c => col("__row").getField(c).as(c)): _*)
+    }
+  }
+
+  /** Does `dt` transitively contain a MapType (which neither struct
+    * ordering nor xxhash64 accepts)?
+    */
+  private def containsMap(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: MapType => true
+      case s: StructType => s.fields.exists(f => containsMap(f.dataType))
+      case a: ArrayType => containsMap(a.elementType)
+      case _ => false
     }
   }
 

@@ -118,8 +118,13 @@ final class ObjectStoreFileSystem extends FileSystem {
     Option(dest.getParentFile).foreach(_.mkdirs())
     val tmp = new File(dest.getParentFile,
       s".graftobj-put-${java.util.UUID.randomUUID().toString.take(12)}")
-    val out = Files.newOutputStream(tmp.toPath)
+    // Buffered: FilterOutputStream's inherited write(byte[],off,len) would
+    // otherwise degrade every multi-byte write into per-byte syscalls
+    val out = new java.io.BufferedOutputStream(
+      Files.newOutputStream(tmp.toPath), math.max(bufferSize, 64 << 10))
     val publishOnClose = new java.io.FilterOutputStream(out) {
+      override def write(b: Array[Byte], off: Int, len: Int): Unit =
+        out.write(b, off, len)
       override def close(): Unit = {
         super.close()
         try {

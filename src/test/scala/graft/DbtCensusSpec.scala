@@ -67,15 +67,7 @@ class DbtCensusSpec extends SparkTestBase {
   /** stg_hn__stories from the comment corpus: story grain with derived
     * title/score/domain (stg_hn__stories.sql grain; scores synthetic).
     */
-  private lazy val stories: DataFrame =
-    TextMarts.hnComments(documents)
-      .groupBy(col("story_id"))
-      .agg(count(lit(1)).as("comment_count"), min(col("day")).as("posted_at"))
-      .withColumn("title", concat(lit("Story "), col("story_id")))
-      .withColumn("score", pmod(col("story_id") * 7, lit(500)))
-      // coarse domain (3 values) so the HAVING >= 3 rollup below is
-      // non-vacuous at the 97-story sf0.001 corpus
-      .withColumn("domain", concat(lit("site"), pmod(col("story_id"), lit(3)), lit(".com")))
+  private lazy val stories: DataFrame = TextMarts.hnStories(documents)
 
   /** fct_hn_domain_stats: GROUP BY (week, domain) HAVING story_count >= 3 —
     * the exact reference shape (fct_hn_domain_stats.sql).
@@ -98,13 +90,7 @@ class DbtCensusSpec extends SparkTestBase {
     * TextMarts.fdaEvents): classification hits the reference's exact
     * Class I/II/III domain.
     */
-  private lazy val recalls: DataFrame = orders.select(
-    col("o_orderkey").as("recall_number"),
-    when(pmod(col("o_orderkey"), lit(3)) === 0, "Class I")
-      .when(pmod(col("o_orderkey"), lit(3)) === 1, "Class II")
-      .otherwise("Class III").as("classification"),
-    concat(lit("S"), pmod(col("o_orderkey"), lit(50))).as("state_code"),
-    col("o_orderdate").as("recall_initiation_date"))
+  private lazy val recalls: DataFrame = TextMarts.fdaRecalls(orders)
 
   /** int_fda__recall_topics: recall grain + derived topic
     * (int_fda__recall_topics.sql classifies reason text; topic synthetic).
@@ -162,11 +148,7 @@ class DbtCensusSpec extends SparkTestBase {
       col("l_orderkey").as("pull_request_id"),
       (col("l_suppkey") + 1000).as("author_id"))
 
-  private lazy val linearUsers: DataFrame = customer.select(
-    col("c_custkey").as("user_id"),
-    col("c_name").as("name"),
-    // the dim_users email scheme (Marts.dimUsers) — unique by construction
-    concat(lit("user"), col("c_custkey") * 2, lit("@x.com")).as("email"))
+  private lazy val linearUsers: DataFrame = ModelAdapters.linearUsers(customer)
 
   private def eventRows(eventType: String): DataFrame =
     events.where(col("event_type") === eventType)

@@ -151,13 +151,16 @@ class PlanAuditSpec extends SparkTestBase {
         .queryExecution.executedPlan
       val dagExchanges = dagPlan.collect { case e: Exchange => e }.size
       val reused = dagPlan.collect { case r: ReusedExchangeExec => r }.size
-      // fair comparison: the same digest-wrapped models planned as 16
+      // fair comparison: the same digest-wrapped models planned as ~45
       // separate queries (the digest aggregate itself costs an exchange per
       // model, so comparing against the bare models would overstate)
-      val separate = graft.models.Dag.digestCols.map { case (name, cols) =>
+      val separate = (graft.models.Dag.digestCols.map { case (name, cols) =>
         graft.models.Dag.digestRow(name, SparkEntry.queries(name)(spark, sf), cols)
           .queryExecution.executedPlan.collect { case e: Exchange => e }.size
-      }.sum
+      } ++ graft.models.StagingModels.census.map { e =>
+        graft.models.Dag.digestRow(e.name, e.build(spark, sf), e.digest)
+          .queryExecution.executedPlan.collect { case ex: Exchange => ex }.size
+      }).sum
       assert(reused > 0, s"no ReusedExchange in the DAG plan")
       assert(dagExchanges < separate,
         s"one-program DAG planned $dagExchanges exchanges vs $separate separate " +

@@ -736,8 +736,29 @@ class StreamingSpec extends SparkTestBase {
     val s = salted.collect().map(r => (r.getLong(0), r.getString(2))).toMap
     assert(w.size == 3 && s == w,
       s"routes diverge off-contract: windowed=$w salted=$s")
-    // the all-NULL-ts key keeps a REAL row (the row-tiebreak max), never a
-    // null-struct artifact
-    assert(s(1L) == "b1" && s(2L) == "b2" && s(3L) == "b3")
+    // the all-NULL-ts key keeps a REAL row (the fingerprint-tiebreak max),
+    // never a null-struct artifact; the mixed key keeps the non-NULL ts
+    assert(s(2L) == "b2", "non-NULL ts must beat NULL ts")
+    assert(Set("a1", "b1").contains(s(1L)) && Set("a3", "b3").contains(s(3L)),
+      s"tied keys must keep a real input row: $s")
+  }
+
+  test("keep-latest accepts map-typed columns on both routes") {
+    import org.apache.spark.sql.functions._
+    // struct ordering rejects maps, so a raw-row tiebreak would fail at
+    // analysis for any synced table carrying a map column (CDC payloads
+    // routinely do); the fingerprint tiebreak hashes the map's JSON form
+    val df = spark.createDataFrame(Seq(
+        (1L, 1700000001L, "a"), (1L, 1700000002L, "b"),
+        (2L, 1700000001L, "c")))
+      .toDF("id", "sec", "v")
+      .select(col("id"), timestamp_seconds(col("sec")).as("ts"),
+        map(lit("k"), col("v")).as("payload"))
+    val windowed = IncrementalSync.keepLatest(df, "id", "ts", salted = false)
+    val salted = IncrementalSync.keepLatest(df, "id", "ts", salted = true)
+    val w = windowed.collect().map(r => (r.getLong(0), r.getMap[String, String](2)("k"))).toMap
+    val s = salted.collect().map(r => (r.getLong(0), r.getMap[String, String](2)("k"))).toMap
+    assert(w == Map(1L -> "b", 2L -> "c"), s"windowed route wrong on maps: $w")
+    assert(s == w, s"routes diverge on a map-typed frame: windowed=$w salted=$s")
   }
 }
