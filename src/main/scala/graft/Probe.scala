@@ -103,6 +103,56 @@ object Probe {
       spark.stop(); return
     }
 
+    // keepLatest wide-schema tiebreak A/B (round 12): the r11 total order
+    // packed the WHOLE row into the ordering struct as tiebreak — on a
+    // ~100-column table that ships every row twice through the window sort /
+    // max_by shuffle. The fingerprint tiebreak (xxhash64 of the row) ships
+    // 8 bytes instead. Measure both orderings on both routes, interleaved,
+    // reporting shuffle-write bytes (the claim is a bytes claim).
+    if (sys.env.contains("SPARK_GRAFT_PROBE_KEEPLATEST")) {
+      import org.apache.spark.sql.Column
+      val nRows = 3000000L
+      val nKeys = 200000L // ~15 versions per key
+      val payload = (1 to 48).flatMap { i =>
+        Seq(concat(lit(s"payload_${i}_"), col("id") % 1000).as(s"s$i"),
+          (col("id") * i % 100000).as(s"n$i"))
+      }
+      val wide = spark.range(nRows).select(
+        (Seq(pmod(col("id"), lit(nKeys)).as("pk"),
+          timestamp_seconds(lit(1700000000L) + col("id")).as("ts")) ++ payload): _*)
+        .localCheckpoint(true) // measure the reduction, not the generator
+      val cols = wide.columns.toSeq
+      val packed = struct(cols.map(col): _*)
+      // the r11 ordering: whole packed row as tiebreak
+      def oldWindowed = {
+        val ord = struct(col("ts").as("__ts"), packed.as("__tie"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("pk").orderBy(ord.desc)
+        wide.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
+      }
+      def oldSalted = {
+        val ord = struct(col("ts").as("__ts"), packed.as("__tie"))
+        def ordOf(row: Column) = struct(row.getField("ts").as("__ts"), row.as("__tie"))
+        wide.groupBy(col("pk").as("__pk"), pmod(xxhash64(col("ts")), lit(16)).as("__salt"))
+          .agg(max_by(packed, ord).as("__row"))
+          .groupBy(col("__pk"))
+          .agg(max_by(col("__row"), ordOf(col("__row"))).as("__row"))
+          .select(cols.map(c => col("__row").getField(c).as(c)): _*)
+      }
+      (1 to 3).foreach { r =>
+        time(s"keepLatest-windowed-OLD-rowTie-r$r", iters = 1)(
+          oldWindowed.agg(count(lit(1))).collect()(0))
+        time(s"keepLatest-windowed-NEW-fingerprint-r$r", iters = 1)(
+          graft.streaming.IncrementalSync.keepLatest(wide, "pk", "ts", salted = false)
+            .agg(count(lit(1))).collect()(0))
+        time(s"keepLatest-salted-OLD-rowTie-r$r", iters = 1)(
+          oldSalted.agg(count(lit(1))).collect()(0))
+        time(s"keepLatest-salted-NEW-fingerprint-r$r", iters = 1)(
+          graft.streaming.IncrementalSync.keepLatest(wide, "pk", "ts", salted = true)
+            .agg(count(lit(1))).collect()(0))
+      }
+      spark.stop(); return
+    }
+
     // simhash_fast pair-volume diagnostic: is the x300 slope candidates or constants?
     if (sys.env.contains("SPARK_GRAFT_PROBE_SIMHASH")) {
       val docsS = graft.sources.Tables.documents(spark, sfDir)
