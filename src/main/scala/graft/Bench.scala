@@ -227,6 +227,55 @@ object Bench {
         .map { case (f, rs) =>
           "\"" + f + "\":" + math.rint(rs.flatMap(r => sel(r._2)).sum * 1000) / 1000
         }.mkString("{", ",", "}")
+    // ---- self-attributing re-run (round 12) ------------------------------
+    // The wall-vs-cpu forensic that rounds 10-12 ran by hand, automated: a
+    // family whose WALL total moved >1.3x vs the reference artifact while
+    // its CPU total moved <1.1x carries the host-burst signature (the JVM
+    // was descheduled, the engine didn't regress). Re-measure that family
+    // once at the END of the suite — minutes after its interleaved members
+    // first ran, so the burst has passed — and report the re-run in-band:
+    // rerun ~= reference acquits the burst; rerun ~= the elevated in-suite
+    // reading means the movement is real and needs engine forensics.
+    // Reference = SPARK_GRAFT_BENCH_REF, or ./BENCH_REF.json (committed at
+    // each round's close from an idle-host run).
+    val refPath = sys.env.get("SPARK_GRAFT_BENCH_REF")
+      .getOrElse("BENCH_REF.json")
+    val (flaggedFamilies, familyReruns) = {
+      val f = new java.io.File(refPath)
+      if (!f.isFile) (Seq.empty[String], "{}")
+      else try {
+        val ref = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+        def refMap(field: String): Map[String, Double] = {
+          val node = ref.path(field)
+          val it = node.fieldNames()
+          Iterator.continually(if (it.hasNext) it.next() else null)
+            .takeWhile(_ != null)
+            .map(k => k -> node.path(k).asDouble(0.0)).toMap
+        }
+        val (refWall, refCpu) = (refMap("family_wall"), refMap("family_cpu"))
+        val byFamily = results.groupBy { case (k, _) => family(k) }
+        val flagged = byFamily.toSeq.sortBy(_._1).flatMap { case (fam, rs) =>
+          val wall = rs.flatMap(_._2.med).sum
+          val cpu = rs.flatMap(_._2.cpuMed).sum
+          (refWall.get(fam), refCpu.get(fam)) match {
+            case (Some(rw), Some(rc))
+                if rw > 0.5 && rc > 0 && wall / rw > 1.3 && cpu / rc < 1.1 =>
+              Some(fam)
+            case _ => None
+          }
+        }
+        val reruns = flagged.map { fam =>
+          val rs = byFamily(fam).map { case (name, _) =>
+            val t = once(name, selected.toMap.apply(name))
+            spark.catalog.clearCache()
+            "\"" + name + "\":" + t.map(_._1.toString).getOrElse("null")
+          }
+          "\"" + fam + "\":" + rs.mkString("{", ",", "}")
+        }.mkString("{", ",", "}")
+        (flagged, reruns)
+      } catch { case _: Throwable => (Seq.empty[String], "{}") }
+    }
+    val flaggedJson = flaggedFamilies.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
       s"""{"metric":"total","value":$warmTotal,"unit":"sec","warm_iters":$warmIters,""" +
         s""""spread_limit":$spreadLimit,"max_iters":$maxIters,""" +
@@ -237,6 +286,7 @@ object Bench {
         s""""total_cpu":$cpuTotal,"shuffle_partitions":$shufflePartitions,""" +
         s""""order":"md5-interleaved","family_wall":${fmap(_.med)},""" +
         s""""family_cpu":${fmap(_.cpuMed)},""" +
+        s""""flagged_families":$flaggedJson,"family_reruns":$familyReruns,""" +
         s""""errors":$errJson,"loadavg_end":"$loadAvg","scratch":"$scratchPath","sf":"$sfDir"}"""
     // full per-query timings go to a file; stdout gets a COMPACT line.
     // The driver keeps only the last ~2000 chars of stdout, and the full
