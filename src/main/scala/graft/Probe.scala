@@ -24,13 +24,20 @@ object Probe {
     var memSpill, diskSpill, gcMs, shuffleWrite, peakExec, tasks = 0L
     // per-stage spill attribution: stageId -> (spill bytes, tasks)
     val stageSpill = scala.collection.mutable.Map.empty[Int, (Long, Long)]
+    // per-stage cpu attribution: stageId -> (executor cpu ns, run ms, tasks)
+    val stageCpu = scala.collection.mutable.Map.empty[Int, (Long, Long, Long)]
     val stageNames = scala.collection.mutable.Map.empty[Int, String]
     override def onStageSubmitted(
         s: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
       synchronized {
-        // first line of the stage's physical-plan detail names the operator
+        // the RDD operation scopes name the physical operators the stage
+        // executes (Scan/Exchange/WholeStageCodegen spans); the plan-detail
+        // first line is just the collect() call site
+        val scopes = s.stageInfo.rddInfos.flatMap(r => r.scope.map(_.name))
+          .distinct.mkString("|").take(110)
         stageNames(s.stageInfo.stageId) =
-          s.stageInfo.details.linesIterator.take(1).mkString.take(120)
+          if (scopes.nonEmpty) scopes
+          else s.stageInfo.details.linesIterator.take(1).mkString.take(110)
       }
     override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
       val m = t.taskMetrics
@@ -43,11 +50,13 @@ object Probe {
         tasks += 1
         val (s0, n0) = stageSpill.getOrElse(t.stageId, (0L, 0L))
         stageSpill(t.stageId) = (s0 + m.memoryBytesSpilled, n0 + 1)
+        val (c0, r0, t0) = stageCpu.getOrElse(t.stageId, (0L, 0L, 0L))
+        stageCpu(t.stageId) = (c0 + m.executorCpuTime, r0 + m.executorRunTime, t0 + 1)
       }
     }
     def reset(): Unit = synchronized {
       memSpill = 0; diskSpill = 0; gcMs = 0; shuffleWrite = 0; peakExec = 0; tasks = 0
-      stageSpill.clear(); stageNames.clear()
+      stageSpill.clear(); stageCpu.clear(); stageNames.clear()
     }
     def report: String = synchronized {
       f"spillMem=${memSpill / 1e9}%.1fGB spillDisk=${diskSpill / 1e9}%.1fGB " +
@@ -58,6 +67,13 @@ object Probe {
       stageSpill.toSeq.filter(_._2._1 > 0).sortBy(-_._2._1).take(5).map {
         case (id, (sp, n)) =>
           f"\n[probe]   stage $id spill=${sp / 1e9}%.1fGB tasks=$n ${stageNames.getOrElse(id, "?")}"
+      }.mkString
+    }
+    def cpuStages: String = synchronized {
+      stageCpu.toSeq.sortBy(-_._2._1).take(8).map {
+        case (id, (cpuNs, runMs, n)) =>
+          f"\n[probe]   stage $id cpu=${cpuNs / 1e9}%.0fs run=${runMs / 1e3}%.0fs " +
+            f"tasks=$n ${stageNames.getOrElse(id, "?")}"
       }.mkString
     }
   }
@@ -90,7 +106,7 @@ object Probe {
       Thread.sleep(300)
       println(f"[probe] $name run$i: $wall%.2f s " +
         f"cpu $cpu%.1f s  ${probe.report} ($r)" +
-        probe.spillStages)
+        probe.spillStages + probe.cpuStages)
     }
 
     // dump registry query schemas (dev aid for digest-column selection)
@@ -99,6 +115,39 @@ object Probe {
         val df = SparkEntry.queries(n.trim)(spark, sfDir)
         println(s"[schema] $n :: " + df.schema.map(f =>
           s"${f.name}:${f.dataType.simpleString}").mkString(", "))
+      }
+      spark.stop(); return
+    }
+
+    // generic isolating diagnostic (round 12, used for the x1000 scale
+    // points): run the named registry queries in THIS fresh JVM under the
+    // bench's session shape (adaptive shuffle partitions, TopK strategies,
+    // auto staging, tmpfs scratch), 1 cold + 3 warm each, with cpu and
+    // task-metrics alongside wall — the same methodology as the r11 x300
+    // text diagnostics, so slope rows are comparable across rounds.
+    sys.env.get("SPARK_GRAFT_PROBE_QUERIES").foreach { names =>
+      graft.plans.TopK.installAll(spark)
+      if (new java.io.File("/dev/shm").canWrite)
+        spark.conf.set("spark.graft.scratch", "/dev/shm/graft_probe")
+      spark.conf.set("spark.graft.staging",
+        sys.env.getOrElse("SPARK_GRAFT_STAGING", "auto"))
+      // multiple dirs (SPARK_GRAFT_PROBE_DIRS) interleave scale points
+      // within ONE JVM — cross-process host drift cannot land on one scale
+      val dirs = sys.env.get("SPARK_GRAFT_PROBE_DIRS")
+        .map(_.split(",").toSeq.map(_.trim)).getOrElse(Seq(sfDir))
+      val partsOf = dirs.map(d => d -> Tuning.adaptiveShufflePartitions(d, 32)).toMap
+      println(s"[probe] queries mode: dirs=$dirs partitions=$partsOf")
+      def runOnce(n: String, d: String, tag: String): Unit = {
+        spark.conf.set("spark.sql.shuffle.partitions", partsOf(d))
+        time(s"$n@$tag", iters = 1)(
+          SparkEntry.queries(n)(spark, d).agg(count(lit(1))).collect()(0))
+      }
+      names.split(",").map(_.trim).filter(_.nonEmpty).foreach { n =>
+        for (d <- dirs) runOnce(n, d, s"${new java.io.File(d).getName}-cold")
+        (1 to 3).foreach { i =>
+          for (d <- dirs) runOnce(n, d, s"${new java.io.File(d).getName}-warm$i")
+        }
+        spark.catalog.clearCache()
       }
       spark.stop(); return
     }
