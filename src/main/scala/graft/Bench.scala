@@ -39,6 +39,11 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
+      // keep AQE's coalescing from merging reduce partitions back past the
+      // adaptive count on sort-heavy stages (Tuning.advisoryPartitionBytes
+      // scaladoc: measured 1.27-1.55x cpu at x1000; inert at driver sfs)
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        Tuning.advisoryPartitionBytes)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -127,24 +127,44 @@ object Probe {
     // text diagnostics, so slope rows are comparable across rounds.
     sys.env.get("SPARK_GRAFT_PROBE_QUERIES").foreach { names =>
       graft.plans.TopK.installAll(spark)
-      if (new java.io.File("/dev/shm").canWrite)
-        spark.conf.set("spark.graft.scratch", "/dev/shm/graft_probe")
+      // tmpfs scratch by default (the bench's choice); SPARK_GRAFT_SCRATCH
+      // overrides — at x1000 a staged DAG build can outgrow /dev/shm
+      val scratch = sys.env.get("SPARK_GRAFT_SCRATCH")
+        .orElse(if (new java.io.File("/dev/shm").canWrite)
+          Some("/dev/shm/graft_probe") else None)
+      scratch.foreach(spark.conf.set("spark.graft.scratch", _))
       spark.conf.set("spark.graft.staging",
         sys.env.getOrElse("SPARK_GRAFT_STAGING", "auto"))
+      val warmIters = sys.env.getOrElse("SPARK_GRAFT_PROBE_ITERS", "3").toInt
       // multiple dirs (SPARK_GRAFT_PROBE_DIRS) interleave scale points
       // within ONE JVM — cross-process host drift cannot land on one scale
       val dirs = sys.env.get("SPARK_GRAFT_PROBE_DIRS")
         .map(_.split(",").toSeq.map(_.trim)).getOrElse(Seq(sfDir))
       val partsOf = dirs.map(d => d -> Tuning.adaptiveShufflePartitions(d, 32)).toMap
-      println(s"[probe] queries mode: dirs=$dirs partitions=$partsOf")
+      // optional conf sweep ("key=v1,v2,..."): each value interleaved per
+      // iteration, same-JVM, for A/Bing a runtime-settable session knob
+      val sweep = sys.env.get("SPARK_GRAFT_PROBE_SWEEP").map { s =>
+        val Array(k, vs) = s.split("=", 2); k -> vs.split(",").toSeq
+      }
+      println(s"[probe] queries mode: dirs=$dirs partitions=$partsOf sweep=$sweep")
       def runOnce(n: String, d: String, tag: String): Unit = {
         spark.conf.set("spark.sql.shuffle.partitions", partsOf(d))
-        time(s"$n@$tag", iters = 1)(
-          SparkEntry.queries(n)(spark, d).agg(count(lit(1))).collect()(0))
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+          Tuning.advisoryPartitionBytes)
+        val confs = sweep match {
+          case Some((k, vs)) => vs.map(v => Some((k, v)))
+          case None => Seq(None)
+        }
+        confs.foreach { c =>
+          c.foreach { case (k, v) => spark.conf.set(k, v) }
+          val ctag = c.map { case (_, v) => s"-$v" }.getOrElse("")
+          time(s"$n@$tag$ctag", iters = 1)(
+            SparkEntry.queries(n)(spark, d).agg(count(lit(1))).collect()(0))
+        }
       }
       names.split(",").map(_.trim).filter(_.nonEmpty).foreach { n =>
         for (d <- dirs) runOnce(n, d, s"${new java.io.File(d).getName}-cold")
-        (1 to 3).foreach { i =>
+        (1 to warmIters).foreach { i =>
           for (d <- dirs) runOnce(n, d, s"${new java.io.File(d).getName}-warm$i")
         }
         spark.catalog.clearCache()

@@ -40,6 +40,28 @@ object Tuning {
     */
   val TargetShuffleBytesPerPartition: Long = 48L << 20
 
+  /** AQE coalescing advisory (`spark.sql.adaptive.
+    * advisoryPartitionSizeInBytes`), deliberately BELOW the shuffle
+    * sizing target: with Spark's default 64 MB advisory, AQE merges
+    * reduce partitions back up past the count the formula above chose,
+    * and a sort-heavy reduce stage (window frames, SMJ) then rebuilds
+    * the per-task-state spill the formula exists to prevent — compressed
+    * shuffle bytes decode ~5× into UnsafeRow sort state, so 64 MB
+    * compressed ≈ 340 MB of sort per task, past the ~450 MB/thread
+    * execution-memory fair share at 0.75 GB/core. Measured at x1000
+    * (17 GB, same-JVM interleaved A/B, docs/SCALE.md § "x1000 advisory"):
+    * 16 MB vs the default 64 MB reads fct_stock_prices 1299 vs 1919
+    * cpu-s with the 41.8 GB window-sort spill eliminated, and
+    * fct_reviewer_activity 3681 vs 4657 (mins) with its 8 GB spill
+    * eliminated. Below ~2 GB of shuffle the knob is inert:
+    * `parallelismFirst` (default true) already coalesces to the core
+    * count, so driver-scale bench behavior is untouched.
+    * `SPARK_GRAFT_ADVISORY_BYTES` overrides for A/B measurement.
+    */
+  def advisoryPartitionBytes: Long =
+    sys.env.get("SPARK_GRAFT_ADVISORY_BYTES").map(_.trim.toLong)
+      .getOrElse(16L << 20)
+
   /** Recursive on-disk size of a data directory (plain IO — callable before
     * the SparkSession exists, since `spark.sql.shuffle.partitions` is best
     * set at build time).

@@ -14,6 +14,8 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions",
         Tuning.adaptiveShufflePartitions(sfDir, cpus.toInt))
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        Tuning.advisoryPartitionBytes)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
