@@ -199,6 +199,11 @@ object SparkEntry {
     // candidates vs the baseline's n^2/2^8 — see docs/SCALE.md x100 table
     "dedup_embedding_lsh_wide" -> ((s, d) =>
       Dedup.dedupEmbeddingLshWide(Tables.embeddings(s, d))),
+    // corpus-sized banding: constant expected bucket occupancy keeps the
+    // candidate volume linear in n (the fixed-16-bit form measured ~K²
+    // within-bucket growth at x1000 — docs/SCALE.md)
+    "dedup_embedding_lsh_auto" -> ((s, d) =>
+      Dedup.dedupEmbeddingLshAuto(Tables.embeddings(s, d))),
     // extensions: similarity search
     "sim_search_bruteforce" -> ((s, d) => Similarity.simSearchBruteforce(Tables.embeddings(s, d))),
     "sim_search_lsh" -> ((s, d) => Similarity.simSearchLsh(Tables.embeddings(s, d))),

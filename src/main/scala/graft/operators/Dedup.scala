@@ -1003,6 +1003,68 @@ object Dedup {
       .distinct()
   }
 
+  /** `dedup_embedding_lsh_auto`: [[dedupEmbeddingLshWide]] with the band
+    * geometry sized from the CORPUS instead of fixed constants. Fixed
+    * 16-bit bands have a quadratic tail: expected candidate pairs are
+    * n²·bands/2^bits, so holding bits constant while n grows K× grows
+    * within-bucket work K² — measured at x1000 (17 GB, docs/SCALE.md
+    * § "x1000 dedup"): the fixed-16-bit form reads ~8.8× cpu for 3.3×
+    * vectors. Constant expected bucket OCCUPANCY (n/2^bits ≈ 8) keeps
+    * candidate volume ∝ n·bands·occupancy — linear by construction:
+    * bits = clamp(⌈log2(n/8)⌉, 8, 21), bands = min(4, 64/bits) (the
+    * signature packs one 64-bit long — Similarity.bandBucketsCol). The
+    * recall tradeoff is explicit and slow: candidate recall for per-plane
+    * agreement p is 1−(1−p^bits)^bands (standard LSH banding analysis,
+    * e.g. Leskovec/Rajaraman/Ullman MMDS ch.3), so each +1 bit multiplies
+    * per-band recall by p ≈ 0.9 at the 0.95-cosine frontier while halving
+    * cost; production retunes occupancy per corpus rather than letting
+    * cost grow quadratically. The oracle computes the SAME geometry from
+    * COUNT(*) in SQL, so the adaptive path is hash-verified end-to-end,
+    * not just the formula.
+    */
+  def dedupEmbeddingLshAuto(embeddings: DataFrame,
+      targetOccupancy: Int = AutoOccupancy): DataFrame = {
+    val bits = autoBandBits(embeddings.count(), targetOccupancy)
+    dedupEmbeddingLshWide(embeddings, bits, autoBands(bits))
+  }
+
+  private[operators] val AutoOccupancy = 8
+  private[graft] def autoBandBits(n: Long, targetOccupancy: Int): Int =
+    math.max(8, math.min(21, math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetOccupancy)) / math.log(2.0)).toInt))
+  private[graft] def autoBands(bits: Int): Int = math.min(4, 64 / bits)
+
+  // the SAME geometry formulas in SQL (bits from COUNT(*), bands from
+  // bits), so the oracle tracks the operator under any corpus size
+  private val embeddingLshAutoOracle: String =
+    s"""WITH ${Similarity.quantCte},
+       |params AS (
+       |  SELECT bits, LEAST(4, 64 // bits) AS bands FROM (
+       |    SELECT GREATEST(8, LEAST(21, CAST(CEIL(LOG2(GREATEST(
+       |      CAST(COUNT(*) AS DOUBLE) / $AutoOccupancy, 1.0))) AS INTEGER))) AS bits
+       |    FROM n)),
+       |planes AS (
+       |  SELECT j, list_transform(range(0, 64), d ->
+       |    (j * 131 + d * 37) % 19 - 9 + ((j * 67 + d * 29) % 17 - 8) * 19) AS plane
+       |  FROM range(0, 84) t(j), params WHERE j < bands * bits),
+       |sb AS (
+       |  SELECT n.vec_id, n.q, n.norm2, p.j,
+       |         CASE WHEN list_sum(list_transform(list_zip(n.q, p.plane),
+       |                z -> z[1] * z[2])) >= 0 THEN 1 ELSE 0 END AS s
+       |  FROM n CROSS JOIN planes p),
+       |bucketed AS (
+       |  SELECT vec_id, q, norm2, j // bits AS band,
+       |         CAST(SUM(CASE WHEN s = 1 THEN 1 << CAST(j % bits AS INTEGER)
+       |                  ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM sb, params GROUP BY vec_id, q, norm2, j // bits),
+       |pairs AS (
+       |  SELECT DISTINCT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
+       |         CAST(list_sum(list_transform(list_zip(a.q, b.q), z -> z[1] * z[2])) AS DOUBLE)
+       |           / (SQRT(CAST(a.norm2 AS DOUBLE)) * SQRT(CAST(b.norm2 AS DOUBLE))) AS cosine
+       |  FROM bucketed a JOIN bucketed b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |SELECT vec_id_1, vec_id_2, cosine FROM pairs WHERE cosine >= 0.95""".stripMargin
+
   // parameterized by the SAME constants as dedupEmbeddingLshWide's defaults
   private val embeddingLshWideOracle: String =
     s"""WITH ${Similarity.quantCte},
@@ -1087,6 +1149,7 @@ object Dedup {
     "dedup_clusters" -> clustersOracle,
     "dedup_embedding_lsh" -> embeddingLshOracle,
     "dedup_embedding_lsh_wide" -> embeddingLshWideOracle,
+    "dedup_embedding_lsh_auto" -> embeddingLshAutoOracle,
     "dedup_minhash_lsh" -> minhashOracle,
     "dedup_cross_source" -> crossSourceOracle,
     // seeded-recall audits of the xxhash fast twins: the oracle computes

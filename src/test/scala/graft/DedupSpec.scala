@@ -179,6 +179,28 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("dedup_embedding_lsh_auto: corpus-sized geometry; identical vectors always recalled") {
+    import org.apache.spark.sql.functions.col
+    // geometry formulas: constant expected bucket occupancy (n/2^bits ~ 8)
+    // within the one-long signature budget (bands*bits <= 64)
+    assert(Dedup.autoBandBits(600, 8) === 8) // clamps low (= oracled baseline width)
+    assert(Dedup.autoBandBits(1L << 20, 8) === 17) // 2^20/8 = 2^17
+    assert(Dedup.autoBandBits(Long.MaxValue, 8) === 21) // clamps at the packing budget
+    assert(Dedup.autoBands(16) === 4)
+    assert(Dedup.autoBands(21) === 3)
+    // identical vectors have identical signatures at ANY geometry, collide
+    // in every band, and verify at cosine 1 — the seeded-recall floor the
+    // fast text twins also pin
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val clones = emb.where(col("vec_id") < 5)
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+    val found = Dedup.dedupEmbeddingLshAuto(emb.unionByName(clones))
+      .where(col("vec_id_2") === col("vec_id_1") + 1000000L)
+      .select($"vec_id_1", $"vec_id_2", $"cosine").as[(Long, Long, Double)].collect()
+    assert(found.length === 5, s"every identical clone pair must be recalled: ${found.toSeq}")
+    assert(found.forall(_._3 > 0.9999))
+  }
+
   test("knn_graph recall vs exact all-pairs top-k truth on the testdata corpus") {
     val emb = graft.sources.Tables.embeddings(spark, sf)
     // exact top-3 neighbor edges per point (quadratic — small SF only)
