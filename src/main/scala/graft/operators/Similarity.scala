@@ -619,6 +619,30 @@ object Similarity {
         col("rank").cast("long").as("rank"))
   }
 
+  /** `knn_graph_auto` / `mine_hard_negatives_auto`: the corpus-sized form
+    * of the kNN operators' blocking, registered and oracled. The fixed
+    * multiprobe default is Θ(N²/28) — fine for the oracled baseline,
+    * quadratic at corpus scale (the x100 point measured 27× cpu for 10×
+    * data; at x300 it stops terminating usefully). [[knnBlocked]]'s
+    * documented production path is k-means (IVF) blocking with k ∝ √N:
+    * training costs N·k per pass and the block self-join costs N²/k, so
+    * √N balances them at Θ(N^1.5) — the standard IVF scaling law. These
+    * variants pick k = clamp(⌈√N⌉, 16, 4096) from the corpus and reuse
+    * the exact-integer [[trainKmeans]]/[[clusterCol]] machinery, so the
+    * DuckDB twin reproduces the whole pipeline — init, two truncating-
+    * division training iterations, argmin assignment, block self-join,
+    * rank — with k computed from COUNT(*) in SQL (the min-trick bound is
+    * a constant 8192 > the k clamp, so the arithmetic stays exact).
+    */
+  def knnGraphAuto(embeddings: DataFrame, k: Int = 3): DataFrame =
+    knnGraph(embeddings, k, kmeansK = Some(autoKmeansK(embeddings.count())))
+
+  def mineHardNegativesAuto(embeddings: DataFrame, k: Int = 3): DataFrame =
+    mineHardNegatives(embeddings, k, kmeansK = Some(autoKmeansK(embeddings.count())))
+
+  private[graft] def autoKmeansK(n: Long): Int =
+    math.max(16, math.min(4096, math.ceil(math.sqrt(n.toDouble)).toInt))
+
   private val GraphCheckpointEvery = 8
 
   /** `graph_centrality`: fixed-iteration PageRank over the kNN graph —
@@ -900,7 +924,8 @@ object Similarity {
     * independent trainings (the PQ subspaces) can coexist in one WITH.
     */
   private def kmeansIterSql(
-      i: Int, prev: String, tag: String, nTable: String, dim: Int): String =
+      i: Int, prev: String, tag: String, nTable: String, dim: Int,
+      bound: Int = 32): String =
     s"""s$i$tag AS (
        |  SELECT n.vec_id, n.q, c.cid,
        |         list_sum(list_transform(c.q, x -> x * x))
@@ -908,7 +933,7 @@ object Similarity {
        |  FROM $nTable n CROSS JOIN $prev c),
        |a$i$tag AS (
        |  SELECT vec_id, q,
-       |         CAST(((MIN(score * 32 + cid) % 32) + 32) % 32 AS BIGINT) AS cluster
+       |         CAST(((MIN(score * $bound + cid) % $bound) + $bound) % $bound AS BIGINT) AS cluster
        |  FROM s$i$tag GROUP BY vec_id, q),
        |u$i$tag AS (
        |  SELECT cluster, d.d, SUM(q[CAST(d.d + 1 AS INT)]) AS s, COUNT(*) AS cnt
