@@ -149,6 +149,89 @@ out.append("`rows-only` queries are bench-only `_fast` production-hash twins "
            "whose exact-hash sibling is DuckDB-oracled, spec-gated for "
            "recall/identity in src/test (DedupSpec, SimilaritySpec).")
 out.append("")
+
+# ---- serve-loader census: the reference dashboard's 26 cached loaders
+# (data.py:26-408), each mapped to the registry query that covers its shape.
+# Format: (loader, data.py line, reference relation, covering queries, note).
+LOADERS = [
+ ("load_issues", 27, "linear.fct_issues",
+  ["fct_issues", "sort_model_output"],
+  "projected mart read, ORDER BY updated_at DESC"),
+ ("load_pull_requests", 57, "github.fct_pull_requests",
+  ["fct_pull_requests"], "SELECT * mart read"),
+ ("load_oura_daily", 69, "oura.fct_oura_daily",
+  ["fct_oura_daily"], "SELECT * mart read"),
+ ("load_reviewer_activity", 81, "github.fct_reviewer_activity",
+  ["fct_reviewer_activity"], "SELECT * mart read"),
+ ("load_review_matrix", 93, "fct_pull_requests + fct_reviewer_activity",
+  ["join_semi_recent"],
+  "30-day recent-PR semi-join + reviewer COUNT(DISTINCT pr) matrix"),
+ ("load_hn_weekly_stats", 130, "hacker_news.fct_hn_weekly_stats",
+  ["agg_weekly_stats"], "mart read (model = the weekly-agg shape)"),
+ ("load_hn_domain_stats", 142, "hacker_news.fct_hn_domain_stats",
+  ["agg_having"], "mart read (model = group+HAVING shape)"),
+ ("load_hn_keyword_trends", 154, "hacker_news.fct_hn_keyword_trends",
+  ["join_cross_regex"], "mart read (model = regex keyword cross-join)"),
+ ("load_keyword_trends", 166, "trends.fct_keyword_trends",
+  ["fct_keyword_trends"], "SELECT * mart read"),
+ ("load_hn_keyword_sentiment", 178, "hacker_news.fct_hn_keyword_sentiment",
+  ["fct_hn_keyword_sentiment"], "SELECT * mart read"),
+ ("load_fda_recalls_by_state", 190, "fda_food.fct_fda_recalls_by_state",
+  ["struct_arr_lookup"], "mart read (model = code->name lookup rollup)"),
+ ("load_fda_recalls_raw", 202, "fda_food.stg_fda__recalls",
+  ["dag_full_build"], "staging view read (stg_fda__recalls census row)"),
+ ("load_fda_recalls_by_topic", 214, "fda_food.fct_fda_recalls_by_topic",
+  ["union_all_rollup"], "mart read (model = UNION ALL rollup shape)"),
+ ("load_fda_recall_topics", 226, "fda_food.int_fda__recall_topics",
+  ["arr_build_filtered"], "intermediate read (flag->label array build)"),
+ ("load_iowa_liquor_monthly", 238, "iowa_liquor.fct_sales_monthly",
+  ["agg_multikey"], "mart read (model = multi-key monthly agg)"),
+ ("load_iowa_liquor_by_county", 250, "iowa_liquor.fct_sales_by_county",
+  ["fct_sales_by_county"], "SELECT * mart read"),
+ ("load_iowa_liquor_vendors", 262, "iowa_liquor.fct_top_vendors",
+  ["fct_top_vendors"], "SELECT * mart read"),
+ ("load_fda_events_by_reaction", 274, "fda_food.fct_fda_events_by_reaction",
+  ["fct_fda_events_by_reaction"], "SELECT * mart read"),
+ ("load_fda_events_by_product", 286, "fda_food.fct_fda_events_by_product",
+  ["join_topk_back"], "mart read (model = top-k back-join shape)"),
+ ("load_fda_events_monthly", 298, "fda_food.fct_fda_events_monthly",
+  ["agg_countif"], "mart read (model = COUNTIF battery)"),
+ ("load_fda_event_reactions", 310, "fda_food.int_fda__food_event_reactions",
+  ["int_fda_reactions"], "SELECT * intermediate read"),
+ ("load_fda_events_monthly_by_industry", 322,
+  "fda_food.int_fda__food_event_reactions",
+  ["agg_count_distinct_if", "agg_countif"],
+  "monthly COUNTIF battery + COUNT(DISTINCT CASE WHEN REGEXP ...)"),
+ ("load_fda_events_by_gender", 345, "fda_food.fct_fda_events_by_gender",
+  ["gender_clean"], "mart read (model = gender normalize + rollup)"),
+ ("load_fda_events_monthly_by_gender", 357,
+  "fda_food.int_fda__food_event_reactions",
+  ["gender_clean", "agg_count_distinct_if"],
+  "gender CASE normalize + monthly COUNTIF battery"),
+ ("load_stock_prices", 388, "stocks.fct_stock_prices",
+  ["fct_stock_prices"], "SELECT * mart read"),
+ ("load_sector_performance", 400, "stocks.fct_sector_performance",
+  ["fct_sector_performance"], "SELECT * mart read"),
+]
+unmapped = [(l, q) for l, _, _, qs, _ in LOADERS for q in qs
+            if q not in registry]
+assert not unmapped, f"census names unregistered queries: {unmapped}"
+out.append("## Appendix: serve-loader census (reference `data.py`)")
+out.append("")
+out.append(f"All {len(LOADERS)} cached dashboard loaders (data.py:26-408), "
+           "each mapped to the registry quer(ies) covering its read shape "
+           "and the model it serves. The cached-serve mechanics themselves "
+           "(parameterized read + in-session cache) are `serve_query`; "
+           "sorted serving is `sort_model_output`/`limit_param`. Every "
+           "model named below is also digest-verified inside "
+           "`dag_full_build`'s 45-model census.")
+out.append("")
+out.append("| loader (data.py) | reference relation | covered by | shape |")
+out.append("|---|---|---|---|")
+for loader, line, rel, qs, note in LOADERS:
+    cov = ", ".join(f"`{q}`" for q in qs)
+    out.append(f"| `{loader}` (:{line}) | {rel} | {cov} | {note} |")
+out.append("")
 open(f"{REPO}/docs/COVERAGE.md", "w").write("\n".join(out) + "\n")
 print(f"wrote docs/COVERAGE.md: {len(names)} rows, {n_pass} pass, "
       f"{len(missing_sec)} §2 ids missing")

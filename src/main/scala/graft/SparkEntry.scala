@@ -193,22 +193,34 @@ object SparkEntry {
     "dedup_containment" -> ((s, d) => Dedup.dedupContainment(Tables.documents(s, d))),
     "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(Tables.documents(s, d))),
     "dedup_simhash" -> ((s, d) => Dedup.dedupSimhash(Tables.documents(s, d))),
-    "dedup_embedding_cosine" -> ((s, d) => Dedup.dedupEmbeddingCosine(Tables.embeddings(s, d))),
-    "dedup_embedding_lsh" -> ((s, d) => Dedup.dedupEmbeddingLsh(Tables.embeddings(s, d))),
+    // plantNearDupes: the fixture has no natural >=0.95-cosine pair at any
+    // sf, so each query preps deterministic planted companions (mirrored
+    // in the oracle CTE) — without them all four oracles certify 0 = 0
+    "dedup_embedding_cosine" -> ((s, d) =>
+      Dedup.dedupEmbeddingCosine(Dedup.plantNearDupes(Tables.embeddings(s, d)))),
+    "dedup_embedding_lsh" -> ((s, d) =>
+      Dedup.dedupEmbeddingLsh(Dedup.plantNearDupes(Tables.embeddings(s, d)))),
     // the corpus-scale banding (4 tables x 16 sign bits): n^2*4/2^16
     // candidates vs the baseline's n^2/2^8 — see docs/SCALE.md x100 table
     "dedup_embedding_lsh_wide" -> ((s, d) =>
-      Dedup.dedupEmbeddingLshWide(Tables.embeddings(s, d))),
+      Dedup.dedupEmbeddingLshWide(Dedup.plantNearDupes(Tables.embeddings(s, d)))),
     // corpus-sized banding: constant expected bucket occupancy keeps the
     // candidate volume linear in n (the fixed-16-bit form measured ~K²
     // within-bucket growth at x1000 — docs/SCALE.md)
     "dedup_embedding_lsh_auto" -> ((s, d) =>
-      Dedup.dedupEmbeddingLshAuto(Tables.embeddings(s, d))),
+      Dedup.dedupEmbeddingLshAuto(Dedup.plantNearDupes(Tables.embeddings(s, d)))),
     // extensions: similarity search
     "sim_search_bruteforce" -> ((s, d) => Similarity.simSearchBruteforce(Tables.embeddings(s, d))),
     "sim_search_lsh" -> ((s, d) => Similarity.simSearchLsh(Tables.embeddings(s, d))),
     "sim_search_ivf" -> ((s, d) => Similarity.simSearchIvf(Tables.embeddings(s, d))),
     "knn_graph" -> ((s, d) => Similarity.knnGraph(Tables.embeddings(s, d))),
+    // corpus-sized √N-kmeans blocking (Θ(N^1.5) — the production path; the
+    // plain forms' fixed multiprobe blocking is Θ(N²/2⁸), docs/SCALE.md)
+    "knn_graph_auto" -> ((s, d) => Similarity.knnGraphAuto(Tables.embeddings(s, d))),
+    "mine_hard_negatives_auto" -> ((s, d) =>
+      Similarity.mineHardNegativesAuto(Tables.embeddings(s, d))),
+    "graph_centrality_auto" -> ((s, d) =>
+      Similarity.graphCentralityAuto(Tables.embeddings(s, d))),
     // fixed-point PageRank over the kNN graph (curation hub signal)
     "graph_centrality" -> ((s, d) => Similarity.graphCentrality(Tables.embeddings(s, d))),
     "embed_pq" -> ((s, d) => Similarity.embedPq(Tables.embeddings(s, d))),

@@ -59,7 +59,14 @@ object Tuning {
     * `SPARK_GRAFT_ADVISORY_BYTES` overrides for A/B measurement.
     */
   def advisoryPartitionBytes: Long =
-    sys.env.get("SPARK_GRAFT_ADVISORY_BYTES").map(_.trim.toLong)
+    sys.env.get("SPARK_GRAFT_ADVISORY_BYTES")
+      .flatMap { raw =>
+        val parsed = raw.trim.toLongOption.filter(_ > 0)
+        if (parsed.isEmpty)
+          System.err.println(s"[graft] ignoring SPARK_GRAFT_ADVISORY_BYTES="
+            + s"'$raw' (not a positive long); using 16 MB default")
+        parsed
+      }
       .getOrElse(16L << 20)
 
   /** Recursive on-disk size of a data directory (plain IO — callable before
@@ -77,7 +84,14 @@ object Tuning {
     * `floor` (the core count locally; on a cluster, total executor cores).
     */
   def adaptiveShufflePartitions(dataDir: String, floor: Int): Int =
-    sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS").map(_.trim.toInt).getOrElse(
-      math.max(floor,
+    sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+      .flatMap { raw =>
+        val parsed = raw.trim.toIntOption.filter(_ > 0)
+        if (parsed.isEmpty)
+          System.err.println(s"[graft] ignoring SPARK_GRAFT_SHUFFLE_PARTITIONS="
+            + s"'$raw' (not a positive int); using the adaptive formula")
+        parsed
+      }
+      .getOrElse(math.max(floor,
         (dirBytes(dataDir) / TargetShuffleBytesPerPartition).toInt))
 }

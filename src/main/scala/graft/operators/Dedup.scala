@@ -643,6 +643,42 @@ object Dedup {
   private def cosine(dot: Column, n1: Column, n2: Column): Column =
     dot.cast(DoubleType) / (sqrt(n1.cast(DoubleType)) * sqrt(n2.cast(DoubleType)))
 
+  /** Deterministic ≥0.95-cosine companions planted into the embeddings
+    * corpus — the registered `dedup_embedding_*` queries' prep step. The
+    * driver's synthetic embeddings contain NO natural pair above the 0.95
+    * frontier at any sf, so without planting all four oracles certify
+    * emptiness (0 = 0). Every 29th vec_id gets a companion at
+    * vec_id + 10⁷ (far above any corpus id): ids ≡ 0 (mod 58) an EXACT
+    * clone (cosine 1 — the guaranteed-recall floor), ids ≡ 29 (mod 58) a
+    * sign-flip of dimension 0 (cosine = 1 − 2·q₀²/‖q‖² after quantization
+    * — exact integer arithmetic, straddling the threshold per-vector, so
+    * the cut itself is exercised, not just trivially cleared). Float
+    * negation is bit-exact and quantization happens downstream in both
+    * engines, so [[plantedCte]] reproduces the same companions in SQL
+    * term for term. Scales with the corpus (N/29 companions).
+    */
+  def plantNearDupes(embeddings: DataFrame): DataFrame = {
+    val companions = embeddings.where(col("vec_id") % 29 === 0)
+      .withColumn("embedding",
+        when(col("vec_id") % 58 =!= 0,
+          transform(col("embedding"), (x, i) => when(i === 0, -x).otherwise(x)))
+          .otherwise(col("embedding")))
+      .withColumn("vec_id", col("vec_id") + 10000000L)
+    embeddings.unionByName(companions)
+  }
+
+  /** [[plantNearDupes]] in SQL: CTE `emb_planted` with the same schema as
+    * `embeddings`; the oracles below chain Similarity.quantCteFrom on it.
+    */
+  private val plantedCte: String =
+    """emb_planted AS (
+      |  SELECT vec_id, embedding, label FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 10000000, CASE WHEN vec_id % 58 != 0
+      |           THEN list_concat([-embedding[1]], embedding[2:])
+      |           ELSE embedding END AS embedding, label
+      |  FROM embeddings WHERE vec_id % 29 = 0)""".stripMargin
+
   /** `dedup_embedding_cosine`: near-duplicate vectors (cosine ≥ 0.95) within
     * a label block, exact integer dot via the LongDot codegen expression.
     */
@@ -1022,10 +1058,17 @@ object Dedup {
     * COUNT(*) in SQL, so the adaptive path is hash-verified end-to-end,
     * not just the formula.
     */
-  def dedupEmbeddingLshAuto(embeddings: DataFrame,
-      targetOccupancy: Int = AutoOccupancy): DataFrame = {
-    val bits = autoBandBits(embeddings.count(), targetOccupancy)
-    dedupEmbeddingLshWide(embeddings, bits, autoBands(bits))
+  def dedupEmbeddingLshAuto(embeddings: DataFrame): DataFrame = {
+    // occupancy is the fixed [[AutoOccupancy]] constant, not a parameter:
+    // the oracle SQL hardcodes the same value, and a tunable the oracle
+    // can't see would silently un-verify every non-default call (callers
+    // wanting custom geometry use dedupEmbeddingLshWide directly). The
+    // sizing count runs on the STAGED corpus — the count job IS the
+    // cache-fill pass the self-join's two legs reuse, not an extra raw
+    // scan; production substitutes table-manifest row counts for the job.
+    val staged = graft.operators.CacheScope.cached(embeddings)
+    val bits = autoBandBits(staged.count(), AutoOccupancy)
+    dedupEmbeddingLshWide(staged, bits, autoBands(bits))
   }
 
   private[operators] val AutoOccupancy = 8
@@ -1037,7 +1080,8 @@ object Dedup {
   // the SAME geometry formulas in SQL (bits from COUNT(*), bands from
   // bits), so the oracle tracks the operator under any corpus size
   private val embeddingLshAutoOracle: String =
-    s"""WITH ${Similarity.quantCte},
+    s"""WITH $plantedCte,
+       |${Similarity.quantCteFrom("emb_planted")},
        |params AS (
        |  SELECT bits, LEAST(4, 64 // bits) AS bands FROM (
        |    SELECT GREATEST(8, LEAST(21, CAST(CEIL(LOG2(GREATEST(
@@ -1067,7 +1111,8 @@ object Dedup {
 
   // parameterized by the SAME constants as dedupEmbeddingLshWide's defaults
   private val embeddingLshWideOracle: String =
-    s"""WITH ${Similarity.quantCte},
+    s"""WITH $plantedCte,
+       |${Similarity.quantCteFrom("emb_planted")},
        |planes AS (
        |  SELECT j, list_transform(range(0, 64), d ->
        |    (j * 131 + d * 37) % 19 - 9 + ((j * 67 + d * 29) % 17 - 8) * 19) AS plane
@@ -1091,7 +1136,8 @@ object Dedup {
        |SELECT vec_id_1, vec_id_2, cosine FROM pairs WHERE cosine >= 0.95""".stripMargin
 
   private val embeddingLshOracle: String =
-    s"""WITH ${Similarity.quantCte},
+    s"""WITH $plantedCte,
+       |${Similarity.quantCteFrom("emb_planted")},
        |planes AS (
        |  SELECT j, list_transform(range(0, 64), d -> (j * 131 + d * 37) % 19 - 9) AS plane
        |  FROM range(0, 8) t(j)),
@@ -1257,14 +1303,8 @@ object Dedup {
         |FROM inter i JOIN sizes s ON s.doc_id = i.contained_id
         |WHERE CAST(i.inter AS DOUBLE) / CAST(s.sz AS DOUBLE) >= 0.5""".stripMargin,
     "dedup_embedding_cosine" ->
-      """WITH q AS (
-        |  SELECT vec_id, CAST(label AS BIGINT) AS label,
-        |         list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS q
-        |  FROM embeddings),
-        |n AS (
-        |  SELECT vec_id, label, q,
-        |         list_sum(list_transform(list_zip(q, q), p -> p[1] * p[2])) AS norm2
-        |  FROM q),
+      s"""WITH $plantedCte,
+        |${Similarity.quantCteFrom("emb_planted")},
         |pairs AS (
         |  SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2, a.label,
         |         list_sum(list_transform(list_zip(a.q, b.q), p -> p[1] * p[2])) AS dot,

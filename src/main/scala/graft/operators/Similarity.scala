@@ -555,12 +555,17 @@ object Similarity {
     * oracle-reproducible math `embed_kmeans` ships.
     */
   private def knnBlocked(corpus: DataFrame, kmeansK: Option[Int],
+      kmeansAuto: Boolean = false,
       extraProbeCols: Seq[(String, String)] = Nil): (DataFrame, DataFrame) = {
     val extra = extraProbeCols.map { case (src, dst) => col(src).as(dst) }
-    kmeansK match {
-      case Some(kk) =>
+    (if (kmeansAuto) Some(-1) else kmeansK) match {
+      case Some(k0) =>
         // staged: training makes iters+1 passes and the join reads it twice
         val cached = graft.operators.CacheScope.cached(corpus)
+        // auto sizing counts the ALREADY-STAGED corpus — the count job IS
+        // the cache-fill pass training pays anyway, not an extra raw scan;
+        // production can substitute table-manifest row counts for the job
+        val kk = if (k0 > 0) k0 else autoKmeansK(cached.count())
         val cents = trainKmeans(cached, kk, iters = 2)
         val bucketed = cached.withColumn("bucket", clusterCol(cents))
         val probes = bucketed.select(Seq(col("vec_id").as("query_id"),
@@ -579,9 +584,9 @@ object Similarity {
   }
 
   def knnGraph(embeddings: DataFrame, k: Int = 3,
-      kmeansK: Option[Int] = None): DataFrame = {
+      kmeansK: Option[Int] = None, kmeansAuto: Boolean = false): DataFrame = {
     val corpus = prep(embeddings)
-    val (bucketed, probes) = knnBlocked(corpus, kmeansK)
+    val (bucketed, probes) = knnBlocked(corpus, kmeansK, kmeansAuto)
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("vec_id"))
     bucketed.join(probes, Seq("bucket"))
@@ -603,10 +608,10 @@ object Similarity {
     * cost stays bucket-bounded, never all-pairs).
     */
   def mineHardNegatives(embeddings: DataFrame, k: Int = 3,
-      kmeansK: Option[Int] = None): DataFrame = {
+      kmeansK: Option[Int] = None, kmeansAuto: Boolean = false): DataFrame = {
     val corpus = prep(embeddings)
     val (bucketed, probes) =
-      knnBlocked(corpus, kmeansK, extraProbeCols = Seq("label" -> "q_label"))
+      knnBlocked(corpus, kmeansK, kmeansAuto, extraProbeCols = Seq("label" -> "q_label"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("vec_id"))
     bucketed.join(probes, Seq("bucket"))
@@ -619,26 +624,34 @@ object Similarity {
         col("rank").cast("long").as("rank"))
   }
 
-  /** `knn_graph_auto` / `mine_hard_negatives_auto`: the corpus-sized form
-    * of the kNN operators' blocking, registered and oracled. The fixed
+  /** `knn_graph_auto` / `mine_hard_negatives_auto` /
+    * `graph_centrality_auto`: the corpus-sized form of the kNN operators'
+    * blocking — registered in [[graft.SparkEntry]] and oracled (see
+    * [[oracles]]; AutoKnnSpec pins recall + geometry). The fixed
     * multiprobe default is Θ(N²/28) — fine for the oracled baseline,
     * quadratic at corpus scale (the x100 point measured 27× cpu for 10×
     * data; at x300 it stops terminating usefully). [[knnBlocked]]'s
     * documented production path is k-means (IVF) blocking with k ∝ √N:
     * training costs N·k per pass and the block self-join costs N²/k, so
     * √N balances them at Θ(N^1.5) — the standard IVF scaling law. These
-    * variants pick k = clamp(⌈√N⌉, 16, 4096) from the corpus and reuse
+    * variants pick k = clamp(⌈√N⌉, 16, 4096) from the ALREADY-STAGED
+    * corpus (the sizing count doubles as the cache-fill job) and reuse
     * the exact-integer [[trainKmeans]]/[[clusterCol]] machinery, so the
     * DuckDB twin reproduces the whole pipeline — init, two truncating-
     * division training iterations, argmin assignment, block self-join,
-    * rank — with k computed from COUNT(*) in SQL (the min-trick bound is
-    * a constant 8192 > the k clamp, so the arithmetic stays exact).
+    * rank — with k computed from COUNT(*) in SQL (the min-trick bound
+    * passed to [[kmeansIterSql]] is a constant 8192 ≥ the 4096 k clamp,
+    * so cluster-id encoding stays collision-free and the arithmetic
+    * exact — |score|·8192 < 2⁶³ since |score| ≤ 64·(2·10⁴)² ≈ 2.6·10¹⁰).
     */
   def knnGraphAuto(embeddings: DataFrame, k: Int = 3): DataFrame =
-    knnGraph(embeddings, k, kmeansK = Some(autoKmeansK(embeddings.count())))
+    knnGraph(embeddings, k, kmeansAuto = true)
 
   def mineHardNegativesAuto(embeddings: DataFrame, k: Int = 3): DataFrame =
-    mineHardNegatives(embeddings, k, kmeansK = Some(autoKmeansK(embeddings.count())))
+    mineHardNegatives(embeddings, k, kmeansAuto = true)
+
+  def graphCentralityAuto(embeddings: DataFrame, iters: Int = 3): DataFrame =
+    graphCentrality(embeddings, iters, kmeansAuto = true)
 
   private[graft] def autoKmeansK(n: Long): Int =
     math.max(16, math.min(4096, math.ceil(math.sqrt(n.toDouble)).toInt))
@@ -679,13 +692,14 @@ object Similarity {
     * (see dedupClusters; CheckpointRecoverySpec pins recovery).
     */
   def graphCentrality(embeddings: DataFrame, iters: Int = 3,
-      kmeansK: Option[Int] = None): DataFrame = {
-    // kmeansK threads through to the kNN edge build: the PageRank itself is
-    // linear in |E| per round, so the graph construction's blocking is this
-    // operator's entire scale story (see knnBlocked) — production passes
-    // k ~ sqrt(N) here too; the default stays the oracled multiprobe form
+      kmeansK: Option[Int] = None, kmeansAuto: Boolean = false): DataFrame = {
+    // kmeansK/kmeansAuto thread through to the kNN edge build: the PageRank
+    // itself is linear in |E| per round, so the graph construction's
+    // blocking is this operator's entire scale story (see knnBlocked) —
+    // `graph_centrality_auto` registers the k ~ sqrt(N) form; the plain
+    // default stays the oracled multiprobe form
     val edges = graft.operators.CacheScope.cached(
-      knnGraph(embeddings, kmeansK = kmeansK)
+      knnGraph(embeddings, kmeansK = kmeansK, kmeansAuto = kmeansAuto)
         .select(col("query_id").as("src"), col("neighbor_id").as("dst")))
     // loop invariants: degrees from the cached edges; the vertex spine the
     // per-round outer join re-anchors on (dangling nodes keep teleport)
@@ -711,15 +725,21 @@ object Similarity {
     scores
   }
 
-  private[operators] val quantCte =
-    """q AS (
-      |  SELECT vec_id, CAST(label AS BIGINT) AS label,
-      |         list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS q
-      |  FROM embeddings),
-      |n AS (
-      |  SELECT vec_id, label, q,
-      |         list_sum(list_transform(list_zip(q, q), p -> p[1] * p[2])) AS norm2
-      |  FROM q)""".stripMargin
+  /** The quantize+norm oracle prefix over an arbitrary source relation —
+    * `src` defaults to the raw `embeddings` table; the planted-companion
+    * dedup oracles pass their derived CTE name (see Dedup.plantedCte).
+    */
+  private[operators] def quantCteFrom(src: String): String =
+    s"""q AS (
+       |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+       |         list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS q
+       |  FROM $src),
+       |n AS (
+       |  SELECT vec_id, label, q,
+       |         list_sum(list_transform(list_zip(q, q), p -> p[1] * p[2])) AS norm2
+       |  FROM q)""".stripMargin
+
+  private[operators] val quantCte = quantCteFrom("embeddings")
 
   val oracles: Map[String, String] = Map(
     "sim_search_bruteforce" ->
@@ -802,6 +822,9 @@ object Similarity {
          |  FROM scored)
          |SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 3""".stripMargin,
     "graph_centrality" -> graphCentralityOracle(3),
+    "knn_graph_auto" -> knnGraphAutoOracle,
+    "mine_hard_negatives_auto" -> mineHardNegativesAutoOracle,
+    "graph_centrality_auto" -> graphCentralityAutoOracle(3),
     "mine_hard_negatives" ->
       s"""WITH $quantCte,
          |planes AS (
@@ -854,24 +877,29 @@ object Similarity {
          |WHERE r.rn = 1""".stripMargin
   )
 
-  /** The kNN edge set (knn_graph oracle's CTE chain, k=3) + `iters`
-    * unrolled exact-integer PageRank rounds — each round one inflow
-    * aggregate (f_i) and one score projection (s_i), mirroring the Spark
-    * loop term for term.
+  /** `iters` unrolled exact-integer PageRank rounds over CTEs `edges`,
+    * `deg`, `vertices`, `${p}s0` — each round one inflow aggregate
+    * (${p}f_i) and one score projection (${p}s_i), mirroring the Spark
+    * loop term for term. Shared by the multiprobe and the k-means-blocked
+    * (`_auto`) oracles; the `_auto` form passes prefix "pr" so the round
+    * CTEs don't collide with the k-means training CTEs (s1/s2/s3).
     */
-  private def graphCentralityOracle(iters: Int): String = {
-    val rounds = (1 to iters).map { i =>
-      s"""f$i AS (
+  private def pagerankRoundsSql(iters: Int, p: String = ""): String =
+    (1 to iters).map { i =>
+      s"""${p}f$i AS (
          |  SELECT e.dst, SUM(s.score_ppm // d.deg) AS inflow
          |  FROM edges e JOIN deg d ON d.src = e.src
-         |       JOIN s${i - 1} s ON s.vec_id = e.src
+         |       JOIN ${p}s${i - 1} s ON s.vec_id = e.src
          |  GROUP BY e.dst),
-         |s$i AS (
+         |${p}s$i AS (
          |  SELECT v.vec_id,
          |         CAST(150000 + (85 * COALESCE(f.inflow, 0)) // 100 AS BIGINT)
          |           AS score_ppm
-         |  FROM vertices v LEFT JOIN f$i f ON f.dst = v.vec_id)""".stripMargin
+         |  FROM vertices v LEFT JOIN ${p}f$i f ON f.dst = v.vec_id)""".stripMargin
     }.mkString(",\n")
+
+  private def graphCentralityOracle(iters: Int): String = {
+    val rounds = pagerankRoundsSql(iters)
     s"""WITH $quantCte,
        |planes AS (
        |  SELECT j, list_transform(range(0, 64), d -> (j * 131 + d * 37) % 19 - 9) AS plane
@@ -906,6 +934,83 @@ object Similarity {
        |$rounds
        |SELECT vec_id, score_ppm FROM s$iters""".stripMargin
   }
+
+  /** Shared CTE chain for the `_auto` kNN oracles: k = clamp(⌈√N⌉, 16,
+    * 4096) computed from COUNT(*) in SQL, lowest-k-id init, two
+    * [[kmeansIterSql]] training iterations at min-trick bound 8192 (≥ the
+    * k clamp, so encoded cluster ids never collide), then the final
+    * argmin assignment into `fin` carrying label/norm2 for the downstream
+    * self-join. Mirrors [[knnBlocked]]'s kmeansAuto branch term for term.
+    */
+  private def autoKnnCtes: String =
+    s"""$quantCte,
+       |kp AS (
+       |  SELECT GREATEST(16, LEAST(4096,
+       |           CAST(CEIL(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT))) AS kk
+       |  FROM n),
+       |c0 AS (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, q
+       |  FROM n QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= (SELECT kk FROM kp)),
+       |${kmeansIterSql(1, "c0", "", "n", 64, bound = 8192)},
+       |${kmeansIterSql(2, "c1", "", "n", 64, bound = 8192)},
+       |s3 AS (
+       |  SELECT n.vec_id, n.label, n.q, n.norm2, c.cid,
+       |         list_sum(list_transform(c.q, x -> x * x))
+       |         - 2 * list_sum(list_transform(list_zip(n.q, c.q), p -> p[1] * p[2])) AS score
+       |  FROM n CROSS JOIN c2 c),
+       |fin AS (
+       |  SELECT vec_id, label, q, norm2,
+       |         CAST(((MIN(score * 8192 + cid) % 8192) + 8192) % 8192 AS BIGINT) AS bucket
+       |  FROM s3 GROUP BY vec_id, label, q, norm2)""".stripMargin
+
+  /** kNN edge CTEs over the k-means blocking (each vector probes only its
+    * own cluster — [[knnBlocked]]'s kmeansK branch has no multiprobe
+    * flips), ranked to `knnK` neighbors.
+    */
+  private def autoKnnRankedCtes: String =
+    s"""$autoKnnCtes,
+       |scored AS (
+       |  SELECT p.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |         CAST(list_sum(list_transform(list_zip(b.q, p.q), z -> z[1] * z[2])) AS DOUBLE)
+       |           / (SQRT(CAST(b.norm2 AS DOUBLE)) * SQRT(CAST(p.norm2 AS DOUBLE))) AS cosine
+       |  FROM fin b JOIN fin p ON b.bucket = p.bucket
+       |  WHERE b.vec_id != p.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id
+       |                            ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM scored)""".stripMargin
+
+  private def knnGraphAutoOracle: String =
+    s"""WITH $autoKnnRankedCtes
+       |SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 3""".stripMargin
+
+  private def mineHardNegativesAutoOracle: String =
+    s"""WITH $autoKnnCtes,
+       |scored AS (
+       |  SELECT p.vec_id AS query_id, p.label AS q_label,
+       |         b.vec_id AS negative_id, b.label AS neg_label,
+       |         CAST(list_sum(list_transform(list_zip(b.q, p.q), z -> z[1] * z[2])) AS DOUBLE)
+       |           / (SQRT(CAST(b.norm2 AS DOUBLE)) * SQRT(CAST(p.norm2 AS DOUBLE))) AS cosine
+       |  FROM fin b JOIN fin p ON b.bucket = p.bucket
+       |  WHERE b.vec_id != p.vec_id AND b.label != p.label),
+       |ranked AS (
+       |  SELECT query_id, q_label, negative_id, neg_label, cosine,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id
+       |                            ORDER BY cosine DESC, negative_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, q_label, negative_id, neg_label, cosine, rank
+       |FROM ranked WHERE rank <= 3""".stripMargin
+
+  private def graphCentralityAutoOracle(iters: Int): String =
+    s"""WITH $autoKnnRankedCtes,
+       |edges AS (
+       |  SELECT query_id AS src, neighbor_id AS dst FROM ranked WHERE rank <= 3),
+       |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
+       |vertices AS (SELECT vec_id FROM embeddings),
+       |prs0 AS (SELECT vec_id, CAST(1000000 AS BIGINT) AS score_ppm FROM vertices),
+       |${pagerankRoundsSql(iters, p = "pr")}
+       |SELECT vec_id, score_ppm FROM prs$iters""".stripMargin
 
   /** One k-means iteration in SQL: assign each vector to the argmin centroid
     * (exact integer score ||c||^2 - 2 x.c, ties to lowest cid via the
