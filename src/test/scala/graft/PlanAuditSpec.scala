@@ -351,4 +351,38 @@ class PlanAuditSpec extends SparkTestBase {
           s"${sorts.size} sorts:\n$plan")
     }
   }
+
+  test("dedup_*_fast audits: every nested-loop join has a one-row aggregate side") {
+    // the audits cross-join three SCALAR aggregates (n_docs x n_true x
+    // n_found) - the only place the library tolerates a nested-loop join.
+    // This pin makes the tolerance structural: if a refactor ever routes a
+    // corpus-sized frame (docs, truth pairs, candidate pairs) into a BNL -
+    // the "safe only while tiny" failure mode - the plan breaks here, not
+    // at 100 TB. An equi-key rewrite that removes the BNLs entirely also
+    // passes (the assertion is per-BNL, vacuous at zero).
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.SparkPlan
+    def scalarAgg(side: SparkPlan): Boolean = side.collectFirst {
+      case a: BaseAggregateExec if a.groupingExpressions.isEmpty => a
+    }.nonEmpty
+    withoutAqe {
+      val audits: Seq[(String, DataFrame)] = Seq(
+        "dedup_minhash_lsh_fast" ->
+          graft.operators.Dedup.dedupMinhashLshFastAudit(Tables.documents(spark, sf)),
+        "dedup_simhash_fast" ->
+          graft.operators.Dedup.dedupSimhashFastAudit(Tables.documents(spark, sf)),
+        "dedup_paragraph_fast" ->
+          graft.operators.Dedup.dedupParagraphFastAudit(Tables.documents(spark, sf)))
+      audits.foreach { case (name, df) =>
+        val plan = df.queryExecution.executedPlan
+        val bnls = plan.collect { case j: BroadcastNestedLoopJoinExec => j }
+        bnls.foreach { j =>
+          assert(scalarAgg(j.left) || scalarAgg(j.right),
+            s"$name plans a nested-loop join with NO scalar-aggregate side " +
+              s"(corpus-sized BNL):\n$j")
+        }
+      }
+    }
+  }
 }
