@@ -1062,13 +1062,19 @@ object Dedup {
     // occupancy is the fixed [[AutoOccupancy]] constant, not a parameter:
     // the oracle SQL hardcodes the same value, and a tunable the oracle
     // can't see would silently un-verify every non-default call (callers
-    // wanting custom geometry use dedupEmbeddingLshWide directly). The
-    // sizing count runs on the STAGED corpus — the count job IS the
-    // cache-fill pass the self-join's two legs reuse, not an extra raw
-    // scan; production substitutes table-manifest row counts for the job.
-    val staged = graft.operators.CacheScope.cached(embeddings)
-    val bits = autoBandBits(staged.count(), AutoOccupancy)
-    dedupEmbeddingLshWide(staged, bits, autoBands(bits))
+    // wanting custom geometry use dedupEmbeddingLshWide directly).
+    //
+    // The sizing count is a DEDICATED narrow scan on purpose — measured,
+    // not assumed (x1000 interleaved A/B, docs/SCALE.md § "lsh_auto
+    // staging lesson"): routing the corpus through CacheScope so the
+    // count doubles as a cache fill COSTS MORE — the wide self-join's
+    // two banded legs stop canonicalizing onto one exchange
+    // (AQE reuse: 1.67 GB shuffled once → 3.48 GB twice, +55% cpu),
+    // while the count itself is nearly free against raw parquet (4 cpu-s
+    // at 17 GB — row counts come from footer metadata, no column IO).
+    // Production substitutes table-manifest row counts for the job.
+    val bits = autoBandBits(embeddings.count(), AutoOccupancy)
+    dedupEmbeddingLshWide(embeddings, bits, autoBands(bits))
   }
 
   private[operators] val AutoOccupancy = 8
