@@ -385,4 +385,30 @@ class PlanAuditSpec extends SparkTestBase {
       }
     }
   }
+
+  test("dedup_embedding_lsh self-join legs canonicalize onto ONE banded exchange") {
+    // regression pin for the round-13 staging lesson (SCALE.md): the wide
+    // banded self-join's two legs are the same subplan and MUST plan as
+    // one exchange + a ReusedExchange - when an input-staging refactor
+    // broke canonical equality, the x1000 point silently shuffled the
+    // banded corpus TWICE (3.48 GB vs 1.67, +55% cpu) with results
+    // unchanged, the exact failure class only a plan pin can catch early.
+    import org.apache.spark.sql.execution.exchange.{Exchange, ReusedExchangeExec}
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // force the corpus-scale SMJ shape: at spec sf one side would broadcast
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try withoutAqe {
+      for ((name, df) <- Seq(
+          "dedup_embedding_lsh_auto" -> graft.operators.Dedup.dedupEmbeddingLshAuto(
+            graft.operators.Dedup.plantNearDupes(Tables.embeddings(spark, sf))),
+          "dedup_embedding_lsh_wide" -> graft.operators.Dedup.dedupEmbeddingLshWide(
+            Tables.embeddings(spark, sf)))) {
+        val plan = df.queryExecution.executedPlan
+        val reused = plan.collect { case r: ReusedExchangeExec => r }
+        assert(reused.nonEmpty,
+          s"$name: the banded self-join legs no longer share one exchange " +
+            s"(every banded byte will shuffle twice at corpus scale):\n$plan")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+  }
 }
