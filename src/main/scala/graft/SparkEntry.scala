@@ -281,6 +281,14 @@ object SparkEntry {
     "bpe_token_count" -> ((s, d) => TextAnalysis.bpeTokenCount(Tables.documents(s, d))),
     // per-source percentile calibration of the quality score
     "quality_calibrate" -> ((s, d) => TextAnalysis.qualityCalibrate(Tables.documents(s, d))),
+    // model-based curation: hashed-feature linear classifier (fastText/CCNet
+    // shape) — counting train on the 80% split, broadcast-model map-only score
+    "quality_classifier_train" -> ((s, d) =>
+      TextAnalysis.qualityClassifierTrain(Tables.documents(s, d))),
+    "quality_classifier_score" -> ((s, d) =>
+      TextAnalysis.qualityClassifierScore(Tables.documents(s, d))),
+    "quality_classifier_eval" -> ((s, d) =>
+      TextAnalysis.qualityClassifierEval(Tables.documents(s, d))),
     "text_top_terms_sketch" -> ((s, d) =>
       TextAnalysis.textTopTermsSketch(Tables.documents(s, d))),
     // corpus-level stats / QA reports

@@ -124,6 +124,117 @@ object TextAnalysis {
       .select(col("doc_id"), col("source"), col("quality_score"), col("source_pct_rank"))
   }
 
+  /** Hashed-feature quality classifier (fastText/CCNet-shape model-based
+    * curation, the public recipe behind DCLM/FineWeb-style filters): a
+    * linear model over feature-hashed token buckets, trained distributively
+    * by pure counting and applied as a broadcast model. Registered at
+    * D = 1024 buckets; production is 2^18 — either way the MODEL is D longs
+    * (model-sized next to any corpus), which is what makes both halves
+    * 100-TB shapes:
+    *   - train: one explode → one D-bounded aggregation with map-side
+    *     combine (the shuffle carries at most D rows per map task);
+    *   - score: the trained weights collect to the driver (same contract as
+    *     the k-means centroids, Similarity.scala) and scoring is a pure
+    *     map over the scan — ZERO exchanges, every byte touched once.
+    * All arithmetic is exact fixed-point (ppm): the "trained" weight is the
+    * Laplace-smoothed target-class rate (pos+1)·10⁶ div (pos+neg+2), so the
+    * DuckDB oracle reproduces train AND score bit-exactly via the portable
+    * md5 hash — no transcendental ever enters the plan (the sigmoid a
+    * serving layer would apply is monotone in this score, so thresholding
+    * the score IS thresholding the probability).
+    */
+  private[operators] val ClfBuckets = 1024
+  private val ClfScale   = 1000000L
+  /** Unseen-bucket weight = the smoothed prior (0+1)·10⁶ div (0+2). */
+  private val ClfPrior   = ClfScale / 2
+
+  private def clfBucket(tok: Column): Column =
+    graft.functions.PortableHash.hash32(tok) % ClfBuckets
+
+  /** `quality_classifier_train`: per-bucket occurrence counts by class
+    * (positive = the target domain, here the 'en'-labeled slice) over the
+    * 80% train split (doc_id % 5 != 0 — holdout never leaks into counts),
+    * reduced to a fixed-point linear weight per occupied bucket.
+    */
+  def qualityClassifierTrain(documents: DataFrame): DataFrame = {
+    documents.where(col("doc_id") % 5 =!= 0)
+      .select(col("lang"), explode(split(lower(col("text")), " ")).as("tok"))
+      .select(clfBucket(col("tok")).as("bucket"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      .groupBy("bucket")
+      .agg(sum(col("pos")).as("pos_count"),
+        (count(lit(1)) - sum(col("pos"))).as("neg_count"))
+      .select(col("bucket"), col("pos_count"), col("neg_count"),
+        expr("(pos_count + 1) * 1000000 div (pos_count + neg_count + 2)")
+          .as("weight_ppm"))
+  }
+
+  /** `quality_classifier_score`: score every document with the trained
+    * model — mean bucket weight over the document's token occurrences,
+    * integer-exact (`sum div n`) — and keep docs whose mean evidence beats
+    * the CORPUS BASE RATE (the weight an empty model would assign: the
+    * smoothed positive-class token rate). Thresholding at the base rate
+    * rather than the absolute 0.5 prior is the calibration step every
+    * production quality filter needs on an imbalanced corpus — with an
+    * absolute threshold a corpus whose target class is 44% of tokens keeps
+    * nothing, however informative the features. The weight table is
+    * materialized once (D longs), folded into a constant array literal,
+    * and the whole scoring pass plans as scan → project: no join, no
+    * shuffle.
+    */
+  def qualityClassifierScore(documents: DataFrame): DataFrame = {
+    val trained = qualityClassifierTrain(documents)
+      .select(col("bucket"), col("pos_count"), col("neg_count"),
+        col("weight_ppm")).collect()
+    val weights = trained.map(r => r.getLong(0).toInt -> r.getLong(3)).toMap
+    val totPos = trained.map(_.getLong(1)).sum
+    val totAll = totPos + trained.map(_.getLong(2)).sum
+    val basePpm = (totPos + 1) * ClfScale / (totAll + 2)
+    val wArr = array((0 until ClfBuckets)
+      .map(i => lit(weights.getOrElse(i, ClfPrior))): _*)
+    val toks = split(lower(col("text")), " ")
+    documents
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("sum_w", aggregate(toks, lit(0L),
+        (acc, t) => acc + element_at(wArr, (clfBucket(t) + 1).cast("int"))))
+      .withColumn("score_ppm", expr("sum_w div n_tokens"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("score_ppm"),
+        lit(basePpm).as("threshold_ppm"),
+        (col("score_ppm") > basePpm).as("kept"),
+        (col("doc_id") % 5 === 0).as("is_holdout"))
+  }
+
+  /** `quality_classifier_eval`: held-out confusion matrix for the trained
+    * filter — the evaluation gate every model-based curation loop needs
+    * before a classifier may drop corpus data. Scores ONLY the 20% holdout
+    * (never seen by training), treats the 'en' label as ground truth, and
+    * reduces to ONE row of exact integer metrics: tp/fp/fn/tn counts plus
+    * precision/recall/F1 in ppm fixed point (CASE-guarded divisions so an
+    * empty class yields NULL, not an error — identical SQL semantics in
+    * both engines). At 100 TB this is the map-only score pass plus a
+    * single all-reduce: the final aggregation shuffles 4 counters per map
+    * task, nothing else.
+    */
+  def qualityClassifierEval(documents: DataFrame): DataFrame = {
+    val truth = col("lang") === "en"
+    def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+    qualityClassifierScore(documents)
+      .where(col("is_holdout"))
+      .agg(
+        cnt(col("kept") && truth).as("tp"),
+        cnt(col("kept") && not(truth)).as("fp"),
+        cnt(not(col("kept")) && truth).as("fn"),
+        cnt(not(col("kept")) && not(truth)).as("tn"))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        expr("CASE WHEN tp + fp > 0 THEN tp * 1000000 div (tp + fp) END")
+          .as("precision_ppm"),
+        expr("CASE WHEN tp + fn > 0 THEN tp * 1000000 div (tp + fn) END")
+          .as("recall_ppm"))
+      .withColumn("f1_ppm",
+        expr("CASE WHEN precision_ppm + recall_ppm > 0 THEN " +
+          "2 * precision_ppm * recall_ppm div (precision_ppm + recall_ppm) END"))
+  }
+
   /** `text_top_terms`: top-10 terms per language by frequency — corpus
     * vocabulary stats (the first thing anyone computes over a new corpus).
     * Explode → per-(lang, term) count with map-side combine → top-k per
@@ -515,7 +626,110 @@ object TextAnalysis {
         (d(col("mx2")) / d(col("n2"))).as("max_2gram_fraction"))
   }
 
+  /** Shared train-CTE prefix for the classifier oracles: the exact
+    * counting train of [[qualityClassifierTrain]] in DuckDB (portable md5
+    * bucket hash, 80% split, Laplace-smoothed fixed-point weight).
+    */
+  private lazy val clfTrainCtes: String = {
+    val h = graft.functions.PortableHash.duckSql("tok")
+    s"""tok_tr AS (
+       |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+       |         $h % $ClfBuckets AS bucket
+       |  FROM (SELECT lang, UNNEST(string_split(lower(text), ' ')) AS tok
+       |        FROM documents WHERE doc_id % 5 != 0)),
+       |model AS (
+       |  SELECT bucket,
+       |         CAST(SUM(pos) AS BIGINT) AS pos_count,
+       |         CAST(COUNT(*) - SUM(pos) AS BIGINT) AS neg_count
+       |  FROM tok_tr GROUP BY 1)""".stripMargin
+  }
+
+  private lazy val clfTrainOracle: String =
+    s"""WITH $clfTrainCtes
+       |SELECT bucket, pos_count, neg_count,
+       |       CAST((pos_count + 1) * 1000000 // (pos_count + neg_count + 2)
+       |            AS BIGINT) AS weight_ppm
+       |FROM model""".stripMargin
+
+  private lazy val clfScoreOracle: String = {
+    val h = graft.functions.PortableHash.duckSql("tok")
+    s"""WITH $clfTrainCtes,
+       |weights AS (
+       |  SELECT bucket,
+       |         CAST((pos_count + 1) * 1000000 // (pos_count + neg_count + 2)
+       |              AS BIGINT) AS weight_ppm
+       |  FROM model),
+       |doc_tok AS (
+       |  SELECT doc_id, $h % $ClfBuckets AS bucket
+       |  FROM (SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS tok
+       |        FROM documents)),
+       |base AS (
+       |  SELECT CAST((SUM(pos_count) + 1) * 1000000
+       |              // (SUM(pos_count + neg_count) + 2) AS BIGINT) AS base_ppm
+       |  FROM model),
+       |per AS (
+       |  SELECT doc_id, COUNT(*) AS n_tokens,
+       |         SUM(COALESCE(weight_ppm, 500000)) AS sum_w
+       |  FROM doc_tok LEFT JOIN weights USING (bucket) GROUP BY 1)
+       |SELECT d.doc_id, d.lang,
+       |       CAST(per.n_tokens AS BIGINT) AS n_tokens,
+       |       CAST(per.sum_w // per.n_tokens AS BIGINT) AS score_ppm,
+       |       (SELECT base_ppm FROM base) AS threshold_ppm,
+       |       (per.sum_w // per.n_tokens) > (SELECT base_ppm FROM base) AS kept,
+       |       d.doc_id % 5 = 0 AS is_holdout
+       |FROM documents d JOIN per ON d.doc_id = per.doc_id""".stripMargin
+  }
+
+  private lazy val clfEvalOracle: String = {
+    val h = graft.functions.PortableHash.duckSql("tok")
+    s"""WITH $clfTrainCtes,
+       |weights AS (
+       |  SELECT bucket,
+       |         CAST((pos_count + 1) * 1000000 // (pos_count + neg_count + 2)
+       |              AS BIGINT) AS weight_ppm
+       |  FROM model),
+       |base AS (
+       |  SELECT CAST((SUM(pos_count) + 1) * 1000000
+       |              // (SUM(pos_count + neg_count) + 2) AS BIGINT) AS base_ppm
+       |  FROM model),
+       |doc_tok AS (
+       |  SELECT doc_id, $h % $ClfBuckets AS bucket
+       |  FROM (SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS tok
+       |        FROM documents WHERE doc_id % 5 = 0)),
+       |scored AS (
+       |  SELECT d.doc_id, d.lang = 'en' AS truth,
+       |         (per.sum_w // per.n_tokens) > (SELECT base_ppm FROM base) AS kept
+       |  FROM documents d
+       |  JOIN (SELECT doc_id, COUNT(*) AS n_tokens,
+       |               SUM(COALESCE(weight_ppm, 500000)) AS sum_w
+       |        FROM doc_tok LEFT JOIN weights USING (bucket) GROUP BY 1) per
+       |    USING (doc_id)
+       |  WHERE d.doc_id % 5 = 0),
+       |cm AS (
+       |  SELECT CAST(SUM(CASE WHEN kept AND truth THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |         CAST(SUM(CASE WHEN kept AND NOT truth THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |         CAST(SUM(CASE WHEN NOT kept AND truth THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       |         CAST(SUM(CASE WHEN NOT kept AND NOT truth THEN 1 ELSE 0 END) AS BIGINT) AS tn
+       |  FROM scored),
+       |pr AS (
+       |  SELECT tp, fp, fn, tn,
+       |         CASE WHEN tp + fp > 0
+       |              THEN CAST(tp * 1000000 // (tp + fp) AS BIGINT) END AS precision_ppm,
+       |         CASE WHEN tp + fn > 0
+       |              THEN CAST(tp * 1000000 // (tp + fn) AS BIGINT) END AS recall_ppm
+       |  FROM cm)
+       |SELECT tp, fp, fn, tn, precision_ppm, recall_ppm,
+       |       CASE WHEN precision_ppm + recall_ppm > 0
+       |            THEN CAST(2 * precision_ppm * recall_ppm
+       |                      // (precision_ppm + recall_ppm) AS BIGINT)
+       |       END AS f1_ppm
+       |FROM pr""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "quality_classifier_train" -> clfTrainOracle,
+    "quality_classifier_score" -> clfScoreOracle,
+    "quality_classifier_eval" -> clfEvalOracle,
     "text_bigram_lm" ->
       """WITH t AS (
         |  SELECT doc_id, lang, string_split(lower(text), ' ') AS toks FROM documents),

@@ -1,0 +1,106 @@
+package graft
+
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.execution.exchange.Exchange
+
+/** Hashed-feature quality classifier: the model must learn a planted
+  * vocabulary separation (target-domain tokens vs off-domain tokens), the
+  * fixed-point weight formula must be exact, the holdout split must never
+  * leak into the counts, and the scoring pass must plan with ZERO exchanges
+  * (the broadcast-model map-only contract that makes it a 100-TB shape).
+  */
+class QualityClassifierSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // Planted corpus: 'en' docs speak {alpha,beta,gamma}, others {delta,
+  // epsilon,zeta}; both share 'the'. doc_id % 5 == 0 rows are holdout.
+  private def docs(rows: (Long, String, String)*) =
+    rows.map { case (id, t, l) => (id, t, l, "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  private val planted = docs(
+    (1L, "alpha beta gamma the alpha", "en"),
+    (2L, "beta gamma alpha alpha the", "en"),
+    (3L, "delta epsilon zeta the delta", "de"),
+    (4L, "epsilon zeta delta zeta the", "fr"),
+    (5L, "alpha beta gamma alpha beta", "en"),   // holdout (5 % 5 == 0)
+    (6L, "alpha gamma beta the beta", "en"),
+    (7L, "zeta delta epsilon the zeta", "de"),
+    (10L, "delta zeta epsilon delta zeta", "fr")) // holdout
+
+  test("train: weights separate planted vocabularies; formula is exact") {
+    val model = TextAnalysis.qualityClassifierTrain(planted)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // every weight is the exact Laplace-smoothed fixed-point rate
+    model.foreach { case (_, pos, neg, w) =>
+      assert(w == (pos + 1) * 1000000L / (pos + neg + 2))
+      assert(w > 0 && w < 1000000L)
+    }
+    // 'alpha' occurs only in en train docs -> weight near 1e6; 'delta' only
+    // in non-en train docs -> weight near 0 (holdout rows 5/10 excluded)
+    def weightOf(tok: String): Long = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      val b = java.lang.Long.parseLong(md5, 16) % 1024
+      model.find(_._1 == b).map(_._4).getOrElse(sys.error(s"bucket $b missing"))
+    }
+    assert(weightOf("alpha") > 800000L, "pure-positive token must score high")
+    assert(weightOf("delta") < 200000L, "pure-negative token must score low")
+  }
+
+  test("train: holdout docs never enter the counts") {
+    val withHoldout = TextAnalysis.qualityClassifierTrain(planted)
+      .agg(org.apache.spark.sql.functions.sum(
+        $"pos_count" + $"neg_count")).as[Long].collect().head
+    val trainOnly = TextAnalysis.qualityClassifierTrain(
+      planted.where($"doc_id" % 5 =!= 0))
+      .agg(org.apache.spark.sql.functions.sum(
+        $"pos_count" + $"neg_count")).as[Long].collect().head
+    assert(withHoldout == trainOnly)
+    // 6 train docs x 5 tokens each
+    assert(withHoldout == 30L)
+  }
+
+  test("score: separates classes, including on the unseen holdout") {
+    val rows = TextAnalysis.qualityClassifierScore(planted).collect()
+    // balanced planted corpus: 15 pos / 15 neg train tokens -> the base-rate
+    // threshold is exactly (15+1)*1e6/(30+2) = 500000
+    rows.foreach(r => assert(r.getLong(4) == 500000L))
+    val out = rows
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(3), r.getBoolean(5)))
+      .toMap
+    for ((id, (lang, score, kept)) <- out) {
+      if (lang == "en") assert(score > 500000L && kept, s"doc $id: $score")
+      else assert(score < 500000L && !kept, s"doc $id: $score")
+    }
+    // the holdout rows specifically (never seen in training) classify right
+    assert(out(5L)._3 && !out(10L)._3)
+  }
+
+  test("eval: holdout confusion matrix and exact ppm metrics") {
+    val r = TextAnalysis.qualityClassifierEval(planted).collect().head
+    // holdout = docs 5 (en, pure-positive vocab) and 10 (fr, pure-negative
+    // vocab); both classify correctly -> perfect confusion matrix
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      == ((1L, 0L, 0L, 1L)))
+    assert(r.getLong(4) == 1000000L && r.getLong(5) == 1000000L
+      && r.getLong(6) == 1000000L)
+  }
+
+  test("eval: empty-class divisions yield NULL, not an error") {
+    // all-negative holdout: doc 5 removed, only doc 10 (fr) is held out ->
+    // tp = fn = 0, so precision/recall/f1 must be NULL (guarded division)
+    val r = TextAnalysis.qualityClassifierEval(
+      planted.where($"doc_id" =!= 5L)).collect().head
+    assert((r.getLong(0), r.getLong(2), r.getLong(3)) == ((0L, 0L, 1L)))
+    assert(r.isNullAt(4) && r.isNullAt(5) && r.isNullAt(6))
+  }
+
+  test("score plans with zero exchanges (broadcast-model map-only pass)") {
+    val plan = TextAnalysis.qualityClassifierScore(planted)
+      .queryExecution.executedPlan
+    val exchanges = plan.collect { case e: Exchange => e }
+    assert(exchanges.isEmpty,
+      s"scoring must be a pure map over the scan, found:\n$plan")
+  }
+}
