@@ -255,6 +255,8 @@ object SparkEntry {
     "pipeline_curation_v2" -> ((s, d) => Pipeline.trainingDataCurationV2(Tables.documents(s, d))),
     // v3: quality -> dedup -> decontamination -> per-source cap -> shard manifest
     "pipeline_pretrain_shards" -> ((s, d) => Pipeline.pretrainShards(Tables.documents(s, d))),
+    // model-gated curation (classifier gate -> exact dedup -> source manifest)
+    "pipeline_model_curation" -> ((s, d) => Pipeline.modelCuration(Tables.documents(s, d))),
     // round-3 curation surface: redaction, contamination, sampling, packing
     "pii_redact" -> ((s, d) => Curation.piiRedact(Tables.documents(s, d))),
     "contamination_check" -> ((s, d) => Curation.contaminationCheck(Tables.documents(s, d))),

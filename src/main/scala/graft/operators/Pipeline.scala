@@ -108,6 +108,45 @@ object Pipeline {
         countDistinct(col("source")).as("n_sources"))
   }
 
+  /** v4 — model-gated curation (the DCLM/FineWeb-Edu recipe): the hashed-
+    * feature classifier ([[TextAnalysis.qualityClassifierScore]]) gates the
+    * corpus instead of the heuristic score, exact-dedup keeps one copy per
+    * digest, the training holdout is excluded from the deliverable (it must
+    * stay clean for the NEXT classifier generation), and the output is the
+    * per-source manifest a mix planner consumes. Plan shape at 100 TB: the
+    * broadcast-model scoring fuses into the scan (zero exchanges of its
+    * own), so the whole pipeline pays exactly the dedup digest shuffle plus
+    * the final per-source aggregate.
+    */
+  def modelCuration(documents: DataFrame): DataFrame = {
+    val scored = TextAnalysis.qualityClassifierScore(documents)
+    val keepers = Dedup.dedupExact(documents)
+      .select(col("keeper_doc_id").as("doc_id"))
+    scored
+      .where(col("kept") && !col("is_holdout"))
+      .join(keepers, Seq("doc_id"), "left_semi")
+      .join(documents.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("doc_count"),
+        sum(col("n_tokens")).as("total_tokens"),
+        expr("sum(score_ppm) div count(1)").as("avg_score_ppm"))
+  }
+
+  private def modelCurationOracle: String =
+    s"""WITH ${TextAnalysis.clfScoredCtes},
+       |keepers AS (
+       |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+       |SELECT d.source,
+       |       COUNT(*) AS doc_count,
+       |       CAST(SUM(s.n_tokens) AS BIGINT) AS total_tokens,
+       |       CAST(SUM(s.score_ppm) // COUNT(*) AS BIGINT) AS avg_score_ppm
+       |FROM clf_scored s
+       |JOIN documents d ON s.doc_id = d.doc_id
+       |WHERE s.kept AND NOT s.is_holdout
+       |  AND s.doc_id IN (SELECT doc_id FROM keepers)
+       |GROUP BY 1""".stripMargin
+
   private def curationV2Oracle: String =
     s"""WITH RECURSIVE q0 AS (
        |  SELECT doc_id, text,
@@ -206,6 +245,7 @@ object Pipeline {
   }
 
   val oracles: Map[String, String] = Map(
+    "pipeline_model_curation" -> modelCurationOracle,
     "pipeline_pretrain_shards" -> pretrainShardsOracle,
     "pipeline_curation_v2" -> curationV2Oracle,
     "pipeline_training_data" ->

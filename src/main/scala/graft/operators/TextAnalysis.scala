@@ -651,60 +651,52 @@ object TextAnalysis {
        |            AS BIGINT) AS weight_ppm
        |FROM model""".stripMargin
 
-  private lazy val clfScoreOracle: String = {
+  /** Full scored-corpus CTE chain ending in `clf_scored` (doc_id, lang,
+    * n_tokens, score_ppm, threshold_ppm, kept, is_holdout) — shared by the
+    * score/eval oracles and the model-gated pipeline oracle so the three
+    * cannot diverge on the scoring arithmetic.
+    */
+  private[operators] lazy val clfScoredCtes: String = {
     val h = graft.functions.PortableHash.duckSql("tok")
-    s"""WITH $clfTrainCtes,
+    s"""$clfTrainCtes,
        |weights AS (
        |  SELECT bucket,
        |         CAST((pos_count + 1) * 1000000 // (pos_count + neg_count + 2)
        |              AS BIGINT) AS weight_ppm
+       |  FROM model),
+       |base AS (
+       |  SELECT CAST((SUM(pos_count) + 1) * 1000000
+       |              // (SUM(pos_count + neg_count) + 2) AS BIGINT) AS base_ppm
        |  FROM model),
        |doc_tok AS (
        |  SELECT doc_id, $h % $ClfBuckets AS bucket
        |  FROM (SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS tok
        |        FROM documents)),
-       |base AS (
-       |  SELECT CAST((SUM(pos_count) + 1) * 1000000
-       |              // (SUM(pos_count + neg_count) + 2) AS BIGINT) AS base_ppm
-       |  FROM model),
-       |per AS (
-       |  SELECT doc_id, COUNT(*) AS n_tokens,
-       |         SUM(COALESCE(weight_ppm, 500000)) AS sum_w
-       |  FROM doc_tok LEFT JOIN weights USING (bucket) GROUP BY 1)
-       |SELECT d.doc_id, d.lang,
-       |       CAST(per.n_tokens AS BIGINT) AS n_tokens,
-       |       CAST(per.sum_w // per.n_tokens AS BIGINT) AS score_ppm,
-       |       (SELECT base_ppm FROM base) AS threshold_ppm,
-       |       (per.sum_w // per.n_tokens) > (SELECT base_ppm FROM base) AS kept,
-       |       d.doc_id % 5 = 0 AS is_holdout
-       |FROM documents d JOIN per ON d.doc_id = per.doc_id""".stripMargin
-  }
-
-  private lazy val clfEvalOracle: String = {
-    val h = graft.functions.PortableHash.duckSql("tok")
-    s"""WITH $clfTrainCtes,
-       |weights AS (
-       |  SELECT bucket,
-       |         CAST((pos_count + 1) * 1000000 // (pos_count + neg_count + 2)
-       |              AS BIGINT) AS weight_ppm
-       |  FROM model),
-       |base AS (
-       |  SELECT CAST((SUM(pos_count) + 1) * 1000000
-       |              // (SUM(pos_count + neg_count) + 2) AS BIGINT) AS base_ppm
-       |  FROM model),
-       |doc_tok AS (
-       |  SELECT doc_id, $h % $ClfBuckets AS bucket
-       |  FROM (SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS tok
-       |        FROM documents WHERE doc_id % 5 = 0)),
-       |scored AS (
-       |  SELECT d.doc_id, d.lang = 'en' AS truth,
-       |         (per.sum_w // per.n_tokens) > (SELECT base_ppm FROM base) AS kept
+       |clf_scored AS (
+       |  SELECT d.doc_id, d.lang,
+       |         CAST(per.n_tokens AS BIGINT) AS n_tokens,
+       |         CAST(per.sum_w // per.n_tokens AS BIGINT) AS score_ppm,
+       |         (SELECT base_ppm FROM base) AS threshold_ppm,
+       |         (per.sum_w // per.n_tokens) > (SELECT base_ppm FROM base) AS kept,
+       |         d.doc_id % 5 = 0 AS is_holdout
        |  FROM documents d
        |  JOIN (SELECT doc_id, COUNT(*) AS n_tokens,
        |               SUM(COALESCE(weight_ppm, 500000)) AS sum_w
        |        FROM doc_tok LEFT JOIN weights USING (bucket) GROUP BY 1) per
-       |    USING (doc_id)
-       |  WHERE d.doc_id % 5 = 0),
+       |    ON d.doc_id = per.doc_id)""".stripMargin
+  }
+
+  private lazy val clfScoreOracle: String =
+    s"""WITH $clfScoredCtes
+       |SELECT doc_id, lang, n_tokens, score_ppm, threshold_ppm, kept,
+       |       is_holdout
+       |FROM clf_scored""".stripMargin
+
+  private lazy val clfEvalOracle: String = {
+    s"""WITH $clfScoredCtes,
+       |scored AS (
+       |  SELECT doc_id, lang = 'en' AS truth, kept
+       |  FROM clf_scored WHERE is_holdout),
        |cm AS (
        |  SELECT CAST(SUM(CASE WHEN kept AND truth THEN 1 ELSE 0 END) AS BIGINT) AS tp,
        |         CAST(SUM(CASE WHEN kept AND NOT truth THEN 1 ELSE 0 END) AS BIGINT) AS fp,

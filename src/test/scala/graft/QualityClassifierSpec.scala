@@ -96,6 +96,17 @@ class QualityClassifierSpec extends SparkTestBase {
     assert(r.isNullAt(4) && r.isNullAt(5) && r.isNullAt(6))
   }
 
+  test("model curation: manifest dedups, drops holdout and unkept docs") {
+    // doc 11 is a byte-identical copy of doc 1: exact dedup must keep only
+    // the min-id copy. Kept manifest = en train docs {1, 2, 6}; holdout
+    // doc 5 (en, would classify kept) is excluded from the deliverable.
+    val withDup = planted.union(docs((11L, "alpha beta gamma the alpha", "en")))
+    val rows = graft.operators.Pipeline.modelCuration(withDup).collect()
+    assert(rows.length == 1 && rows.head.getString(0) == "src0")
+    assert(rows.head.getLong(1) == 3L, s"doc_count: ${rows.toSeq}")
+    assert(rows.head.getLong(2) == 15L, s"total_tokens: ${rows.toSeq}")
+  }
+
   test("score plans with zero exchanges (broadcast-model map-only pass)") {
     val plan = TextAnalysis.qualityClassifierScore(planted)
       .queryExecution.executedPlan
