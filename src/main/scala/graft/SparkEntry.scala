@@ -338,6 +338,9 @@ object SparkEntry {
     // stream-static enrichment join (stateless), batch-join oracle
     "stream_enrich_endstate" -> ((s, d) =>
       graft.streaming.StreamEnrich.streamEnrichEndstate(s, d)),
+    // model-gated ingest filter (frozen classifier, stateless), batch oracle
+    "stream_model_filter_endstate" -> ((s, d) =>
+      graft.streaming.StreamModelFilter.streamModelFilterEndstate(s, d)),
     // round-2 mart compositions (VERDICT.md Missing #1)
     "fct_sales_by_county" -> ((s, d) => graft.models.Marts.fctSalesByCounty(
       graft.models.Marts.sales(Tables.lineitem(s, d), Tables.orders(s, d), Tables.customer(s, d),
@@ -439,5 +442,6 @@ object SparkEntry {
       graft.streaming.IncrementalSync.oracles ++ graft.streaming.Sessionize.oracles ++
       graft.streaming.StreamDedup.oracles ++ graft.streaming.Scd2Sync.oracles ++
       graft.streaming.StreamEnrich.oracles ++ graft.streaming.StreamJoin.oracles ++
+      graft.streaming.StreamModelFilter.oracles ++
       graft.models.ModelAdapters.oracles
 }

@@ -182,8 +182,18 @@ object TextAnalysis {
     * and the whole scoring pass plans as scan → project: no join, no
     * shuffle.
     */
-  def qualityClassifierScore(documents: DataFrame): DataFrame = {
-    val trained = qualityClassifierTrain(documents)
+  def qualityClassifierScore(documents: DataFrame): DataFrame =
+    qualityClassifierScorer(documents)(documents)
+
+  /** Train once on `trainCorpus`, return the frozen scoring projection —
+    * a pure stateless map applicable to ANY frame with (doc_id, lang,
+    * text) columns, batch or streaming (the production serving shape:
+    * a quality filter at ingest scores each arriving micro-batch with a
+    * model trained offline; no state store, no join, the model rides in
+    * the plan as a constant).
+    */
+  def qualityClassifierScorer(trainCorpus: DataFrame): DataFrame => DataFrame = {
+    val trained = qualityClassifierTrain(trainCorpus)
       .select(col("bucket"), col("pos_count"), col("neg_count"),
         col("weight_ppm")).collect()
     val weights = trained.map(r => r.getLong(0).toInt -> r.getLong(3)).toMap
@@ -193,7 +203,7 @@ object TextAnalysis {
     val wArr = array((0 until ClfBuckets)
       .map(i => lit(weights.getOrElse(i, ClfPrior))): _*)
     val toks = split(lower(col("text")), " ")
-    documents
+    (target: DataFrame) => target
       .withColumn("n_tokens", size(toks).cast("long"))
       .withColumn("sum_w", aggregate(toks, lit(0L),
         (acc, t) => acc + element_at(wArr, (clfBucket(t) + 1).cast("int"))))
@@ -656,7 +666,7 @@ object TextAnalysis {
     * score/eval oracles and the model-gated pipeline oracle so the three
     * cannot diverge on the scoring arithmetic.
     */
-  private[operators] lazy val clfScoredCtes: String = {
+  private[graft] lazy val clfScoredCtes: String = {
     val h = graft.functions.PortableHash.duckSql("tok")
     s"""$clfTrainCtes,
        |weights AS (

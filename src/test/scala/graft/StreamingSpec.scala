@@ -698,6 +698,26 @@ class StreamingSpec extends SparkTestBase {
     } finally out.unpersist()
   }
 
+  test("model-gated ingest filter: end state equals the batch score, replay suppressed") {
+    import org.apache.spark.sql.functions.col
+    // restartPerDrop: the frozen-model filter is stateless, so only the
+    // CHECKPOINT's file log prevents drop 1's surviving file being re-read
+    val out = graft.streaming.StreamModelFilter
+      .streamModelFilterEndstate(spark, sf, restartPerDrop = true).cache()
+    try {
+      val total = out.count()
+      val ids = out.select("doc_id").distinct().count()
+      assert(total == ids,
+        s"run 2 re-read drop 1's file despite the checkpoint: $total vs $ids distinct")
+      // end state = batch score restricted to kept rows, value-identical
+      val batch = graft.operators.TextAnalysis
+        .qualityClassifierScore(graft.sources.Tables.documents(spark, sf))
+        .where(col("kept"))
+      assert(out.except(batch).isEmpty && batch.except(out).isEmpty,
+        "stream end state must equal the batch classifier score of kept docs")
+    } finally out.unpersist()
+  }
+
   test("salted keep-latest equals the per-key window on a 90%-one-key frame") {
     import org.apache.spark.sql.functions._
     // re-delivery storm: 900 versions of key 1, ten versions each of keys
