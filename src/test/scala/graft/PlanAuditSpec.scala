@@ -189,6 +189,32 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("pipeline_model_curation: scoring adds no exchange beyond the dedup skeleton") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{SortMergeJoinExec, BroadcastNestedLoopJoinExec}
+    withoutAqe {
+      val docs = Tables.documents(spark, sf)
+      val plan = graft.operators.Pipeline.modelCuration(docs)
+        .queryExecution.executedPlan
+      assert(plan.collect { case j: SortMergeJoinExec => j }.isEmpty &&
+        plan.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+        s"model curation lost its broadcast-only join shape:\n$plan")
+      // the broadcast-model scoring is a pure projection: the pipeline's
+      // only shuffles are the exact-dedup digest leg and the final
+      // per-source aggregate — the same count the unscored skeleton pays
+      val skeleton = docs
+        .join(graft.operators.Dedup.dedupExact(docs)
+          .select(org.apache.spark.sql.functions.col("keeper_doc_id").as("doc_id")),
+          Seq("doc_id"), "left_semi")
+        .groupBy("source").count()
+        .queryExecution.executedPlan
+      def shuffles(p: org.apache.spark.sql.execution.SparkPlan) =
+        p.collect { case e: ShuffleExchangeExec => e }.size
+      assert(shuffles(plan) == shuffles(skeleton),
+        s"scoring added a shuffle: pipeline=${shuffles(plan)} skeleton=${shuffles(skeleton)}")
+    }
+  }
+
   test("chunk_fixed_tokens plans with ZERO exchanges (pure per-document explode)") {
     import org.apache.spark.sql.execution.exchange.Exchange
     withoutAqe {
