@@ -174,6 +174,31 @@ class PropertiesSpec extends SparkTestBase {
     })
   }
 
+  test("classifier: holdout rows never move the model; scores bounded in [0, 1e6]") {
+    import graft.operators.TextAnalysis
+    val tokGen = Gen.choose(0, 25).map(i => s"w$i")
+    val docGen = Gen.zip(Gen.choose(1L, 400L), Gen.listOfN(5, tokGen),
+      Gen.oneOf("en", "de", "fr"))
+    checkProp(Prop.forAll(Gen.listOfN(20, docGen)) { rows =>
+      val base = rows.map { case (id, toks, l) =>
+        (id, toks.mkString(" "), l, "s", 1L)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      // injecting MORE holdout rows (doc_id % 5 == 0) must leave the
+      // trained weight table bit-identical — the split discipline
+      val extra = Seq((1000000L, "zzz qqq ppp", "en", "s", 1L),
+        (2000005L, "rrr sss", "de", "s", 1L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      def model(df: org.apache.spark.sql.DataFrame) =
+        TextAnalysis.qualityClassifierTrain(df).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val stable = model(base) == model(base.union(extra))
+      // every score is a mean of weights in (0, 1e6) -> bounded
+      val bounded = TextAnalysis.qualityClassifierScore(base).collect()
+        .forall(r => r.getLong(3) >= 0L && r.getLong(3) <= 1000000L)
+      stable && bounded
+    }, n = 4)
+  }
+
   test("manifest store: any commit/crash/vacuum interleaving resolves to the last commit") {
     import graft.streaming.ManifestStore
     // ops: 0 = commit to a random bucket subset, 1 = crashed write (orphan
