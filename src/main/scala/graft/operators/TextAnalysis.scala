@@ -148,18 +148,27 @@ object TextAnalysis {
   /** Unseen-bucket weight = the smoothed prior (0+1)·10⁶ div (0+2). */
   private val ClfPrior   = ClfScale / 2
 
-  private def clfBucket(tok: Column): Column =
-    graft.functions.PortableHash.hash32(tok) % ClfBuckets
+  private def clfBucket(tok: Column, d: Int = ClfBuckets): Column =
+    graft.functions.PortableHash.hash32(tok) % d
 
   /** `quality_classifier_train`: per-bucket occurrence counts by class
     * (positive = the target domain, here the 'en'-labeled slice) over the
     * 80% train split (doc_id % 5 != 0 — holdout never leaks into counts),
     * reduced to a fixed-point linear weight per occupied bucket.
     */
-  def qualityClassifierTrain(documents: DataFrame): DataFrame = {
+  def qualityClassifierTrain(documents: DataFrame): DataFrame =
+    qualityClassifierTrainAt(documents, ClfBuckets)
+
+  /** D-parameterized train — harness surface for the production-D scale
+    * measurement (graft.ClfScale); NOT registered, NOT oracled. The
+    * registered query is the D = [[ClfBuckets]] form above, whose oracle
+    * hardcodes the same D.
+    */
+  private[graft] def qualityClassifierTrainAt(documents: DataFrame,
+      d: Int): DataFrame = {
     documents.where(col("doc_id") % 5 =!= 0)
       .select(col("lang"), explode(split(lower(col("text")), " ")).as("tok"))
-      .select(clfBucket(col("tok")).as("bucket"),
+      .select(clfBucket(col("tok"), d).as("bucket"),
         when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
       .groupBy("bucket")
       .agg(sum(col("pos")).as("pos_count"),
@@ -192,21 +201,32 @@ object TextAnalysis {
     * model trained offline; no state store, no join, the model rides in
     * the plan as a constant).
     */
-  def qualityClassifierScorer(trainCorpus: DataFrame): DataFrame => DataFrame = {
-    val trained = qualityClassifierTrain(trainCorpus)
+  def qualityClassifierScorer(trainCorpus: DataFrame): DataFrame => DataFrame =
+    qualityClassifierScorerAt(trainCorpus, ClfBuckets)
+
+  /** D-parameterized scorer — harness surface for the production-D scale
+    * measurement (graft.ClfScale); NOT registered, NOT oracled (see
+    * [[qualityClassifierTrainAt]]).
+    */
+  private[graft] def qualityClassifierScorerAt(trainCorpus: DataFrame,
+      d: Int): DataFrame => DataFrame = {
+    val trained = qualityClassifierTrainAt(trainCorpus, d)
       .select(col("bucket"), col("pos_count"), col("neg_count"),
         col("weight_ppm")).collect()
     val weights = trained.map(r => r.getLong(0).toInt -> r.getLong(3)).toMap
     val totPos = trained.map(_.getLong(1)).sum
     val totAll = totPos + trained.map(_.getLong(2)).sum
     val basePpm = (totPos + 1) * ClfScale / (totAll + 2)
-    val wArr = array((0 until ClfBuckets)
-      .map(i => lit(weights.getOrElse(i, ClfPrior))): _*)
+    // ONE array literal (typedlit), not array(lit, lit, ...): the weight
+    // table rides in the plan as a single Literal whose node count is O(1)
+    // in D — at the production D = 2^18 that is a 2 MB ArrayData constant,
+    // not 2^18 expression-tree children for the analyzer to walk
+    val wArr = typedlit(Array.tabulate(d)(i => weights.getOrElse(i, ClfPrior)))
     val toks = split(lower(col("text")), " ")
     (target: DataFrame) => target
       .withColumn("n_tokens", size(toks).cast("long"))
       .withColumn("sum_w", aggregate(toks, lit(0L),
-        (acc, t) => acc + element_at(wArr, (clfBucket(t) + 1).cast("int"))))
+        (acc, t) => acc + element_at(wArr, (clfBucket(t, d) + 1).cast("int"))))
       .withColumn("score_ppm", expr("sum_w div n_tokens"))
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("score_ppm"),
         lit(basePpm).as("threshold_ppm"),
