@@ -291,6 +291,10 @@ object SparkEntry {
       TextAnalysis.qualityClassifierScore(Tables.documents(s, d))),
     "quality_classifier_eval" -> ((s, d) =>
       TextAnalysis.qualityClassifierEval(Tables.documents(s, d))),
+    "quality_classifier_calibration" -> ((s, d) =>
+      TextAnalysis.qualityClassifierCalibration(Tables.documents(s, d))),
+    "quality_model_drift" -> ((s, d) =>
+      TextAnalysis.qualityModelDrift(Tables.documents(s, d))),
     "text_top_terms_sketch" -> ((s, d) =>
       TextAnalysis.textTopTermsSketch(Tables.documents(s, d))),
     // corpus-level stats / QA reports

@@ -265,6 +265,58 @@ object TextAnalysis {
           "2 * precision_ppm * recall_ppm div (precision_ppm + recall_ppm) END"))
   }
 
+  /** `quality_classifier_calibration`: reliability diagram over the
+    * holdout — fixed 10k-ppm bins of SIGNED DISTANCE FROM THE DECISION
+    * THRESHOLD (clamped to ±5) vs the actual positive rate inside each.
+    * Binning relative to the boundary, not absolute score, is what makes
+    * the diagram informative for a filter: the bins sit where the
+    * keep/drop decisions actually happen, and a well-calibrated gate
+    * shows the rate rising across bin 0. Exact integer bucketing with no
+    * global sort — the +10⁶ offset keeps the division non-negative so
+    * Spark's `div` and DuckDB's `//` (which differ on negatives) cannot
+    * diverge. Same 100-TB shape as eval: map-only score pass plus one
+    * ≤11-row aggregate.
+    */
+  def qualityClassifierCalibration(documents: DataFrame): DataFrame = {
+    qualityClassifierScore(documents)
+      .where(col("is_holdout"))
+      .withColumn("boundary_bin", greatest(lit(-5L), least(lit(5L),
+        expr("(score_ppm - threshold_ppm + 1000000) div 10000") - 100L)))
+      .groupBy("boundary_bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_positive"))
+      .select(col("boundary_bin"), col("n_docs"), col("n_positive"),
+        expr("n_positive * 1000000 div n_docs").as("positive_rate_ppm"))
+  }
+
+  /** `quality_model_drift`: hashed-feature distribution shift between the
+    * reference corpus half (even doc_id — standing in for "the corpus the
+    * model was trained on") and the current half, as exact L1 distance in
+    * ppm over the model's own D buckets. This is the retraining trigger
+    * DEPLOY.md's model-versioning rule needs: a frozen model stays valid
+    * only while the incoming token distribution matches the one it was
+    * trained on, and this statistic is computable in one D-bounded
+    * aggregation (the same shuffle shape as training — at most D rows per
+    * map task) plus two model-sized reductions.
+    */
+  def qualityModelDrift(documents: DataFrame): DataFrame = {
+    val byBucket = documents
+      .select((col("doc_id") % 2 === 0).as("ref_half"),
+        explode(split(lower(col("text")), " ")).as("tok"))
+      .select(col("ref_half"), clfBucket(col("tok")).as("bucket"))
+      .groupBy("bucket")
+      .agg(sum(when(col("ref_half"), 1L).otherwise(0L)).as("ref_count"),
+        sum(when(not(col("ref_half")), 1L).otherwise(0L)).as("cur_count"))
+    val totals = byBucket.agg(sum(col("ref_count")).as("ref_total"),
+      sum(col("cur_count")).as("cur_total"))
+    byBucket.crossJoin(broadcast(totals))
+      .select(abs(expr("ref_count * 1000000 div ref_total") -
+        expr("cur_count * 1000000 div cur_total")).as("d"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("d")).as("l1_drift_ppm"),
+        max(col("d")).as("max_bucket_drift_ppm"))
+  }
+
   /** `text_top_terms`: top-10 terms per language by frequency — corpus
     * vocabulary stats (the first thing anyone computes over a new corpus).
     * Explode → per-(lang, term) count with map-side combine → top-k per
@@ -748,10 +800,52 @@ object TextAnalysis {
        |FROM pr""".stripMargin
   }
 
+  private lazy val clfCalibrationOracle: String =
+    s"""WITH $clfScoredCtes
+       |SELECT CAST(GREATEST(-5, LEAST(5,
+       |         (score_ppm - threshold_ppm + 1000000) // 10000 - 100))
+       |         AS BIGINT) AS boundary_bin,
+       |       COUNT(*) AS n_docs,
+       |       CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_positive,
+       |       CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 1000000
+       |            // COUNT(*) AS BIGINT) AS positive_rate_ppm
+       |FROM clf_scored WHERE is_holdout
+       |GROUP BY 1""".stripMargin
+
+  private lazy val clfDriftOracle: String = {
+    val h = graft.functions.PortableHash.duckSql("tok")
+    s"""WITH tok AS (
+       |  SELECT doc_id % 2 = 0 AS ref_half, $h % $ClfBuckets AS bucket
+       |  FROM (SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS tok
+       |        FROM documents)),
+       |by_bucket AS (
+       |  SELECT bucket,
+       |         CAST(SUM(CASE WHEN ref_half THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS ref_count,
+       |         CAST(SUM(CASE WHEN NOT ref_half THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS cur_count
+       |  FROM tok GROUP BY 1),
+       |tot AS (
+       |  SELECT CAST(SUM(ref_count) AS BIGINT) AS ref_total,
+       |         CAST(SUM(cur_count) AS BIGINT) AS cur_total
+       |  FROM by_bucket),
+       |d AS (
+       |  SELECT ABS(ref_count * 1000000 // ref_total
+       |             - cur_count * 1000000 // cur_total) AS d
+       |  FROM by_bucket, tot)
+       |SELECT COUNT(*) AS n_buckets,
+       |       CAST(SUM(d) AS BIGINT) AS l1_drift_ppm,
+       |       CAST(MAX(d) AS BIGINT) AS max_bucket_drift_ppm
+       |FROM d""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "quality_classifier_train" -> clfTrainOracle,
     "quality_classifier_score" -> clfScoreOracle,
     "quality_classifier_eval" -> clfEvalOracle,
+    "quality_classifier_calibration" -> clfCalibrationOracle,
+    "quality_model_drift" -> clfDriftOracle,
     "text_bigram_lm" ->
       """WITH t AS (
         |  SELECT doc_id, lang, string_split(lower(text), ' ') AS toks FROM documents),

@@ -96,6 +96,31 @@ class QualityClassifierSpec extends SparkTestBase {
     assert(r.isNullAt(4) && r.isNullAt(5) && r.isNullAt(6))
   }
 
+  test("calibration: positive rate separates across the decision boundary") {
+    val rows = TextAnalysis.qualityClassifierCalibration(planted).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // holdout = doc 5 (en, far above threshold -> bin clamps to +5) and
+    // doc 10 (fr, far below -> bin -5): one-doc bins, 100% positive rate
+    // above the boundary, 0% below
+    assert(rows.toSet == Set((5L, 1L, 1L, 1000000L), (-5L, 1L, 0L, 0L)),
+      rows.toSeq.toString)
+  }
+
+  test("drift: identical corpus halves measure zero L1 drift") {
+    val mirrored = docs(
+      (2L, "alpha beta the", "en"), (3L, "alpha beta the", "en"),
+      (4L, "delta zeta", "de"), (7L, "delta zeta", "de"))
+    val r = TextAnalysis.qualityModelDrift(mirrored).collect().head
+    assert(r.getLong(1) == 0L && r.getLong(2) == 0L,
+      s"identical halves must show zero drift: $r")
+    // and a genuinely shifted half shows positive drift
+    val shifted = docs(
+      (2L, "alpha beta the", "en"), (4L, "alpha beta the", "en"),
+      (3L, "delta zeta epsilon", "de"), (7L, "delta zeta epsilon", "de"))
+    val s = TextAnalysis.qualityModelDrift(shifted).collect().head
+    assert(s.getLong(1) > 0L, s"disjoint halves must show drift: $s")
+  }
+
   test("model curation: manifest dedups, drops holdout and unkept docs") {
     // doc 11 is a byte-identical copy of doc 1: exact dedup must keep only
     // the min-id copy. Kept manifest = en train docs {1, 2, 6}; holdout
