@@ -295,6 +295,11 @@ object SparkEntry {
       TextAnalysis.qualityClassifierCalibration(Tables.documents(s, d))),
     "quality_model_drift" -> ((s, d) =>
       TextAnalysis.qualityModelDrift(Tables.documents(s, d))),
+    // learned multi-class domain classifier (mix-planner input) + its eval
+    "domain_classifier_assign" -> ((s, d) =>
+      TextAnalysis.domainClassifierAssign(Tables.documents(s, d))),
+    "domain_classifier_confusion" -> ((s, d) =>
+      TextAnalysis.domainClassifierConfusion(Tables.documents(s, d))),
     "text_top_terms_sketch" -> ((s, d) =>
       TextAnalysis.textTopTermsSketch(Tables.documents(s, d))),
     // corpus-level stats / QA reports

@@ -317,6 +317,83 @@ object TextAnalysis {
         max(col("d")).as("max_bucket_drift_ppm"))
   }
 
+  /** Domain label set for the multi-class classifier — alphabetical order
+    * IS the deterministic argmax tie rank (mirrored in the oracle's
+    * GREATEST encoding).
+    */
+  private[operators] val ClfDomains = Seq("de", "en", "es", "fr", "zh")
+  /** Multi-class unseen-bucket weight: (0+1)·10⁶ div (0+|domains|). */
+  private val ClfDomainPrior = (0L + 1L) * ClfScale / (0L + ClfDomains.size)
+
+  /** `domain_classifier_assign`: multi-class hashed-feature domain
+    * classifier — the learned companion to the marker-based `text_langid`
+    * and the input a DoReMi-style mix planner needs (domain weights come
+    * from CLASSIFIED counts, not source labels, when sources are mixed).
+    * One training pass computes per-bucket counts for ALL domains
+    * simultaneously (the shuffle still carries ≤ D rows per map task, each
+    * row now |domains|+1 longs); scoring folds |domains| weight tables
+    * into the plan and takes an exact-integer argmax with the same
+    * score·8+rank encoding both engines compute (deterministic ties).
+    * Train split and holdout discipline identical to the binary
+    * classifier. (On the driver's synthetic corpus the learned argmax
+    * degenerates to the majority class — the corpus genuinely has no
+    * per-language vocabulary signal, and the confusion query makes that
+    * visible, which is exactly the check's job; QualityClassifierSpec
+    * plants a separable corpus and pins that the model discriminates when
+    * signal exists.)
+    */
+  def domainClassifierAssign(documents: DataFrame): DataFrame =
+    domainAssigner(documents)(documents)
+
+  /** Train once on `trainCorpus`, return the frozen multi-class assigning
+    * projection (same frozen-model contract as
+    * [[qualityClassifierScorer]]).
+    */
+  private[graft] def domainAssigner(trainCorpus: DataFrame): DataFrame => DataFrame = {
+    val aggs = ClfDomains.map(l =>
+      sum(when(col("lang") === l, 1L).otherwise(0L)).as(s"c_$l")) :+
+      count(lit(1)).as("tot")
+    val trained = trainCorpus.where(col("doc_id") % 5 =!= 0)
+      .select(col("lang"), explode(split(lower(col("text")), " ")).as("tok"))
+      .select(clfBucket(col("tok")).as("bucket"), col("lang"))
+      .groupBy("bucket")
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    // bucket -> (per-domain count, total)
+    val byBucket = trained.map(r =>
+      r.getLong(0).toInt -> (ClfDomains.indices.map(i => r.getLong(i + 1)),
+        r.getLong(ClfDomains.size + 1))).toMap
+    val wArrs = ClfDomains.indices.map { di =>
+      typedlit(Array.tabulate(ClfBuckets) { b =>
+        byBucket.get(b)
+          .map { case (cs, tot) => (cs(di) + 1) * ClfScale / (tot + ClfDomains.size) }
+          .getOrElse(ClfDomainPrior)
+      })
+    }
+    val toks = split(lower(col("text")), " ")
+    (target: DataFrame) => {
+      val scores = wArrs.map(w => aggregate(toks, lit(0L),
+        (acc, t) => acc + element_at(w, (clfBucket(t) + 1).cast("int"))))
+      val best = greatest(scores.zipWithIndex.map { case (s, r) => s * 8L + r }: _*)
+      val decode = ClfDomains.zipWithIndex.foldLeft(lit(null).cast("string")) {
+        case (acc, (l, r)) => when(best % 8 === r, l).otherwise(acc)
+      }
+      target.select(col("doc_id"), col("lang"),
+        decode.as("predicted_domain"),
+        (col("doc_id") % 5 === 0).as("is_holdout"))
+    }
+  }
+
+  /** `domain_classifier_confusion`: holdout confusion counts per
+    * (true label, predicted domain) — the multi-class eval gate, and the
+    * per-domain doc counts a mix planner consumes. ≤ |domains|² rows out.
+    */
+  def domainClassifierConfusion(documents: DataFrame): DataFrame =
+    domainClassifierAssign(documents)
+      .where(col("is_holdout"))
+      .groupBy(col("lang"), col("predicted_domain"))
+      .agg(count(lit(1)).as("n_docs"))
+
   /** `text_top_terms`: top-10 terms per language by frequency — corpus
     * vocabulary stats (the first thing anyone computes over a new corpus).
     * Explode → per-(lang, term) count with map-side combine → top-k per
@@ -840,7 +917,67 @@ object TextAnalysis {
        |FROM d""".stripMargin
   }
 
+  /** CTE chain ending in `dom_assigned` (doc_id, lang, predicted_domain,
+    * is_holdout) — the DuckDB twin of [[domainAssigner]]: same bucket
+    * hash, same (c+1)·10⁶ div (tot+|domains|) weights, same 200000 unseen
+    * prior, same score·8+rank argmax encoding.
+    */
+  private lazy val domAssignedCtes: String = {
+    val h = graft.functions.PortableHash.duckSql("tok")
+    val cs = ClfDomains.map(l =>
+      s"CAST(SUM(CASE WHEN lang = '$l' THEN 1 ELSE 0 END) AS BIGINT) AS c_$l")
+      .mkString(",\n         ")
+    val ws = ClfDomains.map(l =>
+      s"CAST((c_$l + 1) * 1000000 // (tot + ${ClfDomains.size}) AS BIGINT) AS w_$l")
+      .mkString(",\n         ")
+    val ss = ClfDomains.map(l =>
+      s"SUM(COALESCE(w_$l, $ClfDomainPrior)) AS s_$l").mkString(",\n         ")
+    val enc = ClfDomains.zipWithIndex
+      .map { case (l, r) => s"s_$l * 8 + $r" }.mkString(", ")
+    val dec = ClfDomains.zipWithIndex
+      .map { case (l, r) => s"WHEN $r THEN '$l'" }.mkString(" ")
+    s"""dom_tok_tr AS (
+       |  SELECT lang, $h % $ClfBuckets AS bucket
+       |  FROM (SELECT lang, UNNEST(string_split(lower(text), ' ')) AS tok
+       |        FROM documents WHERE doc_id % 5 != 0)),
+       |dom_model AS (
+       |  SELECT bucket,
+       |         $cs,
+       |         CAST(COUNT(*) AS BIGINT) AS tot
+       |  FROM dom_tok_tr GROUP BY 1),
+       |dom_w AS (
+       |  SELECT bucket,
+       |         $ws
+       |  FROM dom_model),
+       |dom_doc_tok AS (
+       |  SELECT doc_id, $h % $ClfBuckets AS bucket
+       |  FROM (SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS tok
+       |        FROM documents)),
+       |dom_per AS (
+       |  SELECT doc_id,
+       |         $ss
+       |  FROM dom_doc_tok LEFT JOIN dom_w USING (bucket) GROUP BY 1),
+       |dom_assigned AS (
+       |  SELECT d.doc_id, d.lang,
+       |         CASE GREATEST($enc) % 8 $dec END AS predicted_domain,
+       |         d.doc_id % 5 = 0 AS is_holdout
+       |  FROM documents d JOIN dom_per per ON d.doc_id = per.doc_id)""".stripMargin
+  }
+
+  private lazy val domAssignOracle: String =
+    s"""WITH $domAssignedCtes
+       |SELECT doc_id, lang, predicted_domain, is_holdout
+       |FROM dom_assigned""".stripMargin
+
+  private lazy val domConfusionOracle: String =
+    s"""WITH $domAssignedCtes
+       |SELECT lang, predicted_domain, COUNT(*) AS n_docs
+       |FROM dom_assigned WHERE is_holdout
+       |GROUP BY 1, 2""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "domain_classifier_assign" -> domAssignOracle,
+    "domain_classifier_confusion" -> domConfusionOracle,
     "quality_classifier_train" -> clfTrainOracle,
     "quality_classifier_score" -> clfScoreOracle,
     "quality_classifier_eval" -> clfEvalOracle,

@@ -121,6 +121,20 @@ class QualityClassifierSpec extends SparkTestBase {
     assert(s.getLong(1) > 0L, s"disjoint halves must show drift: $s")
   }
 
+  test("domain assign: learned multi-class argmax classifies holdout docs") {
+    val rows = TextAnalysis.domainClassifierAssign(planted).collect()
+      .map(r => r.getLong(0) -> (r.getString(2), r.getBoolean(3))).toMap
+    // holdout doc 5 speaks the pure-en vocabulary -> must assign 'en';
+    // doc 10 speaks the de/fr-shared vocabulary -> must NOT assign 'en'
+    assert(rows(5L) == ("en", true), rows.toString)
+    assert(rows(10L)._1 != "en" && rows(10L)._2, rows.toString)
+    // every doc gets exactly one non-null label
+    assert(rows.size == 8 && rows.values.forall(_._1 != null))
+    // confusion counts cover exactly the 2 holdout docs
+    val conf = TextAnalysis.domainClassifierConfusion(planted).collect()
+    assert(conf.map(_.getLong(2)).sum == 2L, conf.toSeq.toString)
+  }
+
   test("model curation: manifest dedups, drops holdout and unkept docs") {
     // doc 11 is a byte-identical copy of doc 1: exact dedup must keep only
     // the min-id copy. Kept manifest = en train docs {1, 2, 6}; holdout
