@@ -363,24 +363,37 @@ object TextAnalysis {
     val byBucket = trained.map(r =>
       r.getLong(0).toInt -> (ClfDomains.indices.map(i => r.getLong(i + 1)),
         r.getLong(ClfDomains.size + 1))).toMap
-    val wArrs = ClfDomains.indices.map { di =>
-      typedlit(Array.tabulate(ClfBuckets) { b =>
-        byBucket.get(b)
-          .map { case (cs, tot) => (cs(di) + 1) * ClfScale / (tot + ClfDomains.size) }
-          .getOrElse(ClfDomainPrior)
-      })
-    }
+    // ONE 2-D weight-matrix literal (bucket -> |domains| weights): each
+    // token is hashed ONCE and its whole weight row fetched in one lookup,
+    // vs |domains| md5 evaluations per token in the per-domain-array form.
+    // Measured A/B at x100 (same host, warm): 28-31 vs 32-36 cpu-s — ~10%,
+    // not the 5x the hash count suggests (tokenize + aggregate machinery
+    // dominate, not md5), but the one-pass form is also the one that stays
+    // flat as |domains| grows
+    val wMat = typedlit(Array.tabulate(ClfBuckets) { b =>
+      byBucket.get(b) match {
+        case Some((cs, tot)) => ClfDomains.indices.toArray
+          .map(di => (cs(di) + 1) * ClfScale / (tot + ClfDomains.size))
+        case None => Array.fill(ClfDomains.size)(ClfDomainPrior)
+      }
+    })
+    val zeros = typedlit(Array.fill(ClfDomains.size)(0L))
     val toks = split(lower(col("text")), " ")
     (target: DataFrame) => {
-      val scores = wArrs.map(w => aggregate(toks, lit(0L),
-        (acc, t) => acc + element_at(w, (clfBucket(t) + 1).cast("int"))))
+      val sums = aggregate(toks, zeros, (acc, t) =>
+        zip_with(acc, element_at(wMat, (clfBucket(t) + 1).cast("int")), _ + _))
+      // materialize the sums array in its own project so the argmax below
+      // references the COLUMN — the one aggregate() runs once per row
+      val scores = ClfDomains.indices.map(i => element_at(col("dom_sums"), i + 1))
       val best = greatest(scores.zipWithIndex.map { case (s, r) => s * 8L + r }: _*)
       val decode = ClfDomains.zipWithIndex.foldLeft(lit(null).cast("string")) {
         case (acc, (l, r)) => when(best % 8 === r, l).otherwise(acc)
       }
-      target.select(col("doc_id"), col("lang"),
-        decode.as("predicted_domain"),
-        (col("doc_id") % 5 === 0).as("is_holdout"))
+      target
+        .withColumn("dom_sums", sums)
+        .select(col("doc_id"), col("lang"),
+          decode.as("predicted_domain"),
+          (col("doc_id") % 5 === 0).as("is_holdout"))
     }
   }
 
