@@ -300,6 +300,8 @@ object SparkEntry {
       TextAnalysis.domainClassifierAssign(Tables.documents(s, d))),
     "domain_classifier_confusion" -> ((s, d) =>
       TextAnalysis.domainClassifierConfusion(Tables.documents(s, d))),
+    "mix_plan_by_domain" -> ((s, d) =>
+      TextAnalysis.mixPlanByDomain(Tables.documents(s, d))),
     "text_top_terms_sketch" -> ((s, d) =>
       TextAnalysis.textTopTermsSketch(Tables.documents(s, d))),
     // corpus-level stats / QA reports
@@ -315,6 +317,10 @@ object SparkEntry {
     "chunk_fixed_tokens" -> ((s, d) => Curation.chunkFixedTokens(Tables.documents(s, d))),
     // equal-share training-mixture plan (epochs per source, exact ppm)
     "mix_plan" -> ((s, d) => Curation.mixPlan(Tables.documents(s, d))),
+    // DSIR importance resampling (hashed-bigram likelihood ratio)
+    "dsir_train" -> ((s, d) => Curation.dsirTrain(Tables.documents(s, d))),
+    "dsir_score" -> ((s, d) => Curation.dsirScore(Tables.documents(s, d))),
+    "dsir_resample" -> ((s, d) => Curation.dsirResample(Tables.documents(s, d))),
     "sessionize_batch" -> ((s, d) => graft.streaming.Sessionize.sessionizeBatch(Tables.events(s, d))),
     // product-analytics rollups: strictly-ordered funnel + cohort retention
     "funnel_steps" -> ((s, d) => Funnel.funnelSteps(Tables.events(s, d))),

@@ -515,6 +515,124 @@ object Curation {
         col("share_ppm"), col("target_tokens"), col("epochs_ppm"))
   }
 
+  // ----------------------------------------------------------------- dsir
+
+  /** DSIR-style importance resampling (Xie et al., NeurIPS 2023: "Data
+    * Selection for Language Models via Importance Resampling") — select raw
+    * documents whose hashed-n-gram feature distribution looks like a target
+    * corpus, by likelihood ratio. Public recipe, re-expressed in the same
+    * exact-fixed-point discipline as the quality classifier so the DuckDB
+    * oracle reproduces model AND scores bit-exactly:
+    *
+    *  - features = hashed word BIGRAMS (the paper's hashed n-grams; the
+    *    binary classifier already covers unigrams) over [[DsirBuckets]]
+    *    buckets of the portable md5 hash;
+    *  - per-bucket ratio = Laplace-smoothed target/raw probability ratio in
+    *    ppm: (t_b+1)·(R+D) · 10⁶ div ((r_b+1)·(T+D)) — decimal(38,0) guards
+    *    the ×10⁶ product, exactly [[mixPlan]]'s overflow discipline;
+    *  - document importance = MEAN bucket ratio over the doc's bigram
+    *    occurrences (`sum div n`), not the paper's sum-of-log-ratios: the
+    *    arithmetic mean keeps every operation integer-exact across engines
+    *    (no transcendental ever enters the plan) and induces the same
+    *    "looks-like-target" ordering the resampler needs.
+    *
+    * Scale shape: training is one explode → D-bounded aggregate (the
+    * shuffle carries ≤ D rows per map task); scoring freezes the D-long
+    * ratio table into ONE typedlit plan literal, so the score pass is
+    * scan → project with zero exchanges; resampling is priority top-k
+    * (bounded per-partition heaps). Nothing here changes at 100 TB.
+    */
+  private[operators] val DsirBuckets = 1024
+  private val DsirScale = 1000000L
+
+  private def dsirGrams: Column =
+    graft.functions.WordShingles.word_grams(split(lower(col("text")), " "), 2)
+
+  private def dsirBucket(gram: Column): Column =
+    PortableHash.hash32(gram) % DsirBuckets
+
+  /** Per-bucket (target_count, raw_count) over the corpus — target = the
+    * 'en'-labeled slice (the same target proxy the binary classifier
+    * uses), raw = everything else.
+    */
+  private def dsirCounts(corpus: DataFrame): DataFrame =
+    corpus
+      .select((col("lang") === "en").as("is_target"), explode(dsirGrams).as("gram"))
+      .select(dsirBucket(col("gram")).as("bucket"), col("is_target"))
+      .groupBy("bucket")
+      .agg(sum(when(col("is_target"), 1L).otherwise(0L)).as("target_count"),
+        sum(when(col("is_target"), 0L).otherwise(1L)).as("raw_count"))
+
+  /** `dsir_train`: the importance model itself — per-bucket counts and the
+    * smoothed target/raw likelihood ratio in ppm. D-bounded output (≤ 1024
+    * rows), one aggregate + one single-row broadcast.
+    */
+  def dsirTrain(documents: DataFrame): DataFrame = {
+    val counts = dsirCounts(documents)
+    val totals = counts.agg(sum(col("target_count")).as("t_total"),
+      sum(col("raw_count")).as("r_total"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("bucket"), col("target_count"), col("raw_count"),
+        expr(s"(cast(target_count + 1 as decimal(38,0)) * (r_total + $DsirBuckets)" +
+          s" * $DsirScale) div (cast(raw_count + 1 as decimal(38,0))" +
+          s" * (t_total + $DsirBuckets))").as("ratio_ppm"))
+  }
+
+  /** `dsir_score`: importance-score every document with the frozen model. */
+  def dsirScore(documents: DataFrame): DataFrame =
+    dsirScorer(documents)(documents)
+
+  /** Train once on `trainCorpus`, return the frozen scoring projection —
+    * the same frozen-model serving contract as the quality classifier's
+    * scorer: a pure stateless map (model = one plan literal) applicable to
+    * any frame with (doc_id, lang, source, text) columns, batch or stream.
+    * Unseen buckets score the neutral smoothed ratio (t_b = r_b = 0); docs
+    * with no bigrams (< 2 tokens) score exactly 10⁶ (ratio 1.0 — no
+    * evidence either way).
+    */
+  def dsirScorer(trainCorpus: DataFrame): DataFrame => DataFrame = {
+    val counts = dsirCounts(trainCorpus).collect()
+    val tTot = counts.map(_.getLong(1)).sum
+    val rTot = counts.map(_.getLong(2)).sum
+    // BigInt floor-div of positives == the plan's decimal `div` truncation,
+    // so driver-side ratios are bit-identical to dsirTrain's column
+    def ratio(t: Long, r: Long): Long =
+      ((BigInt(t + 1) * (rTot + DsirBuckets) * DsirScale) /
+        (BigInt(r + 1) * (tTot + DsirBuckets))).toLong
+    val byBucket = counts
+      .map(r0 => r0.getLong(0).toInt -> ratio(r0.getLong(1), r0.getLong(2))).toMap
+    val unseen = ratio(0L, 0L)
+    val wArr = typedlit(Array.tabulate(DsirBuckets)(b => byBucket.getOrElse(b, unseen)))
+    val grams = dsirGrams
+    (target: DataFrame) => target
+      .withColumn("n_grams", org.apache.spark.sql.functions.size(grams).cast("long"))
+      .withColumn("sum_r", aggregate(grams, lit(0L),
+        (acc, g) => acc + element_at(wArr, (dsirBucket(g) + 1).cast("int"))))
+      .select(col("doc_id"), col("lang"), col("source"),
+        (col("lang") === "en").as("is_target"), col("n_grams"),
+        when(col("n_grams") > 0, expr("sum_r div n_grams"))
+          .otherwise(lit(DsirScale)).as("importance_ppm"))
+  }
+
+  /** `dsir_resample`: the selection step — a k-sample of the RAW pool
+    * (target docs are already in-distribution) with inclusion probability
+    * proportional to importance, via the same deterministic
+    * Duffield–Lund–Thorup priority sampling as
+    * [[sampleReservoirWeighted]]: priority = importance div portable-hash
+    * uniform, global top-k. Plans as `TakeOrderedAndProject` — one bounded
+    * k-heap per partition, no global sort, only `partitions × k` rows move.
+    */
+  def dsirResample(documents: DataFrame, k: Int = 100): DataFrame = {
+    val u = PortableHash.hash32(concat(lit("dsir:"), col("doc_id").cast("string"))) + lit(1L)
+    dsirScore(documents)
+      .where(not(col("is_target")))
+      .withColumn("priority",
+        col("importance_ppm").cast(DoubleType) / u.cast(DoubleType))
+      .orderBy(col("priority").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("lang"), col("source"), col("importance_ppm"))
+  }
+
   // ------------------------------------------------------------- oracles
 
   private def h(e: String): String = PortableHash.duckSql(e)
@@ -550,7 +668,84 @@ object Curation {
        |FROM hits h JOIN ev ON h.doc_id = ev.doc_id""".stripMargin
   }
 
+  /** Shared CTE chain ending in `dsir_scored` (doc_id, lang, source,
+    * is_target, n_grams, importance_ppm) — the DuckDB twin of
+    * [[dsirScorer]], shared by the score and resample oracles so the two
+    * cannot diverge on the importance arithmetic. Same bigram bucket hash,
+    * same HUGEINT-guarded smoothed ratio, same neutral 10⁶ for gram-less
+    * docs.
+    */
+  private lazy val dsirScoredCtes: String = {
+    val hb = h("gram")
+    s"""dsir_toks AS (
+       |  SELECT doc_id, lang, source, lang = 'en' AS is_target,
+       |         string_split(lower(text), ' ') AS toks
+       |  FROM documents),
+       |dsir_b AS (
+       |  SELECT doc_id, is_target, $hb % $DsirBuckets AS bucket
+       |  FROM (SELECT doc_id, is_target,
+       |               UNNEST(list_transform(range(1, len(toks)),
+       |                 i -> toks[i] || ' ' || toks[i+1])) AS gram
+       |        FROM dsir_toks)),
+       |dsir_model AS (
+       |  SELECT bucket,
+       |         CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS target_count,
+       |         CAST(SUM(CASE WHEN is_target THEN 0 ELSE 1 END) AS BIGINT)
+       |           AS raw_count
+       |  FROM dsir_b GROUP BY 1),
+       |dsir_tot AS (
+       |  SELECT CAST(SUM(target_count) AS BIGINT) AS t_total,
+       |         CAST(SUM(raw_count) AS BIGINT) AS r_total
+       |  FROM dsir_model),
+       |dsir_w AS (
+       |  SELECT bucket,
+       |         CAST(((target_count + 1)::HUGEINT * (r_total + $DsirBuckets)
+       |                * $DsirScale)
+       |              // ((raw_count + 1)::HUGEINT * (t_total + $DsirBuckets))
+       |              AS BIGINT) AS ratio_ppm
+       |  FROM dsir_model, dsir_tot),
+       |dsir_per AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+       |         CAST(SUM(COALESCE(ratio_ppm,
+       |           (SELECT CAST((r_total + $DsirBuckets)::HUGEINT * $DsirScale
+       |                        // (t_total + $DsirBuckets) AS BIGINT)
+       |            FROM dsir_tot))) AS BIGINT) AS sum_r
+       |  FROM dsir_b LEFT JOIN dsir_w USING (bucket)
+       |  GROUP BY 1),
+       |dsir_scored AS (
+       |  SELECT t.doc_id, t.lang, t.source, t.is_target,
+       |         CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+       |         CAST(CASE WHEN p.n_grams > 0 THEN p.sum_r // p.n_grams
+       |                   ELSE $DsirScale END AS BIGINT) AS importance_ppm
+       |  FROM dsir_toks t LEFT JOIN dsir_per p USING (doc_id))""".stripMargin
+  }
+
+  private lazy val dsirTrainOracle: String =
+    s"""WITH $dsirScoredCtes
+       |SELECT m.bucket, m.target_count, m.raw_count, w.ratio_ppm
+       |FROM dsir_model m JOIN dsir_w w USING (bucket)""".stripMargin
+
+  private lazy val dsirScoreOracle: String =
+    s"""WITH $dsirScoredCtes
+       |SELECT doc_id, lang, source, is_target, n_grams, importance_ppm
+       |FROM dsir_scored""".stripMargin
+
+  private lazy val dsirResampleOracle: String = {
+    val hu = h("'dsir:' || CAST(doc_id AS VARCHAR)")
+    s"""WITH $dsirScoredCtes
+       |SELECT doc_id, lang, source, importance_ppm
+       |FROM (SELECT *, CAST(importance_ppm AS DOUBLE)
+       |               / CAST($hu + 1 AS DOUBLE) AS pri
+       |      FROM dsir_scored WHERE NOT is_target)
+       |ORDER BY pri DESC, doc_id
+       |LIMIT 100""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "dsir_train" -> dsirTrainOracle,
+    "dsir_score" -> dsirScoreOracle,
+    "dsir_resample" -> dsirResampleOracle,
     "chunk_fixed_tokens" ->
       """WITH toks AS (
         |  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),

@@ -389,11 +389,15 @@ object TextAnalysis {
       val decode = ClfDomains.zipWithIndex.foldLeft(lit(null).cast("string")) {
         case (acc, (l, r)) => when(best % 8 === r, l).otherwise(acc)
       }
+      // n_tokens rides along so downstream planners (mix_plan_by_domain)
+      // can consume classified TOKEN counts without re-reading text —
+      // the composition stays a single pass over the corpus
       target
         .withColumn("dom_sums", sums)
         .select(col("doc_id"), col("lang"),
           decode.as("predicted_domain"),
-          (col("doc_id") % 5 === 0).as("is_holdout"))
+          (col("doc_id") % 5 === 0).as("is_holdout"),
+          org.apache.spark.sql.functions.size(toks).cast("long").as("n_tokens"))
     }
   }
 
@@ -406,6 +410,35 @@ object TextAnalysis {
       .where(col("is_holdout"))
       .groupBy(col("lang"), col("predicted_domain"))
       .agg(count(lit(1)).as("n_docs"))
+
+  /** `mix_plan_by_domain`: the DoReMi-style composition the domain
+    * classifier exists for — [[Curation.mixPlan]]'s equal-share epoch
+    * arithmetic keyed by PREDICTED domain instead of the source label
+    * (when sources are mixed, domain weights must come from classified
+    * counts). One pass: the assigner's projection already carries
+    * n_tokens, so this is assign → |domains|-bounded aggregate → one
+    * single-row broadcast — no second corpus read, no join back to text.
+    * Same exact fixed-point ppm discipline as `mix_plan` (decimal product
+    * guards the ×10⁶). On a corpus where the learned argmax degenerates to
+    * one class (the driver's synthetic corpus — see
+    * [[domainClassifierAssign]]) the plan honestly collapses to one row;
+    * DsirSpec-style planted corpora pin the multi-domain behavior.
+    */
+  def mixPlanByDomain(documents: DataFrame): DataFrame = {
+    val perDomain = domainClassifierAssign(documents)
+      .groupBy(col("predicted_domain"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("domain_tokens"))
+    val totals = perDomain.agg(sum(col("domain_tokens")).as("total_tokens"),
+      count(lit(1)).as("n_domains"))
+    perDomain.crossJoin(broadcast(totals))
+      .withColumn("share_ppm",
+        expr("(cast(domain_tokens as decimal(38,0)) * 1000000) div total_tokens"))
+      .withColumn("target_tokens", expr("total_tokens div n_domains"))
+      .withColumn("epochs_ppm",
+        expr("(cast(target_tokens as decimal(38,0)) * 1000000) div domain_tokens"))
+      .select(col("predicted_domain"), col("n_docs"), col("domain_tokens"),
+        col("share_ppm"), col("target_tokens"), col("epochs_ppm"))
+  }
 
   /** `text_top_terms`: top-10 terms per language by frequency — corpus
     * vocabulary stats (the first thing anyone computes over a new corpus).
@@ -973,13 +1006,14 @@ object TextAnalysis {
        |dom_assigned AS (
        |  SELECT d.doc_id, d.lang,
        |         CASE GREATEST($enc) % 8 $dec END AS predicted_domain,
-       |         d.doc_id % 5 = 0 AS is_holdout
+       |         d.doc_id % 5 = 0 AS is_holdout,
+       |         CAST(len(string_split(lower(d.text), ' ')) AS BIGINT) AS n_tokens
        |  FROM documents d JOIN dom_per per ON d.doc_id = per.doc_id)""".stripMargin
   }
 
   private lazy val domAssignOracle: String =
     s"""WITH $domAssignedCtes
-       |SELECT doc_id, lang, predicted_domain, is_holdout
+       |SELECT doc_id, lang, predicted_domain, is_holdout, n_tokens
        |FROM dom_assigned""".stripMargin
 
   private lazy val domConfusionOracle: String =
@@ -988,9 +1022,28 @@ object TextAnalysis {
        |FROM dom_assigned WHERE is_holdout
        |GROUP BY 1, 2""".stripMargin
 
+  private lazy val mixPlanByDomainOracle: String =
+    s"""WITH $domAssignedCtes,
+       |per AS (
+       |  SELECT predicted_domain, COUNT(*) AS n_docs,
+       |         CAST(SUM(n_tokens) AS BIGINT) AS domain_tokens
+       |  FROM dom_assigned GROUP BY 1),
+       |t AS (
+       |  SELECT CAST(SUM(domain_tokens) AS BIGINT) AS total_tokens,
+       |         COUNT(*) AS n_domains
+       |  FROM per)
+       |SELECT predicted_domain, n_docs, domain_tokens,
+       |       CAST((domain_tokens::HUGEINT * 1000000) // total_tokens AS BIGINT)
+       |         AS share_ppm,
+       |       total_tokens // n_domains AS target_tokens,
+       |       CAST(((total_tokens // n_domains)::HUGEINT * 1000000)
+       |            // domain_tokens AS BIGINT) AS epochs_ppm
+       |FROM per, t""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "domain_classifier_assign" -> domAssignOracle,
     "domain_classifier_confusion" -> domConfusionOracle,
+    "mix_plan_by_domain" -> mixPlanByDomainOracle,
     "quality_classifier_train" -> clfTrainOracle,
     "quality_classifier_score" -> clfScoreOracle,
     "quality_classifier_eval" -> clfEvalOracle,

@@ -177,6 +177,31 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("dsir + domain mix plan: no exchange ever carries text or score arrays") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    withoutAqe {
+      val docs = Tables.documents(spark, sf)
+      // dsir_train's only shuffles are the D-bounded bucket aggregate and
+      // the single-row totals; mix_plan_by_domain's are the
+      // |domains|-bounded per-domain aggregates (the frozen-model assign
+      // itself is a pure projection). None may carry corpus text, gram
+      // arrays, or the per-doc score columns.
+      for (df <- Seq(graft.operators.Curation.dsirTrain(docs),
+        graft.operators.TextAnalysis.mixPlanByDomain(docs))) {
+        val exchanges = df.queryExecution.executedPlan.collect {
+          case e: ShuffleExchangeExec => e
+        }
+        assert(exchanges.nonEmpty)
+        exchanges.foreach { e =>
+          val shuffled = e.child.output.map(_.name)
+          assert(!shuffled.exists(n =>
+            n == "text" || n == "gram" || n == "dom_sums" || n == "sum_r"),
+            s"corpus-sized column crosses an exchange: $shuffled")
+        }
+      }
+    }
+  }
+
   test("pipeline_pretrain_shards joins stay broadcast (no sort-merge, no nested-loop)") {
     import org.apache.spark.sql.execution.joins.{SortMergeJoinExec, BroadcastNestedLoopJoinExec}
     withoutAqe {

@@ -135,6 +135,29 @@ class QualityClassifierSpec extends SparkTestBase {
     assert(conf.map(_.getLong(2)).sum == 2L, conf.toSeq.toString)
   }
 
+  test("mix_plan_by_domain: classified token counts, exact share/epoch ppm") {
+    val assigned = TextAnalysis.domainClassifierAssign(planted).collect()
+      .map(r => r.getString(2)).groupBy(identity).view.mapValues(_.size).toMap
+    val rows = TextAnalysis.mixPlanByDomain(planted).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // one plan row per predicted domain, doc counts matching the assigner
+    assert(rows.map(r => r._1 -> r._2.toInt).toMap == assigned)
+    // the planted corpus is 8 docs x 5 tokens
+    val total = rows.map(_._3).sum
+    assert(total == 40L && rows.map(_._2).sum == 8L)
+    val nDomains = rows.length
+    rows.foreach { case (_, _, toks, share, target, epochs) =>
+      assert(share == toks * 1000000L / total)
+      assert(target == total / nDomains)
+      assert(epochs == (total / nDomains) * 1000000L / toks)
+    }
+    // the n_tokens column the assigner now carries is the real token count
+    val nt = TextAnalysis.domainClassifierAssign(planted).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(nt.values.forall(_ == 5L), nt.toString)
+  }
+
   test("model curation: manifest dedups, drops holdout and unkept docs") {
     // doc 11 is a byte-identical copy of doc 1: exact dedup must keep only
     // the min-id copy. Kept manifest = en train docs {1, 2, 6}; holdout
