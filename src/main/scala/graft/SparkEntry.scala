@@ -257,6 +257,7 @@ object SparkEntry {
     "pipeline_pretrain_shards" -> ((s, d) => Pipeline.pretrainShards(Tables.documents(s, d))),
     // model-gated curation (classifier gate -> exact dedup -> source manifest)
     "pipeline_model_curation" -> ((s, d) => Pipeline.modelCuration(Tables.documents(s, d))),
+    "pipeline_domain_mix" -> ((s, d) => Pipeline.domainMix(Tables.documents(s, d))),
     // round-3 curation surface: redaction, contamination, sampling, packing
     "pii_redact" -> ((s, d) => Curation.piiRedact(Tables.documents(s, d))),
     "contamination_check" -> ((s, d) => Curation.contaminationCheck(Tables.documents(s, d))),

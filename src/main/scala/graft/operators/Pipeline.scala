@@ -133,6 +133,79 @@ object Pipeline {
         expr("sum(score_ppm) div count(1)").as("avg_score_ppm"))
   }
 
+  /** v5 — domain-mix MATERIALIZATION (closing the DoReMi-style loop that
+    * `mix_plan_by_domain` plans): the learned domain classifier assigns
+    * every doc a domain, the equal-share epoch arithmetic turns classified
+    * token counts into per-domain epoch weights, and the weighted-mix copy
+    * rule ([[Curation.sampleWeightedMix]]'s floor-plus-hashed-fraction
+    * fan-out, here in ppm) realizes the mix. Output is the per-domain
+    * realized-mix manifest: in expectation every domain's `tokens_out`
+    * lands on the equal share, which is the property the planner promised.
+    *
+    * 100-TB shape: assign is the zero-exchange frozen-model projection; the
+    * epoch table is ≤ |domains| rows broadcast back onto the corpus (no
+    * shuffle of corpus rows); the copy fan-out is a per-row
+    * `explode(sequence)`; the only corpus-sized shuffle is the final
+    * per-domain aggregate, which map-side-combines to ≤ |domains| rows per
+    * task.
+    */
+  def domainMix(documents: DataFrame): DataFrame = {
+    import graft.functions.PortableHash
+    val assigned = TextAnalysis.domainClassifierAssign(documents)
+    val perDomain = assigned.groupBy(col("predicted_domain"))
+      .agg(sum(col("n_tokens")).as("domain_tokens"))
+    val totals = perDomain.agg(sum(col("domain_tokens")).as("total_tokens"),
+      count(lit(1)).as("n_domains"))
+    val epochs = perDomain.crossJoin(broadcast(totals))
+      .select(col("predicted_domain"),
+        expr("(cast(total_tokens div n_domains as decimal(38,0)) * 1000000)" +
+          " div domain_tokens").as("epochs_ppm"))
+    assigned
+      .join(broadcast(epochs), Seq("predicted_domain"))
+      .withColumn("n_copies",
+        expr("epochs_ppm div 1000000") +
+          when(PortableHash.hash32(concat(lit("dmix:"), col("doc_id").cast("string")))
+            % 1000000L < col("epochs_ppm") % 1000000L, 1L).otherwise(0L))
+      .where(col("n_copies") > 0)
+      .select(col("predicted_domain"), col("doc_id"), col("n_tokens"),
+        explode(sequence(lit(0L), col("n_copies") - 1L)).as("copy_idx"))
+      .groupBy(col("predicted_domain"))
+      .agg(count(lit(1)).as("rows_out"),
+        countDistinct(col("doc_id")).as("docs_included"),
+        sum(col("n_tokens")).as("tokens_out"))
+  }
+
+  private def domainMixOracle: String = {
+    val hu = graft.functions.PortableHash.duckSql("'dmix:' || CAST(doc_id AS VARCHAR)")
+    s"""WITH ${TextAnalysis.domAssignedCtes},
+       |per AS (
+       |  SELECT predicted_domain, CAST(SUM(n_tokens) AS BIGINT) AS domain_tokens
+       |  FROM dom_assigned GROUP BY 1),
+       |t AS (
+       |  SELECT CAST(SUM(domain_tokens) AS BIGINT) AS total_tokens,
+       |         COUNT(*) AS n_domains
+       |  FROM per),
+       |ep AS (
+       |  SELECT predicted_domain,
+       |         CAST(((total_tokens // n_domains)::HUGEINT * 1000000)
+       |              // domain_tokens AS BIGINT) AS epochs_ppm
+       |  FROM per, t),
+       |cop AS (
+       |  SELECT a.predicted_domain, a.doc_id, a.n_tokens,
+       |         ep.epochs_ppm // 1000000
+       |           + CASE WHEN $hu % 1000000 < ep.epochs_ppm % 1000000
+       |                  THEN 1 ELSE 0 END AS n_copies
+       |  FROM dom_assigned a JOIN ep USING (predicted_domain)),
+       |ex AS (
+       |  SELECT predicted_domain, doc_id, n_tokens,
+       |         UNNEST(range(0, n_copies)) AS copy_idx
+       |  FROM cop WHERE n_copies > 0)
+       |SELECT predicted_domain, COUNT(*) AS rows_out,
+       |       COUNT(DISTINCT doc_id) AS docs_included,
+       |       CAST(SUM(n_tokens) AS BIGINT) AS tokens_out
+       |FROM ex GROUP BY 1""".stripMargin
+  }
+
   private def modelCurationOracle: String =
     s"""WITH ${TextAnalysis.clfScoredCtes},
        |keepers AS (
@@ -245,6 +318,7 @@ object Pipeline {
   }
 
   val oracles: Map[String, String] = Map(
+    "pipeline_domain_mix" -> domainMixOracle,
     "pipeline_model_curation" -> modelCurationOracle,
     "pipeline_pretrain_shards" -> pretrainShardsOracle,
     "pipeline_curation_v2" -> curationV2Oracle,

@@ -968,7 +968,7 @@ object TextAnalysis {
     * hash, same (c+1)·10⁶ div (tot+|domains|) weights, same 200000 unseen
     * prior, same score·8+rank argmax encoding.
     */
-  private lazy val domAssignedCtes: String = {
+  private[graft] lazy val domAssignedCtes: String = {
     val h = graft.functions.PortableHash.duckSql("tok")
     val cs = ClfDomains.map(l =>
       s"CAST(SUM(CASE WHEN lang = '$l' THEN 1 ELSE 0 END) AS BIGINT) AS c_$l")

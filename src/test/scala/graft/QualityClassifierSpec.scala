@@ -158,6 +158,36 @@ class QualityClassifierSpec extends SparkTestBase {
     assert(nt.values.forall(_ == 5L), nt.toString)
   }
 
+  test("pipeline_domain_mix: realized mix matches the documented copy rule") {
+    def hash32(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    // apply the documented rule test-side to the assigner's own output
+    val assigned = TextAnalysis.domainClassifierAssign(planted).collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getLong(4)))
+    val perDomain = assigned.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val total = perDomain.values.sum
+    val target = total / perDomain.size
+    val expect = assigned.groupBy(_._2).map { case (dom, docs0) =>
+      val ep = target * 1000000L / perDomain(dom)
+      val copies = docs0.map { case (id, _, toks) =>
+        val n = ep / 1000000L +
+          (if (hash32(s"dmix:$id") % 1000000L < ep % 1000000L) 1L else 0L)
+        (n, toks)
+      }.filter(_._1 > 0)
+      dom -> ((copies.map(_._1).sum, copies.size.toLong,
+        copies.map { case (n, toks) => n * toks }.sum))
+    }
+    val got = graft.operators.Pipeline.domainMix(planted).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expect, s"got $got want $expect")
+    // a domain over its share downsamples (epochs < 1), one under repeats
+    assert(expect.nonEmpty && got.values.map(_._1).sum > 0)
+  }
+
   test("model curation: manifest dedups, drops holdout and unkept docs") {
     // doc 11 is a byte-identical copy of doc 1: exact dedup must keep only
     // the min-id copy. Kept manifest = en train docs {1, 2, 6}; holdout
