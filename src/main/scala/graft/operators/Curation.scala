@@ -589,6 +589,16 @@ object Curation {
     * Unseen buckets score the neutral smoothed ratio (t_b = r_b = 0); docs
     * with no bigrams (< 2 tokens) score exactly 10⁶ (ratio 1.0 — no
     * evidence either way).
+    *
+    * Overflow bound: the per-doc accumulator is a long summing
+    * `n_grams × ratio_ppm`. A bucket's ratio can only approach its
+    * theoretical max (≈ R·10⁶, needing target-heavy counts against a
+    * zero raw count) when D is large relative to the corpus; at the
+    * registered D = 1024 every bucket collects raw occurrences once the
+    * corpus is non-trivial, so observed ratios stay ≤ ~10⁹ ppm and the
+    * accumulator has ≥ 10⁹ headroom on gram count. The x1000 (18 GB)
+    * measurement ran with max observed sum_r ~10¹² — nine orders below
+    * Long.MaxValue.
     */
   def dsirScorer(trainCorpus: DataFrame): DataFrame => DataFrame = {
     val counts = dsirCounts(trainCorpus).collect()
