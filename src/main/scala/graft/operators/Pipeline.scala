@@ -151,7 +151,11 @@ object Pipeline {
     */
   def domainMix(documents: DataFrame): DataFrame = {
     import graft.functions.PortableHash
-    val assigned = TextAnalysis.domainClassifierAssign(documents)
+    // the assign projection feeds BOTH the epoch aggregate and the fan-out
+    // branch; staged (CacheScope: cache locally, parquet beyond the auto
+    // threshold) it is computed once — a narrow ~30-bytes/doc frame — and
+    // the pipeline drops from three corpus text passes to two
+    val assigned = CacheScope.cached(TextAnalysis.domainClassifierAssign(documents))
     val perDomain = assigned.groupBy(col("predicted_domain"))
       .agg(sum(col("n_tokens")).as("domain_tokens"))
     val totals = perDomain.agg(sum(col("domain_tokens")).as("total_tokens"),
