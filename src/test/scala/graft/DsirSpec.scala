@@ -103,6 +103,27 @@ class DsirSpec extends SparkTestBase {
     assert(all == imp.keySet)
   }
 
+  test("resample concentrates on high-importance docs, not just rule-conformance") {
+    // 20 target-like raw docs (importance >> 1) among 20 noise raw docs
+    // (importance << 1), plus 4 target docs to define the distributions.
+    // Priority sampling admits low-weight docs when their uniform hash is
+    // tiny, so exact composition is hash-dependent — but with a large
+    // importance gap the k=10 sample must be dominated by target-like docs.
+    val target = (1L to 4L).map(i =>
+      (i * 5L + 1L, "alpha beta gamma alpha beta gamma", "en"))
+    val goodRaw = (1L to 20L).map(i =>
+      (1000L + i, "alpha beta gamma alpha beta gamma", "de"))
+    val noiseRaw = (1L to 20L).map(i =>
+      (2000L + i, "delta epsilon zeta delta epsilon zeta", "de"))
+    val corpus = docs((target ++ goodRaw ++ noiseRaw): _*)
+    val picked = Curation.dsirResample(corpus, k = 10).collect()
+      .map(_.getLong(0)).toSet
+    val goodPicked = picked.count(id => id >= 1000L && id < 2000L)
+    assert(picked.size == 10)
+    assert(goodPicked >= 7,
+      s"sample should concentrate on target-like docs: $goodPicked/10 ($picked)")
+  }
+
   test("score plans with zero exchanges (frozen-model map-only pass)") {
     val plan = Curation.dsirScore(planted).queryExecution.executedPlan
     val exchanges = plan.collect { case e: Exchange => e }

@@ -199,6 +199,28 @@ class PropertiesSpec extends SparkTestBase {
     }, n = 4)
   }
 
+  test("dsir: importance positive, neutral iff gram-less; resample stays in the raw pool") {
+    import graft.operators.Curation
+    val tokGen = Gen.choose(0, 25).map(i => s"w$i")
+    val docGen = Gen.zip(Gen.choose(1, 6).flatMap(n => Gen.listOfN(n, tokGen)),
+      Gen.oneOf("en", "de", "fr"))
+    checkProp(Prop.forAll(Gen.listOfN(18, docGen)) { rows =>
+      val df = rows.zipWithIndex.map { case ((toks, l), i) =>
+        (i * 7L + 1L, toks.mkString(" "), l, "s", 1L)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      val scored = Curation.dsirScore(df).collect()
+      // every ratio is a positive integer, so every mean of them is too
+      val pos = scored.forall(_.getLong(5) > 0L)
+      // gram-less docs (and ONLY those) score the neutral 1e6 exactly —
+      // a corpus where every bucket is target-pure could also hit 1e6 by
+      // arithmetic, but not under these generators (mixed langs, 26 tokens)
+      val neutral = scored.filter(_.getLong(4) == 0L).forall(_.getLong(5) == 1000000L)
+      val raw = scored.filter(!_.getBoolean(3)).map(_.getLong(0)).toSet
+      val sample = Curation.dsirResample(df, k = 5).collect().map(_.getLong(0)).toSet
+      pos && neutral && sample.subsetOf(raw) && sample.size == math.min(5, raw.size)
+    }, n = 4)
+  }
+
   test("manifest store: any commit/crash/vacuum interleaving resolves to the last commit") {
     import graft.streaming.ManifestStore
     // ops: 0 = commit to a random bucket subset, 1 = crashed write (orphan
