@@ -45,6 +45,7 @@ def canon(df):
     return df
 
 n_pass = n_fail = 0
+results = {}  # name -> bool; dumped for gen_coverage.py to cite
 for name in sorted(oracle):
     if only and name not in only:
         continue
@@ -53,6 +54,7 @@ for name in sorted(oracle):
     if not os.path.isdir(spark_dir):
         print(f"FAIL {name}: no spark output at {spark_dir}")
         n_fail += 1
+        results[name] = False
         continue
     try:
         sdf = con.execute(
@@ -60,20 +62,24 @@ for name in sorted(oracle):
     except Exception as e:
         print(f"FAIL {name}: cannot read spark output: {e}")
         n_fail += 1
+        results[name] = False
         continue
     try:
         odf = con.execute(sql).df()
     except Exception as e:
         print(f"FAIL {name}: oracle SQL error: {e}")
         n_fail += 1
+        results[name] = False
         continue
     if sorted(sdf.columns) != sorted(odf.columns):
         print(f"FAIL {name}: columns spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}")
         n_fail += 1
+        results[name] = False
         continue
     if len(sdf) != len(odf):
         print(f"FAIL {name}: rows spark={len(sdf)} oracle={len(odf)}")
         n_fail += 1
+        results[name] = False
         continue
     s, o = canon(sdf), canon(odf)
     bad = []
@@ -95,9 +101,12 @@ for name in sorted(oracle):
     if bad:
         print(f"FAIL {name} ({len(s)} rows): " + "; ".join(bad[:4]))
         n_fail += 1
+        results[name] = False
     else:
         print(f"PASS {name} ({len(s)} rows)")
         n_pass += 1
+        results[name] = True
 
+json.dump({"sf": sf, "results": results}, open(f"{out}/check_results.json", "w"), indent=0)
 print(f"\n{n_pass} pass, {n_fail} fail")
 sys.exit(1 if n_fail else 0)

@@ -132,11 +132,25 @@ out.append("python3 scripts/gen_coverage.py /tmp/graft_verify")
 out.append("```")
 out.append("")
 n_noverdict = sum(1 for n in names if n not in corr)
+# cite the local compare only if its artifact confirms it: check.py dumps
+# per-query results next to the Verify output it compared
+local_note = ""
+if n_noverdict:
+    local_note = f"; {n_noverdict} carry `–` pending the next driver verdict"
+    try:
+        lres = json.load(open(f"{verify_out}/check_results.json"))["results"]
+        missing = [n for n in names if n not in corr and not lres.get(n)]
+        if not missing:
+            local_note += (" (all verified by the identical local "
+                           "scripts/check.py compare — check_results.json)")
+        else:
+            local_note += f" (LOCALLY UNVERIFIED OR FAILING: {missing})"
+    except (OSError, KeyError, ValueError):
+        local_note += (" (no local check_results.json found — run "
+                       "scripts/check.py to verify them)")
 out.append(f"**{len(names)} registered queries; {n_pass} pass "
            f"rows+schema+hash vs DuckDB at sf0.01 ({corr_tag})"
-           + (f"; {n_noverdict} added since {corr_tag} carry `–` until the "
-              f"next driver verdict (all pass the identical local "
-              f"scripts/check.py compare)" if n_noverdict else "") + ".** "
+           + local_note + ".** "
            f"Provenance `§2.x` = SURVEY.md §2 operator inventory "
            f"({len(sec_of)} IDs, {len(sec_of) - len(missing_sec)} registered"
            + (f"; MISSING: {missing_sec}" if missing_sec else "") +

@@ -628,8 +628,12 @@ object Curation {
     * (target docs are already in-distribution) with inclusion probability
     * proportional to importance, via the same deterministic
     * Duffield–Lund–Thorup priority sampling as
-    * [[sampleReservoirWeighted]]: priority = importance div portable-hash
-    * uniform, global top-k. Plans as `TakeOrderedAndProject` — one bounded
+    * [[sampleReservoirWeighted]]: priority = importance `/` portable-hash
+    * uniform — deliberately ONE IEEE double division of two
+    * exactly-representable longs (engine-identical ordering), NOT the
+    * integer `div` the rest of this file uses for exactness: integer
+    * division would collapse low-importance priorities to 0 and change
+    * the sample. Global top-k plans as `TakeOrderedAndProject` — one bounded
     * k-heap per partition, no global sort, only `partitions × k` rows move.
     */
   def dsirResample(documents: DataFrame, k: Int = 100): DataFrame = {

@@ -156,14 +156,10 @@ object Pipeline {
     // threshold) it is computed once — a narrow ~30-bytes/doc frame — and
     // the pipeline drops from three corpus text passes to two
     val assigned = CacheScope.cached(TextAnalysis.domainClassifierAssign(documents))
-    val perDomain = assigned.groupBy(col("predicted_domain"))
-      .agg(sum(col("n_tokens")).as("domain_tokens"))
-    val totals = perDomain.agg(sum(col("domain_tokens")).as("total_tokens"),
-      count(lit(1)).as("n_domains"))
-    val epochs = perDomain.crossJoin(broadcast(totals))
-      .select(col("predicted_domain"),
-        expr("(cast(total_tokens div n_domains as decimal(38,0)) * 1000000)" +
-          " div domain_tokens").as("epochs_ppm"))
+    // the SAME epoch arithmetic mix_plan_by_domain reports — one shared
+    // implementation, so the shipped mix cannot drift from the audited plan
+    val epochs = TextAnalysis.equalShareEpochPlan(assigned)
+      .select(col("predicted_domain"), col("epochs_ppm"))
     assigned
       .join(broadcast(epochs), Seq("predicted_domain"))
       .withColumn("n_copies",
@@ -182,18 +178,7 @@ object Pipeline {
   private def domainMixOracle: String = {
     val hu = graft.functions.PortableHash.duckSql("'dmix:' || CAST(doc_id AS VARCHAR)")
     s"""WITH ${TextAnalysis.domAssignedCtes},
-       |per AS (
-       |  SELECT predicted_domain, CAST(SUM(n_tokens) AS BIGINT) AS domain_tokens
-       |  FROM dom_assigned GROUP BY 1),
-       |t AS (
-       |  SELECT CAST(SUM(domain_tokens) AS BIGINT) AS total_tokens,
-       |         COUNT(*) AS n_domains
-       |  FROM per),
-       |ep AS (
-       |  SELECT predicted_domain,
-       |         CAST(((total_tokens // n_domains)::HUGEINT * 1000000)
-       |              // domain_tokens AS BIGINT) AS epochs_ppm
-       |  FROM per, t),
+       |${TextAnalysis.domainEpochCtes},
        |cop AS (
        |  SELECT a.predicted_domain, a.doc_id, a.n_tokens,
        |         ep.epochs_ppm // 1000000

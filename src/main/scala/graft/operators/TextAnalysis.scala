@@ -424,8 +424,18 @@ object TextAnalysis {
     * [[domainClassifierAssign]]) the plan honestly collapses to one row;
     * DsirSpec-style planted corpora pin the multi-domain behavior.
     */
-  def mixPlanByDomain(documents: DataFrame): DataFrame = {
-    val perDomain = domainClassifierAssign(documents)
+  def mixPlanByDomain(documents: DataFrame): DataFrame =
+    equalShareEpochPlan(domainClassifierAssign(documents))
+
+  /** The equal-share epoch arithmetic over an assigned frame
+    * (predicted_domain, n_tokens, …) — ONE implementation shared by
+    * `mix_plan_by_domain` and the materializing `pipeline_domain_mix` so
+    * the decimal(38,0)-guarded ppm formula cannot drift between the plan
+    * a user audits and the mix the pipeline ships.
+    * [[domainEpochCtes]] is its DuckDB twin, shared the same way.
+    */
+  private[graft] def equalShareEpochPlan(assigned: DataFrame): DataFrame = {
+    val perDomain = assigned
       .groupBy(col("predicted_domain"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("domain_tokens"))
     val totals = perDomain.agg(sum(col("domain_tokens")).as("total_tokens"),
@@ -1022,23 +1032,35 @@ object TextAnalysis {
        |FROM dom_assigned WHERE is_holdout
        |GROUP BY 1, 2""".stripMargin
 
-  private lazy val mixPlanByDomainOracle: String =
-    s"""WITH $domAssignedCtes,
-       |per AS (
+  /** DuckDB twin of [[equalShareEpochPlan]] — a CTE chain over
+    * `dom_assigned` ending in `ep` (predicted_domain, n_docs,
+    * domain_tokens, share_ppm, target_tokens, epochs_ppm), shared by the
+    * mix-plan and pipeline oracles.
+    */
+  private[graft] lazy val domainEpochCtes: String =
+    s"""per AS (
        |  SELECT predicted_domain, COUNT(*) AS n_docs,
        |         CAST(SUM(n_tokens) AS BIGINT) AS domain_tokens
        |  FROM dom_assigned GROUP BY 1),
        |t AS (
        |  SELECT CAST(SUM(domain_tokens) AS BIGINT) AS total_tokens,
        |         COUNT(*) AS n_domains
-       |  FROM per)
-       |SELECT predicted_domain, n_docs, domain_tokens,
-       |       CAST((domain_tokens::HUGEINT * 1000000) // total_tokens AS BIGINT)
-       |         AS share_ppm,
-       |       total_tokens // n_domains AS target_tokens,
-       |       CAST(((total_tokens // n_domains)::HUGEINT * 1000000)
-       |            // domain_tokens AS BIGINT) AS epochs_ppm
-       |FROM per, t""".stripMargin
+       |  FROM per),
+       |ep AS (
+       |  SELECT predicted_domain, n_docs, domain_tokens,
+       |         CAST((domain_tokens::HUGEINT * 1000000) // total_tokens
+       |              AS BIGINT) AS share_ppm,
+       |         total_tokens // n_domains AS target_tokens,
+       |         CAST(((total_tokens // n_domains)::HUGEINT * 1000000)
+       |              // domain_tokens AS BIGINT) AS epochs_ppm
+       |  FROM per, t)""".stripMargin
+
+  private lazy val mixPlanByDomainOracle: String =
+    s"""WITH $domAssignedCtes,
+       |$domainEpochCtes
+       |SELECT predicted_domain, n_docs, domain_tokens, share_ppm,
+       |       target_tokens, epochs_ppm
+       |FROM ep""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "domain_classifier_assign" -> domAssignOracle,

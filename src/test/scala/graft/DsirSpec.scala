@@ -28,14 +28,7 @@ class DsirSpec extends SparkTestBase {
     (7L, "zeta", "de"),
     (8L, "delta epsilon zeta delta", "fr"))
 
-  /** Test-side portable hash (first 8 md5 hex chars as a long) — computed
-    * independently of the engine so the specs don't trust PortableHash.
-    */
-  private def hash32(s: String): Long = {
-    val hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    java.lang.Long.parseLong(hex, 16)
-  }
+  private def hash32(s: String): Long = testHash32(s)
 
   test("train: ratio formula is exact; planted vocabularies separate") {
     val model = Curation.dsirTrain(planted).collect()

@@ -39,9 +39,7 @@ class QualityClassifierSpec extends SparkTestBase {
     // 'alpha' occurs only in en train docs -> weight near 1e6; 'delta' only
     // in non-en train docs -> weight near 0 (holdout rows 5/10 excluded)
     def weightOf(tok: String): Long = {
-      val md5 = java.security.MessageDigest.getInstance("MD5")
-        .digest(tok.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-      val b = java.lang.Long.parseLong(md5, 16) % 1024
+      val b = testHash32(tok) % 1024
       model.find(_._1 == b).map(_._4).getOrElse(sys.error(s"bucket $b missing"))
     }
     assert(weightOf("alpha") > 800000L, "pure-positive token must score high")
@@ -159,11 +157,6 @@ class QualityClassifierSpec extends SparkTestBase {
   }
 
   test("pipeline_domain_mix: realized mix matches the documented copy rule") {
-    def hash32(s: String): Long = {
-      val hex = java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-      java.lang.Long.parseLong(hex, 16)
-    }
     // apply the documented rule test-side to the assigner's own output
     val assigned = TextAnalysis.domainClassifierAssign(planted).collect()
       .map(r => (r.getLong(0), r.getString(2), r.getLong(4)))
@@ -174,7 +167,7 @@ class QualityClassifierSpec extends SparkTestBase {
       val ep = target * 1000000L / perDomain(dom)
       val copies = docs0.map { case (id, _, toks) =>
         val n = ep / 1000000L +
-          (if (hash32(s"dmix:$id") % 1000000L < ep % 1000000L) 1L else 0L)
+          (if (testHash32(s"dmix:$id") % 1000000L < ep % 1000000L) 1L else 0L)
         (n, toks)
       }.filter(_._1 > 0)
       dom -> ((copies.map(_._1).sum, copies.size.toLong,

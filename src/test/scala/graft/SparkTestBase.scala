@@ -7,6 +7,18 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkTestBase extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestBase.session
   lazy val sf: String = "/root/testdata/sf0.001"
+
+  /** Test-side portable hash (first 8 md5 hex chars as a long) — computed
+    * with MessageDigest, NOT graft.functions.PortableHash, so specs that
+    * pin hash-derived behavior verify the engine's hash independently.
+    * One definition for every spec: if PortableHash's contract ever
+    * changes, this is the single test replica to update with it.
+    */
+  protected def testHash32(s: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex, 16)
+  }
 }
 
 object SparkTestBase {
