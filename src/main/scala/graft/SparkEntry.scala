@@ -303,6 +303,8 @@ object SparkEntry {
       TextAnalysis.domainClassifierConfusion(Tables.documents(s, d))),
     "mix_plan_by_domain" -> ((s, d) =>
       TextAnalysis.mixPlanByDomain(Tables.documents(s, d))),
+    "c4_gopher_filters" -> ((s, d) =>
+      TextAnalysis.c4GopherFilters(Tables.documents(s, d))),
     "text_top_terms_sketch" -> ((s, d) =>
       TextAnalysis.textTopTermsSketch(Tables.documents(s, d))),
     // corpus-level stats / QA reports

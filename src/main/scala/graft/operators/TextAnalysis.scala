@@ -88,6 +88,55 @@ object TextAnalysis {
       |           / CAST(len(toks) AS DOUBLE) * 30.0)) AS quality_score
       |FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents) tq""".stripMargin
 
+  /** `c4_gopher_filters`: the NAMED rule-based quality census the public
+    * corpora actually shipped with — C4's page filters (Raffel et al.,
+    * JMLR 2020 §2.2: terminal punctuation, no curly braces, no
+    * placeholder "lorem ipsum", minimum length) and Gopher's document
+    * stats (Rae et al., 2021 table A1: word-count bounds, mean-word-length
+    * in [3, 10]) — one boolean per rule plus the conjunction, so a
+    * curation run can audit WHICH rule dropped a page, not just that one
+    * did. Like [[Curation.piiRedact]], the synthetic corpus cannot trip
+    * string rules (40-word unpunctuated vocabulary), so the FIXTURE
+    * deterministically augments each doc from doc_id — terminal
+    * punctuation for doc_id % 4 ∈ {0,1}, a brace suffix for % 4 = 3, the
+    * placeholder phrase for % 7 = 0 — identically in the oracle; the
+    * OPERATOR is the rule projection, which a real corpus runs unmodified.
+    * Word-count lower bound is fixture-scaled (10 vs Gopher's 50 — the
+    * synthetic docs are short); the comparison shape is what matters.
+    * One codegen'd projection: at 100 TB this is a scan-speed filter with
+    * zero shuffles, the same contract as every stateless gate here.
+    */
+  def c4GopherFilters(documents: DataFrame): DataFrame = {
+    // placeholder inserted BEFORE the punctuation suffix so the two
+    // fixture rules stay independent (a trailing phrase would mask the
+    // terminal-punct rule for every % 7 doc)
+    val aug = concat(col("text"),
+      when(col("doc_id") % 7 === 0, lit(" lorem ipsum dolor")).otherwise(lit("")),
+      when(col("doc_id") % 4 === 0, lit("."))
+        .when(col("doc_id") % 4 === 1, lit("!"))
+        .when(col("doc_id") % 4 === 2, lit(""))
+        .otherwise(lit(" {code}")))
+    val toks = split(lower(col("text")), " ")
+    val nTok = size(toks).cast("long")
+    documents
+      .withColumn("aug", aug)
+      .withColumn("n_tokens", nTok)
+      .withColumn("mean_word_len",
+        d(length(col("text")) - nTok + 1) / d(nTok))
+      .select(col("doc_id"), col("n_tokens"), col("mean_word_len"),
+        col("aug").rlike("[.!?\"']$").as("c4_terminal_punct"),
+        not(col("aug").contains("{")).as("c4_no_brace"),
+        not(lower(col("aug")).contains("lorem ipsum")).as("c4_no_placeholder"),
+        (nTok >= 5).as("c4_min_words"),
+        (nTok >= 10 && nTok <= 100000).as("gopher_word_count_ok"),
+        (col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
+          .as("gopher_mean_word_len_ok"))
+      .withColumn("kept",
+        col("c4_terminal_punct") && col("c4_no_brace") &&
+          col("c4_no_placeholder") && col("c4_min_words") &&
+          col("gopher_word_count_ok") && col("gopher_mean_word_len_ok"))
+  }
+
   /** `quality_decile_filter`: keep each language's top-3 quality deciles —
     * the "best X% per language" curation cut. NTILE partitions BY LANGUAGE
     * (a global ntile would be a single-partition sort; per-group ntile
@@ -1062,7 +1111,39 @@ object TextAnalysis {
        |       target_tokens, epochs_ppm
        |FROM ep""".stripMargin
 
+  private lazy val c4GopherOracle: String =
+    """WITH aug AS (
+      |  SELECT doc_id, text,
+      |         text || (CASE WHEN doc_id % 7 = 0 THEN ' lorem ipsum dolor'
+      |                       ELSE '' END)
+      |              || (CASE doc_id % 4 WHEN 0 THEN '.' WHEN 1 THEN '!'
+      |                       WHEN 2 THEN '' ELSE ' {code}' END) AS aug,
+      |         string_split(lower(text), ' ') AS toks
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id,
+      |         CAST(len(toks) AS BIGINT) AS n_tokens,
+      |         CAST(length(text) - len(toks) + 1 AS DOUBLE)
+      |           / CAST(len(toks) AS DOUBLE) AS mean_word_len,
+      |         regexp_matches(aug, '[.!?"'']$') AS c4_terminal_punct,
+      |         NOT contains(aug, '{') AS c4_no_brace,
+      |         NOT contains(lower(aug), 'lorem ipsum') AS c4_no_placeholder,
+      |         len(toks) >= 5 AS c4_min_words,
+      |         len(toks) BETWEEN 10 AND 100000 AS gopher_word_count_ok,
+      |         CAST(length(text) - len(toks) + 1 AS DOUBLE)
+      |           / CAST(len(toks) AS DOUBLE) BETWEEN 3.0 AND 10.0
+      |           AS gopher_mean_word_len_ok
+      |  FROM aug)
+      |SELECT doc_id, n_tokens, mean_word_len, c4_terminal_punct, c4_no_brace,
+      |       c4_no_placeholder, c4_min_words, gopher_word_count_ok,
+      |       gopher_mean_word_len_ok,
+      |       c4_terminal_punct AND c4_no_brace AND c4_no_placeholder
+      |         AND c4_min_words AND gopher_word_count_ok
+      |         AND gopher_mean_word_len_ok AS kept
+      |FROM m""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "c4_gopher_filters" -> c4GopherOracle,
     "domain_classifier_assign" -> domAssignOracle,
     "domain_classifier_confusion" -> domConfusionOracle,
     "mix_plan_by_domain" -> mixPlanByDomainOracle,

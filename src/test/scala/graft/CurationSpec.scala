@@ -14,6 +14,30 @@ class CurationSpec extends SparkTestBase {
     rows.map { case (id, t, lang, src) => (id, t, lang, src, t.length.toLong) }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
 
+  test("c4/gopher filters: each named rule trips on its planted doc only") {
+    import graft.operators.TextAnalysis
+    // ten 4-char words -> n=10, mean_word_len 4.0: passes every stat rule
+    val good = Seq.fill(10)("word").mkString(" ")
+    val df = docs(
+      (4L, good, "en", "src0"),            // %4=0 -> '.' appended: all pass
+      (3L, good, "en", "src0"),            // %4=3 -> ' {code}': brace + punct fail
+      (6L, good, "en", "src0"),            // %4=2 -> no suffix: punct fails only
+      (28L, good, "en", "src0"),           // %4=0, %7=0 -> placeholder fails only
+      (8L, "tiny doc", "en", "src0"),      // 2 words: min_words + word_count fail
+      (12L, Seq.fill(10)("a").mkString(" "), "en", "src0")) // mean len 1 < 3
+    // schema: doc_id(0) n_tokens(1) mean_word_len(2) punct(3) no_brace(4)
+    // no_placeholder(5) min_words(6) word_count_ok(7) mean_len_ok(8) kept(9)
+    val out = TextAnalysis.c4GopherFilters(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert((3 to 9).forall(out(4L).getBoolean), out(4L).toString)
+    assert(!out(3L).getBoolean(3) && !out(3L).getBoolean(4)) // punct+brace fail
+    assert(!out(6L).getBoolean(3) && out(6L).getBoolean(4))  // punct only
+    assert(!out(28L).getBoolean(5) && out(28L).getBoolean(3)) // placeholder only
+    assert(!out(8L).getBoolean(6) && !out(8L).getBoolean(7))  // too short
+    assert(!out(12L).getBoolean(8) && out(12L).getBoolean(7)) // mean len fails
+    assert(out.values.count(_.getBoolean(9)) == 1)            // only doc 4 kept
+  }
+
   test("pii_redact scrubs every injected PII class and counts them") {
     val df = docs((7L, "hello world", "en", "src0"))
     val row = Curation.piiRedact(df).collect().head
