@@ -19,6 +19,13 @@ sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
 only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
 
+# Queries allowed to return 0 rows (emptiness-asserting by design). Any other
+# query producing 0 rows FAILS even if the oracle agrees: a 0=0 compare
+# certifies nothing about the operator's behavior (the filter_in_subquery /
+# embedding-dedup vacuous-oracle incidents). Keep this list empty unless an
+# entry is individually justified here.
+ZERO_OK = set()
+
 con = duckdb.connect()
 for p in sorted(glob.glob(f"{sf}/*.parquet")):
     name = os.path.basename(p)[:-8]
@@ -81,6 +88,12 @@ for name in sorted(oracle):
         n_fail += 1
         results[name] = False
         continue
+    if len(sdf) == 0 and name not in ZERO_OK:
+        print(f"FAIL {name}: 0 rows (vacuous oracle — 0=0 certifies nothing; "
+              f"allow-list in ZERO_OK only with justification)")
+        n_fail += 1
+        results[name] = False
+        continue
     s, o = canon(sdf), canon(odf)
     bad = []
     for c in s.columns:
@@ -107,6 +120,16 @@ for name in sorted(oracle):
         n_pass += 1
         results[name] = True
 
-json.dump({"sf": sf, "results": results}, open(f"{out}/check_results.json", "w"), indent=0)
+# With an `only` filter, merge into the prior full run's record instead of
+# clobbering it — otherwise gen_coverage.py would list every unfiltered query
+# as locally unverified after a partial rerun.
+path = f"{out}/check_results.json"
+if only and os.path.exists(path):
+    prior = json.load(open(path))
+    if prior.get("sf") == sf:
+        merged = prior.get("results", {})
+        merged.update(results)
+        results = merged
+json.dump({"sf": sf, "results": results}, open(path, "w"), indent=0)
 print(f"\n{n_pass} pass, {n_fail} fail")
 sys.exit(1 if n_fail else 0)

@@ -245,9 +245,9 @@ object Bench {
     // each round's close from an idle-host run).
     val refPath = sys.env.get("SPARK_GRAFT_BENCH_REF")
       .getOrElse("BENCH_REF.json")
-    val (flaggedFamilies, familyReruns) = {
+    val (flaggedFamilies, familyReruns, refStaleHigh, refMissing) = {
       val f = new java.io.File(refPath)
-      if (!f.isFile) (Seq.empty[String], "{}")
+      if (!f.isFile) (Seq.empty[String], "{}", Seq.empty[String], Seq.empty[String])
       else try {
         val ref = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
         def refMap(field: String): Map[String, Double] = {
@@ -277,9 +277,32 @@ object Bench {
           }
           "\"" + fam + "\":" + rs.mkString("{", ",", "}")
         }.mkString("{", ",", "}")
-        (flagged, reruns)
-      } catch { case _: Throwable => (Seq.empty[String], "{}") }
+        // Per-query reference hygiene (round 15, verdict item): the family
+        // flagger only looks UP (wall grew vs ref). Two other defects in
+        // the reference artifact silently weaken it and are reported here
+        // so the re-record discipline has an in-band worklist:
+        //  - STALE-HIGH: a ref row >2x today's median (and big enough in
+        //    absolute terms to matter) tolerates a future regression of
+        //    that size reading as "fine" (the pipeline_domain_mix case —
+        //    its 5.55 s row predated a 3x cpu cut).
+        //  - MISSING: a query with no ref row is invisible to the flagger
+        //    entirely (the c4_gopher_filters case).
+        val refQ = refMap("queries")
+        val staleHigh = results.toSeq.flatMap { case (k, t) =>
+          (refQ.get(k), t.med) match {
+            case (Some(r), Some(m)) if r > 0.2 && m > 0 && r / m > 2.0 => Some(k)
+            case _ => None
+          }
+        }.sorted
+        val missing = results.collect {
+          case (k, _) if refQ.get(k).forall(_ <= 0.0) => k
+        }.sorted
+        (flagged, reruns, staleHigh, missing)
+      } catch { case _: Throwable =>
+        (Seq.empty[String], "{}", Seq.empty[String], Seq.empty[String]) }
     }
+    val staleHighJson = refStaleHigh.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val refMissingJson = refMissing.map("\"" + _ + "\"").mkString("[", ",", "]")
     val flaggedJson = flaggedFamilies.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
       s"""{"metric":"total","value":$warmTotal,"unit":"sec","warm_iters":$warmIters,""" +
@@ -292,6 +315,7 @@ object Bench {
         s""""order":"md5-interleaved","family_wall":${fmap(_.med)},""" +
         s""""family_cpu":${fmap(_.cpuMed)},""" +
         s""""flagged_families":$flaggedJson,"family_reruns":$familyReruns,""" +
+        s""""ref_stale_high":$staleHighJson,"ref_missing":$refMissingJson,""" +
         s""""errors":$errJson,"loadavg_end":"$loadAvg","scratch":"$scratchPath","sf":"$sfDir"}"""
     // full per-query timings go to a file; stdout gets a COMPACT line.
     // The driver keeps only the last ~2000 chars of stdout, and the full

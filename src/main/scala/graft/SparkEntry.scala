@@ -280,6 +280,7 @@ object SparkEntry {
     "text_top_terms" -> ((s, d) => TextAnalysis.textTopTerms(Tables.documents(s, d))),
     // first k BPE merge rules learned over the corpus (tokenizer training)
     "bpe_train_merges" -> ((s, d) => TextAnalysis.bpeTrainMerges(Tables.documents(s, d))),
+    "bpe_train_batched" -> ((s, d) => TextAnalysis.bpeTrainBatched(Tables.documents(s, d))),
     "bpe_encode" -> ((s, d) => TextAnalysis.bpeEncode(Tables.documents(s, d))),
     "bpe_token_count" -> ((s, d) => TextAnalysis.bpeTokenCount(Tables.documents(s, d))),
     // per-source percentile calibration of the quality score

@@ -615,7 +615,10 @@ object Curation {
     val wArr = typedlit(Array.tabulate(DsirBuckets)(b => byBucket.getOrElse(b, unseen)))
     val grams = dsirGrams
     (target: DataFrame) => target
-      .withColumn("n_grams", org.apache.spark.sql.functions.size(grams).cast("long"))
+      // coalesce to 0: size(split(NULL)) is NULL in Spark while the oracle's
+      // COALESCE(n_grams, 0) reads 0 — NULL-text docs must agree exactly
+      .withColumn("n_grams",
+        coalesce(org.apache.spark.sql.functions.size(grams).cast("long"), lit(0L)))
       .withColumn("sum_r", aggregate(grams, lit(0L),
         (acc, g) => acc + element_at(wArr, (dsirBucket(g) + 1).cast("int"))))
       .select(col("doc_id"), col("lang"), col("source"),

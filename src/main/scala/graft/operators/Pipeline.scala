@@ -149,6 +149,12 @@ object Pipeline {
     * per-domain aggregate, which map-side-combines to ≤ |domains| rows per
     * task.
     */
+  /** Per-document copy ceiling for [[domainMix]] — bounds the
+    * `explode(sequence)` fan-out (scale guard) and the over-epoching of
+    * starved domains (quality guard). Mirrored in the DuckDB oracle.
+    */
+  val MaxEpochs: Long = 100L
+
   def domainMix(documents: DataFrame): DataFrame = {
     import graft.functions.PortableHash
     // the assign projection feeds BOTH the epoch aggregate and the fan-out
@@ -163,9 +169,17 @@ object Pipeline {
     assigned
       .join(broadcast(epochs), Seq("predicted_domain"))
       .withColumn("n_copies",
-        expr("epochs_ppm div 1000000") +
-          when(PortableHash.hash32(concat(lit("dmix:"), col("doc_id").cast("string")))
-            % 1000000L < col("epochs_ppm") % 1000000L, 1L).otherwise(0L))
+        // capped at MaxEpochs: with an uncapped equal-share plan a domain
+        // holding a vanishing token share of a huge corpus gets epochs in
+        // the billions and a single row's explode(sequence) overflows at
+        // ~2^31 elements. Public mixing recipes cap repeats for model
+        // quality anyway (repeated data degrades past a few epochs), so the
+        // cap is both the scale guard and the right curation default.
+        least(
+          expr("epochs_ppm div 1000000") +
+            when(PortableHash.hash32(concat(lit("dmix:"), col("doc_id").cast("string")))
+              % 1000000L < col("epochs_ppm") % 1000000L, 1L).otherwise(0L),
+          lit(MaxEpochs)))
       .where(col("n_copies") > 0)
       .select(col("predicted_domain"), col("doc_id"), col("n_tokens"),
         explode(sequence(lit(0L), col("n_copies") - 1L)).as("copy_idx"))
@@ -181,9 +195,9 @@ object Pipeline {
        |${TextAnalysis.domainEpochCtes},
        |cop AS (
        |  SELECT a.predicted_domain, a.doc_id, a.n_tokens,
-       |         ep.epochs_ppm // 1000000
+       |         LEAST(ep.epochs_ppm // 1000000
        |           + CASE WHEN $hu % 1000000 < ep.epochs_ppm % 1000000
-       |                  THEN 1 ELSE 0 END AS n_copies
+       |                  THEN 1 ELSE 0 END, $MaxEpochs) AS n_copies
        |  FROM dom_assigned a JOIN ep USING (predicted_domain)),
        |ex AS (
        |  SELECT predicted_domain, doc_id, n_tokens,

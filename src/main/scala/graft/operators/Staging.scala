@@ -64,10 +64,13 @@ object Staging {
 
   /** `filter_in_subquery` (stg_fda__recalls.sql:56-57): key IN (SELECT ...) —
     * planned as a left-semi join; broadcast (tiny build side) at any scale.
+    * The membership list names nations that EXIST in the fixture
+    * (`NATION_0..24`) so the oracle certifies semi-join behavior on a
+    * non-empty build side, not 0=0 vacuity.
     */
   def filterInSubquery(supplier: DataFrame, nation: DataFrame): DataFrame = {
     val wanted = nation
-      .where(col("n_name").isin("FRANCE", "GERMANY", "JAPAN", "BRAZIL"))
+      .where(col("n_name").isin("NATION_3", "NATION_7", "NATION_11", "NATION_19"))
       .select(col("n_nationkey"))
     supplier
       .join(wanted, supplier("s_nationkey") === wanted("n_nationkey"), "left_semi")
@@ -197,7 +200,7 @@ object Staging {
         |FROM supplier
         |WHERE s_nationkey IN (
         |  SELECT n_nationkey FROM nation
-        |  WHERE n_name IN ('FRANCE', 'GERMANY', 'JAPAN', 'BRAZIL'))""".stripMargin,
+        |  WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_11', 'NATION_19'))""".stripMargin,
     "filter_sentinel" ->
       """WITH s AS (
         |  SELECT p_partkey AS part_id,

@@ -643,6 +643,31 @@ class OperatorSpec extends SparkTestBase {
     assert(rules.toSeq == Seq((1L, "a b", "ab", 2L)), s"got ${rules.toSeq}")
   }
 
+  test("BPE batched: multi-accept round, overlap rejection, early exhaustion") {
+    // two symbol-disjoint pairs in one round: "ab" x3, "cd" x2 ->
+    // round 1 ranks "a b"(3) then "c d"(2); disjoint -> BOTH accepted;
+    // round 2 finds no pairs and stops
+    val two = Seq((1L, "ab ab ab", "en"), (2L, "cd cd", "en"))
+      .toDF("doc_id", "text", "lang")
+    val gotTwo = graft.operators.TextAnalysis.bpeTrainBatched(two).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(gotTwo.toSeq == Seq(
+      (1L, 1L, "a b", "ab", 3L), (2L, 1L, "c d", "cd", 2L)), s"got ${gotTwo.toSeq}")
+
+    // overlap rejection: "abx" x2 -> round 1 candidates "a b"(2), "b x"(2);
+    // "b x" shares 'b' with the higher-ranked "a b" -> rejected, applied
+    // alone; round 2 then merges the surviving "ab x"
+    val abx = Seq((1L, "abx abx", "en")).toDF("doc_id", "text", "lang")
+    val gotAbx = graft.operators.TextAnalysis.bpeTrainBatched(abx).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(gotAbx.toSeq == Seq(
+      (1L, 1L, "a b", "ab", 2L), (2L, 2L, "ab x", "abx", 2L)), s"got ${gotAbx.toSeq}")
+
+    // single-symbol vocabulary: no pairs anywhere -> zero rules, no crash
+    val flat = Seq((1L, "a b c", "en")).toDF("doc_id", "text", "lang")
+    assert(graft.operators.TextAnalysis.bpeTrainBatched(flat).collect().isEmpty)
+  }
+
   test("graph_centrality survives convergence-depth iteration counts (bounded-depth plans)") {
     // 16 rounds: without periodic localCheckpoint the plan nests 16 joins
     // deep and analysis time explodes; with the every-8-rounds truncation,
