@@ -148,9 +148,28 @@ if n_noverdict:
     except (OSError, KeyError, ValueError):
         local_note += (" (no local check_results.json found — run "
                        "scripts/check.py to verify them)")
+# two-scale gate record (scripts/gate.sh --record): cite the second scale
+# point only if its recorded pass-list covers the current registry
+gate_note = ""
+try:
+    g = json.load(open(f"{REPO}/docs/GATE.json"))
+    missing01 = sorted(set(names) - set(g.get("0.1", [])))
+    if not missing01:
+        gate_note = (f" All {len(names)} ALSO pass the identical compare at "
+                     f"sf0.1 — the bench scale, where scale-dependent logic "
+                     f"(percentile edges, LSH occupancy, sampling "
+                     f"determinism) could diverge (docs/GATE.json, "
+                     f"scripts/gate.sh).")
+    else:
+        gate_note = (f" Two-scale gate record docs/GATE.json is STALE: "
+                     f"{len(missing01)} registered queries unverified at "
+                     f"sf0.1 ({missing01[:6]}...) — rerun scripts/gate.sh "
+                     f"--record.")
+except (OSError, ValueError):
+    gate_note = " (no two-scale gate record — run scripts/gate.sh --record)"
 out.append(f"**{len(names)} registered queries; {n_pass} pass "
            f"rows+schema+hash vs DuckDB at sf0.01 ({corr_tag})"
-           + local_note + ".** "
+           + local_note + f".**{gate_note} "
            f"Provenance `§2.x` = SURVEY.md §2 operator inventory "
            f"({len(sec_of)} IDs, {len(sec_of) - len(missing_sec)} registered"
            + (f"; MISSING: {missing_sec}" if missing_sec else "") +

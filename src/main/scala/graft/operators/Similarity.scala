@@ -524,6 +524,44 @@ object Similarity {
     } finally full.unpersist()
   }
 
+  /** `sim_search_recall_eval`: recall@5 of every approximate index family
+    * (LSH, IVF, PQ, IVF-PQ) against the exact brute-force ground truth —
+    * the ann-benchmarks-style evaluation every production vector pipeline
+    * runs before trusting an index, as a first-class relational operator.
+    * One row per (method, query): `hits` = |approx top-5 ∩ exact top-5|,
+    * `recall_ppm` the exact-integer ratio (no floats → hash-exact oracle).
+    *
+    * Scale protocol: ground truth is the quadratic part, so production
+    * recall evaluation computes it for a SAMPLE of queries only — exactly
+    * what the shared vec_id < 10 query set already is; every frame past
+    * the underlying searches is (methods × sample)-sized. A query the
+    * approximate index misses entirely still gets its row (hits = 0) via
+    * the outer join from the method × query grid.
+    */
+  def simSearchRecallEval(embeddings: DataFrame): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val exact = simSearchBruteforce(embeddings)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = Seq(
+      "lsh" -> simSearchLsh(embeddings),
+      "ivf" -> simSearchIvf(embeddings),
+      "pq" -> simSearchPq(embeddings),
+      "ivfpq" -> simSearchIvfPq(embeddings))
+      .map { case (m, df) =>
+        df.select(lit(m).as("method"), col("query_id"), col("neighbor_id"))
+      }.reduce(_ unionByName _)
+    val hit = approx
+      .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("method"), col("query_id")).agg(count(lit(1)).as("hits"))
+    val grid = exact.select(col("query_id")).distinct()
+      .crossJoin(Seq("lsh", "ivf", "pq", "ivfpq").toDF("method"))
+    grid.join(hit, Seq("method", "query_id"), "left")
+      .select(col("method"), col("query_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"))
+      .withColumn("recall_ppm", expr("hits * 1000000 div 5"))
+  }
+
   /** `knn_graph`: top-k neighbor list for EVERY corpus vector — the
     * all-points sibling of [[simSearchLsh]] and the building block for
     * graph-based curation (near-dup graphs, label propagation, diversity
@@ -741,9 +779,8 @@ object Similarity {
 
   private[operators] val quantCte = quantCteFrom("embeddings")
 
-  val oracles: Map[String, String] = Map(
-    "sim_search_bruteforce" ->
-      s"""WITH $quantCte,
+  private lazy val bruteOracle: String =
+    s"""WITH $quantCte,
          |queries AS (
          |  SELECT vec_id AS query_id, q AS qv, norm2 AS qn FROM n WHERE vec_id < 10),
          |scored AS (
@@ -756,9 +793,10 @@ object Similarity {
          |         ROW_NUMBER() OVER (PARTITION BY query_id
          |                            ORDER BY cosine DESC, neighbor_id) AS rank
          |  FROM scored)
-         |SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5""".stripMargin,
-    "sim_search_lsh" ->
-      s"""WITH $quantCte,
+         |SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5""".stripMargin
+
+  private lazy val lshOracle: String =
+    s"""WITH $quantCte,
          |planes AS (
          |  SELECT j, list_transform(range(0, 64), d -> (j * 131 + d * 37) % 19 - 9) AS plane
          |  FROM range(0, 8) t(j)),
@@ -787,7 +825,41 @@ object Similarity {
          |         ROW_NUMBER() OVER (PARTITION BY query_id
          |                            ORDER BY cosine DESC, neighbor_id) AS rank
          |  FROM scored)
-         |SELECT query_id, neighbor_id, bucket, cosine, rank FROM ranked WHERE rank <= 5""".stripMargin,
+         |SELECT query_id, neighbor_id, bucket, cosine, rank FROM ranked WHERE rank <= 5""".stripMargin
+
+  /** DuckDB twin of [[simSearchRecallEval]]: each method's oracle runs as a
+    * CTE subquery (nested WITH — their internal CTE names scope locally),
+    * then the same semi-join + count + exact-integer recall arithmetic.
+    */
+  private lazy val recallEvalOracle: String =
+    s"""WITH exact AS ($bruteOracle),
+       |lshr AS ($lshOracle),
+       |ivfr AS ($ivfOracle),
+       |pqr AS ($pqSearchOracle),
+       |ipqr AS ($ivfPqOracle),
+       |approx AS (
+       |  SELECT 'lsh' AS method, query_id, neighbor_id FROM lshr
+       |  UNION ALL SELECT 'ivf', query_id, neighbor_id FROM ivfr
+       |  UNION ALL SELECT 'pq', query_id, neighbor_id FROM pqr
+       |  UNION ALL SELECT 'ivfpq', query_id, neighbor_id FROM ipqr),
+       |hit AS (
+       |  SELECT a.method, a.query_id, COUNT(*) AS hits
+       |  FROM approx a JOIN exact e USING (query_id, neighbor_id)
+       |  GROUP BY 1, 2),
+       |qs AS (SELECT DISTINCT query_id FROM exact),
+       |methods AS (
+       |  SELECT UNNEST(['lsh', 'ivf', 'pq', 'ivfpq']) AS method)
+       |SELECT m.method, q.query_id,
+       |       CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+       |       CAST(COALESCE(h.hits, 0) * 1000000 // 5 AS BIGINT) AS recall_ppm
+       |FROM methods m CROSS JOIN qs q
+       |LEFT JOIN hit h ON h.method = m.method AND h.query_id = q.query_id"""
+      .stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "sim_search_bruteforce" -> bruteOracle,
+    "sim_search_lsh" -> lshOracle,
+    "sim_search_recall_eval" -> recallEvalOracle,
     "sim_search_ivf" -> ivfOracle,
     "embed_pq" -> pqOracle,
     "sim_search_pq" -> pqSearchOracle,

@@ -242,6 +242,31 @@ class DedupSpec extends SparkTestBase {
     assert(rMulti > 0.0, "multi-probe found none of the true top-5 neighbors")
   }
 
+  test("recall eval: full method x query grid, hits match independent intersection") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val truth = pairs(Similarity.simSearchBruteforce(emb))
+    val nQueries = truth.map(_._1).size
+    val rows = Similarity.simSearchRecallEval(emb).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // grid completeness: a method that misses a query entirely still rows
+    assert(rows.size == 4 * nQueries, s"expected ${4 * nQueries} rows, got ${rows.size}")
+    assert(rows.keys.map(_._1).toSet == Set("lsh", "ivf", "pq", "ivfpq"))
+    // recall_ppm is the exact-integer ratio of hits
+    rows.foreach { case ((m, q), (hits, ppm)) =>
+      assert(hits >= 0 && hits <= 5, s"$m/$q hits=$hits out of range")
+      assert(ppm == hits * 1000000L / 5, s"$m/$q ppm=$ppm != hits*1e6/5")
+    }
+    // cross-check one method against an independently computed intersection
+    val lshHits = pairs(Similarity.simSearchLsh(emb)) & truth
+    val perQuery = lshHits.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    truth.map(_._1).foreach { q =>
+      assert(rows(("lsh", q))._1 == perQuery.getOrElse(q, 0L),
+        s"lsh/$q: eval=${rows(("lsh", q))._1} independent=${perQuery.getOrElse(q, 0L)}")
+    }
+  }
+
   test("minhash fast-hash path (xxhash64) finds the same near-dup pair") {
     val df = docs((1L, base), (2L, nearDup), (3L, unrelated), (4L, base + " extra"))
     val pairs = Dedup.dedupMinhashLsh(df, fastHash = true)
