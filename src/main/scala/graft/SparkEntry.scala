@@ -189,6 +189,7 @@ object SparkEntry {
     "orc_ingest" -> ((s, d) => graft.sources.FileFormats.orcIngest(s, Tables.events(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.dedupNgramJaccard(Tables.documents(s, d))),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.dedupMinhashLsh(Tables.documents(s, d))),
+    "dedup_minhash_eval" -> ((s, d) => Dedup.dedupMinhashEval(Tables.documents(s, d))),
     "dedup_paragraph" -> ((s, d) => Dedup.dedupParagraph(Tables.documents(s, d))),
     "dedup_containment" -> ((s, d) => Dedup.dedupContainment(Tables.documents(s, d))),
     "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(Tables.documents(s, d))),
@@ -283,6 +284,8 @@ object SparkEntry {
     // first k BPE merge rules learned over the corpus (tokenizer training)
     "bpe_train_merges" -> ((s, d) => TextAnalysis.bpeTrainMerges(Tables.documents(s, d))),
     "bpe_train_batched" -> ((s, d) => TextAnalysis.bpeTrainBatched(Tables.documents(s, d))),
+    "bpe_fertility_by_lang" -> ((s, d) =>
+      TextAnalysis.bpeFertilityByLang(Tables.documents(s, d))),
     "bpe_encode" -> ((s, d) => TextAnalysis.bpeEncode(Tables.documents(s, d))),
     "bpe_token_count" -> ((s, d) => TextAnalysis.bpeTokenCount(Tables.documents(s, d))),
     // per-source percentile calibration of the quality score
@@ -323,6 +326,7 @@ object SparkEntry {
     "chunk_fixed_tokens" -> ((s, d) => Curation.chunkFixedTokens(Tables.documents(s, d))),
     // equal-share training-mixture plan (epochs per source, exact ppm)
     "mix_plan" -> ((s, d) => Curation.mixPlan(Tables.documents(s, d))),
+    "mix_plan_temperature" -> ((s, d) => Curation.mixPlanTemperature(Tables.documents(s, d))),
     // DSIR importance resampling (hashed-bigram likelihood ratio)
     "dsir_train" -> ((s, d) => Curation.dsirTrain(Tables.documents(s, d))),
     "dsir_score" -> ((s, d) => Curation.dsirScore(Tables.documents(s, d))),

@@ -515,6 +515,53 @@ object Curation {
         col("share_ppm"), col("target_tokens"), col("epochs_ppm"))
   }
 
+  /** `mix_plan_temperature`: temperature-weighted mixing — sampling
+    * probability p_i ∝ share_i^τ, the standard multilingual/multi-source
+    * recipe for boosting low-resource sources without fully flattening the
+    * mix (τ = 1 keeps natural proportions, τ → 0 approaches [[mixPlan]]'s
+    * equal share; published recipes use τ ∈ [0.3, 0.7]).
+    *
+    * τ is fixed at 1/2, and deliberately: sqrt is the ONE fractional power
+    * IEEE 754 guarantees correctly rounded in every conforming engine, so
+    * `floor(sqrt(share_ppm · 10⁶))` — an integer sqrt in ppm units, inputs
+    * < 2⁵² so the double is exact — is bit-identical across Spark and
+    * DuckDB and the whole plan stays in the integer-exact hash-compare
+    * discipline. An arbitrary τ would put pow() (no cross-engine rounding
+    * contract) in the plan; a deployment wanting τ ≠ 1/2 composes sqrt
+    * (τ = 1/4 = sqrt∘sqrt) or accepts a tolerance-compare oracle.
+    *
+    * Scale shape: identical to [[mixPlan]] — one corpus-sized aggregate
+    * with map-side combine to |sources| rows; the sqrt-weight
+    * normalization is a broadcast of a one-row total. Plan-only (no
+    * fan-out), so no epoch cap is needed here; a materializer would apply
+    * [[graft.operators.Pipeline.MaxEpochs]].
+    */
+  def mixPlanTemperature(documents: DataFrame): DataFrame = {
+    val perSource = documents
+      .select(col("source"), org.apache.spark.sql.functions.size(split(col("text"), " "))
+        .cast("long").as("toks"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("source_tokens"))
+    val totals = perSource.agg(
+      sum(col("source_tokens")).as("total_tokens"))
+    val weighted = perSource.crossJoin(broadcast(totals))
+      .withColumn("share_ppm",
+        expr("(cast(source_tokens as decimal(38,0)) * 1000000) div total_tokens"))
+      .withColumn("sqrt_share_ppm",
+        expr("cast(floor(sqrt(cast(share_ppm as double) * 1000000)) as bigint)"))
+    val wTotal = weighted.agg(sum(col("sqrt_share_ppm")).as("w_total"))
+    weighted.crossJoin(broadcast(wTotal))
+      .withColumn("p_ppm",
+        expr("(cast(sqrt_share_ppm as decimal(38,0)) * 1000000) div w_total"))
+      .withColumn("target_tokens",
+        expr("(cast(p_ppm as decimal(38,0)) * total_tokens) div 1000000"))
+      .withColumn("epochs_ppm",
+        expr("(cast(target_tokens as decimal(38,0)) * 1000000) div source_tokens"))
+      .select(col("source"), col("n_docs"), col("source_tokens"),
+        col("share_ppm"), col("sqrt_share_ppm"), col("p_ppm"),
+        col("target_tokens"), col("epochs_ppm"))
+  }
+
   // ----------------------------------------------------------------- dsir
 
   /** DSIR-style importance resampling (Xie et al., NeurIPS 2023: "Data
@@ -798,6 +845,33 @@ object Curation {
         |       CAST(((total_tokens // n_sources)::HUGEINT * 1000000) // source_tokens
         |         AS BIGINT) AS epochs_ppm
         |FROM per, t""".stripMargin,
+    "mix_plan_temperature" ->
+      """WITH per AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |         CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT)
+        |           AS source_tokens
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(SUM(source_tokens) AS BIGINT) AS total_tokens FROM per),
+        |s AS (
+        |  SELECT source, n_docs, source_tokens, total_tokens,
+        |         CAST((source_tokens::HUGEINT * 1000000) // total_tokens AS BIGINT)
+        |           AS share_ppm
+        |  FROM per, t),
+        |w AS (
+        |  SELECT *, CAST(FLOOR(SQRT(CAST(share_ppm AS DOUBLE) * 1000000))
+        |                 AS BIGINT) AS sqrt_share_ppm
+        |  FROM s),
+        |wt AS (SELECT CAST(SUM(sqrt_share_ppm) AS BIGINT) AS w_total FROM w),
+        |p AS (
+        |  SELECT w.*, CAST((sqrt_share_ppm::HUGEINT * 1000000) // w_total
+        |                   AS BIGINT) AS p_ppm
+        |  FROM w, wt)
+        |SELECT source, n_docs, source_tokens, share_ppm, sqrt_share_ppm, p_ppm,
+        |       CAST((p_ppm::HUGEINT * total_tokens) // 1000000 AS BIGINT)
+        |         AS target_tokens,
+        |       CAST(((p_ppm::HUGEINT * total_tokens // 1000000) * 1000000)
+        |            // source_tokens AS BIGINT) AS epochs_ppm
+        |FROM p""".stripMargin,
     "pii_redact" -> {
       // DuckDB single-quoted literals treat backslash literally, so the raw
       // pattern strings embed as-is — RE2 receives the identical bytes

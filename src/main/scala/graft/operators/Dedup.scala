@@ -308,6 +308,79 @@ object Dedup {
           .as("text"))
   }
 
+  /** `dedup_minhash_eval`: precision/recall of the banded minhash-LSH
+    * pipeline against EXACT n-gram Jaccard ground truth — the dedup
+    * family's analogue of [[Similarity.simSearchRecallEval]]: before
+    * trusting a banding configuration on a corpus, measure what its
+    * collisions+signature-estimate actually capture of the true ≥0.5-
+    * Jaccard pair set. One row per language: true pairs, LSH candidate
+    * pairs (post est_jaccard ≥ 0.5, [[dedupMinhashLsh]]'s exact output
+    * contract), hits, and exact-integer precision/recall ppm.
+    *
+    * Truth protocol (the production recall-audit shape): exact Jaccard is
+    * the quadratic part, so it is computed for a bounded QUERY SAMPLE only
+    * (doc_id % `sampleMod` == 0 — a modulus sample, id-distribution-free,
+    * where an id-prefix sample would cluster in one corner of the corpus) —
+    * each sample doc's distinct-shingle set probes the corpus shingle
+    * table by (lang, shingle) key, so the exact side is a keyed join
+    * driven by sample shingles, never all-pairs. A pair counts when EITHER
+    * member is sampled (canonicalized least/greatest; the both-sampled
+    * case kept once). J ≥ 0.5 is decided in integers
+    * (3·|∩| ≥ |A|+|B| ⇔ |∩|/(|A|+|B|−|∩|) ≥ 1/2). Truth is
+    * within-language, matching the LSH's own blocking contract. Every
+    * language with a sampled doc gets its row even with zero pairs (the
+    * zero-row-guard discipline: an empty eval must still certify
+    * emptiness per language, not vanish); division-by-zero edges report
+    * 10⁶, mirrored in the oracle.
+    */
+  def dedupMinhashEval(documents: DataFrame, sampleMod: Long = 5L): DataFrame = {
+    val sh = withTokens(documents, col("doc_id"), col("lang"))
+      .select(col("doc_id"), col("lang"),
+        array_distinct(shinglesCol(col("toks"))).as("shingles"))
+    val sizes = sh.select(col("doc_id"),
+      org.apache.spark.sql.functions.size(col("shingles")).cast("long").as("n_sh"))
+    val ex = sh.select(col("doc_id"), col("lang"),
+      explode_outer(col("shingles")).as("shingle"))
+      .where(col("shingle").isNotNull)
+    val sampled = col("doc_id") % sampleMod === 0
+    // both-sampled pairs would arrive in both orientations: keep q < c
+    // there; a non-sampled partner appears exactly once by construction
+    val inter = ex.where(sampled)
+      .select(col("lang"), col("shingle"), col("doc_id").as("q"))
+      .join(ex.select(col("lang"), col("shingle"), col("doc_id").as("c")),
+        Seq("lang", "shingle"))
+      .where(col("q") =!= col("c") &&
+        (col("c") % sampleMod =!= 0 || col("q") < col("c")))
+      .groupBy(col("lang"), least(col("q"), col("c")).as("doc_id_1"),
+        greatest(col("q"), col("c")).as("doc_id_2"))
+      .agg(count(lit(1)).as("inter"))
+    val truth = inter
+      .join(sizes.select(col("doc_id").as("doc_id_1"), col("n_sh").as("n1")), Seq("doc_id_1"))
+      .join(sizes.select(col("doc_id").as("doc_id_2"), col("n_sh").as("n2")), Seq("doc_id_2"))
+      .where(col("inter") * 3 >= col("n1") + col("n2"))
+      .select(col("lang"), col("doc_id_1"), col("doc_id_2"))
+    val cand = dedupMinhashLsh(documents)
+      .where(col("doc_id_1") % sampleMod === 0 || col("doc_id_2") % sampleMod === 0)
+      .select(col("lang"), col("doc_id_1"), col("doc_id_2"))
+    val grid = documents.where(sampled).select(col("lang")).distinct()
+    val tl = truth.groupBy(col("lang")).agg(count(lit(1)).as("truth_pairs"))
+    val cl = cand.groupBy(col("lang")).agg(count(lit(1)).as("cand_pairs"))
+    val hl = truth.join(cand, Seq("lang", "doc_id_1", "doc_id_2"), "left_semi")
+      .groupBy(col("lang")).agg(count(lit(1)).as("hits"))
+    grid.join(tl, Seq("lang"), "left").join(cl, Seq("lang"), "left")
+      .join(hl, Seq("lang"), "left")
+      .select(col("lang"),
+        coalesce(col("truth_pairs"), lit(0L)).as("truth_pairs"),
+        coalesce(col("cand_pairs"), lit(0L)).as("cand_pairs"),
+        coalesce(col("hits"), lit(0L)).as("hits"))
+      .withColumn("precision_ppm",
+        when(col("cand_pairs") > 0, expr("hits * 1000000 div cand_pairs"))
+          .otherwise(lit(1000000L)))
+      .withColumn("recall_ppm",
+        when(col("truth_pairs") > 0, expr("hits * 1000000 div truth_pairs"))
+          .otherwise(lit(1000000L)))
+  }
+
   /** `dedup_paragraph`: CROSS-document near-duplicate SPANS — the curation
     * operator for template/boilerplate text shared between otherwise
     * distinct documents (intra-document repetition is
@@ -761,6 +834,60 @@ object Dedup {
        |SELECT doc_id_1, doc_id_2, lang, est_jaccard
        |FROM est WHERE est_jaccard >= 0.5""".stripMargin
 
+  /** DuckDB twin of [[dedupMinhashEval]] — the shared minhash CTE chain
+    * for the candidate side, plus the exact-Jaccard truth from the same
+    * `sh` distinct-shingle CTE.
+    */
+  private val minhashEvalOracle: String =
+    s"""WITH ${minhashCtes(hashedShingleCtes)},
+       |szs AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+       |it AS (
+       |  SELECT q.lang, LEAST(q.doc_id, c.doc_id) AS doc_id_1,
+       |         GREATEST(q.doc_id, c.doc_id) AS doc_id_2,
+       |         COUNT(*) AS inter
+       |  FROM hx q JOIN hx c
+       |    ON c.lang = q.lang AND c.shingle = q.shingle
+       |   AND q.doc_id != c.doc_id
+       |  WHERE q.doc_id % 5 = 0
+       |    AND (c.doc_id % 5 != 0 OR q.doc_id < c.doc_id)
+       |  GROUP BY 1, 2, 3),
+       |truth AS (
+       |  SELECT it.lang, doc_id_1, doc_id_2
+       |  FROM it
+       |  JOIN szs s1 ON s1.doc_id = it.doc_id_1
+       |  JOIN szs s2 ON s2.doc_id = it.doc_id_2
+       |  WHERE 3 * inter >= s1.n_sh + s2.n_sh),
+       |cnd AS (
+       |  SELECT lang, doc_id_1, doc_id_2 FROM est
+       |  WHERE est_jaccard >= 0.5
+       |    AND (doc_id_1 % 5 = 0 OR doc_id_2 % 5 = 0)),
+       |grid AS (
+       |  SELECT DISTINCT lang FROM documents WHERE doc_id % 5 = 0),
+       |tl AS (SELECT lang, COUNT(*) AS truth_pairs FROM truth GROUP BY 1),
+       |cl AS (SELECT lang, COUNT(*) AS cand_pairs FROM cnd GROUP BY 1),
+       |hl AS (
+       |  SELECT t.lang, COUNT(*) AS hits
+       |  FROM truth t JOIN cnd c
+       |    ON c.lang = t.lang AND c.doc_id_1 = t.doc_id_1
+       |   AND c.doc_id_2 = t.doc_id_2
+       |  GROUP BY 1),
+       |g AS (
+       |  SELECT grid.lang,
+       |         CAST(COALESCE(truth_pairs, 0) AS BIGINT) AS truth_pairs,
+       |         CAST(COALESCE(cand_pairs, 0) AS BIGINT) AS cand_pairs
+       |  FROM grid
+       |  LEFT JOIN tl ON tl.lang = grid.lang
+       |  LEFT JOIN cl ON cl.lang = grid.lang)
+       |SELECT g.lang, g.truth_pairs, g.cand_pairs,
+       |       CAST(COALESCE(hl.hits, 0) AS BIGINT) AS hits,
+       |       CASE WHEN g.cand_pairs > 0
+       |            THEN CAST(COALESCE(hl.hits, 0) * 1000000 // g.cand_pairs AS BIGINT)
+       |            ELSE 1000000 END AS precision_ppm,
+       |       CASE WHEN g.truth_pairs > 0
+       |            THEN CAST(COALESCE(hl.hits, 0) * 1000000 // g.truth_pairs AS BIGINT)
+       |            ELSE 1000000 END AS recall_ppm
+       |FROM g LEFT JOIN hl ON hl.lang = g.lang""".stripMargin
+
   /** `dedup_cross_source`: the near-dup PROVENANCE matrix — which sources
     * duplicate which: every confirmed minhash-LSH pair joined to its two
     * docs' sources, pair-canonicalized (least/greatest) so direction
@@ -1203,6 +1330,7 @@ object Dedup {
     "dedup_embedding_lsh_wide" -> embeddingLshWideOracle,
     "dedup_embedding_lsh_auto" -> embeddingLshAutoOracle,
     "dedup_minhash_lsh" -> minhashOracle,
+    "dedup_minhash_eval" -> minhashEvalOracle,
     "dedup_cross_source" -> crossSourceOracle,
     // seeded-recall audits of the xxhash fast twins: the oracle computes
     // the identical-pair truth and asserts the pipeline recovered ALL of it

@@ -709,6 +709,36 @@ object TextAnalysis {
       .select(col("doc_id"), coalesce(col("n"), lit(0L)).as("n_bpe_tokens"))
   }
 
+  /** `bpe_fertility_by_lang`: per-language tokenizer fertility under the
+    * trained BPE — tokens-per-word and chars-per-token, the standard
+    * metric for how well (or how unfairly) a tokenizer serves each
+    * language in a multilingual corpus: a language whose fertility runs
+    * high pays more sequence length per unit of text, so tokenizer and
+    * mix decisions gate on exactly this table. Exact-integer ppm ratios
+    * in decimal(38,0) (corpus-scale token counts × 10⁶ exceed 2⁶³).
+    *
+    * Scale: the corpus enters once through [[bpeRun]]'s word-frequency
+    * collapse plus one tokenize-explode pass here; the segmentation join
+    * is corpus-explode vs VOCABULARY (broadcast by Heaps' law, the
+    * [[bpeTokenCount]] argument), and the result is |languages| rows.
+    */
+  def bpeFertilityByLang(documents: DataFrame, k: Int = 3): DataFrame = {
+    val enc = bpeRun(documents, k)._2.select(col("w"),
+      size(split(trim(col("seq")), " ")).cast("long").as("w_tokens"))
+    val docWords = documents
+      .select(col("lang"), explode(split(lower(col("text")), " ")).as("w"))
+      .where(col("w").rlike("^[a-z]+$"))
+    docWords.join(broadcast(enc), "w")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("w_tokens")).as("n_tokens"),
+        sum(length(col("w")).cast("long")).as("n_chars"))
+      .withColumn("tokens_per_word_ppm",
+        expr("(cast(n_tokens as decimal(38,0)) * 1000000) div n_words"))
+      .withColumn("chars_per_token_ppm",
+        expr("(cast(n_chars as decimal(38,0)) * 1000000) div n_tokens"))
+  }
+
   /** `bpe_train_batched`: BPE training with the standard parallel
     * relaxation — learn the top-M mutually-compatible merge rules PER
     * ROUND instead of one, collapsing the merge loop's round count from k
@@ -1396,6 +1426,7 @@ object TextAnalysis {
     "text_top_terms" -> topTermsOracle,
     "bpe_train_merges" -> bpeOracle(3),
     "bpe_train_batched" -> bpeBatchedOracle(2, 4),
+    "bpe_fertility_by_lang" -> bpeFertilityOracle(3),
     "bpe_encode" -> bpeEncodeOracle(3),
     "bpe_token_count" -> bpeTokenCountOracle(3),
     "quality_calibrate" ->
@@ -1514,6 +1545,27 @@ object TextAnalysis {
        |  FROM docw JOIN enc USING (w) GROUP BY 1)
        |SELECT d.doc_id, COALESCE(per.n, 0) AS n_bpe_tokens
        |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id""".stripMargin
+
+  private def bpeFertilityOracle(k: Int): String =
+    s"""WITH ${bpeCtes(k)},
+       |enc AS (
+       |  SELECT w, CAST(len(string_split(trim(seq), ' ')) AS BIGINT) AS w_tokens
+       |  FROM s$k),
+       |docw AS (
+       |  SELECT lang, w FROM (
+       |    SELECT lang, UNNEST(string_split(lower(text), ' ')) AS w FROM documents)
+       |  WHERE regexp_matches(w, '^[a-z]+${"$"}')),
+       |agg AS (
+       |  SELECT lang, COUNT(*) AS n_words,
+       |         CAST(SUM(w_tokens) AS BIGINT) AS n_tokens,
+       |         CAST(SUM(length(w)) AS BIGINT) AS n_chars
+       |  FROM docw JOIN enc USING (w) GROUP BY 1)
+       |SELECT lang, n_words, n_tokens, n_chars,
+       |       CAST((n_tokens::HUGEINT * 1000000) // n_words AS BIGINT)
+       |         AS tokens_per_word_ppm,
+       |       CAST((n_chars::HUGEINT * 1000000) // n_tokens AS BIGINT)
+       |         AS chars_per_token_ppm
+       |FROM agg""".stripMargin
 
   /** DuckDB twin of [[bpeTrainBatched]] — rounds unrolled, the order-free
     * acceptance rule as NOT EXISTS over higher-ranked candidates, and the

@@ -315,6 +315,28 @@ class CurationSpec extends SparkTestBase {
     assert(rows("src_small") == ((20L, 250000L, 40L, 2000000L)))
   }
 
+  test("mix_plan_temperature: sqrt flattening, hand-computed integer path") {
+    // same fixture as mix_plan: big 60 tokens (share .75), small 20 (.25).
+    // sqrt weights: floor(sqrt(750000e6)) = 866025, sqrt(250000e6) = 500000
+    // exactly; p = w*1e6 div 1366025 -> 633974 / 366025 (sum 999999, floor
+    // loss); natural 3:1 flattens to sqrt(3):1. targets 50/29 of 80 tokens,
+    // epochs 833333 / 1450000 — the small source boosted, not equalized.
+    val docs = Seq(
+      (1L, (1 to 30).map(_ => "w").mkString(" "), "src_big"),
+      (2L, (1 to 30).map(_ => "w").mkString(" "), "src_big"),
+      (3L, (1 to 20).map(_ => "w").mkString(" "), "src_small"))
+      .toDF("doc_id", "text", "source")
+    val rows = Curation.mixPlanTemperature(docs).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("share_ppm"), r.getAs[Long]("sqrt_share_ppm"),
+          r.getAs[Long]("p_ppm"), r.getAs[Long]("target_tokens"),
+          r.getAs[Long]("epochs_ppm")))).toMap
+    assert(rows("src_big") == ((750000L, 866025L, 633974L, 50L, 833333L)),
+      s"got ${rows("src_big")}")
+    assert(rows("src_small") == ((250000L, 500000L, 366025L, 29L, 1450000L)),
+      s"got ${rows("src_small")}")
+  }
+
   private implicit class ToMap2(self: Array[(Long, Long, String)]) {
     def toMap2: Map[Long, String] = self.map(t => t._1 -> t._3).toMap
   }

@@ -267,6 +267,23 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("minhash eval: planted true pair is counted, metrics are the exact ratios") {
+    // docs 5/10 (% 5 == 0): sampled near-dups; doc 3: unrelated non-sample;
+    // doc 21: exact copy of base OUTSIDE the sample — its (5,21) truth pair
+    // must still count (sample-vs-corpus probing), and LSH always recovers
+    // exact copies (seeded-recall floor)
+    val df = docs((5L, base), (10L, base + " extra"), (3L, unrelated), (21L, base))
+    val row = Dedup.dedupMinhashEval(df).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val (truthPairs, candPairs, hits, precPpm, recPpm) = row("en")
+    assert(truthPairs >= 3, s"expected >=3 true pairs (5-10, 5-21, 10-21), got $truthPairs")
+    assert(hits >= 1, "LSH must recover at least the exact-copy pair")
+    assert(hits <= truthPairs && hits <= candPairs)
+    assert(precPpm == (if (candPairs > 0) hits * 1000000L / candPairs else 1000000L))
+    assert(recPpm == hits * 1000000L / truthPairs)
+  }
+
   test("minhash fast-hash path (xxhash64) finds the same near-dup pair") {
     val df = docs((1L, base), (2L, nearDup), (3L, unrelated), (4L, base + " extra"))
     val pairs = Dedup.dedupMinhashLsh(df, fastHash = true)

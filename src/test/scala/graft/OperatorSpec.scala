@@ -643,6 +643,21 @@ class OperatorSpec extends SparkTestBase {
     assert(rules.toSeq == Seq((1L, "a b", "ab", 2L)), s"got ${rules.toSeq}")
   }
 
+  test("BPE fertility by lang: hand-computed tokens/word and chars/token") {
+    // rules from the aaab/ab/x corpus: aa, ab, aaab (lang-agnostic train);
+    // encodings: aaab -> 1 token, ab -> 1, x -> 1.
+    // en: words {aaab, x, aaab} -> 3 words / 3 tokens / 9 chars ->
+    //     tpw 1e6, cpt 3e6; fr: {ab} -> 1/1/2 -> tpw 1e6, cpt 2e6
+    val docs = Seq((1L, "aaab x", "en"), (2L, "aaab", "en"), (3L, "ab", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val got = graft.operators.TextAnalysis.bpeFertilityByLang(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5)))).toMap
+    assert(got("en") == ((3L, 3L, 9L, 1000000L, 3000000L)), s"got ${got("en")}")
+    assert(got("fr") == ((1L, 1L, 2L, 1000000L, 2000000L)), s"got ${got("fr")}")
+  }
+
   test("BPE batched: multi-accept round, overlap rejection, early exhaustion") {
     // two symbol-disjoint pairs in one round: "ab" x3, "cd" x2 ->
     // round 1 ranks "a b"(3) then "c d"(2); disjoint -> BOTH accepted;
