@@ -367,8 +367,10 @@ object Dedup {
     val cl = cand.groupBy(col("lang")).agg(count(lit(1)).as("cand_pairs"))
     val hl = truth.join(cand, Seq("lang", "doc_id_1", "doc_id_2"), "left_semi")
       .groupBy(col("lang")).agg(count(lit(1)).as("hits"))
-    grid.join(tl, Seq("lang"), "left").join(cl, Seq("lang"), "left")
-      .join(hl, Seq("lang"), "left")
+    // tl/cl/hl are |languages| rows — broadcast onto the grid
+    grid.join(broadcast(tl), Seq("lang"), "left")
+      .join(broadcast(cl), Seq("lang"), "left")
+      .join(broadcast(hl), Seq("lang"), "left")
       .select(col("lang"),
         coalesce(col("truth_pairs"), lit(0L)).as("truth_pairs"),
         coalesce(col("cand_pairs"), lit(0L)).as("cand_pairs"),

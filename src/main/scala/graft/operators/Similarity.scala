@@ -551,12 +551,14 @@ object Similarity {
       .map { case (m, df) =>
         df.select(lit(m).as("method"), col("query_id"), col("neighbor_id"))
       }.reduce(_ unionByName _)
+    // exact is (sample × 5) rows by construction — broadcast explicitly so
+    // the semi-join never shuffles the approx side on derived-frame stats
     val hit = approx
-      .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+      .join(broadcast(exact), Seq("query_id", "neighbor_id"), "left_semi")
       .groupBy(col("method"), col("query_id")).agg(count(lit(1)).as("hits"))
     val grid = exact.select(col("query_id")).distinct()
       .crossJoin(Seq("lsh", "ivf", "pq", "ivfpq").toDF("method"))
-    grid.join(hit, Seq("method", "query_id"), "left")
+    grid.join(broadcast(hit), Seq("method", "query_id"), "left")
       .select(col("method"), col("query_id"),
         coalesce(col("hits"), lit(0L)).as("hits"))
       .withColumn("recall_ppm", expr("hits * 1000000 div 5"))
