@@ -617,26 +617,37 @@ object TextAnalysis {
     * k rules applied — the trained tokenizer's segmentation of every
     * corpus word, which [[bpeEncode]] / [[bpeTokenCount]] reuse.
     */
-  private def bpeRun(documents: DataFrame,
-      k: Int): (Seq[(Long, String, String, Long)], DataFrame) = {
-    val spark = documents.sparkSession
+  /** Initial BPE state shared by the strict and batched trainers: the
+    * corpus collapsed to the (w, freq, seq) vocabulary with " a b c "
+    * sentinel-spaced character sequences — the ONLY corpus-wide
+    * evaluation; every training round iterates this materialized leaf.
+    */
+  private def bpeInitialSeqs(documents: DataFrame): DataFrame = {
     val words = documents
       .select(explode(split(lower(col("text")), " ")).as("w"))
       .where(col("w").rlike("^[a-z]+$"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-    // " a b c " — sentinel spaces make every adjacency a ' x y ' literal.
-    // The ONLY corpus-wide evaluation: everything after iterates this leaf.
-    var seqs = Iterate.materialize(words.select(col("w"), col("freq"),
+    Iterate.materialize(words.select(col("w"), col("freq"),
       concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")).as("seq")))
-    val pairsOf = {
-      val toks = split(trim(col("seq")), " ")
-      // guarded: Spark's sequence(1, 0) counts DOWN, so a single-symbol
-      // word would index past the array instead of yielding no pairs
-      when(size(toks) >= 2,
-        transform(sequence(lit(1), size(toks) - 1),
-          i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
-        .otherwise(array().cast("array<string>"))
-    }
+  }
+
+  /** Adjacent-pair array of a sentinel-spaced `seq` column. Guarded:
+    * Spark's sequence(1, 0) counts DOWN, so a single-symbol word would
+    * index past the array instead of yielding no pairs.
+    */
+  private lazy val bpePairsOf: Column = {
+    val toks = split(trim(col("seq")), " ")
+    when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  private def bpeRun(documents: DataFrame,
+      k: Int): (Seq[(Long, String, String, Long)], DataFrame) = {
+    val spark = documents.sparkSession
+    var seqs = bpeInitialSeqs(documents)
+    val pairsOf = bpePairsOf
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
@@ -771,19 +782,8 @@ object TextAnalysis {
   def bpeTrainBatched(documents: DataFrame, rounds: Int = 2, m: Int = 4): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    val words = documents
-      .select(explode(split(lower(col("text")), " ")).as("w"))
-      .where(col("w").rlike("^[a-z]+$"))
-      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-    var seqs = Iterate.materialize(words.select(col("w"), col("freq"),
-      concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")).as("seq")))
-    val pairsOf = {
-      val toks = split(trim(col("seq")), " ")
-      when(size(toks) >= 2,
-        transform(sequence(lit(1), size(toks) - 1),
-          i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
-        .otherwise(array().cast("array<string>"))
-    }
+    var seqs = bpeInitialSeqs(documents)
+    val pairsOf = bpePairsOf
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
