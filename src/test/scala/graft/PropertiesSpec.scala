@@ -291,6 +291,56 @@ class PropertiesSpec extends SparkTestBase {
     }, n = 6)
   }
 
+  test("temperature mix: probabilities sum to ~1e6 and strictly flatten the share ratio") {
+    // arbitrary per-source token masses: sum(p_ppm) in (1e6 - n, 1e6]
+    // (floor-div loss < 1 ppm per source), and for any two sources the
+    // p-ratio sits between 1 and the share-ratio (sqrt flattens, never
+    // inverts): share_a >= share_b  =>  1 <= p_a/p_b <= share_a/share_b
+    val gen = Gen.choose(2, 5).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(1, 40)))
+    checkProp(Prop.forAll(gen) { masses =>
+      val docs = masses.zipWithIndex.map { case (m, i) =>
+        (i.toLong, (1 to m).map(_ => "w").mkString(" "), s"src_$i")
+      }.toDF("doc_id", "text", "source")
+      val rows = graft.operators.Curation.mixPlanTemperature(docs).collect()
+        .map(r => (r.getAs[Long]("share_ppm"), r.getAs[Long]("p_ppm")))
+      val pSum = rows.map(_._2).sum
+      val sumOk = pSum > 1000000L - rows.length && pSum <= 1000000L
+      val flattenOk = rows.forall { case (sa, pa) =>
+        rows.forall { case (sb, pb) =>
+          sa < sb || pb == 0 || sb == 0 ||
+            (pa.toDouble / pb >= 0.999 &&
+              pa.toDouble / pb <= sa.toDouble / sb * 1.001)
+        }
+      }
+      sumOk && flattenOk
+    })
+  }
+
+  test("minhash eval: hits bounded by both sides; ppm fields are the exact ratios") {
+    // random small corpora with planted duplicate clusters: every language
+    // row satisfies hits <= min(truth, cand) and the ppm arithmetic
+    val wordGen = Gen.choose(3, 8)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf("alpha", "beta", "gamma", "delta",
+        "epsilon", "zeta")).map(_.mkString(" ")))
+    val gen = Gen.listOfN(8, wordGen)
+    checkProp(Prop.forAll(gen) { texts =>
+      // ids 0,5,10,... are sampled (doc_id % 5 == 0); duplicate text 0 at a
+      // non-sample id so a true pair exists most runs
+      val rows = texts.zipWithIndex.map { case (t, i) => (i * 3L, t) } :+
+        (101L, texts.head)
+      val df = rows.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      graft.operators.Dedup.dedupMinhashEval(df).collect().forall { r =>
+        val (t, c, h, p, rc) =
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+        h <= t && h <= c &&
+          p == (if (c > 0) h * 1000000L / c else 1000000L) &&
+          rc == (if (t > 0) h * 1000000L / t else 1000000L)
+      }
+    }, n = 5)
+  }
+
   test("BPE encode: token concatenation reconstructs every word; budgets add up") {
     // tiny alphabet makes merges fire often; k varies so late rules apply on
     // top of earlier ones
