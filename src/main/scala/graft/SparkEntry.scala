@@ -229,6 +229,8 @@ object SparkEntry {
     "sim_search_ivfpq" -> ((s, d) => Similarity.simSearchIvfPq(Tables.embeddings(s, d))),
     "sim_search_recall_eval" -> ((s, d) =>
       Similarity.simSearchRecallEval(Tables.embeddings(s, d))),
+    "sim_search_nprobe_curve" -> ((s, d) =>
+      Similarity.simSearchNprobeCurve(Tables.embeddings(s, d))),
     "embed_kmeans" -> ((s, d) => Similarity.embedKmeans(Tables.embeddings(s, d))),
     // SemDeDup-style cluster-representative selection (one keeper/cluster)
     "dedup_semantic" -> ((s, d) => Similarity.dedupSemantic(Tables.embeddings(s, d))),

