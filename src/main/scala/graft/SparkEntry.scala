@@ -190,6 +190,8 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.dedupNgramJaccard(Tables.documents(s, d))),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.dedupMinhashLsh(Tables.documents(s, d))),
     "dedup_minhash_eval" -> ((s, d) => Dedup.dedupMinhashEval(Tables.documents(s, d))),
+    // banding tuning curve: precision/recall per (bands x rows) split
+    "dedup_band_curve" -> ((s, d) => Dedup.dedupBandCurve(Tables.documents(s, d))),
     "dedup_paragraph" -> ((s, d) => Dedup.dedupParagraph(Tables.documents(s, d))),
     "dedup_containment" -> ((s, d) => Dedup.dedupContainment(Tables.documents(s, d))),
     "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(Tables.documents(s, d))),
@@ -255,6 +257,8 @@ object SparkEntry {
     // the typed codec-boundary twin of mm_decode_stub, same oracle
     "mm_decode_batched" -> ((s, d) => Multimodal.mmDecodeBatched(Tables.documents(s, d))),
     "mm_content_dedup" -> ((s, d) => Multimodal.mmContentDedup(Tables.documents(s, d))),
+    // aspect-ratio bucketing + per-bucket batch assignment (vision training)
+    "mm_aspect_bucket" -> ((s, d) => Multimodal.mmAspectBucket(Tables.documents(s, d))),
     // extensions: composed curation pipeline
     "pipeline_training_data" -> ((s, d) => Pipeline.trainingDataCuration(Tables.documents(s, d))),
     "pipeline_curation_v2" -> ((s, d) => Pipeline.trainingDataCurationV2(Tables.documents(s, d))),
@@ -304,6 +308,10 @@ object SparkEntry {
       TextAnalysis.qualityClassifierCalibration(Tables.documents(s, d))),
     "quality_model_drift" -> ((s, d) =>
       TextAnalysis.qualityModelDrift(Tables.documents(s, d))),
+    // per-source distribution-drift monitors (exact-integer KS / χ² / TV)
+    "drift_ks" -> ((s, d) => Drift.driftKs(Tables.documents(s, d))),
+    "drift_chi2" -> ((s, d) => Drift.driftChi2(Tables.documents(s, d))),
+    "drift_tv" -> ((s, d) => Drift.driftTv(Tables.documents(s, d))),
     // learned multi-class domain classifier (mix-planner input) + its eval
     "domain_classifier_assign" -> ((s, d) =>
       TextAnalysis.domainClassifierAssign(Tables.documents(s, d))),
@@ -329,6 +337,9 @@ object SparkEntry {
     // equal-share training-mixture plan (epochs per source, exact ppm)
     "mix_plan" -> ((s, d) => Curation.mixPlan(Tables.documents(s, d))),
     "mix_plan_temperature" -> ((s, d) => Curation.mixPlanTemperature(Tables.documents(s, d))),
+    // two-phase bulk→anneal schedule + quality-ordered curriculum layout
+    "mix_anneal_schedule" -> ((s, d) => Curation.mixAnnealSchedule(Tables.documents(s, d))),
+    "curriculum_order" -> ((s, d) => Curation.curriculumOrder(Tables.documents(s, d))),
     // DSIR importance resampling (hashed-bigram likelihood ratio)
     "dsir_train" -> ((s, d) => Curation.dsirTrain(Tables.documents(s, d))),
     "dsir_score" -> ((s, d) => Curation.dsirScore(Tables.documents(s, d))),
@@ -462,7 +473,7 @@ object SparkEntry {
       Layout.oracles ++
       Merge.oracles ++ graft.sources.ApiSource.oracles ++
       graft.sources.FileFormats.oracles ++ Reshape.oracles ++
-      Enrich.oracles ++ Dedup.oracles ++ Similarity.oracles ++
+      Enrich.oracles ++ Dedup.oracles ++ Similarity.oracles ++ Drift.oracles ++
       TextAnalysis.oracles ++ CorpusStats.oracles ++ Multimodal.oracles ++ Pipeline.oracles ++
       Curation.oracles ++ IncrementalMart.oracles ++ Skew.oracles ++ Scd.oracles ++ Funnel.oracles ++
       graft.models.Marts.oracles ++ graft.models.TextMarts.oracles ++

@@ -562,6 +562,143 @@ object Curation {
         col("target_tokens"), col("epochs_ppm"))
   }
 
+  /** Per-doc quality in exact integer milli-units — the integer twin of
+    * [[TextAnalysis.textQuality]]'s 0-100 double score (×1000, ratio term
+    * floored by `div`): q = min(100000, n_tokens·500 + stopword_kinds·10⁴ +
+    * (n_long·3·10⁴) div n_tokens). Shared by the schedule/curriculum
+    * operators so their orderings stay hash-exact cross-engine.
+    */
+  private def qMilliCol: Column = {
+    val toks = split(lower(col("text")), " ")
+    val nTok = org.apache.spark.sql.functions.size(toks).cast("long")
+    val stop = org.apache.spark.sql.functions.size(array_intersect(
+      array_distinct(toks),
+      array(Seq("the", "a", "of", "and").map(lit): _*))).cast("long")
+    val longTok = org.apache.spark.sql.functions.size(
+      filter(toks, t => length(t) >= 5)).cast("long")
+    least(lit(100000L),
+      nTok * 500L + stop * 10000L +
+        when(nTok > 0, longTok * 30000L / nTok).otherwise(lit(0L)).cast("long"))
+  }
+
+  /** The shared SQL twin of [[qMilliCol]] over `documents` → (doc_id,
+    * source, n_toks, q_milli).
+    */
+  private val qMilliSql: String =
+    """SELECT doc_id, source,
+      |       CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_toks,
+      |       LEAST(100000,
+      |         CAST(len(string_split(lower(text), ' ')) AS BIGINT) * 500
+      |         + CAST(len(list_intersect(
+      |             list_distinct(string_split(lower(text), ' ')),
+      |             ['the', 'a', 'of', 'and'])) AS BIGINT) * 10000
+      |         + CASE WHEN len(string_split(lower(text), ' ')) > 0 THEN
+      |             CAST(len(list_filter(string_split(lower(text), ' '),
+      |                                  t -> len(t) >= 5)) AS BIGINT) * 30000
+      |             // CAST(len(string_split(lower(text), ' ')) AS BIGINT)
+      |           ELSE 0 END) AS q_milli
+      |FROM documents""".stripMargin
+
+  /** Anneal-phase token share of the total budget (10%) — the published
+    * two-phase recipe shape: a long bulk phase at natural proportions, then
+    * a short final phase upweighted toward high-quality sources (the
+    * "midtraining anneal" in recent open pretraining recipes, e.g.
+    * MiniCPM/OLMo-2 style decay-phase data switches).
+    */
+  private[graft] val AnnealDecile = 10L
+
+  /** `mix_anneal_schedule`: the two-phase training-data schedule as a plan
+    * table — per (source, phase): token budget and epochs. Phase `bulk`
+    * (90% of the budget) mixes at natural share; phase `anneal` (10%)
+    * reweights each source by its mean document quality
+    * (weight ∝ source_tokens · mean q_milli), so the run ENDS on the
+    * highest-quality mix without starving any source entirely (a source's
+    * anneal share is zero only if its quality is zero). Same exact-ppm
+    * `div` discipline and overflow guards as [[mixPlan]]; plan-only, so no
+    * epoch cap is applied (a materializer applies
+    * [[graft.operators.Pipeline.MaxEpochs]]).
+    *
+    * Scale shape: ONE corpus aggregate with map-side combine down to
+    * |sources| rows (the q_milli projection rides the same scan), then
+    * single-row broadcasts — identical to [[mixPlanTemperature]].
+    */
+  def mixAnnealSchedule(documents: DataFrame): DataFrame = {
+    val perSource = documents
+      .select(col("source"),
+        org.apache.spark.sql.functions.size(split(col("text"), " "))
+          .cast("long").as("toks"),
+        qMilliCol.as("q_milli"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("source_tokens"),
+        sum(col("q_milli")).as("sum_q"))
+      .withColumn("quality_milli", expr("sum_q div n_docs"))
+    val totals = perSource.agg(sum(col("source_tokens")).as("total_tokens"))
+    val base = perSource.crossJoin(broadcast(totals))
+      .withColumn("share_ppm",
+        expr("(cast(source_tokens as decimal(38,0)) * 1000000) div total_tokens"))
+      .withColumn("weight",
+        expr("cast(source_tokens as decimal(38,0)) * quality_milli"))
+    val wTotal = base.agg(sum(col("weight")).as("w_total"))
+    val withW = base.crossJoin(broadcast(wTotal))
+      .withColumn("anneal_ppm", expr("(weight * 1000000) div w_total"))
+    val annealBudget = expr(s"total_tokens div $AnnealDecile")
+    val bulkBudget = expr(s"total_tokens - total_tokens div $AnnealDecile")
+    val bulk = withW.select(
+      col("source"), lit("bulk").as("phase"), col("n_docs"),
+      col("source_tokens"), col("quality_milli"),
+      col("share_ppm").as("mix_ppm"),
+      expr("cast((cast(share_ppm as decimal(38,0)) * " +
+        s"(total_tokens - total_tokens div $AnnealDecile)) div 1000000 as bigint)")
+        .as("phase_tokens"))
+    val anneal = withW.select(
+      col("source"), lit("anneal").as("phase"), col("n_docs"),
+      col("source_tokens"), col("quality_milli"),
+      expr("cast(anneal_ppm as bigint)").as("mix_ppm"),
+      expr("cast((cast(anneal_ppm as decimal(38,0)) * (total_tokens div " +
+        s"$AnnealDecile)) div 1000000 as bigint)").as("phase_tokens"))
+    bulk.unionByName(anneal)
+      .withColumn("epochs_ppm",
+        expr("(cast(phase_tokens as decimal(38,0)) * 1000000) div source_tokens"))
+  }
+
+  /** Curriculum shard size: documents per shard in the ordered layout. */
+  private[graft] val CurriculumShardSize = 100L
+
+  /** `curriculum_order`: quality-ordered curriculum layout — every document
+    * gets a GLOBAL rank by (q_milli asc, doc_id asc) (train low→high so the
+    * run finishes on the best data — the data-ordering complement of
+    * [[mixAnnealSchedule]]'s source-level schedule) and a shard index of
+    * [[CurriculumShardSize]] docs, the unit a curriculum sampler consumes
+    * in order.
+    *
+    * The global rank is computed WITHOUT a global single-partition window
+    * (the classic `row_number() over (order by ...)` scale trap): q_milli
+    * has bounded cardinality (≤ 100 001 distinct values), so rank =
+    * cumulative-count offset of the doc's q value (a vocabulary-bounded
+    * aggregate + window, [[Drift]]'s trick) + row_number within the
+    * per-q-value partition. Both windows are PARTITIONED; at 100 TB the
+    * within-q partitions are ~N/100k docs and the offset table is
+    * broadcast. (The DuckDB oracle uses the naive global ROW_NUMBER — same
+    * result, which is exactly the point of the decomposition.)
+    */
+  def curriculumOrder(documents: DataFrame): DataFrame = {
+    val scored = documents.select(col("doc_id"), qMilliCol.as("q_milli"))
+    val offsets = scored.groupBy(col("q_milli"))
+      .agg(count(lit(1)).as("n_at_q"))
+      .withColumn("offset",
+        sum(col("n_at_q")).over(Window.orderBy("q_milli")) - col("n_at_q"))
+      .select(col("q_milli"), col("offset"))
+    val wIn = Window.partitionBy("q_milli").orderBy("doc_id")
+    scored
+      .join(broadcast(offsets), Seq("q_milli"))
+      .withColumn("curriculum_rank",
+        (col("offset") + row_number().over(wIn)).cast("long"))
+      .withColumn("shard_idx",
+        expr(s"(curriculum_rank - 1) div $CurriculumShardSize"))
+      .select(col("doc_id"), col("q_milli"), col("curriculum_rank"),
+        col("shard_idx"))
+  }
+
   // ----------------------------------------------------------------- dsir
 
   /** DSIR-style importance resampling (Xie et al., NeurIPS 2023: "Data
@@ -872,6 +1009,48 @@ object Curation {
         |       CAST(((p_ppm::HUGEINT * total_tokens // 1000000) * 1000000)
         |            // source_tokens AS BIGINT) AS epochs_ppm
         |FROM p""".stripMargin,
+    "mix_anneal_schedule" ->
+      s"""WITH q AS ($qMilliSql),
+         |per AS (
+         |  SELECT source, COUNT(*) AS n_docs,
+         |         CAST(SUM(n_toks) AS BIGINT) AS source_tokens,
+         |         CAST(SUM(q_milli) AS BIGINT) AS sum_q
+         |  FROM q GROUP BY 1),
+         |p2 AS (SELECT *, sum_q // n_docs AS quality_milli FROM per),
+         |t AS (SELECT CAST(SUM(source_tokens) AS BIGINT) AS total_tokens FROM p2),
+         |base AS (
+         |  SELECT p2.*, t.total_tokens,
+         |         CAST((source_tokens::HUGEINT * 1000000) // total_tokens AS BIGINT)
+         |           AS share_ppm,
+         |         source_tokens::HUGEINT * quality_milli AS weight
+         |  FROM p2, t),
+         |wt AS (SELECT SUM(weight) AS w_total FROM base),
+         |w AS (
+         |  SELECT base.*, CAST((weight * 1000000) // w_total AS BIGINT) AS anneal_ppm
+         |  FROM base, wt),
+         |phases AS (
+         |  SELECT source, 'bulk' AS phase, n_docs, source_tokens, quality_milli,
+         |         share_ppm AS mix_ppm,
+         |         CAST((share_ppm::HUGEINT *
+         |               (total_tokens - total_tokens // $AnnealDecile)) // 1000000
+         |              AS BIGINT) AS phase_tokens
+         |  FROM w
+         |  UNION ALL
+         |  SELECT source, 'anneal' AS phase, n_docs, source_tokens, quality_milli,
+         |         anneal_ppm AS mix_ppm,
+         |         CAST((anneal_ppm::HUGEINT * (total_tokens // $AnnealDecile))
+         |              // 1000000 AS BIGINT) AS phase_tokens
+         |  FROM w)
+         |SELECT *, CAST((phase_tokens::HUGEINT * 1000000) // source_tokens AS BIGINT)
+         |          AS epochs_ppm
+         |FROM phases""".stripMargin,
+    "curriculum_order" ->
+      s"""WITH q AS ($qMilliSql)
+         |SELECT doc_id, q_milli,
+         |       ROW_NUMBER() OVER (ORDER BY q_milli, doc_id) AS curriculum_rank,
+         |       (ROW_NUMBER() OVER (ORDER BY q_milli, doc_id) - 1)
+         |         // $CurriculumShardSize AS shard_idx
+         |FROM q""".stripMargin,
     "pii_redact" -> {
       // DuckDB single-quoted literals treat backslash literally, so the raw
       // pattern strings embed as-is — RE2 receives the identical bytes

@@ -333,7 +333,12 @@ object Dedup {
     * emptiness per language, not vanish); division-by-zero edges report
     * 10⁶, mirrored in the oracle.
     */
-  def dedupMinhashEval(documents: DataFrame, sampleMod: Long = 5L): DataFrame = {
+  /** The sampled exact-Jaccard ground truth shared by [[dedupMinhashEval]]
+    * and [[dedupBandCurve]] — (lang, doc_id_1, doc_id_2) pairs with true
+    * J ≥ 0.5 where either member is sampled (doc_id % sampleMod == 0).
+    * See [[dedupMinhashEval]]'s scaladoc for the protocol rationale.
+    */
+  private def sampledExactTruth(documents: DataFrame, sampleMod: Long): DataFrame = {
     val sh = withTokens(documents, col("doc_id"), col("lang"))
       .select(col("doc_id"), col("lang"),
         array_distinct(shinglesCol(col("toks"))).as("shingles"))
@@ -354,11 +359,16 @@ object Dedup {
       .groupBy(col("lang"), least(col("q"), col("c")).as("doc_id_1"),
         greatest(col("q"), col("c")).as("doc_id_2"))
       .agg(count(lit(1)).as("inter"))
-    val truth = inter
+    inter
       .join(sizes.select(col("doc_id").as("doc_id_1"), col("n_sh").as("n1")), Seq("doc_id_1"))
       .join(sizes.select(col("doc_id").as("doc_id_2"), col("n_sh").as("n2")), Seq("doc_id_2"))
       .where(col("inter") * 3 >= col("n1") + col("n2"))
       .select(col("lang"), col("doc_id_1"), col("doc_id_2"))
+  }
+
+  def dedupMinhashEval(documents: DataFrame, sampleMod: Long = 5L): DataFrame = {
+    val truth = sampledExactTruth(documents, sampleMod)
+    val sampled = col("doc_id") % sampleMod === 0
     val cand = dedupMinhashLsh(documents)
       .where(col("doc_id_1") % sampleMod === 0 || col("doc_id_2") % sampleMod === 0)
       .select(col("lang"), col("doc_id_1"), col("doc_id_2"))
@@ -377,6 +387,106 @@ object Dedup {
         coalesce(col("hits"), lit(0L)).as("hits"))
       .withColumn("precision_ppm",
         when(col("cand_pairs") > 0, expr("hits * 1000000 div cand_pairs"))
+          .otherwise(lit(1000000L)))
+      .withColumn("recall_ppm",
+        when(col("truth_pairs") > 0, expr("hits * 1000000 div truth_pairs"))
+          .otherwise(lit(1000000L)))
+  }
+
+  /** Banding configurations for [[dedupBandCurve]]: (bands, rows-per-band)
+    * splits of the [[MinhashK]] = 16 signatures. More bands × fewer rows →
+    * higher collision probability at a given Jaccard (recall up, raw
+    * candidate volume up); the (4, 4) point reuses [[bandHash]]'s exact
+    * coefficients, so that row of the curve IS the production
+    * `dedup_minhash_lsh` configuration.
+    */
+  private[graft] val BandConfigs: Seq[(Int, Int)] = Seq((2, 8), (4, 4), (8, 2))
+
+  /** Portable band-combine coefficients (prefix order matters: the first
+    * four match [[bandHash]] so the (4,4) curve point equals the shipped
+    * operator). All < 2²¹, signatures < 2³¹ ⇒ an 8-term combine stays
+    * under 2⁵⁴ — exact BIGINT in both engines.
+    */
+  private val BandCoef: Seq[Long] =
+    Seq(1000003L, 999983L, 757L, 131L, 10007L, 9973L, 577L, 89L)
+
+  /** `dedup_band_curve`: precision/recall of banded minhash-LSH as a
+    * function of the (bands × rows) split — THE tuning curve for the
+    * dedup family's one free knob, the banding analogue of
+    * [[Similarity.simSearchNprobeCurve]]. The LSH theory says a band of r
+    * rows collides with probability J^r, so b bands catch a J-similar pair
+    * with 1 − (1 − J^r)^b: at J = 0.5, (2, 8) ≈ 0.8%, (4, 4) ≈ 22%,
+    * (8, 2) ≈ 90% — the curve turns that folklore into a measured table
+    * against [[sampledExactTruth]]'s exact-Jaccard ground truth, per
+    * config per language: raw collision pairs (the COST — candidate reads
+    * the verify stage must do), verified pairs (est_jaccard ≥ 0.5, the
+    * operator's output contract), hits, precision, recall.
+    *
+    * Reading the curve: pick the leftmost config whose recall clears the
+    * SLA — each step right multiplies raw candidate volume (the 100-TB
+    * cost driver) for a recall gain that saturates. Scale shape: the
+    * signature table is computed ONCE (CacheScope-staged, same as
+    * [[dedupMinhashLsh]]) and each config adds only its own
+    * band-explode + bucket self-join — work ∝ Σ_config collisions, never
+    * all-pairs; the truth side is the sampled keyed join of
+    * [[dedupMinhashEval]], shared across configs.
+    */
+  def dedupBandCurve(documents: DataFrame, sampleMod: Long = 5L): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val truth = CacheScope.cached(sampledExactTruth(documents, sampleMod))
+    val sigs = CacheScope.cached(minhashSignatures(documents, fastHash = false))
+    val sigArr = array((0 until MinhashK).map(i => col(s"sig_$i")): _*)
+    val sigTable = sigs.select(col("doc_id"), sigArr.as("sig"))
+    val sampledPair =
+      col("doc_id_1") % sampleMod === 0 || col("doc_id_2") % sampleMod === 0
+    val perConfig = BandConfigs.map { case (b, r) =>
+      val bandCols = (0 until b).map { j =>
+        pmod((0 until r).map(t => col(s"sig_${r * j + t}") * BandCoef(t))
+          .reduce(_ + _), lit(P))
+      }
+      val withBands = sigs.select(col("doc_id"), col("lang"),
+        posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
+      val a = withBands.select(col("lang"), col("band_idx"), col("band_hash"),
+        col("doc_id").as("doc_id_1"))
+      val bb = withBands.select(col("lang"), col("band_idx"), col("band_hash"),
+        col("doc_id").as("doc_id_2"))
+      val raw = a.join(bb, Seq("lang", "band_idx", "band_hash"))
+        .where(col("doc_id_1") < col("doc_id_2"))
+        .select(col("lang"), col("doc_id_1"), col("doc_id_2"))
+        .distinct()
+        .where(sampledPair)
+      val kept = raw
+        .join(sigTable.select(col("doc_id").as("doc_id_1"), col("sig").as("sig1")),
+          Seq("doc_id_1"))
+        .join(sigTable.select(col("doc_id").as("doc_id_2"), col("sig").as("sig2")),
+          Seq("doc_id_2"))
+        .where(long_eq_count(col("sig1"), col("sig2")) * 2 >= MinhashK)
+        .select(col("lang"), col("doc_id_1"), col("doc_id_2"))
+      val rl = raw.groupBy(col("lang")).agg(count(lit(1)).as("raw_pairs"))
+      val kl = kept.groupBy(col("lang")).agg(count(lit(1)).as("kept_pairs"))
+      val hl = truth.join(kept, Seq("lang", "doc_id_1", "doc_id_2"), "left_semi")
+        .groupBy(col("lang")).agg(count(lit(1)).as("hits"))
+      rl.join(kl, Seq("lang"), "full_outer").join(hl, Seq("lang"), "full_outer")
+        .select(lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
+          col("lang"), coalesce(col("raw_pairs"), lit(0L)).as("raw_pairs"),
+          coalesce(col("kept_pairs"), lit(0L)).as("kept_pairs"),
+          coalesce(col("hits"), lit(0L)).as("hits"))
+    }.reduce(_ unionByName _)
+    val grid = documents.where(col("doc_id") % sampleMod === 0)
+      .select(col("lang")).distinct()
+      .crossJoin(BandConfigs.map { case (b, r) => (b.toLong, r.toLong) }
+        .toDF("bands", "rows_per_band"))
+    val tl = truth.groupBy(col("lang")).agg(count(lit(1)).as("truth_pairs"))
+    grid.join(broadcast(tl), Seq("lang"), "left")
+      .join(broadcast(perConfig), Seq("lang", "bands", "rows_per_band"), "left")
+      .select(col("bands"), col("rows_per_band"), col("lang"),
+        coalesce(col("truth_pairs"), lit(0L)).as("truth_pairs"),
+        coalesce(col("raw_pairs"), lit(0L)).as("raw_pairs"),
+        coalesce(col("kept_pairs"), lit(0L)).as("kept_pairs"),
+        coalesce(col("hits"), lit(0L)).as("hits"))
+      .withColumn("precision_ppm",
+        when(col("kept_pairs") > 0, expr("hits * 1000000 div kept_pairs"))
           .otherwise(lit(1000000L)))
       .withColumn("recall_ppm",
         when(col("truth_pairs") > 0, expr("hits * 1000000 div truth_pairs"))
@@ -890,6 +1000,103 @@ object Dedup {
        |            ELSE 1000000 END AS recall_ppm
        |FROM g LEFT JOIN hl ON hl.lang = g.lang""".stripMargin
 
+  /** DuckDB twin of [[dedupBandCurve]]: shared shingle/signature/truth
+    * CTEs, then one collide→verify→count block PER banding config (emitted
+    * by the same [[BandConfigs]]/[[BandCoef]] loop as the Spark plan — one
+    * source of truth for the coefficients).
+    */
+  private val bandCurveOracle: String = {
+    val sigCols = (0 until MinhashK).map(i =>
+      s"MIN((x * ${2 * i + 1} + ${i * 12345 + 7}) % 2147483647) AS sig_$i")
+      .mkString(",\n         ")
+    val matchTerms = (0 until MinhashK).map(i =>
+      s"(CASE WHEN s1.sig_$i = s2.sig_$i THEN 1 ELSE 0 END)").mkString(" + ")
+    val perConfig = BandConfigs.map { case (b, r) =>
+      val bandCases = (0 until b).map { j =>
+        val combine = (0 until r)
+          .map(t => s"sig_${r * j + t} * ${BandCoef(t)}").mkString(" + ")
+        s"WHEN $j THEN ($combine) % 2147483647"
+      }.mkString("\n           ")
+      s"""bands_${b} AS (
+         |  SELECT doc_id, lang, b.band_idx,
+         |         CASE b.band_idx
+         |           $bandCases
+         |         END AS band_hash
+         |  FROM sig CROSS JOIN (SELECT UNNEST(range(0, $b)) AS band_idx) b),
+         |cand_${b} AS (
+         |  SELECT DISTINCT a.lang, a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+         |  FROM bands_${b} a JOIN bands_${b} b
+         |    ON a.lang = b.lang AND a.band_idx = b.band_idx
+         |   AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+         |  WHERE a.doc_id % 5 = 0 OR b.doc_id % 5 = 0),
+         |flag_${b} AS (
+         |  SELECT c.lang,
+         |         CASE WHEN $matchTerms >= 8 THEN 1 ELSE 0 END AS kept,
+         |         CASE WHEN $matchTerms >= 8 AND t.doc_id_1 IS NOT NULL
+         |              THEN 1 ELSE 0 END AS hit
+         |  FROM cand_${b} c
+         |  JOIN sig s1 ON s1.doc_id = c.doc_id_1
+         |  JOIN sig s2 ON s2.doc_id = c.doc_id_2
+         |  LEFT JOIN truth t ON t.lang = c.lang
+         |   AND t.doc_id_1 = c.doc_id_1 AND t.doc_id_2 = c.doc_id_2),
+         |stats_${b} AS (
+         |  SELECT $b AS bands, $r AS rows_per_band, lang,
+         |         COUNT(*) AS raw_pairs, SUM(kept) AS kept_pairs,
+         |         SUM(hit) AS hits
+         |  FROM flag_${b} GROUP BY lang)""".stripMargin
+    }.mkString(",\n")
+    val unions = BandConfigs.map { case (b, _) => s"SELECT * FROM stats_${b}" }
+      .mkString(" UNION ALL ")
+    s"""WITH $hashedShingleCtes,
+       |sig AS (
+       |  SELECT doc_id, lang,
+       |         $sigCols
+       |  FROM xs GROUP BY doc_id, lang),
+       |szs AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+       |it AS (
+       |  SELECT q.lang, LEAST(q.doc_id, c.doc_id) AS doc_id_1,
+       |         GREATEST(q.doc_id, c.doc_id) AS doc_id_2,
+       |         COUNT(*) AS inter
+       |  FROM hx q JOIN hx c
+       |    ON c.lang = q.lang AND c.shingle = q.shingle
+       |   AND q.doc_id != c.doc_id
+       |  WHERE q.doc_id % 5 = 0
+       |    AND (c.doc_id % 5 != 0 OR q.doc_id < c.doc_id)
+       |  GROUP BY 1, 2, 3),
+       |truth AS (
+       |  SELECT it.lang, doc_id_1, doc_id_2
+       |  FROM it
+       |  JOIN szs s1 ON s1.doc_id = it.doc_id_1
+       |  JOIN szs s2 ON s2.doc_id = it.doc_id_2
+       |  WHERE 3 * inter >= s1.n_sh + s2.n_sh),
+       |tl AS (SELECT lang, COUNT(*) AS truth_pairs FROM truth GROUP BY 1),
+       |$perConfig,
+       |per_config AS ($unions),
+       |grid AS (
+       |  SELECT d.lang, c.bands, c.rows_per_band
+       |  FROM (SELECT DISTINCT lang FROM documents WHERE doc_id % 5 = 0) d
+       |  CROSS JOIN (VALUES ${BandConfigs.map { case (b, r) => s"($b, $r)" }
+        .mkString(", ")}) c(bands, rows_per_band))
+       |SELECT CAST(g.bands AS BIGINT) AS bands,
+       |       CAST(g.rows_per_band AS BIGINT) AS rows_per_band, g.lang,
+       |       CAST(COALESCE(tl.truth_pairs, 0) AS BIGINT) AS truth_pairs,
+       |       CAST(COALESCE(p.raw_pairs, 0) AS BIGINT) AS raw_pairs,
+       |       CAST(COALESCE(p.kept_pairs, 0) AS BIGINT) AS kept_pairs,
+       |       CAST(COALESCE(p.hits, 0) AS BIGINT) AS hits,
+       |       CASE WHEN COALESCE(p.kept_pairs, 0) > 0
+       |            THEN CAST(COALESCE(p.hits, 0) * 1000000
+       |                      // p.kept_pairs AS BIGINT)
+       |            ELSE 1000000 END AS precision_ppm,
+       |       CASE WHEN COALESCE(tl.truth_pairs, 0) > 0
+       |            THEN CAST(COALESCE(p.hits, 0) * 1000000
+       |                      // tl.truth_pairs AS BIGINT)
+       |            ELSE 1000000 END AS recall_ppm
+       |FROM grid g
+       |LEFT JOIN tl ON tl.lang = g.lang
+       |LEFT JOIN per_config p ON p.lang = g.lang AND p.bands = g.bands
+       |  AND p.rows_per_band = g.rows_per_band""".stripMargin
+  }
+
   /** `dedup_cross_source`: the near-dup PROVENANCE matrix — which sources
     * duplicate which: every confirmed minhash-LSH pair joined to its two
     * docs' sources, pair-canonicalized (least/greatest) so direction
@@ -1333,6 +1540,7 @@ object Dedup {
     "dedup_embedding_lsh_auto" -> embeddingLshAutoOracle,
     "dedup_minhash_lsh" -> minhashOracle,
     "dedup_minhash_eval" -> minhashEvalOracle,
+    "dedup_band_curve" -> bandCurveOracle,
     "dedup_cross_source" -> crossSourceOracle,
     // seeded-recall audits of the xxhash fast twins: the oracle computes
     // the identical-pair truth and asserts the pipeline recovered ALL of it

@@ -155,6 +155,65 @@ object Multimodal {
       .agg(min(col("media_id")).as("canonical_id"),
         count(lit(1)).as("n_replicas"))
 
+  /** The aspect-ratio bucket ladder: (width, height) training shapes at a
+    * fixed pixel budget, portrait → landscape — the multi-aspect bucketing
+    * ladder popularized by SDXL-class image-model training (public recipe:
+    * group images by nearest aspect bucket so a batch shares one shape and
+    * no image is cropped more than bucket-to-bucket distance).
+    */
+  private[graft] val AspectBuckets: Seq[(Long, Long)] = Seq(
+    (512L, 2048L), (640L, 1536L), (768L, 1344L), (832L, 1216L),
+    (1024L, 1024L), (1216L, 832L), (1344L, 768L), (1536L, 640L),
+    (2048L, 512L))
+  private[graft] val AspectBatchSize = 32L
+
+  /** `mm_aspect_bucket`: aspect-ratio bucketing + per-bucket batch
+    * assignment — the layout step between a decoded image corpus and a
+    * vision training loop. Each media row (deterministic synthetic
+    * width/height standing in for decoded dims — the container has no
+    * codecs; a real ingest carries them in the typed metadata struct)
+    * is assigned the ladder bucket with the nearest aspect ratio, then
+    * batches are formed WITHIN a bucket so every batch shares one shape.
+    *
+    * Exact-integer discipline: ratio in ppm via `div`; nearest bucket by
+    * `least` over the 9 encoded |Δppm|·16+idx values (the [[TextAnalysis]]
+    * argmax-encoding trick, ties → smaller idx = more-portrait bucket), so
+    * the assignment is bit-identical in DuckDB. Batch formation is a
+    * row_number window PARTITIONED by bucket (9 partitions of ~N/9 — at
+    * 100 TB a deployment range-partitions within bucket by media_id; the
+    * semantics stay a per-bucket ordinal, which is what the batch sampler
+    * consumes). The whole assignment is one codegen'd projection — no
+    * join, no shuffle before the per-bucket window.
+    */
+  def mmAspectBucket(documents: DataFrame): DataFrame = {
+    val dims = mediaTable(documents).select(
+      col("media_id"),
+      (lit(256L) + (col("media_id") * 37L) % 1793L).as("width"),
+      (lit(256L) + (col("media_id") * 53L) % 1793L).as("height"))
+    val withRatio = dims.withColumn("ratio_ppm",
+      expr("(cast(width as decimal(38,0)) * 1000000) div height").cast("long"))
+    val encoded = AspectBuckets.zipWithIndex.map { case ((w, h), i) =>
+      abs(col("ratio_ppm") - lit(w * 1000000L / h)) * 16L + i
+    }
+    val idx = (least(encoded: _*) % 16L).cast("int")
+    val bucketed = withRatio
+      .withColumn("bucket_idx", idx.cast("long"))
+      .withColumn("bucket_w",
+        AspectBuckets.zipWithIndex.foldLeft(lit(null).cast("long")) {
+          case (acc, ((w, _), i)) => when(col("bucket_idx") === i, w).otherwise(acc)
+        })
+      .withColumn("bucket_h",
+        AspectBuckets.zipWithIndex.foldLeft(lit(null).cast("long")) {
+          case (acc, ((_, h), i)) => when(col("bucket_idx") === i, h).otherwise(acc)
+        })
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket_idx").orderBy("media_id")
+    bucketed.withColumn("batch_idx",
+      ((row_number().over(w) - 1) / AspectBatchSize).cast("long"))
+      .select(col("media_id"), col("width"), col("height"), col("ratio_ppm"),
+        col("bucket_idx"), col("bucket_w"), col("bucket_h"), col("batch_idx"))
+  }
+
   /** Shared by `mm_decode_stub` and `mm_decode_batched`: the two variants
     * are row-identical by contract (same deterministic byte-stat "decode",
     * expression chain vs typed per-partition batches), so they share one
@@ -192,7 +251,38 @@ object Multimodal {
         |       CAST(byte_checksum % 7 AS DOUBLE) AS feat_mod
         |FROM d""".stripMargin
 
+  private val aspectBucketSql: String = {
+    val enc = AspectBuckets.zipWithIndex.map { case ((w, h), i) =>
+      s"ABS(ratio_ppm - ${w * 1000000L / h}) * 16 + $i"
+    }.mkString(",\n         ")
+    val wCase = AspectBuckets.zipWithIndex
+      .map { case ((w, _), i) => s"WHEN $i THEN $w" }.mkString(" ")
+    val hCase = AspectBuckets.zipWithIndex
+      .map { case ((_, h), i) => s"WHEN $i THEN $h" }.mkString(" ")
+    s"""WITH dims AS (
+       |  SELECT doc_id AS media_id,
+       |         256 + (doc_id * 37) % 1793 AS width,
+       |         256 + (doc_id * 53) % 1793 AS height
+       |  FROM documents),
+       |r AS (
+       |  SELECT media_id, width, height,
+       |         CAST((width::HUGEINT * 1000000) // height AS BIGINT) AS ratio_ppm
+       |  FROM dims),
+       |b AS (
+       |  SELECT *, CAST(LEAST(
+       |         $enc) % 16 AS BIGINT) AS bucket_idx
+       |  FROM r)
+       |SELECT media_id, CAST(width AS BIGINT) AS width,
+       |       CAST(height AS BIGINT) AS height, ratio_ppm, bucket_idx,
+       |       CAST(CASE bucket_idx $wCase END AS BIGINT) AS bucket_w,
+       |       CAST(CASE bucket_idx $hCase END AS BIGINT) AS bucket_h,
+       |       CAST((ROW_NUMBER() OVER (PARTITION BY bucket_idx ORDER BY media_id)
+       |             - 1) // ${AspectBatchSize} AS BIGINT) AS batch_idx
+       |FROM b""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "mm_aspect_bucket" -> aspectBucketSql,
     "mm_decode_stub" -> decodeSql,
     "mm_decode_batched" -> decodeSql,
     "mm_metadata" ->

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Curation
+import graft.sources.Tables
 import org.apache.spark.sql.functions._
 
 /** Behavioral gates for the round-3 curation surface (redaction,
@@ -335,6 +336,69 @@ class CurationSpec extends SparkTestBase {
       s"got ${rows("src_big")}")
     assert(rows("src_small") == ((250000L, 500000L, 366025L, 29L, 1450000L)),
       s"got ${rows("src_small")}")
+  }
+
+  test("mix_anneal_schedule: hand-computed two-source schedule") {
+    import spark.implicits._
+    // A: 2 docs x 10 five-char tokens -> q_milli = 10*500 + 10*30000/10 = 35000
+    // B: 1 doc x 20 one-char tokens  -> q_milli = 20*500 = 10000
+    val docs = Seq(
+      (1L, (1 to 10).map(_ => "zzzzz").mkString(" "), "A"),
+      (2L, (1 to 10).map(_ => "zzzzz").mkString(" "), "A"),
+      (3L, (1 to 20).map(_ => "w").mkString(" "), "B"))
+      .toDF("doc_id", "text", "source")
+    val rows = Curation.mixAnnealSchedule(docs).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("phase")) ->
+        ((r.getAs[Long]("quality_milli"), r.getAs[Long]("mix_ppm"),
+          r.getAs[Long]("phase_tokens"), r.getAs[Long]("epochs_ppm")))).toMap
+    assert(rows.size === 4)
+    // total 40 tokens: bulk budget 36, anneal budget 4; shares 50/50;
+    // anneal weights 20*35000 vs 20*10000 -> 777777 / 222222 ppm
+    assert(rows(("A", "bulk")) == ((35000L, 500000L, 18L, 900000L)))
+    assert(rows(("B", "bulk")) == ((10000L, 500000L, 18L, 900000L)))
+    assert(rows(("A", "anneal")) == ((35000L, 777777L, 3L, 150000L)))
+    assert(rows(("B", "anneal")) == ((10000L, 222222L, 0L, 0L)))
+  }
+
+  test("mix_anneal_schedule: anneal boosts the higher-quality source") {
+    val docs = Tables.documents(spark, sf)
+    val byPhase = Curation.mixAnnealSchedule(docs).collect()
+      .groupBy(_.getAs[String]("phase"))
+    // phases partition the budget: every source appears in both
+    assert(byPhase("bulk").length === byPhase("anneal").length)
+    // within anneal, mix_ppm ordering follows quality*size weight ordering
+    val anneal = byPhase("anneal").map(r =>
+      (r.getAs[Long]("source_tokens") * r.getAs[Long]("quality_milli"),
+        r.getAs[Long]("mix_ppm")))
+    anneal.sortBy(_._1).map(_._2).sliding(2).foreach {
+      case Array(lo, hi) => assert(lo <= hi)
+      case _ =>
+    }
+  }
+
+  test("curriculum_order: rank is the (q, doc_id) global order, sharded") {
+    import spark.implicits._
+    // doc i has i one-char tokens -> q = min(100000, i*500): strictly
+    // ascending until the cap at i=200, then tied (broken by doc_id) —
+    // either way rank == doc_id by construction
+    val docs = (1 to 250).map(i =>
+      (i.toLong, (1 to i).map(_ => "w").mkString(" "), "s"))
+      .toDF("doc_id", "text", "source")
+    val out = Curation.curriculumOrder(docs).collect()
+    assert(out.length === 250)
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("curriculum_rank") === id)
+      assert(r.getAs[Long]("shard_idx") === (id - 1) / 100)
+      val expQ = math.min(100000L, id * 500L)
+      assert(r.getAs[Long]("q_milli") === expQ)
+    }
+  }
+
+  test("curriculum_order: ranks are a dense permutation on the fixture") {
+    val out = Curation.curriculumOrder(Tables.documents(spark, sf))
+      .collect().map(_.getAs[Long]("curriculum_rank")).sorted
+    assert(out.toSeq == (1L to out.length).toSeq)
   }
 
   private implicit class ToMap2(self: Array[(Long, Long, String)]) {

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions.col
 import graft.sources.Tables
 
 /** Sketch-dedup correctness against crafted near-duplicates: the LSH
@@ -504,5 +505,38 @@ class DedupSpec extends SparkTestBase {
       .map(r => r.getString(1) -> r.getAs[Long]("term_rank")).toMap
     assert(out("zebra") < out("common"),
       s"df=1 term must outrank df=3 term at equal tf: $out")
+  }
+
+  test("dedup_band_curve: monotone in bands; (4,4) point equals the shipped LSH") {
+    val documents = graft.sources.Tables.documents(spark, sf)
+    val curve = Dedup.dedupBandCurve(documents).collect()
+      .map(r => (r.getAs[Long]("bands"), r.getAs[String]("lang")) -> r).toMap
+    val langs = curve.keys.map(_._2).toSet
+    assert(curve.size == 3 * langs.size, "full bands x lang grid")
+    for (lang <- langs) {
+      // more bands -> strictly more collision opportunities: raw candidate
+      // volume and hit count are monotone non-decreasing in the band count
+      val byBands = Seq(2L, 4L, 8L).map(b => curve((b, lang)))
+      byBands.map(_.getAs[Long]("raw_pairs")).sliding(2).foreach {
+        case Seq(lo, hi) => assert(lo <= hi, s"$lang raw_pairs not monotone")
+        case _ =>
+      }
+      byBands.map(_.getAs[Long]("hits")).sliding(2).foreach {
+        case Seq(lo, hi) => assert(lo <= hi, s"$lang hits not monotone")
+        case _ =>
+      }
+      // truth is config-independent (shared ground truth)
+      assert(byBands.map(_.getAs[Long]("truth_pairs")).distinct.size == 1)
+    }
+    // the (4,4) row reuses bandHash's exact coefficients: its kept set must
+    // equal the production dedup_minhash_lsh output under the same sample
+    // filter — the curve is anchored to the shipped operator, not a replica
+    val shipped = Dedup.dedupMinhashLsh(documents)
+      .where(col("doc_id_1") % 5 === 0 || col("doc_id_2") % 5 === 0)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (lang <- langs)
+      assert(curve((4L, lang)).getAs[Long]("kept_pairs") ==
+        shipped.getOrElse(lang, 0L), s"(4,4) kept != shipped LSH for $lang")
   }
 }

@@ -60,4 +60,39 @@ class MultimodalSpec extends SparkTestBase {
       .map(r => (r.getAs[Long]("canonical_id"), r.getAs[Long]("n_replicas"))).toSet
     assert(out == Set((3L, 2L), (7L, 1L)))
   }
+
+  test("mm_aspect_bucket: assignment is the nearest-ratio bucket, JVM-checked") {
+    val docs = Tables.documents(spark, sf)
+    val ladder = Multimodal.AspectBuckets.map { case (w, h) => w * 1000000L / h }
+    val rows = Multimodal.mmAspectBucket(docs).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, h) = (r.getAs[Long]("width"), r.getAs[Long]("height"))
+      assert(w >= 256 && w < 2049 && h >= 256 && h < 2049)
+      val ratio = w * 1000000L / h
+      assert(r.getAs[Long]("ratio_ppm") == ratio)
+      // JVM argmin with the same smaller-index tie-break
+      val best = ladder.zipWithIndex.minBy { case (p, i) => (math.abs(ratio - p), i) }._2
+      assert(r.getAs[Long]("bucket_idx") == best.toLong,
+        s"media ${r.getAs[Long]("media_id")}: ratio $ratio")
+      assert(r.getAs[Long]("bucket_w") == Multimodal.AspectBuckets(best)._1)
+      assert(r.getAs[Long]("bucket_h") == Multimodal.AspectBuckets(best)._2)
+    }
+  }
+
+  test("mm_aspect_bucket: batches are dense per-bucket ordinals of size <= 32") {
+    val out = Multimodal.mmAspectBucket(Tables.documents(spark, sf))
+    val perBatch = out.groupBy("bucket_idx", "batch_idx")
+      .agg(count(lit(1)).as("n")).collect()
+    perBatch.foreach(r => assert(r.getAs[Long]("n") <= 32L))
+    // batch ids are contiguous from 0 within each bucket, and every batch
+    // but the last is full
+    val byBucket = perBatch.groupBy(_.getAs[Long]("bucket_idx"))
+    byBucket.foreach { case (_, rows) =>
+      val ids = rows.map(_.getAs[Long]("batch_idx")).sorted
+      assert(ids.toSeq == (0L until ids.length).toSeq)
+      rows.sortBy(_.getAs[Long]("batch_idx")).dropRight(1)
+        .foreach(r => assert(r.getAs[Long]("n") == 32L))
+    }
+  }
 }
