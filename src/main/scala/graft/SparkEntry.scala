@@ -233,6 +233,8 @@ object SparkEntry {
       Similarity.simSearchRecallEval(Tables.embeddings(s, d))),
     "sim_search_nprobe_curve" -> ((s, d) =>
       Similarity.simSearchNprobeCurve(Tables.embeddings(s, d))),
+    "sim_search_mrr_eval" -> ((s, d) =>
+      Similarity.simSearchMrrEval(Tables.embeddings(s, d))),
     "embed_kmeans" -> ((s, d) => Similarity.embedKmeans(Tables.embeddings(s, d))),
     // SemDeDup-style cluster-representative selection (one keeper/cluster)
     "dedup_semantic" -> ((s, d) => Similarity.dedupSemantic(Tables.embeddings(s, d))),
@@ -241,6 +243,8 @@ object SparkEntry {
     // extensions: text analysis
     "text_langid" -> ((s, d) => TextAnalysis.textLangid(Tables.documents(s, d))),
     "text_quality" -> ((s, d) => TextAnalysis.textQuality(Tables.documents(s, d))),
+    // character-diversity Gini (transcendental-free entropy stand-in)
+    "text_char_gini" -> ((s, d) => TextAnalysis.textCharGini(Tables.documents(s, d))),
     "text_token_count" -> ((s, d) => TextAnalysis.textTokenCount(Tables.documents(s, d))),
     "text_fingerprint" -> ((s, d) => TextAnalysis.textFingerprint(Tables.documents(s, d))),
     "text_repetition" -> ((s, d) => TextAnalysis.textRepetition(Tables.documents(s, d))),

@@ -564,6 +564,47 @@ object Similarity {
       .withColumn("recall_ppm", expr("hits * 1000000 div 5"))
   }
 
+  /** `sim_search_mrr_eval`: mean reciprocal rank of every index family —
+    * the ORDER-sensitive companion of [[simSearchRecallEval]] (recall@5
+    * says whether the true neighbors are anywhere in the top-5; MRR says
+    * whether they surface FIRST, which is what a retrieval-augmented
+    * consumer that reads one passage actually experiences). Protocol:
+    * relevant = the exact top-5 set, reciprocal rank = 1/rank of the first
+    * relevant result in each method's ranking, 0 when none lands in the
+    * top-5; emitted per method as exact integers (rr in ppm via `div`, the
+    * mean as `sum div n` — floor, mirrored in the oracle). Everything past
+    * the underlying searches is (methods × sample)-sized; the ground-truth
+    * cost story is [[simSearchRecallEval]]'s.
+    */
+  def simSearchMrrEval(embeddings: DataFrame): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val exact = simSearchBruteforce(embeddings)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = Seq(
+      "lsh" -> simSearchLsh(embeddings),
+      "ivf" -> simSearchIvf(embeddings),
+      "pq" -> simSearchPq(embeddings),
+      "ivfpq" -> simSearchIvfPq(embeddings))
+      .map { case (m, df) =>
+        df.select(lit(m).as("method"), col("query_id"), col("neighbor_id"),
+          col("rank"))
+      }.reduce(_ unionByName _)
+    val firstHit = approx
+      .join(broadcast(exact), Seq("query_id", "neighbor_id"))
+      .groupBy(col("method"), col("query_id"))
+      .agg(min(col("rank")).as("first_rank"))
+      .withColumn("rr_ppm", expr("1000000 div first_rank"))
+    val grid = exact.select(col("query_id")).distinct()
+      .crossJoin(Seq("lsh", "ivf", "pq", "ivfpq").toDF("method"))
+    grid.join(broadcast(firstHit), Seq("method", "query_id"), "left")
+      .select(col("method"), col("query_id"),
+        coalesce(col("rr_ppm"), lit(0L)).as("rr_ppm"))
+      .groupBy(col("method"))
+      .agg(count(lit(1)).as("n_queries"), sum(col("rr_ppm")).as("sum_rr_ppm"))
+      .withColumn("mrr_ppm", expr("sum_rr_ppm div n_queries"))
+  }
+
   /** `sim_search_nprobe_curve`: recall@5 of IVF-PQ as a function of
     * `nprobe` — THE tuning curve for the serving knob
     * ([[simSearchIvfPq]]'s scaladoc: cost ≈ nprobe·N/k candidate reads):
@@ -899,6 +940,38 @@ object Similarity {
        |LEFT JOIN hit h ON h.method = m.method AND h.query_id = q.query_id"""
       .stripMargin
 
+  /** DuckDB twin of [[simSearchMrrEval]]: the [[recallEvalOracle]] CTE
+    * structure with ranks carried through, MIN(rank) per (method, query),
+    * reciprocal rank floored to ppm and averaged with the same `//`.
+    */
+  private lazy val mrrEvalOracle: String =
+    s"""WITH exact AS ($bruteOracle),
+       |lshr AS ($lshOracle),
+       |ivfr AS ($ivfOracle),
+       |pqr AS ($pqSearchOracle),
+       |ipqr AS (${ivfPqOracle()}),
+       |approx AS (
+       |  SELECT 'lsh' AS method, query_id, neighbor_id, rank FROM lshr
+       |  UNION ALL SELECT 'ivf', query_id, neighbor_id, rank FROM ivfr
+       |  UNION ALL SELECT 'pq', query_id, neighbor_id, rank FROM pqr
+       |  UNION ALL SELECT 'ivfpq', query_id, neighbor_id, rank FROM ipqr),
+       |fh AS (
+       |  SELECT a.method, a.query_id, MIN(a.rank) AS first_rank
+       |  FROM approx a JOIN exact e USING (query_id, neighbor_id)
+       |  GROUP BY 1, 2),
+       |qs AS (SELECT DISTINCT query_id FROM exact),
+       |methods AS (
+       |  SELECT UNNEST(['lsh', 'ivf', 'pq', 'ivfpq']) AS method),
+       |rr AS (
+       |  SELECT m.method, q.query_id,
+       |         COALESCE(1000000 // fh.first_rank, 0) AS rr_ppm
+       |  FROM methods m CROSS JOIN qs q
+       |  LEFT JOIN fh ON fh.method = m.method AND fh.query_id = q.query_id)
+       |SELECT method, COUNT(*) AS n_queries,
+       |       CAST(SUM(rr_ppm) AS BIGINT) AS sum_rr_ppm,
+       |       CAST(SUM(rr_ppm) // COUNT(*) AS BIGINT) AS mrr_ppm
+       |FROM rr GROUP BY method""".stripMargin
+
   /** DuckDB twin of [[simSearchNprobeCurve]]: one [[ivfPqOracle]] instance
     * per nprobe arm as nested-WITH CTEs (names scope locally), unioned and
     * scored against the brute-force exact CTE.
@@ -931,6 +1004,7 @@ object Similarity {
     "sim_search_bruteforce" -> bruteOracle,
     "sim_search_lsh" -> lshOracle,
     "sim_search_recall_eval" -> recallEvalOracle,
+    "sim_search_mrr_eval" -> mrrEvalOracle,
     "sim_search_nprobe_curve" -> nprobeCurveOracle,
     "sim_search_ivf" -> ivfOracle,
     "embed_pq" -> pqOracle,

@@ -1020,6 +1020,43 @@ object TextAnalysis {
         (d(col("mx2")) / d(col("n2"))).as("max_2gram_fraction"))
   }
 
+  /** `text_char_gini`: character-diversity quality signal — the Gini
+    * impurity 1 − Σ pᵢ² of each document's letter distribution (ASCII
+    * letters of the lowercased text; the `[a-z]` class is byte-identical
+    * between Java regex and RE2, sidestepping multibyte tokenization
+    * differences on the zh slice). Low Gini = few symbols dominate —
+    * keyboard-mash, repeated-character padding and single-word spam score
+    * near 0 while natural language sits near the englishy ~0.93. This is
+    * the transcendental-free stand-in for character ENTROPY: Gini ranks
+    * degenerate-vs-natural the same way, but stays a rational function of
+    * counts, so gini_ppm = 10⁶ − (Σ cᵢ²·10⁶) div n² is exact in both
+    * engines (no log, no float — the [[graft.functions.Num]] discipline).
+    * Scale shape: one letter-explode (≤ |text| rows per doc) into two
+    * map-side-combining aggregates keyed by doc — [[textRepetition]]'s
+    * exact cost class.
+    */
+  def textCharGini(documents: DataFrame): DataFrame = {
+    val letters = documents
+      .select(col("doc_id"),
+        explode_outer(expr("regexp_extract_all(lower(text), '[a-z]', 0)"))
+          .as("ch"))
+    val perChar = letters.where(col("ch").isNotNull)
+      .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_letters"),
+        sum(col("c") * col("c")).as("sum_sq"),
+        count(lit(1)).as("n_distinct"))
+    documents.select(col("doc_id"))
+      .join(perChar, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_letters"), lit(0L)).as("n_letters"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct_letters"),
+        when(col("n_letters") > 0,
+          lit(1000000L) - expr(
+            "(cast(sum_sq as decimal(38,0)) * 1000000) div (cast(n_letters as decimal(38,0)) * n_letters)"))
+          .otherwise(lit(0L)).cast("long").as("gini_ppm"))
+  }
+
   /** Shared train-CTE prefix for the classifier oracles: the exact
     * counting train of [[qualityClassifierTrain]] in DuckDB (portable md5
     * bucket hash, 80% split, Laplace-smoothed fixed-point weight).
@@ -1368,6 +1405,25 @@ object TextAnalysis {
         |         WHEN 0 THEN 'de' WHEN 1 THEN 'en' WHEN 2 THEN 'es'
         |         WHEN 3 THEN 'fr' WHEN 4 THEN 'zh' END AS predicted_lang
         |FROM s""".stripMargin,
+    "text_char_gini" ->
+      """WITH letters AS (
+        |  SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z]')) AS ch
+        |  FROM documents),
+        |per AS (
+        |  SELECT doc_id, ch, COUNT(*) AS c FROM letters GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_letters,
+        |         CAST(SUM(c * c) AS BIGINT) AS sum_sq,
+        |         COUNT(*) AS n_distinct
+        |  FROM per GROUP BY 1)
+        |SELECT d.doc_id,
+        |       COALESCE(a.n_letters, 0) AS n_letters,
+        |       COALESCE(a.n_distinct, 0) AS n_distinct_letters,
+        |       CASE WHEN COALESCE(a.n_letters, 0) > 0
+        |            THEN CAST(1000000 - (a.sum_sq::HUGEINT * 1000000)
+        |                 // (a.n_letters::HUGEINT * a.n_letters) AS BIGINT)
+        |            ELSE 0 END AS gini_ppm
+        |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin,
     "text_quality" ->
       """WITH t AS (
         |  SELECT doc_id,

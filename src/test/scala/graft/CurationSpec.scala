@@ -338,6 +338,25 @@ class CurationSpec extends SparkTestBase {
       s"got ${rows("src_small")}")
   }
 
+  test("text_char_gini: closed-form values on crafted letter distributions") {
+    val df = docs(
+      (1L, "aaaa", "en", "s"),            // one symbol -> gini 0
+      (2L, "ab", "en", "s"),              // two equal -> 1 - 2/4 = 500000
+      (3L, "abcd", "en", "s"),            // four equal -> 1 - 4/16 = 750000
+      (4L, "1234 !! 99", "en", "s"),      // no letters -> 0 (guarded)
+      (5L, ('a' to 'z').mkString, "en", "s")) // uniform 26 -> 1e6 - 38461
+    val out = graft.operators.TextAnalysis.textCharGini(df).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_letters"), r.getAs[Long]("gini_ppm")))).toMap
+    assert(out(1L) == ((4L, 0L)))
+    assert(out(2L) == ((2L, 500000L)))
+    assert(out(3L) == ((4L, 750000L)))
+    assert(out(4L) == ((0L, 0L)))
+    assert(out(5L) == ((26L, 1000000L - 38461L)))
+    // ordering property: degenerate < natural-looking
+    assert(out(1L)._2 < out(3L)._2 && out(3L)._2 < out(5L)._2)
+  }
+
   test("mix_anneal_schedule: hand-computed two-source schedule") {
     import spark.implicits._
     // A: 2 docs x 10 five-char tokens -> q_milli = 10*500 + 10*30000/10 = 35000

@@ -285,6 +285,33 @@ class DedupSpec extends SparkTestBase {
     assert(recPpm == hits * 1000000L / truthPairs)
   }
 
+  test("mrr eval: bounded by recall, exact against an independent computation") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val rows = Similarity.simSearchMrrEval(emb).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows.keySet == Set("lsh", "ivf", "pq", "ivfpq"))
+    val truth = Similarity.simSearchBruteforce(emb)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val nQ = truth.map(_._1).size.toLong
+    rows.values.foreach { case (n, sumRr, mrr) =>
+      assert(n == nQ)
+      assert(mrr == sumRr / nQ)
+      assert(mrr >= 0 && mrr <= 1000000L)
+    }
+    // independent recomputation for one method: first matching rank per query
+    val lsh = Similarity.simSearchLsh(emb)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Long)].collect()
+    val expSum = truth.map(_._1).toSeq.map { q =>
+      val hits = lsh.filter(r => r._1 == q && truth.contains((q, r._2)))
+      if (hits.isEmpty) 0L else 1000000L / hits.map(_._3).min
+    }.sum
+    assert(rows("lsh")._2 == expSum, s"lsh sum_rr ${rows("lsh")._2} != $expSum")
+    // a perfectly ordered index would read 1e6; ivf (recall 0.96 on this
+    // fixture) must beat the quantization-bound pq arms
+    assert(rows("ivf")._3 >= rows("pq")._3)
+  }
+
   test("nprobe curve: recall monotone non-decreasing in nprobe, grid complete") {
     val emb = graft.sources.Tables.embeddings(spark, sf)
     val rows = Similarity.simSearchNprobeCurve(emb).collect()
