@@ -330,6 +330,9 @@ object SparkEntry {
     // corpus-level stats / QA reports
     "text_length_histogram" -> ((s, d) => CorpusStats.textLengthHistogram(Tables.documents(s, d))),
     "text_boilerplate_ngrams" -> ((s, d) => CorpusStats.textBoilerplateNgrams(Tables.documents(s, d))),
+    // first-introducer shingle analysis: per-doc novelty + Heaps growth curve
+    "text_novelty" -> ((s, d) => CorpusStats.textNovelty(Tables.documents(s, d))),
+    "corpus_vocab_growth" -> ((s, d) => CorpusStats.corpusVocabGrowth(Tables.documents(s, d))),
     "corpus_health_by_source" -> ((s, d) => CorpusStats.corpusHealthBySource(Tables.documents(s, d))),
     "embed_norm_stats" -> ((s, d) => CorpusStats.embedNormStats(Tables.embeddings(s, d))),
     // per-label centroid displacement from the global centroid (drift audit)

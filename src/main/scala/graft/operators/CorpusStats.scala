@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
@@ -69,6 +70,80 @@ object CorpusStats {
         when(col("n_shingles") > 0,
           d(coalesce(col("n_boilerplate"), lit(0L))) / d(col("n_shingles")))
           .as("boilerplate_fraction"))
+  }
+
+  /** (shingle, first_doc) — the first-introducer reduction shared by
+    * [[textNovelty]] and [[corpusVocabGrowth]]: for every distinct word
+    * 3-gram in the corpus, the smallest doc_id that contains it. One
+    * shingle-keyed MIN aggregate with map-side combine — the same shuffle
+    * class as [[textBoilerplateNgrams]]'s document-frequency table.
+    */
+  private def firstIntroducer(documents: DataFrame): DataFrame =
+    Dedup.withTokens(documents, col("doc_id"))
+      .select(col("doc_id"), explode_outer(Dedup.shinglesCol(col("toks"))).as("shingle"))
+      .where(col("shingle").isNotNull)
+      .groupBy(col("shingle")).agg(min(col("doc_id")).as("first_doc"))
+
+  /** `text_novelty`: per-document novelty — what fraction of a document's
+    * 3-gram shingles had never appeared in any EARLIER document (by doc_id
+    * order, the ingest order of the fixture)? The corpus-diversity signal
+    * selection recipes maximize: a crawl dominated by templated pages
+    * scores near 0 past the first few documents, while genuinely new
+    * content keeps scoring high. Exact set semantics, no sketch: a shingle
+    * is novel in exactly ONE document (its [[firstIntroducer]]), so
+    * n_novel sums to the corpus vocabulary size — a conservation law the
+    * spec pins. novelty_ppm = n_novel·10⁶ div n_shingles (0 for
+    * shingle-less docs), engine-exact.
+    *
+    * Scale: the introducer table is vocabulary-sized and both joins are
+    * keyed (shingle, then doc) — no all-pairs, no driver state; the
+    * "seen before" semantics that would naively need a sequential scan
+    * over the corpus is exactly what the MIN reduction parallelizes.
+    */
+  def textNovelty(documents: DataFrame): DataFrame = {
+    val inv = Dedup.withTokens(documents, col("doc_id"))
+      .select(col("doc_id"), explode_outer(Dedup.shinglesCol(col("toks"))).as("shingle"))
+      .where(col("shingle").isNotNull)
+    val novel = inv.join(firstIntroducer(documents), Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+    documents.select(col("doc_id"))
+      .join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        when(coalesce(col("n_shingles"), lit(0L)) > 0,
+          expr("n_novel * 1000000 div n_shingles")).otherwise(lit(0L))
+          .as("novelty_ppm"))
+  }
+
+  /** `corpus_vocab_growth`: the vocabulary-growth (Heaps'-law) curve — how
+    * many NEW distinct shingles each doc_id decile of the corpus
+    * introduces, with the cumulative total. The curve a data buyer reads
+    * before paying for 10× more of the same crawl: if new_shingles has
+    * flattened by the last decile, more of this source buys little new
+    * content. Deciles are deterministic id-range buckets
+    * (`least(9, doc_id·10 div (max_id+1))` with max from a one-row
+    * broadcast), not ntile — the bucket of a document never moves when
+    * the corpus is re-read in a different order. Output is exactly 10
+    * rows (grid-joined, zero-introducing deciles kept).
+    */
+  def corpusVocabGrowth(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val mx = documents.agg(max(col("doc_id")).as("max_id"))
+    val perDecile = firstIntroducer(documents)
+      .crossJoin(broadcast(mx))
+      .select(least(lit(9L), expr("first_doc * 10 div (max_id + 1)")).as("decile"))
+      .groupBy(col("decile")).agg(count(lit(1)).as("new_shingles"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    (0L to 9L).toDF("decile")
+      .join(perDecile, Seq("decile"), "left")
+      .select(col("decile"), coalesce(col("new_shingles"), lit(0L)).as("new_shingles"))
+      .withColumn("cum_shingles", sum(col("new_shingles")).over(w))
   }
 
   /** `corpus_health_by_source`: the per-source corpus health report — doc
@@ -258,6 +333,54 @@ object CorpusStats {
         |       MIN(n_tokens) AS min_tokens,
         |       MAX(n_tokens) AS max_tokens
         |FROM t GROUP BY 1, 2""".stripMargin,
+    "text_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS tokens
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(
+        |           range(1, greatest(len(tokens) - 1, 1)),
+        |           i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS shingles
+        |  FROM toks),
+        |inv AS (SELECT doc_id, UNNEST(shingles) AS shingle FROM sh),
+        |fi AS (SELECT shingle, MIN(doc_id) AS first_doc FROM inv GROUP BY 1),
+        |nv AS (
+        |  SELECT i.doc_id, COUNT(*) AS n_shingles,
+        |         CAST(SUM(CASE WHEN f.first_doc = i.doc_id THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS n_novel
+        |  FROM inv i JOIN fi f ON f.shingle = i.shingle
+        |  GROUP BY 1)
+        |SELECT d.doc_id,
+        |       COALESCE(nv.n_shingles, 0) AS n_shingles,
+        |       COALESCE(nv.n_novel, 0) AS n_novel,
+        |       CASE WHEN COALESCE(nv.n_shingles, 0) > 0
+        |            THEN nv.n_novel * 1000000 // nv.n_shingles
+        |            ELSE 0 END AS novelty_ppm
+        |FROM documents d LEFT JOIN nv ON nv.doc_id = d.doc_id""".stripMargin,
+    "corpus_vocab_growth" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS tokens
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(
+        |           range(1, greatest(len(tokens) - 1, 1)),
+        |           i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS shingles
+        |  FROM toks),
+        |inv AS (SELECT doc_id, UNNEST(shingles) AS shingle FROM sh),
+        |fi AS (SELECT shingle, MIN(doc_id) AS first_doc FROM inv GROUP BY 1),
+        |mx AS (SELECT MAX(doc_id) AS max_id FROM documents),
+        |pd AS (
+        |  SELECT LEAST(9, first_doc * 10 // (max_id + 1)) AS decile,
+        |         COUNT(*) AS new_shingles
+        |  FROM fi, mx GROUP BY 1),
+        |grid AS (SELECT UNNEST(range(0, 10)) AS decile)
+        |SELECT CAST(g.decile AS BIGINT) AS decile,
+        |       CAST(COALESCE(pd.new_shingles, 0) AS BIGINT) AS new_shingles,
+        |       CAST(SUM(COALESCE(pd.new_shingles, 0))
+        |            OVER (ORDER BY g.decile) AS BIGINT) AS cum_shingles
+        |FROM grid g LEFT JOIN pd ON pd.decile = g.decile""".stripMargin,
     "text_boilerplate_ngrams" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(lower(text), ' ') AS tokens

@@ -456,22 +456,27 @@ object Dedup {
         .select(col("lang"), col("doc_id_1"), col("doc_id_2"))
         .distinct()
         .where(sampledPair)
-      val kept = raw
+      // all three counts in ONE derivation (the oracle's flag CTE shape):
+      // raw/kept/hit as flags on the candidate set, aggregated once — a
+      // per-count frame would replan the bucket self-join three times, and
+      // staging each raw would evict truth/sigs from the bounded
+      // CacheScope registry (keep=4) and recompute the signature chain
+      val flagged = raw
         .join(sigTable.select(col("doc_id").as("doc_id_1"), col("sig").as("sig1")),
           Seq("doc_id_1"))
         .join(sigTable.select(col("doc_id").as("doc_id_2"), col("sig").as("sig2")),
           Seq("doc_id_2"))
-        .where(long_eq_count(col("sig1"), col("sig2")) * 2 >= MinhashK)
-        .select(col("lang"), col("doc_id_1"), col("doc_id_2"))
-      val rl = raw.groupBy(col("lang")).agg(count(lit(1)).as("raw_pairs"))
-      val kl = kept.groupBy(col("lang")).agg(count(lit(1)).as("kept_pairs"))
-      val hl = truth.join(kept, Seq("lang", "doc_id_1", "doc_id_2"), "left_semi")
-        .groupBy(col("lang")).agg(count(lit(1)).as("hits"))
-      rl.join(kl, Seq("lang"), "full_outer").join(hl, Seq("lang"), "full_outer")
+        .join(truth.withColumn("is_true", lit(1L)),
+          Seq("lang", "doc_id_1", "doc_id_2"), "left")
+        .select(col("lang"),
+          (long_eq_count(col("sig1"), col("sig2")) * 2 >= MinhashK).as("kept"),
+          col("is_true").isNotNull.as("is_true"))
+      flagged.groupBy(col("lang"))
+        .agg(count(lit(1)).as("raw_pairs"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("kept_pairs"),
+          sum(when(col("kept") && col("is_true"), 1L).otherwise(0L)).as("hits"))
         .select(lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
-          col("lang"), coalesce(col("raw_pairs"), lit(0L)).as("raw_pairs"),
-          coalesce(col("kept_pairs"), lit(0L)).as("kept_pairs"),
-          coalesce(col("hits"), lit(0L)).as("hits"))
+          col("lang"), col("raw_pairs"), col("kept_pairs"), col("hits"))
     }.reduce(_ unionByName _)
     val grid = documents.where(col("doc_id") % sampleMod === 0)
       .select(col("lang")).distinct()

@@ -338,6 +338,38 @@ class CurationSpec extends SparkTestBase {
       s"got ${rows("src_small")}")
   }
 
+  test("text_novelty: first-introducer semantics and the conservation law") {
+    import graft.operators.CorpusStats
+    val a = "one two three four five"        // shingles introduced by doc 1
+    val b = "six seven eight nine ten"       // disjoint -> doc 3 fully novel
+    val df = docs((1L, a, "en", "s"), (2L, a, "en", "s"), (3L, b, "en", "s"))
+    val out = CorpusStats.textNovelty(df).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_shingles"), r.getAs[Long]("n_novel"),
+          r.getAs[Long]("novelty_ppm")))).toMap
+    assert(out(1L) == ((3L, 3L, 1000000L)))  // 5 tokens -> 3 shingles, all new
+    assert(out(2L) == ((3L, 0L, 0L)))        // exact repeat -> nothing novel
+    assert(out(3L) == ((3L, 3L, 1000000L)))
+    // conservation: each distinct shingle is novel in exactly one doc
+    val vocab = CorpusStats.corpusVocabGrowth(df).collect()
+      .map(_.getAs[Long]("new_shingles")).sum
+    assert(out.values.map(_._2).sum === vocab)
+  }
+
+  test("corpus_vocab_growth: 10-row grid, monotone cumulative, total = vocabulary") {
+    import graft.operators.CorpusStats
+    val df = Tables.documents(spark, sf)
+    val rows = CorpusStats.corpusVocabGrowth(df).orderBy("decile").collect()
+    assert(rows.map(_.getAs[Long]("decile")).toSeq == (0L to 9L))
+    val cums = rows.map(_.getAs[Long]("cum_shingles"))
+    cums.sliding(2).foreach { case Array(lo, hi) => assert(lo <= hi); case _ => }
+    assert(cums.last == rows.map(_.getAs[Long]("new_shingles")).sum)
+    // the fixture's total vocabulary, independently
+    val vocab = graft.operators.CorpusStats.textNovelty(df)
+      .agg(sum("n_novel")).head().getLong(0)
+    assert(cums.last == vocab)
+  }
+
   test("text_char_gini: closed-form values on crafted letter distributions") {
     val df = docs(
       (1L, "aaaa", "en", "s"),            // one symbol -> gini 0
