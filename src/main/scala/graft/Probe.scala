@@ -158,8 +158,22 @@ object Probe {
         confs.foreach { c =>
           c.foreach { case (k, v) => spark.conf.set(k, v) }
           val ctag = c.map { case (_, v) => s"-$v" }.getOrElse("")
-          time(s"$n@$tag$ctag", iters = 1)(
-            SparkEntry.queries(n)(spark, d).agg(count(lit(1))).collect()(0))
+          // action choice (SPARK_GRAFT_PROBE_ACTION): `count` is the
+          // historical default and matches Bench's .count() — comparable
+          // with every recorded row, but Catalyst prunes columns the count
+          // doesn't need, so for left-join-to-grid / window-only outputs it
+          // can time a fraction of the real work (corpus_vocab_growth read
+          // FLAT x1→x100 under count while the checksum action showed 12×).
+          // `checksum` hashes every output column — nothing prunable — and
+          // is the honest action for slope claims.
+          val action: org.apache.spark.sql.DataFrame => Unit =
+            sys.env.getOrElse("SPARK_GRAFT_PROBE_ACTION", "count") match {
+              case "checksum" => df => df.select(
+                  (xxhash64(df.columns.map(col): _*) % 1000003L).as("h"))
+                .agg(sum("h")).collect()
+              case _ => df => df.agg(count(lit(1))).collect()
+            }
+          time(s"$n@$tag$ctag", iters = 1)(action(SparkEntry.queries(n)(spark, d)))
         }
       }
       names.split(",").map(_.trim).filter(_.nonEmpty).foreach { n =>

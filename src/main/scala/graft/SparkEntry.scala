@@ -386,6 +386,9 @@ object SparkEntry {
     // model-gated ingest filter (frozen classifier, stateless), batch oracle
     "stream_model_filter_endstate" -> ((s, d) =>
       graft.streaming.StreamModelFilter.streamModelFilterEndstate(s, d)),
+    // temporal drift: batch-over-batch TV via watermarked day histograms
+    "stream_drift_endstate" -> ((s, d) =>
+      graft.streaming.StreamDrift.streamDriftEndstate(s, d)),
     // round-2 mart compositions (VERDICT.md Missing #1)
     "fct_sales_by_county" -> ((s, d) => graft.models.Marts.fctSalesByCounty(
       graft.models.Marts.sales(Tables.lineitem(s, d), Tables.orders(s, d), Tables.customer(s, d),
@@ -488,5 +491,6 @@ object SparkEntry {
       graft.streaming.StreamDedup.oracles ++ graft.streaming.Scd2Sync.oracles ++
       graft.streaming.StreamEnrich.oracles ++ graft.streaming.StreamJoin.oracles ++
       graft.streaming.StreamModelFilter.oracles ++
+      graft.streaming.StreamDrift.oracles ++
       graft.models.ModelAdapters.oracles
 }

@@ -93,7 +93,7 @@ object Drift {
     * make the statistic depend on the pooled sample, breaking the
     * "reference window is frozen" monitoring contract).
     */
-  private val BucketWidth = 16L
+  private[graft] val BucketWidth = 16L
 
   /** `drift_chi2`: Pearson two-sample chi-square per source vs rest over
     * fixed-width token-count buckets. The two-sample identity

@@ -718,6 +718,47 @@ class StreamingSpec extends SparkTestBase {
     } finally out.unpersist()
   }
 
+  test("stream drift: end-state TV equals the batch parity-split computation") {
+    import org.apache.spark.sql.functions._
+    val out = graft.streaming.StreamDrift.streamDriftEndstate(spark, sf).cache()
+    try {
+      val docs = graft.sources.Tables.documents(spark, sf)
+      assert(out.count() == docs.select("source").distinct().count(),
+        "one drift row per source")
+      // independent batch computation of the same statistic
+      val bucket = (coalesce(size(split(col("text"), " ")).cast("long"), lit(0L))
+        / graft.operators.Drift.BucketWidth).cast("long")
+      val wide = docs
+        .select(col("source"), (expr("doc_id div 20") % 2).as("day0"), bucket.as("bucket"))
+        .groupBy("source", "bucket")
+        .agg(sum(when(col("day0") === 0, 1L).otherwise(0L)).as("c1"),
+          sum(when(col("day0") === 1, 1L).otherwise(0L)).as("c2"))
+      val tot = wide.groupBy("source")
+        .agg(sum("c1").as("n_day1"), sum("c2").as("n_day2"))
+      val batch = wide.join(tot, Seq("source"))
+        .withColumn("s1", when(col("n_day1") > 0,
+          expr("(cast(c1 as decimal(38,0)) * 1000000) div n_day1")).otherwise(0L))
+        .withColumn("s2", when(col("n_day2") > 0,
+          expr("(cast(c2 as decimal(38,0)) * 1000000) div n_day2")).otherwise(0L))
+        .groupBy(col("source"), col("n_day1"), col("n_day2"))
+        .agg((sum(abs(col("s1") - col("s2"))) / 2).cast("long").as("tv_raw"))
+        .select(col("source"), col("n_day1"), col("n_day2"),
+          when(col("n_day1") === 0 || col("n_day2") === 0, lit(1000000L))
+            .otherwise(col("tv_raw")).as("tv_day_ppm"))
+      assert(out.except(batch).isEmpty && batch.except(out).isEmpty,
+        "stream end state must equal the batch drift statistic")
+      // range contract: TV ∈ [0, 10⁶]; a source with an empty day reads
+      // exactly the 10⁶ sentinel. (No "low drift" heuristic: at sf0.001 a
+      // source has ~3 docs per day, so a same-family split can still read
+      // high — the equality-to-batch assert above is the real contract.)
+      val range = out.agg(min("tv_day_ppm"), max("tv_day_ppm")).head()
+      assert(range.getLong(0) >= 0L && range.getLong(1) <= 1000000L)
+      assert(out.where((col("n_day1") === 0 || col("n_day2") === 0) &&
+        col("tv_day_ppm") =!= 1000000L).count() == 0,
+        "empty-day sources must read the sentinel")
+    } finally out.unpersist()
+  }
+
   test("salted keep-latest equals the per-key window on a 90%-one-key frame") {
     import org.apache.spark.sql.functions._
     // re-delivery storm: 900 versions of key 1, ten versions each of keys
