@@ -271,6 +271,8 @@ object SparkEntry {
     // model-gated curation (classifier gate -> exact dedup -> source manifest)
     "pipeline_model_curation" -> ((s, d) => Pipeline.modelCuration(Tables.documents(s, d))),
     "pipeline_domain_mix" -> ((s, d) => Pipeline.domainMix(Tables.documents(s, d))),
+    // two-phase bulk/anneal schedule realized as budgeted pick manifests
+    "pipeline_anneal_shards" -> ((s, d) => Pipeline.annealShards(Tables.documents(s, d))),
     // round-3 curation surface: redaction, contamination, sampling, packing
     "pii_redact" -> ((s, d) => Curation.piiRedact(Tables.documents(s, d))),
     "contamination_check" -> ((s, d) => Curation.contaminationCheck(Tables.documents(s, d))),
@@ -321,6 +323,12 @@ object SparkEntry {
       TextAnalysis.domainClassifierAssign(Tables.documents(s, d))),
     "domain_classifier_confusion" -> ((s, d) =>
       TextAnalysis.domainClassifierConfusion(Tables.documents(s, d))),
+    // per-class precision/recall/F1 (exact rational F1 identity)
+    "domain_classifier_prf" -> ((s, d) =>
+      TextAnalysis.domainClassifierPrf(Tables.documents(s, d))),
+    // Cohen's kappa: learned quality gate vs the C4/Gopher rules gate
+    "quality_kappa" -> ((s, d) =>
+      TextAnalysis.qualityKappa(Tables.documents(s, d))),
     "mix_plan_by_domain" -> ((s, d) =>
       TextAnalysis.mixPlanByDomain(Tables.documents(s, d))),
     "c4_gopher_filters" -> ((s, d) =>

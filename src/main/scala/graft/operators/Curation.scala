@@ -568,7 +568,7 @@ object Curation {
     * (n_long·3·10⁴) div n_tokens). Shared by the schedule/curriculum
     * operators so their orderings stay hash-exact cross-engine.
     */
-  private def qMilliCol: Column = {
+  private[operators] def qMilliCol: Column = {
     val toks = split(lower(col("text")), " ")
     val nTok = org.apache.spark.sql.functions.size(toks).cast("long")
     val stop = org.apache.spark.sql.functions.size(array_intersect(
@@ -584,7 +584,7 @@ object Curation {
   /** The shared SQL twin of [[qMilliCol]] over `documents` → (doc_id,
     * source, n_toks, q_milli).
     */
-  private val qMilliSql: String =
+  private[operators] val qMilliSql: String =
     """SELECT doc_id, source,
       |       CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_toks,
       |       LEAST(100000,
@@ -943,6 +943,49 @@ object Curation {
        |LIMIT 100""".stripMargin
   }
 
+  /** CTE chain ending in `sched` — the full [[mixAnnealSchedule]] output
+    * relation (source, phase, n_docs, source_tokens, quality_milli,
+    * mix_ppm, phase_tokens, epochs_ppm). Shared by the plan oracle and the
+    * materializing `pipeline_anneal_shards` oracle so the budget
+    * arithmetic cannot drift between them.
+    */
+  private[operators] lazy val annealSchedCtes: String =
+    s"""q AS ($qMilliSql),
+       |per AS (
+       |  SELECT source, COUNT(*) AS n_docs,
+       |         CAST(SUM(n_toks) AS BIGINT) AS source_tokens,
+       |         CAST(SUM(q_milli) AS BIGINT) AS sum_q
+       |  FROM q GROUP BY 1),
+       |p2 AS (SELECT *, sum_q // n_docs AS quality_milli FROM per),
+       |t AS (SELECT CAST(SUM(source_tokens) AS BIGINT) AS total_tokens FROM p2),
+       |base AS (
+       |  SELECT p2.*, t.total_tokens,
+       |         CAST((source_tokens::HUGEINT * 1000000) // total_tokens AS BIGINT)
+       |           AS share_ppm,
+       |         source_tokens::HUGEINT * quality_milli AS weight
+       |  FROM p2, t),
+       |wt AS (SELECT SUM(weight) AS w_total FROM base),
+       |w AS (
+       |  SELECT base.*, CAST((weight * 1000000) // w_total AS BIGINT) AS anneal_ppm
+       |  FROM base, wt),
+       |phases AS (
+       |  SELECT source, 'bulk' AS phase, n_docs, source_tokens, quality_milli,
+       |         share_ppm AS mix_ppm,
+       |         CAST((share_ppm::HUGEINT *
+       |               (total_tokens - total_tokens // $AnnealDecile)) // 1000000
+       |              AS BIGINT) AS phase_tokens
+       |  FROM w
+       |  UNION ALL
+       |  SELECT source, 'anneal' AS phase, n_docs, source_tokens, quality_milli,
+       |         anneal_ppm AS mix_ppm,
+       |         CAST((anneal_ppm::HUGEINT * (total_tokens // $AnnealDecile))
+       |              // 1000000 AS BIGINT) AS phase_tokens
+       |  FROM w),
+       |sched AS (
+       |  SELECT *, CAST((phase_tokens::HUGEINT * 1000000) // source_tokens AS BIGINT)
+       |            AS epochs_ppm
+       |  FROM phases)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "dsir_train" -> dsirTrainOracle,
     "dsir_score" -> dsirScoreOracle,
@@ -1010,40 +1053,8 @@ object Curation {
         |            // source_tokens AS BIGINT) AS epochs_ppm
         |FROM p""".stripMargin,
     "mix_anneal_schedule" ->
-      s"""WITH q AS ($qMilliSql),
-         |per AS (
-         |  SELECT source, COUNT(*) AS n_docs,
-         |         CAST(SUM(n_toks) AS BIGINT) AS source_tokens,
-         |         CAST(SUM(q_milli) AS BIGINT) AS sum_q
-         |  FROM q GROUP BY 1),
-         |p2 AS (SELECT *, sum_q // n_docs AS quality_milli FROM per),
-         |t AS (SELECT CAST(SUM(source_tokens) AS BIGINT) AS total_tokens FROM p2),
-         |base AS (
-         |  SELECT p2.*, t.total_tokens,
-         |         CAST((source_tokens::HUGEINT * 1000000) // total_tokens AS BIGINT)
-         |           AS share_ppm,
-         |         source_tokens::HUGEINT * quality_milli AS weight
-         |  FROM p2, t),
-         |wt AS (SELECT SUM(weight) AS w_total FROM base),
-         |w AS (
-         |  SELECT base.*, CAST((weight * 1000000) // w_total AS BIGINT) AS anneal_ppm
-         |  FROM base, wt),
-         |phases AS (
-         |  SELECT source, 'bulk' AS phase, n_docs, source_tokens, quality_milli,
-         |         share_ppm AS mix_ppm,
-         |         CAST((share_ppm::HUGEINT *
-         |               (total_tokens - total_tokens // $AnnealDecile)) // 1000000
-         |              AS BIGINT) AS phase_tokens
-         |  FROM w
-         |  UNION ALL
-         |  SELECT source, 'anneal' AS phase, n_docs, source_tokens, quality_milli,
-         |         anneal_ppm AS mix_ppm,
-         |         CAST((anneal_ppm::HUGEINT * (total_tokens // $AnnealDecile))
-         |              // 1000000 AS BIGINT) AS phase_tokens
-         |  FROM w)
-         |SELECT *, CAST((phase_tokens::HUGEINT * 1000000) // source_tokens AS BIGINT)
-         |          AS epochs_ppm
-         |FROM phases""".stripMargin,
+      s"""WITH $annealSchedCtes
+         |SELECT * FROM sched""".stripMargin,
     "curriculum_order" ->
       s"""WITH q AS ($qMilliSql)
          |SELECT doc_id, q_milli,

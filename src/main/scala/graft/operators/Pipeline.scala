@@ -189,6 +189,95 @@ object Pipeline {
         sum(col("n_tokens")).as("tokens_out"))
   }
 
+  /** v6 — two-phase schedule MATERIALIZATION (closing the loop
+    * [[Curation.mixAnnealSchedule]] plans): for each (phase, source) the
+    * plan's token budget is realized as an actual document pick list —
+    * bulk picks in hash order (an unbiased shuffle of the source), anneal
+    * picks BEST-QUALITY-FIRST (q_milli descending; that ordering is the
+    * point of an anneal phase) — by taking documents while the running
+    * token total stays within the budget. Greedy prefix-by-cumsum is the
+    * standard budgeted-selection relaxation (the exact subset-sum fill is
+    * NP-hard and pointless at corpus scale); realized ≤ planned always,
+    * and `fill_ppm` reports how close the prefix got (a source whose next
+    * document overshoots stops early — visible, not silent).
+    *
+    * Scale shape: the schedule is a broadcast (2·|sources| rows); the pick
+    * is one window cumsum per (phase, source) partition over a narrow
+    * (doc_id, toks, q, pick) projection — no text movement; output is the
+    * 2·|sources| manifest. ROWS frames are explicit: the (pick, doc_id) /
+    * (q desc, pick, doc_id) orderings are total, so ROWS ≡ RANGE, but only
+    * ROWS is guaranteed identical across engines when a tie ever appears.
+    */
+  def annealShards(documents: DataFrame): DataFrame = {
+    import graft.functions.PortableHash
+    import org.apache.spark.sql.expressions.Window
+    val sched = Curation.mixAnnealSchedule(documents)
+      .select(col("source"), col("phase"), col("phase_tokens"))
+    val docs = documents.select(col("source"), col("doc_id"),
+      org.apache.spark.sql.functions.size(split(col("text"), " "))
+        .cast("long").as("toks"),
+      Curation.qMilliCol.as("q_milli"),
+      PortableHash.hash32(concat(lit("anneal:"), col("doc_id").cast("string")))
+        .as("pick"))
+    val wBulk = Window.partitionBy("source").orderBy(col("pick"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAnneal = Window.partitionBy("source")
+      .orderBy(col("q_milli").desc, col("pick"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bulk = docs.withColumn("cum", sum(col("toks")).over(wBulk))
+      .withColumn("phase", lit("bulk"))
+    val anneal = docs.withColumn("cum", sum(col("toks")).over(wAnneal))
+      .withColumn("phase", lit("anneal"))
+    bulk.unionByName(anneal)
+      .join(broadcast(sched), Seq("source", "phase"))
+      .groupBy(col("source"), col("phase"), col("phase_tokens"))
+      .agg(
+        sum(when(col("cum") <= col("phase_tokens"), 1L).otherwise(0L))
+          .as("n_docs"),
+        sum(when(col("cum") <= col("phase_tokens"), col("toks")).otherwise(0L))
+          .as("realized_tokens"))
+      .select(col("source"), col("phase"),
+        col("phase_tokens").as("planned_tokens"), col("n_docs"),
+        col("realized_tokens"),
+        when(col("phase_tokens") > 0,
+          expr("(cast(realized_tokens as decimal(38,0)) * 1000000) div phase_tokens")
+            .cast("long"))
+          .otherwise(lit(1000000L)).as("fill_ppm"))
+  }
+
+  private def annealShardsOracle: String = {
+    val hu = graft.functions.PortableHash.duckSql("'anneal:' || CAST(doc_id AS VARCHAR)")
+    s"""WITH ${Curation.annealSchedCtes},
+       |docs AS (
+       |  SELECT source, doc_id, n_toks AS toks, q_milli, $hu AS pick
+       |  FROM q),
+       |bulk AS (
+       |  SELECT source, doc_id, toks, 'bulk' AS phase,
+       |         SUM(toks) OVER (PARTITION BY source ORDER BY pick, doc_id
+       |                         ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM docs),
+       |ann AS (
+       |  SELECT source, doc_id, toks, 'anneal' AS phase,
+       |         SUM(toks) OVER (PARTITION BY source
+       |                         ORDER BY q_milli DESC, pick, doc_id
+       |                         ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM docs),
+       |u AS (SELECT * FROM bulk UNION ALL SELECT * FROM ann)
+       |SELECT u.source, u.phase,
+       |       s.phase_tokens AS planned_tokens,
+       |       CAST(SUM(CASE WHEN u.cum <= s.phase_tokens THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_docs,
+       |       CAST(SUM(CASE WHEN u.cum <= s.phase_tokens THEN u.toks ELSE 0 END)
+       |            AS BIGINT) AS realized_tokens,
+       |       CASE WHEN s.phase_tokens > 0
+       |            THEN CAST((SUM(CASE WHEN u.cum <= s.phase_tokens
+       |                                THEN u.toks ELSE 0 END)::HUGEINT * 1000000)
+       |                 // s.phase_tokens AS BIGINT)
+       |            ELSE 1000000 END AS fill_ppm
+       |FROM u JOIN sched s ON s.source = u.source AND s.phase = u.phase
+       |GROUP BY u.source, u.phase, s.phase_tokens""".stripMargin
+  }
+
   private def domainMixOracle: String = {
     val hu = graft.functions.PortableHash.duckSql("'dmix:' || CAST(doc_id AS VARCHAR)")
     s"""WITH ${TextAnalysis.domAssignedCtes},
@@ -321,6 +410,7 @@ object Pipeline {
   }
 
   val oracles: Map[String, String] = Map(
+    "pipeline_anneal_shards" -> annealShardsOracle,
     "pipeline_domain_mix" -> domainMixOracle,
     "pipeline_model_curation" -> modelCurationOracle,
     "pipeline_pretrain_shards" -> pretrainShardsOracle,

@@ -463,6 +463,104 @@ object TextAnalysis {
       .groupBy(col("lang"), col("predicted_domain"))
       .agg(count(lit(1)).as("n_docs"))
 
+  /** `domain_classifier_prf`: per-class precision / recall / F1 of the
+    * domain classifier on its holdout — the metric row a model card
+    * publishes, derived from the same holdout confusion counts as
+    * [[domainClassifierConfusion]] (shared upstream, so the two reports
+    * cannot disagree). Exact integers end-to-end: the F1 identity
+    * F1 = 2·tp / (2·tp + fp + fn) keeps the harmonic mean RATIONAL — no
+    * float precision/recall intermediates — so all three metrics are ppm
+    * `div` ratios of counts. Division-by-zero edges (a class never
+    * predicted / absent from the holdout) report 10⁶, the registry's
+    * empty-eval convention. One |classes|²-bounded aggregate on top of the
+    * assigner's scan — the grid is the 5 fixed profile classes, so a class
+    * the classifier starves still gets its row.
+    */
+  def domainClassifierPrf(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val conf = domainClassifierConfusion(documents)
+    val grid = ClfDomains.toDF("domain")
+    val tp = conf.where(col("lang") === col("predicted_domain"))
+      .select(col("lang").as("domain"), col("n_docs").as("tp"))
+    val fp = conf.where(col("lang") =!= col("predicted_domain"))
+      .groupBy(col("predicted_domain").as("domain"))
+      .agg(sum(col("n_docs")).as("fp"))
+    val fn = conf.where(col("lang") =!= col("predicted_domain"))
+      .groupBy(col("lang").as("domain"))
+      .agg(sum(col("n_docs")).as("fn"))
+    grid.join(broadcast(tp), Seq("domain"), "left")
+      .join(broadcast(fp), Seq("domain"), "left")
+      .join(broadcast(fn), Seq("domain"), "left")
+      .select(col("domain"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        coalesce(col("fp"), lit(0L)).as("fp"),
+        coalesce(col("fn"), lit(0L)).as("fn"))
+      .withColumn("precision_ppm",
+        when(col("tp") + col("fp") > 0, expr("tp * 1000000 div (tp + fp)"))
+          .otherwise(lit(1000000L)))
+      .withColumn("recall_ppm",
+        when(col("tp") + col("fn") > 0, expr("tp * 1000000 div (tp + fn)"))
+          .otherwise(lit(1000000L)))
+      .withColumn("f1_ppm",
+        when(col("tp") * 2 + col("fp") + col("fn") > 0,
+          expr("tp * 2000000 div (2 * tp + fp + fn)"))
+          .otherwise(lit(1000000L)))
+  }
+
+  /** `quality_kappa`: Cohen's κ agreement between the LEARNED quality gate
+    * ([[qualityClassifierScore]]'s `kept`) and the RULE-BASED one
+    * ([[c4GopherFilters]]' `kept`) over the whole corpus — the standard
+    * question before swapping a heuristic filter for a model ("how much of
+    * the rules' behavior does the model actually reproduce, beyond
+    * chance?"). κ = (p_o − p_e)/(1 − p_e) is a rational of the four
+    * agreement-table counts, so the operator emits it EXACTLY as
+    * `kappa_plus1_ppm` = (κ+1)·10⁶ ∈ [0, 2·10⁶]: the +1 shift keeps the
+    * integer `div` numerator non-negative, because Spark's `div` truncates
+    * toward zero while DuckDB's `//` floors — they agree only on
+    * non-negative operands (the one cross-engine trap in this family).
+    * Raw numerator/denominator ride along for consumers that want the
+    * signed value. One corpus scan feeding both gates, reduced to a single
+    * row.
+    */
+  def qualityKappa(documents: DataFrame): DataFrame = {
+    val clf = qualityClassifierScore(documents)
+      .select(col("doc_id"), col("kept").as("clf_keep"))
+    val rules = c4GopherFilters(documents)
+      .select(col("doc_id"), col("kept").as("rules_keep"))
+    clf.join(rules, Seq("doc_id"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("clf_keep") && col("rules_keep"), 1L).otherwise(0L))
+          .as("n_both_keep"),
+        sum(when(!col("clf_keep") && !col("rules_keep"), 1L).otherwise(0L))
+          .as("n_both_drop"),
+        sum(when(col("clf_keep") && !col("rules_keep"), 1L).otherwise(0L))
+          .as("n_clf_only"),
+        sum(when(!col("clf_keep") && col("rules_keep"), 1L).otherwise(0L))
+          .as("n_rules_only"))
+      .withColumn("agree_ppm",
+        expr("(cast(n_both_keep + n_both_drop as decimal(38,0)) * 1000000) div n"))
+      // κ numerator/denominator from the identity
+      // κ = (N·agree − (a1·b1 + a0·b0)) / (N² − (a1·b1 + a0·b0)) with
+      // a1 = clf keeps, b1 = rules keeps, a0/b0 their complements
+      .withColumn("kappa_num",
+        expr("cast(n as decimal(38,0)) * (n_both_keep + n_both_drop)" +
+          " - (cast(n_both_keep + n_clf_only as decimal(38,0)) * (n_both_keep + n_rules_only)" +
+          "    + cast(n_both_drop + n_rules_only as decimal(38,0)) * (n_both_drop + n_clf_only))"))
+      .withColumn("kappa_den",
+        expr("cast(n as decimal(38,0)) * n" +
+          " - (cast(n_both_keep + n_clf_only as decimal(38,0)) * (n_both_keep + n_rules_only)" +
+          "    + cast(n_both_drop + n_rules_only as decimal(38,0)) * (n_both_drop + n_clf_only))"))
+      .select(col("n"), col("n_both_keep"), col("n_both_drop"),
+        col("n_clf_only"), col("n_rules_only"), col("agree_ppm"),
+        col("kappa_num").cast("long").as("kappa_num"),
+        col("kappa_den").cast("long").as("kappa_den"),
+        when(col("kappa_den") > 0,
+          expr("((kappa_num + kappa_den) * 1000000) div kappa_den").cast("long"))
+          .otherwise(lit(1000000L)).as("kappa_plus1_ppm"))
+  }
+
   /** `mix_plan_by_domain`: the DoReMi-style composition the domain
     * classifier exists for — [[Curation.mixPlan]]'s equal-share epoch
     * arithmetic keyed by PREDICTED domain instead of the source label
@@ -1309,7 +1407,92 @@ object TextAnalysis {
       |         AND gopher_mean_word_len_ok AS kept
       |FROM m""".stripMargin
 
+  private lazy val domPrfOracle: String =
+    s"""WITH $domAssignedCtes,
+       |conf AS (
+       |  SELECT lang, predicted_domain, COUNT(*) AS n_docs
+       |  FROM dom_assigned WHERE is_holdout GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT UNNEST([${ClfDomains.map(d => s"'$d'").mkString(", ")}]) AS domain),
+       |tpq AS (
+       |  SELECT lang AS domain, n_docs AS tp FROM conf
+       |  WHERE lang = predicted_domain),
+       |fpq AS (
+       |  SELECT predicted_domain AS domain, SUM(n_docs) AS fp FROM conf
+       |  WHERE lang != predicted_domain GROUP BY 1),
+       |fnq AS (
+       |  SELECT lang AS domain, SUM(n_docs) AS fn FROM conf
+       |  WHERE lang != predicted_domain GROUP BY 1),
+       |j AS (
+       |  SELECT g.domain,
+       |         CAST(COALESCE(tpq.tp, 0) AS BIGINT) AS tp,
+       |         CAST(COALESCE(fpq.fp, 0) AS BIGINT) AS fp,
+       |         CAST(COALESCE(fnq.fn, 0) AS BIGINT) AS fn
+       |  FROM grid g
+       |  LEFT JOIN tpq ON tpq.domain = g.domain
+       |  LEFT JOIN fpq ON fpq.domain = g.domain
+       |  LEFT JOIN fnq ON fnq.domain = g.domain)
+       |SELECT domain, tp, fp, fn,
+       |       CASE WHEN tp + fp > 0
+       |            THEN CAST(tp * 1000000 // (tp + fp) AS BIGINT)
+       |            ELSE 1000000 END AS precision_ppm,
+       |       CASE WHEN tp + fn > 0
+       |            THEN CAST(tp * 1000000 // (tp + fn) AS BIGINT)
+       |            ELSE 1000000 END AS recall_ppm,
+       |       CASE WHEN 2 * tp + fp + fn > 0
+       |            THEN CAST(tp * 2000000 // (2 * tp + fp + fn) AS BIGINT)
+       |            ELSE 1000000 END AS f1_ppm
+       |FROM j""".stripMargin
+
+  // the rules oracle embeds AFTER the outer stripMargin: its own `||`
+  // string-concat continuation lines would lose a pipe to the outer margin
+  // strip if interpolated directly
+  private lazy val qualityKappaOracle: String =
+    s"""WITH rules AS (__RULES__),
+       |$clfScoredCtes,
+       |j AS (
+       |  SELECT c.doc_id, c.kept AS clf_keep, r.kept AS rules_keep
+       |  FROM clf_scored c JOIN rules r ON r.doc_id = c.doc_id),
+       |a AS (
+       |  SELECT COUNT(*) AS n,
+       |         SUM(CASE WHEN clf_keep AND rules_keep THEN 1 ELSE 0 END)
+       |           AS n_both_keep,
+       |         SUM(CASE WHEN NOT clf_keep AND NOT rules_keep THEN 1 ELSE 0 END)
+       |           AS n_both_drop,
+       |         SUM(CASE WHEN clf_keep AND NOT rules_keep THEN 1 ELSE 0 END)
+       |           AS n_clf_only,
+       |         SUM(CASE WHEN NOT clf_keep AND rules_keep THEN 1 ELSE 0 END)
+       |           AS n_rules_only
+       |  FROM j),
+       |k AS (
+       |  SELECT *,
+       |         n::HUGEINT * (n_both_keep + n_both_drop)
+       |           - ((n_both_keep + n_clf_only)::HUGEINT * (n_both_keep + n_rules_only)
+       |              + (n_both_drop + n_rules_only)::HUGEINT * (n_both_drop + n_clf_only))
+       |           AS kappa_num,
+       |         n::HUGEINT * n
+       |           - ((n_both_keep + n_clf_only)::HUGEINT * (n_both_keep + n_rules_only)
+       |              + (n_both_drop + n_rules_only)::HUGEINT * (n_both_drop + n_clf_only))
+       |           AS kappa_den
+       |  FROM a)
+       |SELECT CAST(n AS BIGINT) AS n,
+       |       CAST(n_both_keep AS BIGINT) AS n_both_keep,
+       |       CAST(n_both_drop AS BIGINT) AS n_both_drop,
+       |       CAST(n_clf_only AS BIGINT) AS n_clf_only,
+       |       CAST(n_rules_only AS BIGINT) AS n_rules_only,
+       |       CAST(((n_both_keep + n_both_drop)::HUGEINT * 1000000) // n
+       |            AS BIGINT) AS agree_ppm,
+       |       CAST(kappa_num AS BIGINT) AS kappa_num,
+       |       CAST(kappa_den AS BIGINT) AS kappa_den,
+       |       CASE WHEN kappa_den > 0
+       |            THEN CAST(((kappa_num + kappa_den) * 1000000) // kappa_den
+       |                 AS BIGINT)
+       |            ELSE 1000000 END AS kappa_plus1_ppm
+       |FROM k""".stripMargin.replace("__RULES__", c4GopherOracle)
+
   val oracles: Map[String, String] = Map(
+    "domain_classifier_prf" -> domPrfOracle,
+    "quality_kappa" -> qualityKappaOracle,
     "c4_gopher_filters" -> c4GopherOracle,
     "domain_classifier_assign" -> domAssignOracle,
     "domain_classifier_confusion" -> domConfusionOracle,

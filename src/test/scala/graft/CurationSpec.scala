@@ -370,6 +370,37 @@ class CurationSpec extends SparkTestBase {
     assert(cums.last == vocab)
   }
 
+  test("pipeline_anneal_shards: anneal picks best-quality-first within budget") {
+    import graft.operators.Pipeline
+    // one high-quality 10-token doc (5-char words -> q 35000) among nine
+    // low-quality 20-token docs (q 10000). total 190 tokens -> anneal
+    // budget 19: ONLY the high-q doc fits, and only if the anneal ordering
+    // puts quality first (a hash-ordered pick would try a 20-token doc and
+    // select nothing)
+    val rows = (1L to 9L).map(i =>
+      (i, (1 to 20).map(_ => "w").mkString(" "), "en", "s")) :+
+      ((10L, (1 to 10).map(_ => "zzzzz").mkString(" "), "en", "s"))
+    val df = docs(rows: _*)
+    val out = Pipeline.annealShards(df).collect()
+      .map(r => r.getAs[String]("phase") ->
+        ((r.getAs[Long]("planned_tokens"), r.getAs[Long]("n_docs"),
+          r.getAs[Long]("realized_tokens"), r.getAs[Long]("fill_ppm")))).toMap
+    assert(out("anneal") == ((19L, 1L, 10L, 10L * 1000000L / 19L)))
+    val (bp, bn, br, bf) = out("bulk")
+    assert(bp == 171L && br <= bp && bn >= 1L)
+    assert(bf == br * 1000000L / bp)
+  }
+
+  test("pipeline_anneal_shards: realized never exceeds planned on the fixture") {
+    import graft.operators.Pipeline
+    val out = Pipeline.annealShards(Tables.documents(spark, sf)).collect()
+    assert(out.length >= 2)
+    out.foreach { r =>
+      assert(r.getAs[Long]("realized_tokens") <= r.getAs[Long]("planned_tokens"))
+      assert(r.getAs[Long]("fill_ppm") <= 1000000L)
+    }
+  }
+
   test("text_char_gini: closed-form values on crafted letter distributions") {
     val df = docs(
       (1L, "aaaa", "en", "s"),            // one symbol -> gini 0

@@ -133,6 +133,48 @@ class QualityClassifierSpec extends SparkTestBase {
     assert(conf.map(_.getLong(2)).sum == 2L, conf.toSeq.toString)
   }
 
+  test("domain prf: metrics reconcile with the confusion matrix exactly") {
+    val conf = TextAnalysis.domainClassifierConfusion(planted).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val prf = TextAnalysis.domainClassifierPrf(planted).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getAs[Long]("precision_ppm"), r.getAs[Long]("recall_ppm"),
+          r.getAs[Long]("f1_ppm")))).toMap
+    assert(prf.keySet == Set("de", "en", "es", "fr", "zh"), "full class grid")
+    prf.foreach { case (c, (tp, fp, fn, p, r, f1)) =>
+      assert(tp == conf.getOrElse((c, c), 0L))
+      assert(fp == conf.collect { case ((l, pr), n) if pr == c && l != c => n }.sum)
+      assert(fn == conf.collect { case ((l, pr), n) if l == c && pr != c => n }.sum)
+      if (tp + fp > 0) assert(p == tp * 1000000L / (tp + fp))
+      if (tp + fn > 0) assert(r == tp * 1000000L / (tp + fn))
+      if (2 * tp + fp + fn > 0) assert(f1 == 2 * tp * 1000000L / (2 * tp + fp + fn))
+    }
+    // planted corpus: holdout doc 5 is en and correctly assigned -> en
+    // recall 1e6; doc 10's true label fr predicted de/fr-shared
+    assert(prf("en")._5 == 1000000L, prf.toString)
+  }
+
+  test("quality_kappa: cell identities and the shifted-ppm encoding") {
+    val r = TextAnalysis.qualityKappa(
+      graft.sources.Tables.documents(spark, sf)).collect().head
+    val (n, bk, bd, co, ro) = (r.getAs[Long]("n"), r.getAs[Long]("n_both_keep"),
+      r.getAs[Long]("n_both_drop"), r.getAs[Long]("n_clf_only"),
+      r.getAs[Long]("n_rules_only"))
+    assert(n == bk + bd + co + ro, "cells must partition the corpus")
+    assert(r.getAs[Long]("agree_ppm") == (bk + bd) * 1000000L / n)
+    // recompute the kappa rational from the cells
+    val num = BigInt(n) * (bk + bd) -
+      (BigInt(bk + co) * (bk + ro) + BigInt(bd + ro) * (bd + co))
+    val den = BigInt(n) * n -
+      (BigInt(bk + co) * (bk + ro) + BigInt(bd + ro) * (bd + co))
+    assert(BigInt(r.getAs[Long]("kappa_num")) == num)
+    assert(BigInt(r.getAs[Long]("kappa_den")) == den)
+    val plus1 = r.getAs[Long]("kappa_plus1_ppm")
+    assert(plus1 == ((num + den) * 1000000 / den).toLong)
+    assert(plus1 >= 0L && plus1 <= 2000000L, s"kappa+1 out of range: $plus1")
+  }
+
   test("mix_plan_by_domain: classified token counts, exact share/epoch ppm") {
     val assigned = TextAnalysis.domainClassifierAssign(planted).collect()
       .map(r => r.getString(2)).groupBy(identity).view.mapValues(_.size).toMap
