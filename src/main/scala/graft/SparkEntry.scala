@@ -263,6 +263,9 @@ object SparkEntry {
     "mm_content_dedup" -> ((s, d) => Multimodal.mmContentDedup(Tables.documents(s, d))),
     // aspect-ratio bucketing + per-bucket batch assignment (vision training)
     "mm_aspect_bucket" -> ((s, d) => Multimodal.mmAspectBucket(Tables.documents(s, d))),
+    // LAION-style (media, caption) alignment filter with a planted
+    // aligned/misaligned pair table (non-vacuous discrimination oracle)
+    "mm_text_align" -> ((s, d) => Multimodal.mmTextAlign(Tables.documents(s, d))),
     // extensions: composed curation pipeline
     "pipeline_training_data" -> ((s, d) => Pipeline.trainingDataCuration(Tables.documents(s, d))),
     "pipeline_curation_v2" -> ((s, d) => Pipeline.trainingDataCurationV2(Tables.documents(s, d))),

@@ -214,6 +214,67 @@ object Multimodal {
         col("bucket_idx"), col("bucket_w"), col("bucket_h"), col("batch_idx"))
   }
 
+  /** Alignment-score keep threshold for [[mmTextAlign]] (ppm cosine). */
+  private[graft] val AlignKeepPpm = 999000L
+
+  /** `mm_text_align`: cross-modal (media, caption) alignment filtering —
+    * the LAION-style recipe: embed both sides, score each PAIR, keep pairs
+    * above a similarity threshold. The embedders are deterministic STUBS
+    * (no codecs/models in the container): the media side reads features
+    * off the BINARY payload (first byte, byte length — what a real image
+    * encoder boundary would replace), the text side reads the caption
+    * string; for a correctly-paired row the two views describe the same
+    * underlying object, so the stub reproduces the essential property the
+    * filter exploits — matched pairs score high, mismatched pairs score on
+    * whatever the two objects happen to share. The demo pair table carries
+    * each media row twice: once with its own caption (`aligned` = true)
+    * and once with a shifted doc's caption (false), so the oracle-checked
+    * output certifies the filter DISCRIMINATES, not just that it runs —
+    * the non-vacuity discipline.
+    *
+    * Exactness: score = cosine in ppm over the 2-dim integer features,
+    * with floor-sqrt norms (`floor(sqrt(x))` is correctly rounded IEEE,
+    * exact for x < 2⁵² — [[Curation.mixPlanTemperature]]'s contract), so
+    * the whole report is hash-exact. Scale shape: the pair table is a
+    * doc_id-keyed join of two narrow projections (payload bytes never
+    * shuffle — features project at the scan), one codegen'd score
+    * projection, one 4-row rollup.
+    */
+  def mmTextAlign(documents: DataFrame): DataFrame = {
+    val media = mediaTable(documents)
+      .select(col("media_id"),
+        col("meta.n_bytes").as("m_len"),
+        when(col("meta.n_bytes") > 0, byteAt(hex(col("payload")), lit(0)))
+          .otherwise(0L).as("m_head"))
+    val captions = documents.select(col("doc_id"),
+      octet_length(encode(col("text"), "UTF-8")).cast("long").as("t_len"),
+      coalesce(ascii(substring(col("text"), 1, 1)).cast("long"), lit(0L))
+        .as("t_head"))
+    val total = documents.agg(max(col("doc_id")).as("max_id"))
+    val pairs = media.crossJoin(broadcast(total))
+      .select(col("media_id"), col("m_len"), col("m_head"),
+        explode(array(
+          struct(col("media_id").as("doc_id"), lit(true).as("aligned")),
+          struct(pmod(col("media_id") + 7L, col("max_id") + 1L).as("doc_id"),
+            lit(false).as("aligned")))).as("p"))
+      .select(col("media_id"), col("m_len"), col("m_head"),
+        col("p.doc_id").as("doc_id"), col("p.aligned").as("aligned"))
+    pairs.join(captions, Seq("doc_id"))
+      .withColumn("dot", col("m_len") * col("t_len") + col("m_head") * col("t_head"))
+      .withColumn("n1", col("m_len") * col("m_len") + col("m_head") * col("m_head"))
+      .withColumn("n2", col("t_len") * col("t_len") + col("t_head") * col("t_head"))
+      .withColumn("score_ppm",
+        when(col("n1") > 0 && col("n2") > 0,
+          expr("(cast(dot as decimal(38,0)) * 1000000) div " +
+            "(cast(floor(sqrt(cast(n1 as double))) as bigint) * " +
+            "cast(floor(sqrt(cast(n2 as double))) as bigint))").cast("long"))
+          .otherwise(lit(0L)))
+      .withColumn("kept", col("score_ppm") >= AlignKeepPpm)
+      .groupBy(col("aligned"), col("kept"))
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("sum(score_ppm) div count(1)").as("avg_score_ppm"))
+  }
+
   /** Shared by `mm_decode_stub` and `mm_decode_batched`: the two variants
     * are row-identical by contract (same deterministic byte-stat "decode",
     * expression chain vs typed per-partition batches), so they share one
@@ -281,7 +342,54 @@ object Multimodal {
        |FROM b""".stripMargin
   }
 
+  private val textAlignSql: String =
+    s"""WITH media AS (
+       |  SELECT doc_id AS media_id,
+       |         CAST(octet_length(encode(text)) AS BIGINT) AS m_len,
+       |         CASE WHEN octet_length(encode(text)) > 0 THEN
+       |           (CASE WHEN ascii(substr(hex(encode(text)), 1, 1)) >= 65
+       |                 THEN ascii(substr(hex(encode(text)), 1, 1)) - 55
+       |                 ELSE ascii(substr(hex(encode(text)), 1, 1)) - 48 END) * 16
+       |           + (CASE WHEN ascii(substr(hex(encode(text)), 2, 1)) >= 65
+       |                   THEN ascii(substr(hex(encode(text)), 2, 1)) - 55
+       |                   ELSE ascii(substr(hex(encode(text)), 2, 1)) - 48 END)
+       |         ELSE 0 END AS m_head
+       |  FROM documents),
+       |caps AS (
+       |  SELECT doc_id,
+       |         CAST(octet_length(encode(text)) AS BIGINT) AS t_len,
+       |         CAST(COALESCE(ascii(substr(text, 1, 1)), 0) AS BIGINT) AS t_head
+       |  FROM documents),
+       |mx AS (SELECT MAX(doc_id) AS max_id FROM documents),
+       |pairs AS (
+       |  SELECT media_id, m_len, m_head, media_id AS doc_id, TRUE AS aligned
+       |  FROM media
+       |  UNION ALL
+       |  SELECT media_id, m_len, m_head,
+       |         (media_id + 7) % (max_id + 1) AS doc_id, FALSE AS aligned
+       |  FROM media, mx),
+       |scored AS (
+       |  SELECT p.aligned,
+       |         p.m_len * c.t_len + p.m_head * c.t_head AS dot,
+       |         p.m_len * p.m_len + p.m_head * p.m_head AS n1,
+       |         c.t_len * c.t_len + c.t_head * c.t_head AS n2
+       |  FROM pairs p JOIN caps c ON c.doc_id = p.doc_id),
+       |s2 AS (
+       |  SELECT aligned,
+       |         CASE WHEN n1 > 0 AND n2 > 0 THEN
+       |           CAST((dot::HUGEINT * 1000000)
+       |                // (CAST(FLOOR(SQRT(CAST(n1 AS DOUBLE))) AS BIGINT)
+       |                    * CAST(FLOOR(SQRT(CAST(n2 AS DOUBLE))) AS BIGINT))
+       |                AS BIGINT)
+       |         ELSE 0 END AS score_ppm
+       |  FROM scored)
+       |SELECT aligned, score_ppm >= ${AlignKeepPpm} AS kept,
+       |       COUNT(*) AS n_pairs,
+       |       CAST(SUM(score_ppm) // COUNT(*) AS BIGINT) AS avg_score_ppm
+       |FROM s2 GROUP BY 1, 2""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "mm_text_align" -> textAlignSql,
     "mm_aspect_bucket" -> aspectBucketSql,
     "mm_decode_stub" -> decodeSql,
     "mm_decode_batched" -> decodeSql,

@@ -61,6 +61,26 @@ class MultimodalSpec extends SparkTestBase {
     assert(out == Set((3L, 2L), (7L, 1L)))
   }
 
+  test("mm_text_align: aligned pairs all kept, misaligned discriminated") {
+    val docs = Tables.documents(spark, sf)
+    val n = docs.count()
+    val rows = Multimodal.mmTextAlign(docs).collect()
+      .map(r => (r.getAs[Boolean]("aligned"), r.getAs[Boolean]("kept")) ->
+        r.getAs[Long]("n_pairs")).toMap
+    // every media row appears once aligned and once misaligned
+    assert(rows.collect { case ((true, _), c) => c }.sum == n)
+    assert(rows.collect { case ((false, _), c) => c }.sum == n)
+    // matched (media, caption) pairs describe the same object -> the stub
+    // encoders agree and every aligned pair clears the threshold
+    assert(rows.getOrElse((true, false), 0L) == 0L,
+      s"aligned pairs were dropped: $rows")
+    // the filter must actually reject a substantial share of mismatches
+    val misKept = rows.getOrElse((false, true), 0L)
+    val misDropped = rows.getOrElse((false, false), 0L)
+    assert(misDropped > misKept,
+      s"filter keeps most mismatched pairs: kept=$misKept dropped=$misDropped")
+  }
+
   test("mm_aspect_bucket: assignment is the nearest-ratio bucket, JVM-checked") {
     val docs = Tables.documents(spark, sf)
     val ladder = Multimodal.AspectBuckets.map { case (w, h) => w * 1000000L / h }
