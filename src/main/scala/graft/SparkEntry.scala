@@ -41,6 +41,8 @@ object SparkEntry {
     "win_percent_rank" -> ((s, d) => Windows.winPercentRank(Tables.lineitem(s, d))),
     "win_ratio_to_report" -> ((s, d) => Windows.winRatioToReport(Tables.orders(s, d))),
     "win_streak" -> ((s, d) => Windows.winStreak(Tables.events(s, d))),
+    // CUSUM change-point detection per event type (window-algebra form)
+    "win_cusum" -> ((s, d) => Windows.winCusum(Tables.events(s, d))),
     "win_topk_group" -> ((s, d) => Windows.winTopkGroup(Tables.lineitem(s, d))),
     "win_topk_custom" -> ((s, d) => Windows.winTopkCustom(Tables.lineitem(s, d))),
     // §2.4 aggregations
@@ -212,6 +214,10 @@ object SparkEntry {
     // within-bucket growth at x1000 — docs/SCALE.md)
     "dedup_embedding_lsh_auto" -> ((s, d) =>
       Dedup.dedupEmbeddingLshAuto(Dedup.plantNearDupes(Tables.embeddings(s, d)))),
+    // embedding-space benchmark decontamination (asymmetric banded probe;
+    // the planted companions serve as the benchmark set — non-vacuous)
+    "decontaminate_semantic" -> ((s, d) =>
+      Dedup.decontaminateSemantic(Tables.embeddings(s, d))),
     // extensions: similarity search
     "sim_search_bruteforce" -> ((s, d) => Similarity.simSearchBruteforce(Tables.embeddings(s, d))),
     "sim_search_lsh" -> ((s, d) => Similarity.simSearchLsh(Tables.embeddings(s, d))),
@@ -299,6 +305,8 @@ object SparkEntry {
     // first k BPE merge rules learned over the corpus (tokenizer training)
     "bpe_train_merges" -> ((s, d) => TextAnalysis.bpeTrainMerges(Tables.documents(s, d))),
     "bpe_train_batched" -> ((s, d) => TextAnalysis.bpeTrainBatched(Tables.documents(s, d))),
+    "bpe_vocab_coverage" -> ((s, d) =>
+      TextAnalysis.bpeVocabCoverage(Tables.documents(s, d))),
     "bpe_fertility_by_lang" -> ((s, d) =>
       TextAnalysis.bpeFertilityByLang(Tables.documents(s, d))),
     "bpe_encode" -> ((s, d) => TextAnalysis.bpeEncode(Tables.documents(s, d))),

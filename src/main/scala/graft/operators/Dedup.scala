@@ -1399,6 +1399,44 @@ object Dedup {
     * COUNT(*) in SQL, so the adaptive path is hash-verified end-to-end,
     * not just the formula.
     */
+  /** `decontaminate_semantic`: EMBEDDING-space benchmark decontamination —
+    * the paraphrase-robust complement of the n-gram `contamination_check`
+    * (a reworded eval item shares no 13-gram with the benchmark but sits
+    * at cosine ≈ 1 in embedding space; public eval-hygiene recipes run
+    * both). A corpus vector is contaminated when ANY benchmark vector is
+    * ≥ 0.95-cosine similar; output is the flagged corpus vector with its
+    * hit count and worst similarity — the drop list a decontamination
+    * stage anti-joins on.
+    *
+    * Shape = the asymmetric `dedup_incremental` probe in embedding space:
+    * BOTH sides band through [[dedupEmbeddingLshWide]]'s 4 × 16-bit
+    * geometry, the benchmark side (eval sets are small — thousands, not
+    * billions) broadcasts, and candidates are benchmark-collision-bounded,
+    * never corpus². The fixture benchmark is [[plantNearDupes]]' planted
+    * companion set, which guarantees cross-split near-dup pairs — the
+    * non-vacuity discipline (a random benchmark slice would assert 0 = 0).
+    */
+  def decontaminateSemantic(embeddings: DataFrame): DataFrame = {
+    val planted = plantNearDupes(embeddings)
+    val q = quantized(planted)
+      .withColumn("norm2", long_dot(col("q"), col("q")))
+      .select(col("vec_id"), col("q"), col("norm2"),
+        posexplode(Similarity.bandBucketsCol(WideBandBits, WideBands))
+          .as(Seq("band", "bucket")))
+    val bench = q.where(col("vec_id") >= 10000000L)
+      .select(col("band"), col("bucket"), col("vec_id").as("bench_id"),
+        col("q").as("qb"), col("norm2").as("nb"))
+    q.where(col("vec_id") < 10000000L)
+      .join(broadcast(bench), Seq("band", "bucket"))
+      .withColumn("cosine",
+        cosine(long_dot(col("q"), col("qb")), col("norm2"), col("nb")))
+      .where(col("cosine") >= 0.95)
+      .select(col("vec_id"), col("bench_id"), col("cosine"))
+      .distinct()
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_benchmark_hits"), max(col("cosine")).as("max_cosine"))
+  }
+
   def dedupEmbeddingLshAuto(embeddings: DataFrame): DataFrame = {
     // occupancy is the fixed [[AutoOccupancy]] constant, not a parameter:
     // the oracle SQL hardcodes the same value, and a tunable the oracle
@@ -1482,6 +1520,33 @@ object Dedup {
        |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
        |SELECT vec_id_1, vec_id_2, cosine FROM pairs WHERE cosine >= 0.95""".stripMargin
 
+  private val decontamSemanticOracle: String =
+    s"""WITH $plantedCte,
+       |${Similarity.quantCteFrom("emb_planted")},
+       |planes AS (
+       |  SELECT j, list_transform(range(0, 64), d ->
+       |    (j * 131 + d * 37) % 19 - 9 + ((j * 67 + d * 29) % 17 - 8) * 19) AS plane
+       |  FROM range(0, ${WideBands * WideBandBits}) t(j)),
+       |sb AS (
+       |  SELECT n.vec_id, n.q, n.norm2, p.j,
+       |         CASE WHEN list_sum(list_transform(list_zip(n.q, p.plane),
+       |                z -> z[1] * z[2])) >= 0 THEN 1 ELSE 0 END AS s
+       |  FROM n CROSS JOIN planes p),
+       |bucketed AS (
+       |  SELECT vec_id, q, norm2, j // $WideBandBits AS band,
+       |         CAST(SUM(CASE WHEN s = 1 THEN 1 << CAST(j % $WideBandBits AS INTEGER)
+       |                  ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM sb GROUP BY vec_id, q, norm2, j // $WideBandBits),
+       |cand AS (
+       |  SELECT DISTINCT c.vec_id, b.vec_id AS bench_id,
+       |         CAST(list_sum(list_transform(list_zip(c.q, b.q), z -> z[1] * z[2])) AS DOUBLE)
+       |           / (SQRT(CAST(c.norm2 AS DOUBLE)) * SQRT(CAST(b.norm2 AS DOUBLE))) AS cosine
+       |  FROM bucketed c JOIN bucketed b
+       |    ON c.band = b.band AND c.bucket = b.bucket
+       |   AND c.vec_id < 10000000 AND b.vec_id >= 10000000)
+       |SELECT vec_id, COUNT(*) AS n_benchmark_hits, MAX(cosine) AS max_cosine
+       |FROM cand WHERE cosine >= 0.95 GROUP BY vec_id""".stripMargin
+
   private val embeddingLshOracle: String =
     s"""WITH $plantedCte,
        |${Similarity.quantCteFrom("emb_planted")},
@@ -1542,6 +1607,7 @@ object Dedup {
     "dedup_clusters" -> clustersOracle,
     "dedup_embedding_lsh" -> embeddingLshOracle,
     "dedup_embedding_lsh_wide" -> embeddingLshWideOracle,
+    "decontaminate_semantic" -> decontamSemanticOracle,
     "dedup_embedding_lsh_auto" -> embeddingLshAutoOracle,
     "dedup_minhash_lsh" -> minhashOracle,
     "dedup_minhash_eval" -> minhashEvalOracle,

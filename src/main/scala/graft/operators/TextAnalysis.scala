@@ -848,6 +848,53 @@ object TextAnalysis {
         expr("(cast(n_chars as decimal(38,0)) * 1000000) div n_tokens"))
   }
 
+  /** `bpe_vocab_coverage`: how much of each language the trained tokenizer
+    * actually serves — the coverage companion of [[bpeFertilityByLang]]
+    * (fertility prices the words the tokenizer handles; coverage counts
+    * the words it handles AT ALL). Three per-language rates, all exact
+    * ppm: `alpha_ppm` — word occurrences admitted by the trainer's
+    * `[a-z]+` gate (the out-of-vocabulary axis: on a REAL multilingual
+    * corpus a non-Latin script fails the gate wholesale and this row
+    * makes that visible; the synthetic fixture's text is ASCII for every
+    * lang label, so it honestly reads 10⁶ across the board and the
+    * differentiating rows here are the two below); `single_token_ppm` —
+    * admitted occurrences
+    * the vocabulary compresses to ONE token (word-level vocab hits);
+    * `merged_ppm` — admitted occurrences that benefited from ≥ 1 learned
+    * merge (seq shorter than the char count). Scale shape: the corpus
+    * enters once via [[bpeRun]]'s vocabulary collapse plus one
+    * tokenize-explode; the segmentation join is corpus-vs-vocabulary
+    * (broadcast by Heaps' law — the [[bpeTokenCount]] argument).
+    */
+  def bpeVocabCoverage(documents: DataFrame, k: Int = 3): DataFrame = {
+    val enc = bpeRun(documents, k)._2.select(col("w"),
+      org.apache.spark.sql.functions.size(split(trim(col("seq")), " "))
+        .cast("long").as("w_tokens"),
+      length(col("w")).cast("long").as("w_chars"))
+    val words = documents
+      .select(col("lang"), explode(split(lower(col("text")), " ")).as("w"))
+      .where(length(col("w")) > 0)
+    val total = words.groupBy(col("lang")).agg(count(lit(1)).as("n_words"))
+    val cov = words.where(col("w").rlike("^[a-z]+$"))
+      .join(broadcast(enc), "w")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_alpha_words"),
+        sum(when(col("w_tokens") === 1, 1L).otherwise(0L)).as("n_single_token"),
+        sum(when(col("w_tokens") < col("w_chars"), 1L).otherwise(0L)).as("n_merged"))
+    total.join(cov, Seq("lang"), "left")
+      .select(col("lang"), col("n_words"),
+        coalesce(col("n_alpha_words"), lit(0L)).as("n_alpha_words"),
+        coalesce(col("n_single_token"), lit(0L)).as("n_single_token"),
+        coalesce(col("n_merged"), lit(0L)).as("n_merged"))
+      .withColumn("alpha_ppm", expr("n_alpha_words * 1000000 div n_words"))
+      .withColumn("single_token_ppm",
+        when(col("n_alpha_words") > 0,
+          expr("n_single_token * 1000000 div n_alpha_words")).otherwise(lit(0L)))
+      .withColumn("merged_ppm",
+        when(col("n_alpha_words") > 0,
+          expr("n_merged * 1000000 div n_alpha_words")).otherwise(lit(0L)))
+  }
+
   /** `bpe_train_batched`: BPE training with the standard parallel
     * relaxation — learn the top-M mutually-compatible merge rules PER
     * ROUND instead of one, collapsing the merge loop's round count from k
@@ -1666,6 +1713,7 @@ object TextAnalysis {
     "bpe_train_merges" -> bpeOracle(3),
     "bpe_train_batched" -> bpeBatchedOracle(2, 4),
     "bpe_fertility_by_lang" -> bpeFertilityOracle(3),
+    "bpe_vocab_coverage" -> bpeVocabCoverageOracle(3),
     "bpe_encode" -> bpeEncodeOracle(3),
     "bpe_token_count" -> bpeTokenCountOracle(3),
     "quality_calibrate" ->
@@ -1754,6 +1802,38 @@ object TextAnalysis {
        |  FROM words),
        |$rounds""".stripMargin
   }
+
+  private def bpeVocabCoverageOracle(k: Int): String =
+    s"""WITH ${bpeCtes(k)},
+       |enc AS (
+       |  SELECT w, CAST(len(string_split(trim(seq), ' ')) AS BIGINT) AS w_tokens,
+       |         CAST(length(w) AS BIGINT) AS w_chars
+       |  FROM s$k),
+       |ws AS (
+       |  SELECT lang, UNNEST(string_split(lower(text), ' ')) AS w
+       |  FROM documents),
+       |wnz AS (SELECT lang, w FROM ws WHERE length(w) > 0),
+       |total AS (SELECT lang, COUNT(*) AS n_words FROM wnz GROUP BY 1),
+       |cov AS (
+       |  SELECT lang, COUNT(*) AS n_alpha_words,
+       |         SUM(CASE WHEN e.w_tokens = 1 THEN 1 ELSE 0 END) AS n_single_token,
+       |         SUM(CASE WHEN e.w_tokens < e.w_chars THEN 1 ELSE 0 END) AS n_merged
+       |  FROM wnz JOIN enc e USING (w)
+       |  WHERE regexp_matches(wnz.w, '^[a-z]+${"$"}')
+       |  GROUP BY 1)
+       |SELECT t.lang, t.n_words,
+       |       CAST(COALESCE(c.n_alpha_words, 0) AS BIGINT) AS n_alpha_words,
+       |       CAST(COALESCE(c.n_single_token, 0) AS BIGINT) AS n_single_token,
+       |       CAST(COALESCE(c.n_merged, 0) AS BIGINT) AS n_merged,
+       |       CAST(COALESCE(c.n_alpha_words, 0) * 1000000 // t.n_words AS BIGINT)
+       |         AS alpha_ppm,
+       |       CASE WHEN COALESCE(c.n_alpha_words, 0) > 0
+       |            THEN CAST(c.n_single_token * 1000000 // c.n_alpha_words AS BIGINT)
+       |            ELSE 0 END AS single_token_ppm,
+       |       CASE WHEN COALESCE(c.n_alpha_words, 0) > 0
+       |            THEN CAST(c.n_merged * 1000000 // c.n_alpha_words AS BIGINT)
+       |            ELSE 0 END AS merged_ppm
+       |FROM total t LEFT JOIN cov c ON c.lang = t.lang""".stripMargin
 
   private def bpeOracle(k: Int): String = {
     val out = (1 to k).map(r =>

@@ -354,6 +354,50 @@ object Windows {
       .select(col("user_id"), col("streak_days"), col("streak_start"), col("streak_end"))
   }
 
+  /** `win_cusum`: CUSUM change-point detection over each event type's
+    * value series — the classic sequential shift detector (Page 1954),
+    * re-expressed so the textbook RECURSION S_i = max(0, S_{i-1} + y_i)
+    * becomes window algebra: S_up_i = C_i − min_{j≤i} C_j and
+    * S_dn_i = max_{j≤i} C_j − C_i where C is the running sum of centered
+    * values y = cents(value) − μ (μ = the series' floor-mean in cents) —
+    * cumulative sum plus running extrema, both partitioned windows, no
+    * sequential state. The report per event type: the largest upward and
+    * downward excursions and the ORDINAL POSITION where each peaks — the
+    * change-point location estimate a monitor pages with ("type X's value
+    * level shifted around event #N"). Peak positions tie-break to the
+    * EARLIEST row via a tiny self-join on the per-type maxima (portable;
+    * arg_max's tie order is unspecified in both engines). Exact integers
+    * throughout: cents quantization ([[Num.cents]]), floor-mean, long
+    * sums (at 10¹⁰⁺-row series a deployment widens C to decimal — the
+    * magnitude note every cumsum operator here carries).
+    */
+  def winCusum(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = events.select(col("event_type"), col("ts"), col("event_id"),
+      Num.cents(col("value")).as("v"))
+    val mu = base.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        expr("sum(v) div count(1)").as("mu_cents"))
+    val scored = base.join(broadcast(mu), Seq("event_type"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("c", sum(col("v") - col("mu_cents")).over(cum))
+      // the virtual empty prefix C_0 = 0 participates in the extrema
+      // (the recursion's max(0, ...) floor), hence the least/greatest
+      .withColumn("s_up", col("c") - least(lit(0L), min(col("c")).over(cum)))
+      .withColumn("s_dn", greatest(lit(0L), max(col("c")).over(cum)) - col("c"))
+    val peaks = scored.groupBy(col("event_type"))
+      .agg(max(col("s_up")).as("max_cusum_up"), max(col("s_dn")).as("max_cusum_down"))
+    scored.join(broadcast(peaks), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(first(col("n_events")).as("n_events"),
+        first(col("mu_cents")).as("mu_cents"),
+        first(col("max_cusum_up")).as("max_cusum_up"),
+        min(when(col("s_up") === col("max_cusum_up"), col("rn"))).as("peak_up_idx"),
+        first(col("max_cusum_down")).as("max_cusum_down"),
+        min(when(col("s_dn") === col("max_cusum_down"), col("rn"))).as("peak_down_idx"))
+  }
+
   def winDedup(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id", "event_type")
       .orderBy(col("ts").desc, col("event_id").desc)

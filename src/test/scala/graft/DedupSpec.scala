@@ -534,6 +534,24 @@ class DedupSpec extends SparkTestBase {
       s"df=1 term must outrank df=3 term at equal tf: $out")
   }
 
+  test("decontaminate_semantic: planted identical companions always flagged") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val flagged = Dedup.decontaminateSemantic(emb).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("n_benchmark_hits"), r.getAs[Double]("max_cosine")))).toMap
+    // only originals with a planted companion can be benchmark-similar
+    assert(flagged.keySet.forall(_ % 29 == 0), s"non-planted vec flagged: $flagged")
+    // identical companions (vec % 58 == 0) are a seeded recall floor:
+    // same vector -> same band buckets -> the collision cannot be missed
+    val identical = emb.select("vec_id").collect().map(_.getLong(0))
+      .filter(v => v % 58 == 0)
+    identical.foreach { v =>
+      assert(flagged.contains(v), s"identical companion of $v not flagged")
+      assert(flagged(v)._2 > 0.9999, s"identical pair cosine: ${flagged(v)}")
+      assert(flagged(v)._1 >= 1L)
+    }
+  }
+
   test("dedup_band_curve: monotone in bands; (4,4) point equals the shipped LSH") {
     val documents = graft.sources.Tables.documents(spark, sf)
     val curve = Dedup.dedupBandCurve(documents).collect()

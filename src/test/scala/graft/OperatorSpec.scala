@@ -621,6 +621,45 @@ class OperatorSpec extends SparkTestBase {
     assert(counts == Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 0L), s"got $counts")
   }
 
+  test("bpe_vocab_coverage: hand-computed rates on the rules-test corpus") {
+    // rules learned: aa, ab, aaab (see the merges test). words: aaab, x,
+    // aaab, ab (alpha) + 123, 456 (gate-rejected) -> alpha 4/6;
+    // all 4 alpha occurrences segment to ONE token; aaab x2 and ab
+    // benefited from merges, x did not -> merged 3/4
+    val docs = Seq((1L, "aaab x", "en"), (2L, "aaab", "en"), (3L, "ab", "en"),
+      (4L, "123 456", "en")).toDF("doc_id", "text", "lang")
+    val r = graft.operators.TextAnalysis.bpeVocabCoverage(docs).collect()
+    assert(r.length == 1)
+    val m = r.head
+    assert(m.getAs[Long]("n_words") == 6L)
+    assert(m.getAs[Long]("n_alpha_words") == 4L)
+    assert(m.getAs[Long]("alpha_ppm") == 4L * 1000000L / 6L)
+    assert(m.getAs[Long]("n_single_token") == 4L)
+    assert(m.getAs[Long]("single_token_ppm") == 1000000L)
+    assert(m.getAs[Long]("n_merged") == 3L)
+    assert(m.getAs[Long]("merged_ppm") == 750000L)
+  }
+
+  test("win_cusum: hand-computed level shift, peak positions exact") {
+    import java.sql.Timestamp
+    // one type, values 1,1,1,5,5,5 (cents 100/500, mu = 300):
+    // C = -200,-400,-600,-400,-200,0
+    // s_up peaks at 600 on row 6; s_dn peaks at 600 on row 3
+    val ev = (1 to 6).map(i => (i.toLong,
+      Timestamp.valueOf(f"2024-01-01 00:0$i:00"), 1L, "t",
+      if (i <= 3) 1.0 else 5.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = graft.operators.Windows.winCusum(ev).collect()
+    assert(r.length == 1)
+    val m = r.head
+    assert(m.getAs[Long]("n_events") == 6L)
+    assert(m.getAs[Long]("mu_cents") == 300L)
+    assert(m.getAs[Long]("max_cusum_up") == 600L)
+    assert(m.getAs[Long]("peak_up_idx") == 6L)
+    assert(m.getAs[Long]("max_cusum_down") == 600L)
+    assert(m.getAs[Long]("peak_down_idx") == 3L)
+  }
+
   test("BPE: vocabulary with no adjacent pairs stops early instead of crashing") {
     // every word is a single symbol -> the pair aggregate is empty in round
     // 1; training must return zero rules (not MatchError), encode must
