@@ -27,6 +27,46 @@ object Oracles {
        |    w252 AS (PARTITION BY ticker ORDER BY trade_date ROWS BETWEEN 251 PRECEDING AND CURRENT ROW)
        |)""".stripMargin
 
+  private lazy val winCusumSql: String =
+      """WITH base AS (
+        |  SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |         CAST(ROUND(value * 100) AS BIGINT) AS v
+        |  FROM events),
+        |mu AS (
+        |  SELECT event_type, COUNT(*) AS n_events,
+        |         CAST(SUM(v) // COUNT(*) AS BIGINT) AS mu_cents
+        |  FROM base GROUP BY 1),
+        |scored AS (
+        |  SELECT b.event_type, m.n_events, m.mu_cents,
+        |         CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+        |         SUM(b.v - m.mu_cents) OVER
+        |           (w ROWS UNBOUNDED PRECEDING) AS c
+        |  FROM base b JOIN mu m USING (event_type)
+        |  WINDOW w AS (PARTITION BY b.event_type ORDER BY b.ts, b.event_id)),
+        |s2 AS (
+        |  SELECT *,
+        |         c - LEAST(0, MIN(c) OVER
+        |           (w ROWS UNBOUNDED PRECEDING)) AS s_up,
+        |         GREATEST(0, MAX(c) OVER
+        |           (w ROWS UNBOUNDED PRECEDING)) - c AS s_dn
+        |  FROM scored
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY rn)),
+        |peaks AS (
+        |  SELECT event_type, MAX(s_up) AS max_cusum_up,
+        |         MAX(s_dn) AS max_cusum_down
+        |  FROM s2 GROUP BY 1)
+        |SELECT s.event_type,
+        |       CAST(MIN(s.n_events) AS BIGINT) AS n_events,
+        |       CAST(MIN(s.mu_cents) AS BIGINT) AS mu_cents,
+        |       CAST(MIN(p.max_cusum_up) AS BIGINT) AS max_cusum_up,
+        |       CAST(MIN(CASE WHEN s.s_up = p.max_cusum_up THEN s.rn END)
+        |            AS BIGINT) AS peak_up_idx,
+        |       CAST(MIN(p.max_cusum_down) AS BIGINT) AS max_cusum_down,
+        |       CAST(MIN(CASE WHEN s.s_dn = p.max_cusum_down THEN s.rn END)
+        |            AS BIGINT) AS peak_down_idx
+        |FROM s2 s JOIN peaks p USING (event_type)
+        |GROUP BY s.event_type""".stripMargin
+
   val all: Map[String, String] = Map(
     "fct_stock_prices" ->
       s"""$stockWindowCte
@@ -255,45 +295,12 @@ object Oracles {
         |       CUME_DIST() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
         |         AS cume
         |FROM lineitem""".stripMargin,
-    "win_cusum" ->
-      """WITH base AS (
-        |  SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
-        |         CAST(ROUND(value * 100) AS BIGINT) AS v
-        |  FROM events),
-        |mu AS (
-        |  SELECT event_type, COUNT(*) AS n_events,
-        |         CAST(SUM(v) // COUNT(*) AS BIGINT) AS mu_cents
-        |  FROM base GROUP BY 1),
-        |scored AS (
-        |  SELECT b.event_type, m.n_events, m.mu_cents,
-        |         CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
-        |         SUM(b.v - m.mu_cents) OVER
-        |           (w ROWS UNBOUNDED PRECEDING) AS c
-        |  FROM base b JOIN mu m USING (event_type)
-        |  WINDOW w AS (PARTITION BY b.event_type ORDER BY b.ts, b.event_id)),
-        |s2 AS (
-        |  SELECT *,
-        |         c - LEAST(0, MIN(c) OVER
-        |           (w ROWS UNBOUNDED PRECEDING)) AS s_up,
-        |         GREATEST(0, MAX(c) OVER
-        |           (w ROWS UNBOUNDED PRECEDING)) - c AS s_dn
-        |  FROM scored
-        |  WINDOW w AS (PARTITION BY event_type ORDER BY rn)),
-        |peaks AS (
-        |  SELECT event_type, MAX(s_up) AS max_cusum_up,
-        |         MAX(s_dn) AS max_cusum_down
-        |  FROM s2 GROUP BY 1)
-        |SELECT s.event_type,
-        |       CAST(MIN(s.n_events) AS BIGINT) AS n_events,
-        |       CAST(MIN(s.mu_cents) AS BIGINT) AS mu_cents,
-        |       CAST(MIN(p.max_cusum_up) AS BIGINT) AS max_cusum_up,
-        |       CAST(MIN(CASE WHEN s.s_up = p.max_cusum_up THEN s.rn END)
-        |            AS BIGINT) AS peak_up_idx,
-        |       CAST(MIN(p.max_cusum_down) AS BIGINT) AS max_cusum_down,
-        |       CAST(MIN(CASE WHEN s.s_dn = p.max_cusum_down THEN s.rn END)
-        |            AS BIGINT) AS peak_down_idx
-        |FROM s2 s JOIN peaks p USING (event_type)
-        |GROUP BY s.event_type""".stripMargin,
+    // the scalable twin is row-identical BY CONTRACT (two-level parallel
+    // prefix scan vs one window pass) — one oracle proves both
+    "win_cusum" -> winCusumSql,
+    "win_cusum_scalable" -> winCusumSql,
+
+
     "win_streak" ->
       """WITH days AS (
         |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),

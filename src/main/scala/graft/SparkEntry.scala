@@ -43,6 +43,8 @@ object SparkEntry {
     "win_streak" -> ((s, d) => Windows.winStreak(Tables.events(s, d))),
     // CUSUM change-point detection per event type (window-algebra form)
     "win_cusum" -> ((s, d) => Windows.winCusum(Tables.events(s, d))),
+    // two-level parallel-prefix twin (same oracle: row-identical contract)
+    "win_cusum_scalable" -> ((s, d) => Windows.winCusumScalable(Tables.events(s, d))),
     "win_topk_group" -> ((s, d) => Windows.winTopkGroup(Tables.lineitem(s, d))),
     "win_topk_custom" -> ((s, d) => Windows.winTopkCustom(Tables.lineitem(s, d))),
     // §2.4 aggregations

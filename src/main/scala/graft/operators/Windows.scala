@@ -398,6 +398,86 @@ object Windows {
         min(when(col("s_dn") === col("max_cusum_down"), col("rn"))).as("peak_down_idx"))
   }
 
+  /** `win_cusum_scalable`: [[winCusum]] re-planned as a two-level parallel
+    * prefix scan — the answer to the plain form's one scale ceiling: its
+    * per-TYPE windows give parallelism = |event types| (measured at x1000:
+    * 206 s wall on 1475 cpu-s — 5 types serialize 32 cores,
+    * docs/SCALE.md). The CUSUM quantities are all prefix-decomposable
+    * (running sum, running min/max), so the classic parallel-prefix
+    * treatment applies: rows are chunked by calendar DAY, the within-chunk
+    * windows partition by (type, day) — thousands of parallel partitions —
+    * and the cross-chunk carry (per-day sums, row counts, prefix extrema)
+    * lives on a MODEL-SIZED per-(type, day) frame whose own windows cost
+    * nothing. Global values reassemble as
+    * C_i = day_offset + c_within, running_min_i = min(prev-days min,
+    * day_offset + within-day running min) — exactly associative-scan
+    * algebra. Output contract: row-identical to [[winCusum]] (same oracle
+    * SQL, DedupSpec-style equality pinned in OperatorSpec), so a caller
+    * chooses by corpus shape: few huge series → this; many small series →
+    * the plain form's single window pass is already parallel.
+    */
+  def winCusumScalable(events: DataFrame): DataFrame = {
+    val base = events.select(col("event_type"), col("ts"), col("event_id"),
+      Num.cents(col("value")).as("v"), to_date(col("ts")).as("day"))
+    val mu = base.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        expr("sum(v) div count(1)").as("mu_cents"))
+    val wd = Window.partitionBy("event_type", "day").orderBy(col("ts"), col("event_id"))
+    val wdCum = wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // staged: BOTH the carry aggregate and the reassembly join read this
+    // frame — unstaged, the within-chunk windows replay twice and the
+    // reassembly becomes a sort-merge join of two live window pipelines,
+    // which exhausted the executor memory pool at x1000
+    // (SparkOutOfMemoryError acquiring pages); staged (parquet past the
+    // auto threshold) each side is a plain scan
+    val within = graft.operators.CacheScope.cached(
+      base.join(broadcast(mu), Seq("event_type"))
+        .withColumn("rn_d", row_number().over(wd).cast("long"))
+        .withColumn("c_d", sum(col("v") - col("mu_cents")).over(wdCum))
+        .withColumn("runmin_d", min(col("c_d")).over(wdCum))
+        .withColumn("runmax_d", max(col("c_d")).over(wdCum)))
+    // the cross-chunk carry: per-(type, day) sums and prefix extrema —
+    // |types| × |days| rows, windowed over days within a type (model-sized)
+    val wDay = Window.partitionBy("event_type").orderBy("day")
+    val prev = wDay.rowsBetween(Window.unboundedPreceding, -1)
+    val carry = within.groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_d"), sum(col("v") - col("mu_cents")).as("sum_d"),
+        min(col("c_d")).as("min_d"), max(col("c_d")).as("max_d"))
+      .withColumn("day_offset",
+        coalesce(sum(col("sum_d")).over(prev), lit(0L)))
+      .withColumn("rn_offset",
+        coalesce(sum(col("n_d")).over(prev), lit(0L)))
+      .withColumn("prev_min",
+        min(col("day_offset") + col("min_d")).over(prev))
+      .withColumn("prev_max",
+        max(col("day_offset") + col("max_d")).over(prev))
+      .select(col("event_type"), col("day"), col("day_offset"),
+        col("rn_offset"), col("prev_min"), col("prev_max"))
+    // also staged: peaks AND the final aggregate both read `scored`
+    val scored = graft.operators.CacheScope.cached(
+      within.join(broadcast(carry), Seq("event_type", "day"))
+        .withColumn("rn", col("rn_offset") + col("rn_d"))
+        .withColumn("c", col("day_offset") + col("c_d"))
+        .withColumn("s_up", col("c") - least(lit(0L),
+          coalesce(col("prev_min"), lit(Long.MaxValue)),
+          col("day_offset") + col("runmin_d")))
+        .withColumn("s_dn", greatest(lit(0L),
+          coalesce(col("prev_max"), lit(Long.MinValue)),
+          col("day_offset") + col("runmax_d")) - col("c"))
+        .select(col("event_type"), col("n_events"), col("mu_cents"),
+          col("rn"), col("s_up"), col("s_dn")))
+    val peaks = scored.groupBy(col("event_type"))
+      .agg(max(col("s_up")).as("max_cusum_up"), max(col("s_dn")).as("max_cusum_down"))
+    scored.join(broadcast(peaks), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(first(col("n_events")).as("n_events"),
+        first(col("mu_cents")).as("mu_cents"),
+        first(col("max_cusum_up")).as("max_cusum_up"),
+        min(when(col("s_up") === col("max_cusum_up"), col("rn"))).as("peak_up_idx"),
+        first(col("max_cusum_down")).as("max_cusum_down"),
+        min(when(col("s_dn") === col("max_cusum_down"), col("rn"))).as("peak_down_idx"))
+  }
+
   def winDedup(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id", "event_type")
       .orderBy(col("ts").desc, col("event_id").desc)

@@ -660,6 +660,28 @@ class OperatorSpec extends SparkTestBase {
     assert(m.getAs[Long]("peak_down_idx") == 3L)
   }
 
+  test("win_cusum_scalable: row-identical to the single-window form") {
+    import java.sql.Timestamp
+    // multi-day, multi-type series with ties-in-day and a level shift so
+    // the cross-chunk carry (offsets, prefix extrema, rn stitching) is
+    // actually exercised
+    val ev = (1 to 200).map { i =>
+      val day = 1 + (i - 1) / 40                      // 5 days, 40 rows each
+      (i.toLong, Timestamp.valueOf(f"2024-01-0$day 00:${(i % 60)}%02d:00"),
+        (i % 7).toLong, if (i % 2 == 0) "a" else "b",
+        if (i <= 100) 1.0 + (i % 5) else 9.0 + (i % 3), "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val plain = graft.operators.Windows.winCusum(ev)
+    val scalable = graft.operators.Windows.winCusumScalable(ev)
+    assert(plain.except(scalable).isEmpty && scalable.except(plain).isEmpty,
+      "two-level prefix scan must reproduce the single-window CUSUM exactly")
+    // and on the fixture
+    val fx = graft.sources.Tables.events(spark, sf)
+    val p2 = graft.operators.Windows.winCusum(fx)
+    val s2 = graft.operators.Windows.winCusumScalable(fx)
+    assert(p2.except(s2).isEmpty && s2.except(p2).isEmpty)
+  }
+
   test("BPE: vocabulary with no adjacent pairs stops early instead of crashing") {
     // every word is a single symbol -> the pair aggregate is empty in round
     // 1; training must return zero rules (not MatchError), encode must
