@@ -246,10 +246,16 @@ object Multimodal {
         col("meta.n_bytes").as("m_len"),
         when(col("meta.n_bytes") > 0, byteAt(hex(col("payload")), lit(0)))
           .otherwise(0L).as("m_head"))
+    // t_head = first UTF-8 BYTE via the hex-pair decode (same path as m_head,
+    // proven byte-exact in both engines). Spark's ascii() returns the first
+    // byte SIGNED (-28 for a CJK lead byte) while DuckDB's ascii() returns the
+    // Unicode CODEPOINT (20013) — either choice diverges on non-ASCII text, so
+    // neither is used: both sides decode the byte from hex(encode(text)).
     val captions = documents.select(col("doc_id"),
       octet_length(encode(col("text"), "UTF-8")).cast("long").as("t_len"),
-      coalesce(ascii(substring(col("text"), 1, 1)).cast("long"), lit(0L))
-        .as("t_head"))
+      when(octet_length(encode(col("text"), "UTF-8")) > 0,
+        byteAt(hex(encode(col("text"), "UTF-8")), lit(0)))
+        .otherwise(0L).as("t_head"))
     val total = documents.agg(max(col("doc_id")).as("max_id"))
     val pairs = media.crossJoin(broadcast(total))
       .select(col("media_id"), col("m_len"), col("m_head"),
@@ -358,7 +364,14 @@ object Multimodal {
        |caps AS (
        |  SELECT doc_id,
        |         CAST(octet_length(encode(text)) AS BIGINT) AS t_len,
-       |         CAST(COALESCE(ascii(substr(text, 1, 1)), 0) AS BIGINT) AS t_head
+       |         CASE WHEN octet_length(encode(text)) > 0 THEN
+       |           (CASE WHEN ascii(substr(hex(encode(text)), 1, 1)) >= 65
+       |                 THEN ascii(substr(hex(encode(text)), 1, 1)) - 55
+       |                 ELSE ascii(substr(hex(encode(text)), 1, 1)) - 48 END) * 16
+       |           + (CASE WHEN ascii(substr(hex(encode(text)), 2, 1)) >= 65
+       |                   THEN ascii(substr(hex(encode(text)), 2, 1)) - 55
+       |                   ELSE ascii(substr(hex(encode(text)), 2, 1)) - 48 END)
+       |         ELSE 0 END AS t_head
        |  FROM documents),
        |mx AS (SELECT MAX(doc_id) AS max_id FROM documents),
        |pairs AS (

@@ -81,6 +81,23 @@ class MultimodalSpec extends SparkTestBase {
       s"filter keeps most mismatched pairs: kept=$misKept dropped=$misDropped")
   }
 
+  test("mm_text_align: non-ASCII captions use the first UTF-8 byte, not a codepoint") {
+    import spark.implicits._
+    // ADVICE r15: ascii('中') is -28 in Spark (signed first byte) but 20013 in
+    // DuckDB (codepoint). t_head now decodes the byte from hex(encode(text)),
+    // so a CJK-leading caption must read 0xE4 = 228 on the aligned pair and
+    // the aligned pair must still clear the keep threshold (features equal).
+    val docs = Seq((0L, "中文说明文字一段", "zh"), (1L, "plain ascii caption", "en"))
+      .map { case (id, t, l) => (id, t, l, 0L, "web") }
+      .toDF("doc_id", "text", "lang", "quality", "source")
+    val rows = Multimodal.mmTextAlign(docs).collect()
+      .map(r => (r.getAs[Boolean]("aligned"), r.getAs[Boolean]("kept")) ->
+        r.getAs[Long]("n_pairs")).toMap
+    assert(rows.getOrElse((true, false), 0L) == 0L,
+      s"non-ASCII aligned pair dropped (byte/codepoint mismatch resurfaced): $rows")
+    assert(rows.collect { case ((true, _), c) => c }.sum == 2L)
+  }
+
   test("mm_aspect_bucket: assignment is the nearest-ratio bucket, JVM-checked") {
     val docs = Tables.documents(spark, sf)
     val ladder = Multimodal.AspectBuckets.map { case (w, h) => w * 1000000L / h }
