@@ -378,7 +378,12 @@ object Windows {
       Num.cents(col("value")).as("v"))
     val mu = base.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        expr("sum(v) div count(1)").as("mu_cents"))
+        // FLOOR mean, exactly: Spark's `div` truncates toward zero while the
+        // oracle's DuckDB `//` floors — they diverge when sum(v) < 0 (all-
+        // negative series). Subtracting pmod (non-negative for a positive
+        // divisor) makes the dividend an exact multiple, so `div` == floor
+        // for every sign of sum(v). Same kappa-style shift quality_kappa uses.
+        expr("(sum(v) - pmod(sum(v), count(1))) div count(1)").as("mu_cents"))
     val scored = base.join(broadcast(mu), Seq("event_type"))
       .withColumn("rn", row_number().over(w).cast("long"))
       .withColumn("c", sum(col("v") - col("mu_cents")).over(cum))
@@ -415,14 +420,40 @@ object Windows {
     * SQL, DedupSpec-style equality pinned in OperatorSpec), so a caller
     * chooses by corpus shape: few huge series → this; many small series →
     * the plain form's single window pass is already parallel.
+    *
+    * Skew (round 16): calendar days are NOT uniform on real event streams —
+    * a bursty day (precisely when a monitor wants CUSUM) would drag its
+    * within-chunk window back toward the plain form's per-type ceiling. The
+    * chunk key is therefore HIERARCHICAL: a (type, day) whose row count
+    * exceeds `hourSplitThreshold` splits into per-HOUR sub-chunks (sub = 0
+    * otherwise), decided from a model-sized per-(type, day) count that the
+    * μ aggregate now re-reduces (one corpus exchange serves both). Hour is
+    * monotone in ts within a day, so ordering carry chunks by (day, sub)
+    * preserves the global series order and the prefix algebra is unchanged.
+    * Residual assumption: no single HOUR dominates the corpus — the next
+    * split level (minutes) is the same 3-line pattern if a deployment's
+    * burst profile needs it.
     */
-  def winCusumScalable(events: DataFrame): DataFrame = {
+  def winCusumScalable(events: DataFrame,
+      hourSplitThreshold: Long = 500000L): DataFrame = {
     val base = events.select(col("event_type"), col("ts"), col("event_id"),
-      Num.cents(col("value")).as("v"), to_date(col("ts")).as("day"))
-    val mu = base.groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_events"),
-        expr("sum(v) div count(1)").as("mu_cents"))
-    val wd = Window.partitionBy("event_type", "day").orderBy(col("ts"), col("event_id"))
+      Num.cents(col("value")).as("v"), to_date(col("ts")).as("day"),
+      hour(col("ts")).cast("long").as("hh"))
+    // ONE corpus exchange on (type, day): μ re-reduces it (floor-consistent
+    // mean — see winCusum's mu note), and the split decision reads it
+    // directly. ReuseExchange collapses the two consumers onto one scan.
+    val dayAgg = base.groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_d_rows"), sum(col("v")).as("sum_v_d"))
+    val mu = dayAgg.groupBy(col("event_type"))
+      .agg(sum(col("n_d_rows")).as("n_events"),
+        expr("(sum(sum_v_d) - pmod(sum(sum_v_d), sum(n_d_rows))) div sum(n_d_rows)")
+          .as("mu_cents"))
+    val splitDays = dayAgg.where(col("n_d_rows") > hourSplitThreshold)
+      .select(col("event_type"), col("day"), lit(true).as("hour_split"))
+    val chunked = base.join(broadcast(splitDays), Seq("event_type", "day"), "left")
+      .withColumn("sub", when(col("hour_split"), col("hh")).otherwise(0L))
+    val wd = Window.partitionBy("event_type", "day", "sub")
+      .orderBy(col("ts"), col("event_id"))
     val wdCum = wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // staged: BOTH the carry aggregate and the reassembly join read this
     // frame — unstaged, the within-chunk windows replay twice and the
@@ -431,16 +462,17 @@ object Windows {
     // (SparkOutOfMemoryError acquiring pages); staged (parquet past the
     // auto threshold) each side is a plain scan
     val within = graft.operators.CacheScope.cached(
-      base.join(broadcast(mu), Seq("event_type"))
+      chunked.join(broadcast(mu), Seq("event_type"))
         .withColumn("rn_d", row_number().over(wd).cast("long"))
         .withColumn("c_d", sum(col("v") - col("mu_cents")).over(wdCum))
         .withColumn("runmin_d", min(col("c_d")).over(wdCum))
         .withColumn("runmax_d", max(col("c_d")).over(wdCum)))
-    // the cross-chunk carry: per-(type, day) sums and prefix extrema —
-    // |types| × |days| rows, windowed over days within a type (model-sized)
-    val wDay = Window.partitionBy("event_type").orderBy("day")
+    // the cross-chunk carry: per-(type, day, sub) sums and prefix extrema —
+    // |types| × |chunks| rows, windowed over chunks within a type
+    // (model-sized; (day, sub) order = global ts order, hour monotone in ts)
+    val wDay = Window.partitionBy("event_type").orderBy("day", "sub")
     val prev = wDay.rowsBetween(Window.unboundedPreceding, -1)
-    val carry = within.groupBy(col("event_type"), col("day"))
+    val carry = within.groupBy(col("event_type"), col("day"), col("sub"))
       .agg(count(lit(1)).as("n_d"), sum(col("v") - col("mu_cents")).as("sum_d"),
         min(col("c_d")).as("min_d"), max(col("c_d")).as("max_d"))
       .withColumn("day_offset",
@@ -451,11 +483,11 @@ object Windows {
         min(col("day_offset") + col("min_d")).over(prev))
       .withColumn("prev_max",
         max(col("day_offset") + col("max_d")).over(prev))
-      .select(col("event_type"), col("day"), col("day_offset"),
+      .select(col("event_type"), col("day"), col("sub"), col("day_offset"),
         col("rn_offset"), col("prev_min"), col("prev_max"))
     // also staged: peaks AND the final aggregate both read `scored`
     val scored = graft.operators.CacheScope.cached(
-      within.join(broadcast(carry), Seq("event_type", "day"))
+      within.join(broadcast(carry), Seq("event_type", "day", "sub"))
         .withColumn("rn", col("rn_offset") + col("rn_d"))
         .withColumn("c", col("day_offset") + col("c_d"))
         .withColumn("s_up", col("c") - least(lit(0L),

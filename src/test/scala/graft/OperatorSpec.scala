@@ -660,6 +660,29 @@ class OperatorSpec extends SparkTestBase {
     assert(m.getAs[Long]("peak_down_idx") == 3L)
   }
 
+  test("win_cusum: negative-sum series uses the FLOOR mean (oracle `//` semantics)") {
+    import java.sql.Timestamp
+    // values -1,-1,-2 cents -> sum = -400, n = 3: floor(-400/3) = -134
+    // (DuckDB `//`), while truncation (`div`) would give -133 and shift every
+    // centered value — the divergence ADVICE r15 flagged. Both forms must floor.
+    val ev = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:01:00"), 1L, "t", -1.0, "{}"),
+      (2L, Timestamp.valueOf("2024-01-02 00:02:00"), 1L, "t", -1.0, "{}"),
+      (3L, Timestamp.valueOf("2024-01-03 00:03:00"), 1L, "t", -2.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = graft.operators.Windows.winCusum(ev).collect()
+    assert(r.length == 1 && r.head.getAs[Long]("mu_cents") == -134L,
+      s"mu must floor to -134, got ${r.head.getAs[Long]("mu_cents")}")
+    // y = v - mu = 34,34,-66; C = 34,68,2; s_up peak 68@2, s_dn peak 66@3
+    assert(r.head.getAs[Long]("max_cusum_up") == 68L)
+    assert(r.head.getAs[Long]("peak_up_idx") == 2L)
+    assert(r.head.getAs[Long]("max_cusum_down") == 66L)
+    assert(r.head.getAs[Long]("peak_down_idx") == 3L)
+    val s = graft.operators.Windows.winCusumScalable(ev)
+    val p = graft.operators.Windows.winCusum(ev)
+    assert(p.except(s).isEmpty && s.except(p).isEmpty)
+  }
+
   test("win_cusum_scalable: row-identical to the single-window form") {
     import java.sql.Timestamp
     // multi-day, multi-type series with ties-in-day and a level shift so
@@ -680,6 +703,29 @@ class OperatorSpec extends SparkTestBase {
     val p2 = graft.operators.Windows.winCusum(fx)
     val s2 = graft.operators.Windows.winCusumScalable(fx)
     assert(p2.except(s2).isEmpty && s2.except(p2).isEmpty)
+  }
+
+  test("win_cusum_scalable: a dominant day hour-splits and stays row-identical") {
+    import java.sql.Timestamp
+    // skew fixture: day 1 carries 50% of all rows (a burst — exactly when a
+    // monitor wants CUSUM); with the threshold forced low, day 1 must split
+    // into per-hour sub-chunks while days 2-5 stay whole, and the stitched
+    // result must still equal the plain single-window form exactly
+    val burst = (1 to 100).map { i =>
+      (i.toLong, Timestamp.valueOf(f"2024-01-01 ${i % 24}%02d:${i % 60}%02d:00"),
+        1L, if (i % 2 == 0) "a" else "b", 1.0 + (i % 7), "{}")
+    }
+    val tail = (101 to 200).map { i =>
+      val day = 2 + (i - 101) / 25
+      (i.toLong, Timestamp.valueOf(f"2024-01-0$day 00:${i % 60}%02d:00"),
+        1L, if (i % 2 == 0) "a" else "b", 9.0 + (i % 3), "{}")
+    }
+    val ev = (burst ++ tail)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val plain = graft.operators.Windows.winCusum(ev)
+    val split = graft.operators.Windows.winCusumScalable(ev, hourSplitThreshold = 20L)
+    assert(plain.except(split).isEmpty && split.except(plain).isEmpty,
+      "hour-split chunking must reproduce the single-window CUSUM exactly")
   }
 
   test("BPE: vocabulary with no adjacent pairs stops early instead of crashing") {
