@@ -30,13 +30,20 @@ import org.apache.spark.sql.functions._
   * Dimension tables (region/nation/customer/supplier/part) copy through
   * verbatim — at real scale dims stay broadcast-sized while facts grow.
   *
-  * Usage: runMain graft.ScaleGen <srcDir> <destDir> <copies>
+  * Usage: runMain graft.ScaleGen <srcDir> <destDir> <copies> [tables]
+  * `tables` (optional, comma-separated) restricts generation — a probe
+  * that only reads `documents` shouldn't pay for a 12 GB lineitem. When
+  * restricting, pin SPARK_GRAFT_SHUFFLE_PARTITIONS to the FULL-dir
+  * adaptive value so the measurement protocol stays comparable
+  * (Tuning.adaptiveShufflePartitions keys off dir bytes).
   */
 object ScaleGen {
   private val Stride = 100000000L
 
   def main(args: Array[String]): Unit = {
     val (src, dest, copies) = (args(0), args(1), args(2).toInt)
+    val tables: Option[Set[String]] =
+      if (args.length > 3) Some(args(3).split(",").map(_.trim).toSet) else None
     require(copies >= 1, "copies must be >= 1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
@@ -49,10 +56,11 @@ object ScaleGen {
     spark.sparkContext.setLogLevel("WARN")
 
     def read(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
-    def write(df: DataFrame, name: String, files: Int): Unit = {
-      df.repartition(files).write.mode("overwrite").parquet(s"$dest/$name.parquet")
-      println(s"[scalegen] $name -> $dest/$name.parquet ($files files)")
-    }
+    def write(df: DataFrame, name: String, files: Int): Unit =
+      if (tables.forall(_.contains(name))) {
+        df.repartition(files).write.mode("overwrite").parquet(s"$dest/$name.parquet")
+        println(s"[scalegen] $name -> $dest/$name.parquet ($files files)")
+      }
     def replicated(df: DataFrame, perCopy: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until copies).map(c => perCopy(df, c)).reduce(_ union _)
     def off(c: Int)(cols: String*)(df: DataFrame): DataFrame =

@@ -126,6 +126,18 @@ object CacheScope {
     session.conf.getOption("spark.graft.scratch")
       .getOrElse(System.getProperty("java.io.tmpdir")) + "/graft_staging"
 
+  /** Test-only introspection: the canonicalized plans currently registered
+    * for `session`, LRU order. PlanAuditSpec uses the DELTA across one
+    * operator invocation to pin its registration count — the self-eviction
+    * regression class (an operator registering more frames than `keep`
+    * evicts its own stages and silently recomputes, the 4.6× band-curve
+    * incident in docs/SCALE.md).
+    */
+  private[graft] def registeredKeys(session: SparkSession): Seq[LogicalPlan] =
+    synchronized {
+      Option(live.get(session)).map(_.keys.toSeq).getOrElse(Seq.empty)
+    }
+
   /** Stages `df` (if an equivalent plan isn't already registered) and
     * returns the staged frame; evicts + drops the least-recently registered
     * scoped stages beyond the retention bound.

@@ -74,14 +74,29 @@ object CorpusStats {
 
   /** (shingle, first_doc) — the first-introducer reduction shared by
     * [[textNovelty]] and [[corpusVocabGrowth]]: for every distinct word
-    * 3-gram in the corpus, the smallest doc_id that contains it. One
-    * shingle-keyed MIN aggregate with map-side combine — the same shuffle
-    * class as [[textBoilerplateNgrams]]'s document-frequency table.
+    * 3-gram in the corpus, the smallest doc_id that contains it.
+    *
+    * Plan shape (round 16): shuffle-raw-then-aggregate — the explicit
+    * `repartition(shingle)` puts the exchange BELOW the aggregate, so the
+    * scan side writes shuffle blocks and nothing else. The default
+    * partial+final plan builds a map-side hash map over each scan split's
+    * shingles; shingles are ~unique (vocabulary grows ~linearly with the
+    * corpus), so that map reduces nothing, outgrows execution memory at a
+    * 128 MB text split (~GBs of decoded shingles), and falls back to an
+    * external SORT — the N·log N term measured at 20.7×/decade at x1000
+    * (docs/SCALE.md). Post-exchange, per-reduce-partition state is
+    * CONSTANT across decades (partitions scale with input bytes via
+    * Tuning.adaptiveShufflePartitions), so the reduction stays linear.
+    * This is the opposite call from the prices-grain marts, where the
+    * partial agg's measured 11% reduction beats shipping raw rows
+    * (SCALE.md "shuffle-raw A/B REJECTED") — reduction ratio decides:
+    * ~0.89× keeps the partial agg, ~1.0× (unique keys) drops it.
     */
   private def firstIntroducer(documents: DataFrame): DataFrame =
     Dedup.withTokens(documents, col("doc_id"))
       .select(col("doc_id"), explode_outer(Dedup.shinglesCol(col("toks"))).as("shingle"))
       .where(col("shingle").isNotNull)
+      .repartition(col("shingle"))
       .groupBy(col("shingle")).agg(min(col("doc_id")).as("first_doc"))
 
   /** `text_novelty`: per-document novelty — what fraction of a document's
@@ -95,26 +110,28 @@ object CorpusStats {
     * spec pins. novelty_ppm = n_novel·10⁶ div n_shingles (0 for
     * shingle-less docs), engine-exact.
     *
-    * Scale: the introducer table is vocabulary-sized and both joins are
-    * keyed (shingle, then doc) — no all-pairs, no driver state; the
-    * "seen before" semantics that would naively need a sequential scan
-    * over the corpus is exactly what the MIN reduction parallelizes.
+    * Scale (round 16, the x1000 fix): the r15 form joined the corpus-
+    * scale inverted index back to the introducer table on `shingle` — a
+    * sort-merge of TWO corpus-scaled frames whose N·log N sort term
+    * measured 19.4×/decade at the third decade (docs/SCALE.md). The join
+    * is ELIMINABLE: n_novel(doc) is just the introducer table grouped by
+    * first_doc (a shingle is novel in exactly one document), and
+    * n_shingles(doc) is `size(shingles)` — computed AT THE SCAN, no
+    * explode, no shuffle. What remains is the one irreducible
+    * shingle-keyed MIN aggregate plus two doc-keyed (≈1000× smaller)
+    * aggregates/joins — no corpus-scale frame is ever sorted.
     */
   def textNovelty(documents: DataFrame): DataFrame = {
-    val inv = Dedup.withTokens(documents, col("doc_id"))
-      .select(col("doc_id"), explode_outer(Dedup.shinglesCol(col("toks"))).as("shingle"))
-      .where(col("shingle").isNotNull)
-    val novel = inv.join(firstIntroducer(documents), Seq("shingle"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_shingles"),
-        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
-          .as("n_novel"))
-    documents.select(col("doc_id"))
-      .join(novel, Seq("doc_id"), "left")
+    val perDoc = Dedup.withTokens(documents, col("doc_id"))
       .select(col("doc_id"),
-        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
-        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
-        when(coalesce(col("n_shingles"), lit(0L)) > 0,
+        size(Dedup.shinglesCol(col("toks"))).cast("long").as("n_shingles"))
+    val novel = firstIntroducer(documents)
+      .groupBy(col("first_doc").as("doc_id"))
+      .agg(count(lit(1)).as("n_novel"))
+    perDoc.join(novel, Seq("doc_id"), "left")
+      .withColumn("n_novel", coalesce(col("n_novel"), lit(0L)))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        when(col("n_shingles") > 0,
           expr("n_novel * 1000000 div n_shingles")).otherwise(lit(0L))
           .as("novelty_ppm"))
   }

@@ -49,12 +49,29 @@ object Drift {
     * so `cnt_out = g_cnt − cnt_in` without a second corpus pass.
     */
   private def grid(documents: DataFrame, metric: Column): DataFrame = {
-    val per = documents.select(col("source"), metric.as("v"))
+    // NULL-source docs are excluded up front, in BOTH engines (oracle CTE
+    // mirrors the WHERE): a NULL source isn't a batch a monitor can page
+    // on. Plan-wise this is also what keeps the corpus scan UNIQUE — the
+    // grid's left join would otherwise infer IsNotNull(source) on only the
+    // perVal arm, splitting the canonical exchange and doubling the scan
+    // (PlanAuditSpec pins one scan per statistic).
+    // the v filter is a semantic no-op (every metric coalesces to non-null)
+    // with the same plan purpose: Catalyst can't prove non-null through the
+    // bucket division, so without the explicit constraint the join arm gets
+    // an inferred isnotnull(v) the other arms lack
+    val per = documents.where(col("source").isNotNull)
+      .select(col("source"), metric.as("v"))
+      .where(col("v").isNotNull)
     val perVal = per.groupBy(col("source"), col("v"))
       .agg(count(lit(1)).as("cnt_in"))
-    val vals = per.groupBy(col("v")).agg(count(lit(1)).as("g_cnt"))
-    val srcs = per.groupBy(col("source")).agg(count(lit(1)).as("n_in"))
-    val total = per.agg(count(lit(1)).as("n_total"))
+    // vals/srcs/total RE-REDUCE perVal instead of re-aggregating `per`: the
+    // four identical corpus-side exchanges canonicalize onto ONE, so
+    // ReuseExchange leaves a single documents scan in the plan (pinned by
+    // PlanAuditSpec). The r15 form aggregated `per` four separate times —
+    // four corpus scans for one statistic.
+    val vals = perVal.groupBy(col("v")).agg(sum(col("cnt_in")).as("g_cnt"))
+    val srcs = perVal.groupBy(col("source")).agg(sum(col("cnt_in")).as("n_in"))
+    val total = vals.agg(sum(col("g_cnt")).as("n_total"))
     srcs.crossJoin(broadcast(total))
       .withColumn("n_out", col("n_total") - col("n_in"))
       .crossJoin(broadcast(vals))
@@ -147,7 +164,10 @@ object Drift {
     */
   private def gridSql(metricSql: String): String =
     s"""per AS (
-       |  SELECT source, $metricSql AS v FROM documents),
+       |  SELECT * FROM (
+       |    SELECT source, $metricSql AS v FROM documents
+       |    WHERE source IS NOT NULL)
+       |  WHERE v IS NOT NULL),
        |perval AS (
        |  SELECT source, v, COUNT(*) AS cnt_in FROM per GROUP BY 1, 2),
        |vals AS (SELECT v, COUNT(*) AS g_cnt FROM per GROUP BY 1),

@@ -437,6 +437,68 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("drift monitors read the documents corpus EXACTLY once per statistic") {
+    // the grid's vals/srcs/total re-reduce the (source, v) aggregate rather
+    // than re-aggregating the corpus: all four corpus-side exchanges
+    // canonicalize onto one, ReuseExchange leaves ONE documents scan. The
+    // r15 form planned FOUR scans — this pin is the one-corpus-pass claim
+    // in Drift's scaladoc, made structural.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    withoutAqe {
+      val targets: Seq[(String, DataFrame)] = Seq(
+        "drift_ks" -> graft.operators.Drift.driftKs(Tables.documents(spark, sf)),
+        "drift_chi2" -> graft.operators.Drift.driftChi2(Tables.documents(spark, sf)),
+        "drift_tv" -> graft.operators.Drift.driftTv(Tables.documents(spark, sf)))
+      targets.foreach { case (name, df) =>
+        val scans = df.queryExecution.executedPlan.collect {
+          case f: FileSourceScanExec => f
+        }
+        assert(scans.size == 1,
+          s"$name reads the corpus ${scans.size} times (expected 1 — the " +
+            s"other consumers must ReuseExchange the grid aggregate):\n" +
+            df.queryExecution.executedPlan)
+      }
+    }
+  }
+
+  test("win_cusum_scalable registers exactly its 2 staged frames (within, scored)") {
+    // the x1000 OOM regression class (SCALE.md): unstaged, the within-chunk
+    // windows replay and the reassembly sort-merges two live window
+    // pipelines. Pin BOTH directions: exactly 2 CacheScope registrations
+    // (more would self-evict under keep=4 when composed), and the final
+    // plan reads the `scored` stage via InMemoryTableScan twice (peaks +
+    // final aggregate) instead of recomputing it.
+    import graft.operators.CacheScope
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    withoutAqe {
+      val before = CacheScope.registeredKeys(spark).toSet
+      val df = graft.operators.Windows.winCusumScalable(Tables.events(spark, sf))
+      val added = CacheScope.registeredKeys(spark).toSet -- before
+      assert(added.size == 2,
+        s"winCusumScalable registered ${added.size} staged frames, expected 2")
+      val scans = df.queryExecution.executedPlan.collect {
+        case s: InMemoryTableScanExec => s
+      }
+      assert(scans.size == 2,
+        s"expected the scored stage read twice via InMemoryTableScan, got " +
+          s"${scans.size}:\n${df.queryExecution.executedPlan}")
+    }
+  }
+
+  test("dedup_band_curve registers exactly its 2 shared stages (truth, signatures)") {
+    // the 4.6x self-eviction incident (SCALE.md): the first cut registered
+    // 5 frames against keep=4 and silently recomputed its own shingle
+    // chain. Folded to truth + signatures; this pin fails if a refactor
+    // grows registrations past the retention bound again.
+    import graft.operators.CacheScope
+    val before = CacheScope.registeredKeys(spark).toSet
+    graft.operators.Dedup.dedupBandCurve(Tables.documents(spark, sf))
+    val added = CacheScope.registeredKeys(spark).toSet -- before
+    assert(added.size == 2,
+      s"dedupBandCurve registered ${added.size} staged frames, expected 2 " +
+        "(truth + signatures; >4 self-evicts under the default keep)")
+  }
+
   test("dedup_embedding_lsh self-join legs canonicalize onto ONE banded exchange") {
     // regression pin for the round-13 staging lesson (SCALE.md): the wide
     // banded self-join's two legs are the same subplan and MUST plan as
