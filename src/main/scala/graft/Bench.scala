@@ -245,9 +245,10 @@ object Bench {
     // each round's close from an idle-host run).
     val refPath = sys.env.get("SPARK_GRAFT_BENCH_REF")
       .getOrElse("BENCH_REF.json")
-    val (flaggedFamilies, familyReruns, refStaleHigh, refMissing) = {
+    val (flaggedFamilies, familyReruns, refStaleHigh, refMissing, refSlow) = {
       val f = new java.io.File(refPath)
-      if (!f.isFile) (Seq.empty[String], "{}", Seq.empty[String], Seq.empty[String])
+      if (!f.isFile) (Seq.empty[String], "{}", Seq.empty[String],
+        Seq.empty[String], Seq.empty[String])
       else try {
         val ref = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
         def refMap(field: String): Map[String, Double] = {
@@ -297,12 +298,26 @@ object Bench {
         val missing = results.collect {
           case (k, _) if refQ.get(k).forall(_ <= 0.0) => k
         }.sorted
-        (flagged, reruns, staleHigh, missing)
+        //  - SLOW-VS-REF (round 16): the direction the judge computed by
+        //    hand each round — today's median > 2x the reference row with a
+        //    non-trivial absolute excess. Surfacing it in-band makes the
+        //    >2x set a machine-readable worklist for the isolated-floor
+        //    instrument (scripts/floor_flagged.sh) instead of per-round
+        //    verdict litigation.
+        val slowVsRef = results.toSeq.flatMap { case (k, t) =>
+          (refQ.get(k), t.med) match {
+            case (Some(r), Some(m)) if r > 0 && m / r > 2.0 && m - r > 0.1 => Some(k)
+            case _ => None
+          }
+        }.sorted
+        (flagged, reruns, staleHigh, missing, slowVsRef)
       } catch { case _: Throwable =>
-        (Seq.empty[String], "{}", Seq.empty[String], Seq.empty[String]) }
+        (Seq.empty[String], "{}", Seq.empty[String], Seq.empty[String],
+          Seq.empty[String]) }
     }
     val staleHighJson = refStaleHigh.map("\"" + _ + "\"").mkString("[", ",", "]")
     val refMissingJson = refMissing.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val refSlowJson = refSlow.map("\"" + _ + "\"").mkString("[", ",", "]")
     val flaggedJson = flaggedFamilies.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
       s"""{"metric":"total","value":$warmTotal,"unit":"sec","warm_iters":$warmIters,""" +
@@ -316,6 +331,7 @@ object Bench {
         s""""family_cpu":${fmap(_.cpuMed)},""" +
         s""""flagged_families":$flaggedJson,"family_reruns":$familyReruns,""" +
         s""""ref_stale_high":$staleHighJson,"ref_missing":$refMissingJson,""" +
+        s""""ref_slow":$refSlowJson,""" +
         s""""errors":$errJson,"loadavg_end":"$loadAvg","scratch":"$scratchPath","sf":"$sfDir"}"""
     // full per-query timings go to a file; stdout gets a COMPACT line.
     // The driver keeps only the last ~2000 chars of stdout, and the full
