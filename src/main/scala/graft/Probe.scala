@@ -236,6 +236,57 @@ object Probe {
       spark.stop(); return
     }
 
+    // first-introducer A/B (round 16): the r15 text_novelty joined the
+    // corpus-scale inverted index back to the introducer table (SMJ of two
+    // corpus frames); the rewrite derives n_novel from the introducer table
+    // alone (groupBy first_doc) and n_shingles at the scan. Cross-session
+    // x100 readings are ±50% (GC-dominated), so the claim needs a same-JVM
+    // interleaved A/B: SPARK_GRAFT_PROBE_NOVELTY=<dir>[,dir...] runs OLD
+    // (join) vs NEW (registry) x3 each, checksum action, per-dir.
+    if (sys.env.contains("SPARK_GRAFT_PROBE_NOVELTY")) {
+      import org.apache.spark.sql.DataFrame
+      def oldNovelty(documents: DataFrame): DataFrame = {
+        // the r15 shape, verbatim (operators/CorpusStats.scala @ r15; the
+        // withTokens/shinglesCol helpers are operators-private, inlined)
+        val inv = documents
+          .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+          .select(col("doc_id"), explode_outer(coalesce(
+            graft.functions.WordShingles.word_shingles(col("toks"), 3),
+            array().cast("array<string>"))).as("shingle"))
+          .where(col("shingle").isNotNull)
+        val fi = inv.groupBy(col("shingle")).agg(min(col("doc_id")).as("first_doc"))
+        val novel = inv.join(fi, Seq("shingle"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+        documents.select(col("doc_id"))
+          .join(novel, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+            coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+            when(coalesce(col("n_shingles"), lit(0L)) > 0,
+              expr("n_novel * 1000000 div n_shingles")).otherwise(lit(0L))
+              .as("novelty_ppm"))
+      }
+      def checksum(df: DataFrame): Long = df.select(
+          (xxhash64(df.columns.map(col): _*) % 1000003L).as("h"))
+        .agg(sum("h")).collect()(0).getLong(0)
+      val dirs = sys.env("SPARK_GRAFT_PROBE_NOVELTY").split(",").map(_.trim)
+      dirs.foreach { d =>
+        spark.conf.set("spark.sql.shuffle.partitions",
+          sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS",
+            Tuning.adaptiveShufflePartitions(d, 32).toString))
+        val docs = graft.sources.Tables.documents(spark, d)
+        (1 to 3).foreach { r =>
+          time(s"novelty-OLD-join@${new java.io.File(d).getName}-r$r", iters = 1)(
+            checksum(oldNovelty(docs)))
+          time(s"novelty-NEW-joinfree@${new java.io.File(d).getName}-r$r", iters = 1)(
+            checksum(graft.operators.CorpusStats.textNovelty(docs)))
+        }
+      }
+      spark.stop(); return
+    }
+
     // simhash_fast pair-volume diagnostic: is the x300 slope candidates or constants?
     if (sys.env.contains("SPARK_GRAFT_PROBE_SIMHASH")) {
       val docsS = graft.sources.Tables.documents(spark, sfDir)

@@ -76,28 +76,36 @@ object CorpusStats {
     * [[textNovelty]] and [[corpusVocabGrowth]]: for every distinct word
     * 3-gram in the corpus, the smallest doc_id that contains it.
     *
-    * Plan shape (round 16): shuffle-raw-then-aggregate — the explicit
-    * `repartition(shingle)` puts the exchange BELOW the aggregate, so the
-    * scan side writes shuffle blocks and nothing else. The default
-    * partial+final plan builds a map-side hash map over each scan split's
-    * shingles; shingles are ~unique (vocabulary grows ~linearly with the
-    * corpus), so that map reduces nothing, outgrows execution memory at a
-    * 128 MB text split (~GBs of decoded shingles), and falls back to an
-    * external SORT — the N·log N term measured at 20.7×/decade at x1000
-    * (docs/SCALE.md). Post-exchange, per-reduce-partition state is
-    * CONSTANT across decades (partitions scale with input bytes via
-    * Tuning.adaptiveShufflePartitions), so the reduction stays linear.
-    * This is the opposite call from the prices-grain marts, where the
-    * partial agg's measured 11% reduction beats shipping raw rows
-    * (SCALE.md "shuffle-raw A/B REJECTED") — reduction ratio decides:
-    * ~0.89× keeps the partial agg, ~1.0× (unique keys) drops it.
+    * Plan shape: the default partial+final aggregate, KEPT on a measured
+    * A/B (round 16): shingle document-frequency is Zipfian — the head
+    * repeats heavily within any scan split — so the map-side combine
+    * reduces ~50:1 on this corpus shape, and a shuffle-raw rewrite
+    * (explicit repartition(shingle) below the aggregate, tried on the
+    * "unique keys → useless partial agg" theory) measured 3.4–4×
+    * MORE cpu at x100 (192–231 s vs ~56 s, control-query-normalized)
+    * because it shipped every raw shingle instance through the exchange.
+    * Same verdict as the prices-grain shuffle-raw A/B (docs/SCALE.md):
+    * measure the reduction ratio before dropping a partial aggregate.
+    *
+    * The third-decade fix is LOCALITY, not plan surgery: documents are
+    * range-repartitioned by doc_id before the explode, so each task's
+    * partial-agg map covers a CONTIGUOUS id slice — neighboring documents
+    * share vocabulary (same crawl batch here; same copy in ScaleGen's
+    * replicas), so the per-task distinct-key set stays bounded and the map
+    * never overflows into the external-sort path. Without it, a 128 MB
+    * scan split packs ~hundreds of small files from unrelated id ranges
+    * and the map spills (measured 34 GB memory-spill at x1000, the
+    * 20×/decade term); the extra exchange ships raw TEXT bytes — ~10× less
+    * than the shingle rows it saves from the sorter. Partition count =
+    * the session's shuffle partitions (input-proportional via Tuning).
     */
-  private def firstIntroducer(documents: DataFrame): DataFrame =
-    Dedup.withTokens(documents, col("doc_id"))
+  private def firstIntroducer(documents: DataFrame): DataFrame = {
+    val p = documents.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    Dedup.withTokens(documents.repartitionByRange(p, col("doc_id")), col("doc_id"))
       .select(col("doc_id"), explode_outer(Dedup.shinglesCol(col("toks"))).as("shingle"))
       .where(col("shingle").isNotNull)
-      .repartition(col("shingle"))
       .groupBy(col("shingle")).agg(min(col("doc_id")).as("first_doc"))
+  }
 
   /** `text_novelty`: per-document novelty — what fraction of a document's
     * 3-gram shingles had never appeared in any EARLIER document (by doc_id
@@ -151,10 +159,16 @@ object CorpusStats {
     val spark = documents.sparkSession
     import spark.implicits._
     val mx = documents.agg(max(col("doc_id")).as("max_id"))
+    // reduce the vocabulary-scale introducer table to per-first_doc counts
+    // BEFORE the broadcast crossJoin: the 1-row max_id join plans as a
+    // BroadcastNestedLoopJoin, which caps whole-stage codegen around it —
+    // cheap on |docs| rows, measurable on |vocabulary| rows (~13× more)
     val perDecile = firstIntroducer(documents)
+      .groupBy(col("first_doc")).agg(count(lit(1)).as("n_new"))
       .crossJoin(broadcast(mx))
-      .select(least(lit(9L), expr("first_doc * 10 div (max_id + 1)")).as("decile"))
-      .groupBy(col("decile")).agg(count(lit(1)).as("new_shingles"))
+      .select(least(lit(9L), expr("first_doc * 10 div (max_id + 1)")).as("decile"),
+        col("n_new"))
+      .groupBy(col("decile")).agg(sum(col("n_new")).as("new_shingles"))
     val w = org.apache.spark.sql.expressions.Window.orderBy("decile")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     (0L to 9L).toDF("decile")
