@@ -35,20 +35,32 @@ object SetOps {
 
   /** `union_all_rollup` (fct_fda_recalls_by_topic.sql:73-109): per-group
     * aggregates UNION ALL hand-built rollup rows.
+    *
+    * Plan (round 16): the corpus is aggregated ONCE to the per-priority
+    * (count, cents) base; the "Urgent (Any)" and "All" rollup rows
+    * RE-REDUCE that 5-row frame — exact integer cents, so re-summing
+    * groups equals summing the corpus directly. The urgent slice uses a
+    * conditional aggregate (`sum(when(...))`, NOT a where): a filter on
+    * the grouping column would push below the aggregate into that arm's
+    * scan and split the canonical exchange, re-scanning the corpus —
+    * the same inferred/pushed-predicate asymmetry the drift grid pins.
+    * All three UNION ALL legs therefore share one exchange + one scan
+    * (the r15 form scanned `orders` three times).
     */
   def unionAllRollup(orders: DataFrame): DataFrame = {
     val cents = Num.cents(col("o_totalprice"))
-    val perPriority = orders.groupBy(col("o_orderpriority").as("priority_group"))
-      .agg(count(lit(1)).as("order_count"),
-        Num.dollars(sum(cents)).as("total_sales"))
-    val urgentAny = orders
-      .where(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
-      .agg(count(lit(1)).as("order_count"),
-        Num.dollars(sum(cents)).as("total_sales"))
+    val base = orders.groupBy(col("o_orderpriority").as("priority_group"))
+      .agg(count(lit(1)).as("n"), sum(cents).as("c"))
+    val urgent = col("priority_group").isin("1-URGENT", "2-HIGH")
+    val perPriority = base.select(col("priority_group"),
+      col("n").as("order_count"), Num.dollars(col("c")).as("total_sales"))
+    val urgentAny = base
+      .agg(coalesce(sum(when(urgent, col("n"))), lit(0L)).as("order_count"),
+        Num.dollars(sum(when(urgent, col("c")))).as("total_sales"))
       .withColumn("priority_group", lit("Urgent (Any)"))
-    val allRow = orders
-      .agg(count(lit(1)).as("order_count"),
-        Num.dollars(sum(cents)).as("total_sales"))
+    val allRow = base
+      .agg(coalesce(sum(col("n")), lit(0L)).as("order_count"),
+        Num.dollars(sum(col("c"))).as("total_sales"))
       .withColumn("priority_group", lit("All"))
     perPriority
       .unionByName(urgentAny.select("priority_group", "order_count", "total_sales"))

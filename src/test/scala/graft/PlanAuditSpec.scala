@@ -461,6 +461,22 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("union_all_rollup reads orders EXACTLY once (rollup rows re-reduce the base)") {
+    // the r15 form scanned orders three times (per-priority, urgent slice,
+    // all-row); the rollup legs now re-reduce the 5-row base aggregate and
+    // the urgent slice is a conditional aggregate, not a pushable filter
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    withoutAqe {
+      val df = graft.operators.SetOps.unionAllRollup(Tables.orders(spark, sf))
+      val scans = df.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec => f
+      }
+      assert(scans.size == 1,
+        s"union_all_rollup reads orders ${scans.size} times (expected 1):\n" +
+          df.queryExecution.executedPlan)
+    }
+  }
+
   test("win_cusum_scalable registers exactly its 2 staged frames (within, scored)") {
     // the x1000 OOM regression class (SCALE.md): unstaged, the within-chunk
     // windows replay and the reassembly sort-merges two live window
