@@ -82,23 +82,34 @@ copy("orders", f"""
 
 # events: ids/user ids keep; type re-draws from the SAME 5-value set, value
 # and props re-draw, ts jitters +/-45 s (sub-minute: day/session structure
-# and the ts~event_id ordering stay recognizable, values all move)
+# and the ts~event_id ordering stay recognizable, values all move). Values
+# are heavy-tailed: ~0.5% of events draw a 10-100x value — the planted
+# outlier population MAD-class monitors exist to find (a uniform redraw
+# leaves |v - med| <= 3 MAD everywhere and vacuates outlier_mad).
 copy("events", f"""
   SELECT event_id,
          ts + INTERVAL (CAST({h('ets', 'event_id')} % 91 AS BIGINT) - 45) SECOND AS ts,
          user_id,
          ['click','signup','error','view','purchase'][CAST(1 + {h('ety', 'event_id')} % 5 AS INT)] AS event_type,
-         ROUND(({h('ev', 'event_id')} % 2000) / 100.0, 2) AS value,
+         CASE WHEN {h('eo', 'event_id')} % 1000 < 5
+              THEN ROUND(200.0 + ({h('ev', 'event_id')} % 180000) / 100.0, 2)
+              ELSE ROUND(({h('ev', 'event_id')} % 2000) / 100.0, 2) END AS value,
          '{{"k": ' || CAST({h('ek', 'event_id')} % 100 AS VARCHAR) || '}}' AS props
   FROM {rp('events')}""")
 
 # documents: texts REBUILD word-by-word from the original corpus vocabulary
-# (same token universe -> langid/stopword/quality operators stay in-domain;
-# chance shingle overlap under a small vocab recreates near-dup structure
-# with different members). Per-doc length keeps the original distribution;
-# lang re-draws with the original marginals; source stays doc_id % 20 (the
-# drift-split contract).
-copy("documents", f"""
+# (same token universe -> langid/stopword/quality operators stay in-domain).
+# Per-doc length keeps the original distribution; lang re-draws with the
+# original marginals; source stays doc_id % 20 (the drift-split contract).
+# Near-dup structure is then PLANTED under the new seed — the first cut
+# re-drew every word independently, which left ZERO near-duplicate pairs
+# and vacuated the whole dedup family (0-row guard caught it): ~1 in 8
+# docs becomes a copy of a nearby donor — "tight" (one word changed,
+# Jaccard ~0.97), "loose" (every 25th word changed, ~0.8), or a
+# containment prefix (first half of the donor) — donors 1-17 ids away, so
+# pairs cross the source = doc_id % 20 boundary too (dedup_cross_source).
+con.execute(f"""
+  CREATE TEMP TABLE built AS
   WITH vocab AS (
     SELECT list(DISTINCT w) AS vl
     FROM (SELECT unnest(string_split(text, ' ')) AS w FROM {rp('documents')})
@@ -108,17 +119,49 @@ copy("documents", f"""
       SELECT lang FROM {rp('documents')} GROUP BY 1)),
   base AS (
     SELECT doc_id, len(string_split(text, ' ')) AS n_words, source
-    FROM {rp('documents')}),
-  built AS (
-    SELECT b.doc_id,
-           array_to_string(list_transform(range(0, b.n_words), j ->
-             v.vl[CAST(1 + hash('{seed}|w|' || CAST(b.doc_id AS VARCHAR)
-                  || '|' || CAST(j AS VARCHAR)) % len(v.vl) AS BIGINT)]), ' ') AS text,
-           l.ll[CAST(1 + {h('lg', 'b.doc_id')} % len(l.ll) AS BIGINT)] AS lang,
-           b.source
-    FROM base b, vocab v, langs l)
+    FROM {rp('documents')})
+  SELECT b.doc_id,
+         array_to_string(list_transform(range(0, b.n_words), j ->
+           v.vl[CAST(1 + hash('{seed}|w|' || CAST(b.doc_id AS VARCHAR)
+                || '|' || CAST(j AS VARCHAR)) % len(v.vl) AS BIGINT)]), ' ') AS text,
+         l.ll[CAST(1 + {h('lg', 'b.doc_id')} % len(l.ll) AS BIGINT)] AS lang,
+         b.source,
+         v.vl AS vl
+  FROM base b, vocab v, langs l""")
+copy("documents", f"""
+  WITH marked AS (
+    SELECT doc_id, text, lang, source, vl,
+           doc_id >= 20 AND {h('dup', 'doc_id')} % 8 = 0 AS is_dup,
+           doc_id - (1 + CAST({h('don', 'doc_id')} % 17 AS BIGINT)) AS donor_id,
+           CAST({h('knd', 'doc_id')} % 3 AS BIGINT) AS kind
+    FROM built),
+  dupped AS (
+    SELECT m.doc_id,
+           CASE
+             WHEN m.is_dup AND m.kind = 0 THEN
+               -- tight copy: donor with word 1 re-drawn
+               array_to_string(list_transform(
+                 range(1, len(string_split(d.text, ' ')) + 1), j ->
+                   CASE WHEN j = 1 THEN m.vl[CAST(1 + {h('tw', 'm.doc_id')}
+                        % len(m.vl) AS BIGINT)]
+                        ELSE string_split(d.text, ' ')[j] END), ' ')
+             WHEN m.is_dup AND m.kind = 1 THEN
+               -- loose copy: donor with every 25th word re-drawn
+               array_to_string(list_transform(
+                 range(1, len(string_split(d.text, ' ')) + 1), j ->
+                   CASE WHEN j % 25 = 3 THEN m.vl[CAST(1 + hash('{seed}|lw|'
+                        || CAST(m.doc_id AS VARCHAR) || '|' || CAST(j AS VARCHAR))
+                        % len(m.vl) AS BIGINT)]
+                        ELSE string_split(d.text, ' ')[j] END), ' ')
+             WHEN m.is_dup THEN
+               -- containment: the donor's first half
+               array_to_string(string_split(d.text, ' ')[1 :
+                 greatest(len(string_split(d.text, ' ')) // 2, 3)], ' ')
+             ELSE m.text END AS text,
+           m.lang, m.source
+    FROM marked m LEFT JOIN built d ON d.doc_id = m.donor_id)
   SELECT doc_id, text, lang, source, CAST(length(text) AS BIGINT) AS n_chars
-  FROM built""")
+  FROM dupped""")
 
 # embeddings: full re-draw in [-0.2, 0.2] per dim (the original's scale),
 # labels re-draw 0..9
