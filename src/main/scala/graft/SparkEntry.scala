@@ -410,6 +410,9 @@ object SparkEntry {
     // temporal drift: batch-over-batch TV via watermarked day histograms
     "stream_drift_endstate" -> ((s, d) =>
       graft.streaming.StreamDrift.streamDriftEndstate(s, d)),
+    // daily-grain CUSUM change points over watermarked day aggregates
+    "stream_cusum_endstate" -> ((s, d) =>
+      graft.streaming.StreamCusum.streamCusumEndstate(s, d)),
     // round-2 mart compositions (VERDICT.md Missing #1)
     "fct_sales_by_county" -> ((s, d) => graft.models.Marts.fctSalesByCounty(
       graft.models.Marts.sales(Tables.lineitem(s, d), Tables.orders(s, d), Tables.customer(s, d),
@@ -513,5 +516,6 @@ object SparkEntry {
       graft.streaming.StreamEnrich.oracles ++ graft.streaming.StreamJoin.oracles ++
       graft.streaming.StreamModelFilter.oracles ++
       graft.streaming.StreamDrift.oracles ++
+      graft.streaming.StreamCusum.oracles ++
       graft.models.ModelAdapters.oracles
 }
