@@ -37,9 +37,13 @@ fi
 echo "floor_flagged: running 20-iteration isolated floors for: $queries"
 
 # the floor run overwrites BENCH.json (Bench's fixed output path); preserve
-# the caller's full-suite artifact so record_ref.py can still promote it
+# the caller's full-suite artifact so record_ref.py can still promote it.
+# Restore via EXIT trap: under `set -e` a failed sbt/merge step would
+# otherwise skip a trailing mv and leave BENCH.json overwritten with the
+# floor run's partial output (ADVICE r16).
 full_bench=$(mktemp)
 cp BENCH.json "$full_bench" 2>/dev/null || full_bench=""
+trap '[ -n "$full_bench" ] && [ -f "$full_bench" ] && mv "$full_bench" BENCH.json' EXIT
 
 SPARK_GRAFT_SF_DIR="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}" \
   SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
@@ -63,7 +67,5 @@ print(f"floor_flagged: {art} now floors "
       + ", ".join(f"{q}={v:.3f}" for q, v in sorted(run["queries"].items())))
 EOF
 
-if [ -n "$full_bench" ]; then
-  mv "$full_bench" BENCH.json
-fi
+# BENCH.json restore happens in the EXIT trap (success and failure paths).
 

@@ -359,7 +359,8 @@ object Windows {
     * re-expressed so the textbook RECURSION S_i = max(0, S_{i-1} + y_i)
     * becomes window algebra: S_up_i = C_i − min_{j≤i} C_j and
     * S_dn_i = max_{j≤i} C_j − C_i where C is the running sum of centered
-    * values y = cents(value) − μ (μ = the series' floor-mean in cents) —
+    * values y = cents(value) − μ (μ = the series' integer mean in cents,
+    * truncated toward zero like DuckDB `//`) —
     * cumulative sum plus running extrema, both partitioned windows, no
     * sequential state. The report per event type: the largest upward and
     * downward excursions and the ORDINAL POSITION where each peaks — the
@@ -367,7 +368,7 @@ object Windows {
     * level shifted around event #N"). Peak positions tie-break to the
     * EARLIEST row via a tiny self-join on the per-type maxima (portable;
     * arg_max's tie order is unspecified in both engines). Exact integers
-    * throughout: cents quantization ([[Num.cents]]), floor-mean, long
+    * throughout: cents quantization ([[Num.cents]]), truncated mean, long
     * sums (at 10¹⁰⁺-row series a deployment widens C to decimal — the
     * magnitude note every cumsum operator here carries).
     */
@@ -378,12 +379,12 @@ object Windows {
       Num.cents(col("value")).as("v"))
     val mu = base.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        // FLOOR mean, exactly: Spark's `div` truncates toward zero while the
-        // oracle's DuckDB `//` floors — they diverge when sum(v) < 0 (all-
-        // negative series). Subtracting pmod (non-negative for a positive
-        // divisor) makes the dividend an exact multiple, so `div` == floor
-        // for every sign of sum(v). Same kappa-style shift quality_kappa uses.
-        expr("(sum(v) - pmod(sum(v), count(1))) div count(1)").as("mu_cents"))
+        // TRUNCATED mean, exactly: DuckDB 1.0.0's `//` truncates toward zero
+        // (verified: -400//3 = -133), same as Spark's `div` — so plain `div`
+        // is bit-exact with the oracle's SUM(v) // COUNT(*) for EVERY sign of
+        // sum(v). (r16 briefly shipped a pmod floor shift here on the wrong
+        // belief that `//` floors; ADVICE r16 caught the divergence.)
+        expr("sum(v) div count(1)").as("mu_cents"))
     val scored = base.join(broadcast(mu), Seq("event_type"))
       .withColumn("rn", row_number().over(w).cast("long"))
       .withColumn("c", sum(col("v") - col("mu_cents")).over(cum))
@@ -446,8 +447,7 @@ object Windows {
       .agg(count(lit(1)).as("n_d_rows"), sum(col("v")).as("sum_v_d"))
     val mu = dayAgg.groupBy(col("event_type"))
       .agg(sum(col("n_d_rows")).as("n_events"),
-        expr("(sum(sum_v_d) - pmod(sum(sum_v_d), sum(n_d_rows))) div sum(n_d_rows)")
-          .as("mu_cents"))
+        expr("sum(sum_v_d) div sum(n_d_rows)").as("mu_cents"))
     val splitDays = dayAgg.where(col("n_d_rows") > hourSplitThreshold)
       .select(col("event_type"), col("day"), lit(true).as("hour_split"))
     val chunked = base.join(broadcast(splitDays), Seq("event_type", "day"), "left")

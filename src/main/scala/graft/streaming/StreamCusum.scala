@@ -20,8 +20,8 @@ import org.apache.spark.sql.streaming.Trigger
   * running extrema over the per-day series, the parallel-prefix algebra of
   * winCusum) is computed BATCH-side over closed windows — statistics over
   * closed windows never belong in streaming state. Exact integers
-  * throughout: day sums in cents, the pmod-shifted FLOOR mean (winCusum's
-  * mu note), long cumsums.
+  * throughout: day sums in cents, the truncated `div` mean (bit-exact with
+  * DuckDB `//` — winCusum's mu note), long cumsums.
   */
 object StreamCusum {
 
@@ -84,7 +84,7 @@ object StreamCusum {
 
     // batch-side CUSUM over the closed per-(type, day) series — the
     // winCusum window algebra at daily grain (running sum + running
-    // extrema, virtual C_0 = 0 in the extrema, floor mean, earliest-peak
+    // extrema, virtual C_0 = 0 in the extrema, truncated mean, earliest-peak
     // tie-break via the broadcast peaks self-join)
     val series = spark.read.parquet(outDir)
       .where(col("event_type") =!= "__sentinel")
@@ -92,8 +92,7 @@ object StreamCusum {
         col("n_d"), col("v_d"))
     val mu = series.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_days"), sum(col("n_d")).as("n_events"),
-        expr("(sum(v_d) - pmod(sum(v_d), count(1))) div count(1)")
-          .as("mu_day_cents"))
+        expr("sum(v_d) div count(1)").as("mu_day_cents"))
     val w = Window.partitionBy("event_type").orderBy("day")
     val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val scored = series.join(broadcast(mu), Seq("event_type"))

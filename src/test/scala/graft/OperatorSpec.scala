@@ -660,23 +660,26 @@ class OperatorSpec extends SparkTestBase {
     assert(m.getAs[Long]("peak_down_idx") == 3L)
   }
 
-  test("win_cusum: negative-sum series uses the FLOOR mean (oracle `//` semantics)") {
+  test("win_cusum: negative-sum series uses the TRUNCATED mean (oracle `//` semantics)") {
     import java.sql.Timestamp
-    // values -1,-1,-2 cents -> sum = -400, n = 3: floor(-400/3) = -134
-    // (DuckDB `//`), while truncation (`div`) would give -133 and shift every
-    // centered value — the divergence ADVICE r15 flagged. Both forms must floor.
+    // values -1,-1,-2 cents -> sum = -400, n = 3. DuckDB 1.0.0 `//` TRUNCATES
+    // toward zero: -400//3 = -133 (verified against the oracle engine itself —
+    // scripts/oracle_div_check.py pins it in CI fashion). Spark's plain `div`
+    // truncates identically, so the engine must yield -133 here; a FLOOR mean
+    // (-134) would shift every centered value and diverge from the oracle
+    // (the r16 pmod shift made exactly that mistake — ADVICE r16).
     val ev = Seq(
       (1L, Timestamp.valueOf("2024-01-01 00:01:00"), 1L, "t", -1.0, "{}"),
       (2L, Timestamp.valueOf("2024-01-02 00:02:00"), 1L, "t", -1.0, "{}"),
       (3L, Timestamp.valueOf("2024-01-03 00:03:00"), 1L, "t", -2.0, "{}"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
     val r = graft.operators.Windows.winCusum(ev).collect()
-    assert(r.length == 1 && r.head.getAs[Long]("mu_cents") == -134L,
-      s"mu must floor to -134, got ${r.head.getAs[Long]("mu_cents")}")
-    // y = v - mu = 34,34,-66; C = 34,68,2; s_up peak 68@2, s_dn peak 66@3
-    assert(r.head.getAs[Long]("max_cusum_up") == 68L)
+    assert(r.length == 1 && r.head.getAs[Long]("mu_cents") == -133L,
+      s"mu must truncate to -133 (DuckDB // semantics), got ${r.head.getAs[Long]("mu_cents")}")
+    // y = v - mu = 33,33,-67; C = 33,66,-1; s_up peak 66@2, s_dn peak 67@3
+    assert(r.head.getAs[Long]("max_cusum_up") == 66L)
     assert(r.head.getAs[Long]("peak_up_idx") == 2L)
-    assert(r.head.getAs[Long]("max_cusum_down") == 66L)
+    assert(r.head.getAs[Long]("max_cusum_down") == 67L)
     assert(r.head.getAs[Long]("peak_down_idx") == 3L)
     val s = graft.operators.Windows.winCusumScalable(ev)
     val p = graft.operators.Windows.winCusum(ev)

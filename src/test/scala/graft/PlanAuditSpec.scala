@@ -486,10 +486,16 @@ class PlanAuditSpec extends SparkTestBase {
     // final aggregate) instead of recomputing it.
     import graft.operators.CacheScope
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
-    withoutAqe {
-      val before = CacheScope.registeredKeys(spark).toSet
-      val df = graft.operators.Windows.winCusumScalable(Tables.events(spark, sf))
-      val added = CacheScope.registeredKeys(spark).toSet -- before
+    // Fresh session: CacheScope registries are per-session, and re-invoking
+    // an operator whose canonical plans are already registered is a
+    // documented no-op — a sibling test registering the same frames first
+    // would make `added` read 0 here (ADVICE r16's order-dependence).
+    val sess = spark.newSession()
+    sess.conf.set("spark.sql.adaptive.enabled", "false") // conf is per-session
+    locally {
+      val before = CacheScope.registeredKeys(sess).toSet
+      val df = graft.operators.Windows.winCusumScalable(Tables.events(sess, sf))
+      val added = CacheScope.registeredKeys(sess).toSet -- before
       assert(added.size == 2,
         s"winCusumScalable registered ${added.size} staged frames, expected 2")
       val scans = df.queryExecution.executedPlan.collect {
@@ -507,9 +513,12 @@ class PlanAuditSpec extends SparkTestBase {
     // chain. Folded to truth + signatures; this pin fails if a refactor
     // grows registrations past the retention bound again.
     import graft.operators.CacheScope
-    val before = CacheScope.registeredKeys(spark).toSet
-    graft.operators.Dedup.dedupBandCurve(Tables.documents(spark, sf))
-    val added = CacheScope.registeredKeys(spark).toSet -- before
+    // fresh session for an order-independent registration count (see the
+    // win_cusum_scalable pin above)
+    val sess = spark.newSession()
+    val before = CacheScope.registeredKeys(sess).toSet
+    graft.operators.Dedup.dedupBandCurve(Tables.documents(sess, sf))
+    val added = CacheScope.registeredKeys(sess).toSet -- before
     assert(added.size == 2,
       s"dedupBandCurve registered ${added.size} staged frames, expected 2 " +
         "(truth + signatures; >4 self-evicts under the default keep)")
