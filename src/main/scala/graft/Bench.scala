@@ -157,7 +157,41 @@ object Bench {
     // bimodal query (GC-heavy, state-store-bound) can't spin forever.
     val spreadLimit = sys.env.getOrElse("SPARK_GRAFT_SPREAD_LIMIT", "2.0").toDouble
     val maxIters = sys.env.getOrElse("SPARK_GRAFT_MAX_ITERS", "9").toInt.max(warmIters)
-    val results = selected.map { case (name, fn) =>
+    // host-load evidence alongside the numbers: a loaded machine is the main
+    // alternative explanation for a wide spread, so record it in-band
+    def loadAvg: String =
+      try scala.io.Source.fromFile("/proc/loadavg").getLines().next()
+        .split(" ").take(3).mkString(",")
+      catch { case _: Throwable => "" }
+    // ---- in-band contention sentinel (round 17) --------------------------
+    // The r16 driver reading (2.2x the reference) was unfalsifiable after
+    // the fact: nothing IN the artifact separated "hot host for the whole
+    // run" from "engine regressed everywhere". The CONTROL query
+    // (text_char_gini — the linear letter-explode floor, the same control
+    // the same-JVM A/B protocol normalizes against) now runs k extra times
+    // interleaved at even positions THROUGH the md5 order, with
+    // /proc/loadavg sampled at each point. The control is the same bytes
+    // every time, so its spread/drift across the suite is pure host
+    // signal: control_spread <= 1.5 and a host_factor (control median /
+    // its BENCH_REF row) <= 1.5 certify a comparable era, while a breach
+    // self-identifies the run as contended (threshold documented in
+    // docs/PLANS.md r17). `value_host_normalized` = value / max(1,
+    // host_factor) is the first number a cross-round comparison should
+    // read.
+    val controlName = "text_char_gini"
+    val controlBuf = scala.collection.mutable.ArrayBuffer[(Double, Double, String)]()
+    val controlFn = SparkEntry.queries.get(controlName)
+      .filter(_ => selected.size >= 20) // pointless on BENCH_ONLY subsets
+    def sampleControl(): Unit = controlFn.foreach { fn =>
+      once("__control", fn).foreach { case (w, c) => controlBuf += ((w, c, loadAvg)) }
+      spark.catalog.clearCache()
+    }
+    // unrecorded codegen warm-up so sample 1 isn't charged for compilation
+    controlFn.foreach { fn => once("__control_warmup", fn); spark.catalog.clearCache() }
+    val sentinelEvery =
+      if (controlFn.isEmpty) Int.MaxValue else math.max(1, selected.size / 5)
+    val results = selected.zipWithIndex.map { case ((name, fn), idx) =>
+      if (idx % sentinelEvery == 0) sampleControl()
       val cold = once(name, fn)
       // a query that failed cold will fail warm identically; don't retry it
       // warmIters more times (each attempt re-raises through full planning)
@@ -196,6 +230,7 @@ object Bench {
       spark.catalog.clearCache()
       name -> Timing(cold, warm, droppedHigh)
     }
+    sampleControl() // closing sentinel: k interior points + end-of-suite
     def jmap(sel: Timing => Option[Double]) =
       results.map { case (k, v) =>
         "\"" + k + "\":" + sel(v).map(_.toString).getOrElse("null")
@@ -213,12 +248,6 @@ object Bench {
     val outliersJson = results.collect { case (k, v) if v.dropped.nonEmpty =>
       "\"" + k + "\":" + v.dropped.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    // host-load evidence alongside the numbers: a loaded machine is the main
-    // alternative explanation for a wide spread, so record it in-band
-    def loadAvg: String =
-      try scala.io.Source.fromFile("/proc/loadavg").getLines().next()
-        .split(" ").take(3).mkString(",")
-      catch { case _: Throwable => "" }
     // the scratch redirect changes what sink round trips measure (tmpfs vs
     // shared disk), so record the effective path in-band: a BENCH.json from
     // a host without writable /dev/shm is otherwise silently incomparable
@@ -315,6 +344,59 @@ object Bench {
         (Seq.empty[String], "{}", Seq.empty[String], Seq.empty[String],
           Seq.empty[String]) }
     }
+    // ---- sentinel + lane report (round 17) -------------------------------
+    val controlWalls = controlBuf.map(_._1).toSeq
+    val controlMedian =
+      if (controlWalls.isEmpty) None else Some(median(controlWalls))
+    // spread over samples 2..k: the first recorded sample still carries
+    // residual JIT tiering (measured decaying 0.66 -> 0.17 s across a
+    // subset run) which would read as phantom contention; all walls stay
+    // in-band regardless so the decay itself is visible
+    val controlSpread = {
+      val steady = controlWalls.drop(1)
+      if (steady.size < 2) None
+      else Some(steady.max / steady.min.max(1e-9))
+    }
+    // the ref row is only a valid denominator when it was recorded at the
+    // SAME sf dir (a BENCH_ONLY smoke at sf0.01 must not read a 3x
+    // host_factor off the sf0.1 reference row)
+    val controlRef: Option[Double] =
+      try {
+        val f = new java.io.File(refPath)
+        if (!f.isFile) None
+        else {
+          val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+          val n = root.path("queries").path(controlName)
+          if (n.isNumber && root.path("sf").asText("") == sfDir) Some(n.asDouble)
+          else None
+        }
+      } catch { case _: Throwable => None }
+    val hostFactor = for (m <- controlMedian; r <- controlRef if r > 0) yield m / r
+    def jnum(o: Option[Double]): String =
+      o.map(d => (math.rint(d * 1000) / 1000).toString).getOrElse("null")
+    val controlJson =
+      s""""control":"$controlName","control_walls":${
+        controlWalls.map(w => math.rint(w * 1000) / 1000).mkString("[", ",", "]")},""" +
+      s""""control_cpus":${controlBuf.map(c => math.rint(c._2 * 1000) / 1000)
+        .mkString("[", ",", "]")},""" +
+      s""""control_spread":${jnum(controlSpread)},"control_median":${jnum(controlMedian)},""" +
+      s""""control_ref":${jnum(controlRef)},"host_factor":${jnum(hostFactor)},""" +
+      s""""loadavg_samples":${controlBuf.map("\"" + _._3 + "\"").mkString("[", ",", "]")},"""
+    // ---- lanes: the 14 stream_* twins pay a fixed micro-batch scheduling
+    // cost (trigger latency, state-store commits) that is latency-bound and
+    // contention-amplified, not data-bound — at 100x data they are fine
+    // (watermark-bounded state) but in a wall-clock gate they are the noise
+    // term (24% of the r16 total). Split the totals so the BATCH-engine
+    // ratio stays sharp and the stream lane is gated on its own ratio
+    // (policy: docs/PLANS.md r17).
+    def laneOf(name: String): String =
+      if (name.startsWith("stream_")) "stream" else "batch"
+    val laneJson = results.groupBy(r => laneOf(r._1)).toSeq.sortBy(_._1)
+      .map { case (l, rs) =>
+        val w = math.rint(rs.flatMap(_._2.med).sum * 1000) / 1000
+        val c = math.rint(rs.flatMap(_._2.cpuMed).sum * 1000) / 1000
+        s""""$l":{"wall":$w,"cpu":$c,"n":${rs.size}}"""
+      }.mkString("{", ",", "}")
     val staleHighJson = refStaleHigh.map("\"" + _ + "\"").mkString("[", ",", "]")
     val refMissingJson = refMissing.map("\"" + _ + "\"").mkString("[", ",", "]")
     val refSlowJson = refSlow.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -332,6 +414,9 @@ object Bench {
         s""""flagged_families":$flaggedJson,"family_reruns":$familyReruns,""" +
         s""""ref_stale_high":$staleHighJson,"ref_missing":$refMissingJson,""" +
         s""""ref_slow":$refSlowJson,""" +
+        controlJson +
+        s""""value_host_normalized":${jnum(Some(warmTotal / hostFactor.getOrElse(1.0).max(1.0)))},""" +
+        s""""lanes":$laneJson,""" +
         s""""errors":$errJson,"loadavg_end":"$loadAvg","scratch":"$scratchPath","sf":"$sfDir"}"""
     // full per-query timings go to a file; stdout gets a COMPACT line.
     // The driver keeps only the last ~2000 chars of stdout, and the full
@@ -350,6 +435,8 @@ object Bench {
       s"""{"metric":"total","value":${r3(warmTotal)},"unit":"sec","queries":$top,""" +
         s""""n_queries":${results.size},"warm_iters":$warmIters,"cold_total":${r3(coldTotal)},""" +
         s""""total_cpu":${r3(cpuTotal)},""" +
+        s""""control_spread":${jnum(controlSpread)},"host_factor":${jnum(hostFactor)},""" +
+        s""""lanes":$laneJson,""" +
         s""""errors":$errJson,"scratch":"$scratchPath","sf":"$sfDir","full_timings":"BENCH.json"}""")
     def rmTree(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rmTree)
