@@ -472,6 +472,27 @@ object SparkEntry {
       graft.models.ModelAdapters.fctReviewerActivity(Tables.orders(s, d), Tables.lineitem(s, d))),
     "fct_oura_daily" -> ((s, d) =>
       graft.models.ModelAdapters.fctOuraDaily(Tables.events(s, d))),
+    // the 9 previously shape-proxied reference marts, full-fidelity (r17)
+    "fct_fda_events_by_gender" -> ((s, d) =>
+      graft.models.RefMarts.fctFdaEventsByGender(Tables.events(s, d))),
+    "fct_fda_events_by_product" -> ((s, d) =>
+      graft.models.RefMarts.fctFdaEventsByProduct(Tables.events(s, d))),
+    "fct_fda_events_monthly" -> ((s, d) =>
+      graft.models.RefMarts.fctFdaEventsMonthly(Tables.events(s, d))),
+    "fct_fda_recalls_by_state" -> ((s, d) =>
+      graft.models.RefMarts.fctFdaRecallsByState(Tables.orders(s, d))),
+    "fct_fda_recalls_by_topic" -> ((s, d) =>
+      graft.models.RefMarts.fctFdaRecallsByTopic(Tables.orders(s, d))),
+    "fct_hn_weekly_stats" -> ((s, d) =>
+      graft.models.RefMarts.fctHnWeeklyStats(Tables.documents(s, d))),
+    "fct_hn_domain_stats" -> ((s, d) =>
+      graft.models.RefMarts.fctHnDomainStats(Tables.documents(s, d))),
+    "fct_hn_keyword_trends" -> ((s, d) =>
+      graft.models.RefMarts.fctHnKeywordTrends(Tables.documents(s, d))),
+    "fct_sales_monthly" -> ((s, d) => graft.models.RefMarts.fctSalesMonthly(
+      graft.models.Marts.sales(Tables.lineitem(s, d), Tables.orders(s, d),
+        Tables.customer(s, d), Tables.nation(s, d), Tables.part(s, d),
+        Tables.supplier(s, d)))),
     // Scale-path variants: the xxhash64 `fastHash` switch is the production
     // hash for the sketch operators (the md5-based PortableHash exists only
     // for cross-engine oracle parity and costs ~4x). xxhash64 itself has no
@@ -511,6 +532,7 @@ object SparkEntry {
       TextAnalysis.oracles ++ CorpusStats.oracles ++ Multimodal.oracles ++ Pipeline.oracles ++
       Curation.oracles ++ IncrementalMart.oracles ++ Skew.oracles ++ Scd.oracles ++ Funnel.oracles ++
       graft.models.Marts.oracles ++ graft.models.TextMarts.oracles ++
+      graft.models.RefMarts.oracles ++
       graft.streaming.IncrementalSync.oracles ++ graft.streaming.Sessionize.oracles ++
       graft.streaming.StreamDedup.oracles ++ graft.streaming.Scd2Sync.oracles ++
       graft.streaming.StreamEnrich.oracles ++ graft.streaming.StreamJoin.oracles ++

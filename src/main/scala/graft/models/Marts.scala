@@ -61,6 +61,7 @@ object Marts {
       .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
       .select(
         col("n_name").as("county"),
+        trunc(col("o_orderdate"), "month").as("sale_month"),
         Num.cents(col("l_extendedprice")).as("sale_cents"),
         Num.asLong(col("l_quantity")).as("bottles"),
         (Num.asLong(col("l_quantity")) * 750).as("vol_ml"),
@@ -92,6 +93,7 @@ object Marts {
   private[models] val salesSql: String =
     """sales AS (
       |  SELECT n_name AS county,
+      |         CAST(date_trunc('month', o_orderdate) AS DATE) AS sale_month,
       |         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS sale_cents,
       |         CAST(ROUND(l_quantity) AS BIGINT) AS bottles,
       |         CAST(ROUND(l_quantity) AS BIGINT) * 750 AS vol_ml,

@@ -76,7 +76,7 @@ object TextMarts {
     * deliberate non-matches / word-boundary traps (BRASH must not hit
     * `\brash\b`, COUGHING must not hit `\bcough\b`, FEVERISH not `\bfever\b`).
     */
-  private val fdaVocab: Seq[String] = Seq(
+  private[models] val fdaVocab: Seq[String] = Seq(
     "DIARRHOEA", "VOMITING", "NAUSEA", "ABDOMINAL PAIN", "INDIGESTION",
     "BLOATING", "CONSTIPATION", "HYPERSENSITIVITY", "PRURITUS", "RASH",
     "URTICARIA", "ANAPHYLACTIC SHOCK", "ANGIOEDEMA", "DYSPNOEA", "CHOKING",
@@ -86,7 +86,7 @@ object TextMarts {
     "FATIGUE", "ASTHENIA", "PYREXIA", "CHILLS", "DEHYDRATION",
     "INSOMNIA", "ALOPECIA", "BRASH", "COUGHING", "FEVERISH")
 
-  private val fdaOutcomes: Seq[String] =
+  private[models] val fdaOutcomes: Seq[String] =
     Seq("Hospitalization", "Recovered", "Death", "Other", "Hospitalization, Death")
 
   /** stg_fda__food_events-shaped adapter: deterministic symptom-vocabulary
@@ -164,7 +164,7 @@ object TextMarts {
       |         o_orderdate AS recall_initiation_date
       |  FROM orders)""".stripMargin
 
-  private val groups: Seq[String] =
+  private[models] val groups: Seq[String] =
     Seq("gastrointestinal", "allergic", "respiratory", "cardiovascular",
       "neurological", "systemic")
 

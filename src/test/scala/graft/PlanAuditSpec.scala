@@ -461,6 +461,31 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("pruned-staging marts skip the battery-spread shuffle (one scan, minimal exchanges)") {
+    // fdaRecallsFull/hnStoriesFull hash-repartition so their regex battery
+    // parallelizes — but by_state / weekly / domain PRUNE the regex column,
+    // and for them that repartition would be a full corpus shuffle in front
+    // of an aggregate whose partial side reduces to a handful of rows. Pin
+    // the pruned plans: one file scan, and no exchange beyond the
+    // aggregation's own (by_state 1; domain 1; weekly 2 — the distinct-
+    // author aggregate plans its extra exchange).
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.Exchange
+    withoutAqe {
+      for ((name, maxEx) <- Seq("fct_fda_recalls_by_state" -> 1,
+          "fct_hn_domain_stats" -> 1, "fct_hn_weekly_stats" -> 2)) {
+        val df = graft.SparkEntry.queries(name)(spark, sf)
+        val plan = df.queryExecution.executedPlan
+        val scans = plan.collect { case f: FileSourceScanExec => f }
+        val exchanges = plan.collect { case e: Exchange => e }
+        assert(scans.size == 1, s"$name expected 1 corpus scan, got ${scans.size}")
+        assert(exchanges.size <= maxEx,
+          s"$name expected <=$maxEx exchanges (battery-spread shuffle must be " +
+            s"pruned away), got ${exchanges.size}:\n$plan")
+      }
+    }
+  }
+
   test("union_all_rollup reads orders EXACTLY once (rollup rows re-reduce the base)") {
     // the r15 form scanned orders three times (per-priority, urgent slice,
     // all-row); the rollup legs now re-reduce the 5-row base aggregate and
