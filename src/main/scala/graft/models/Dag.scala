@@ -83,23 +83,38 @@ object Dag {
       "story_id"),
     "hn_thread_stats" -> Seq("root_comment_id", "story_id", "comment_count",
       "max_depth", "direct_replies"),
-    // ---- marts registered under operator IDs (round 12): the rest of the
-    // reference's mart/intermediate census, each keyed by the registry query
-    // that IS that model's shape (VERDICT r11 gap #1; dbt_project.yml:19-26).
-    // Double-typed aggregates (total_sales, revenue, brand_revenue,
-    // sentiment_score) are excluded per the digest contract above.
-    "agg_weekly_stats" -> Seq("order_week", "order_count",
-      "distinct_customers"), // fct_hn_weekly_stats
-    "agg_having" -> Seq("part", "line_count"), // fct_hn_domain_stats
-    "agg_multikey" -> Seq("return_flag", "line_status", "sum_qty",
-      "count_order"), // fct_sales_monthly
-    "union_all_rollup" -> Seq("priority_group", "order_count"), // fct_fda_recalls_by_topic
-    "gender_clean" -> Seq("customer_id", "gender"), // fct_fda_events_by_gender
-    "join_topk_back" -> Seq("brand", "part_count", "top_part"), // fct_fda_events_by_product
-    "agg_countif" -> Seq("priority", "order_count", "fulfilled_count",
-      "open_count", "high_value_count"), // fct_fda_events_monthly (countif battery)
-    "struct_arr_lookup" -> Seq("label", "rank", "order_count"), // fct_fda_recalls_by_state (code→name lookup rollup)
-    "join_cross_regex" -> Seq("keyword", "part_count", "brand_count"), // fct_hn_keyword_trends (regex keyword join)
+    // ---- r17: the nine once-proxied models now build FULL-FIDELITY in the
+    // DAG (RefMarts); double-typed aggregates (pcts, avgs, total_sales)
+    // are excluded per the digest contract above.
+    "fct_fda_events_by_gender" -> Seq("gender", "event_count",
+      "gastrointestinal_count", "allergic_count", "respiratory_count",
+      "cardiovascular_count", "neurological_count", "systemic_count",
+      "other_count", "hospitalization_count", "death_count"),
+    "fct_fda_events_by_product" -> Seq("industry_name", "event_count",
+      "gastrointestinal_count", "allergic_count", "respiratory_count",
+      "cardiovascular_count", "neurological_count", "systemic_count",
+      "other_count", "hospitalization_count", "death_count", "top_reaction"),
+    "fct_fda_events_monthly" -> Seq("month", "year", "event_count",
+      "gastrointestinal_count", "allergic_count", "respiratory_count",
+      "cardiovascular_count", "neurological_count", "systemic_count",
+      "other_count", "hospitalization_count", "death_count", "female_count",
+      "male_count"),
+    "fct_fda_recalls_by_state" -> Seq("state_code", "state_name", "fips_code",
+      "total_recalls", "class_i_recalls", "class_ii_recalls",
+      "class_iii_recalls", "ongoing_recalls", "terminated_recalls",
+      "earliest_recall", "latest_recall"),
+    "fct_fda_recalls_by_topic" -> Seq("topic", "topic_category",
+      "recall_count", "class_i_count", "class_ii_count", "class_iii_count",
+      "states_affected", "firms_affected", "earliest_recall", "latest_recall"),
+    "fct_hn_weekly_stats" -> Seq("week", "story_count", "total_score",
+      "total_comments", "unique_authors"),
+    "fct_hn_domain_stats" -> Seq("week", "domain", "story_count", "total_score"),
+    "fct_hn_keyword_trends" -> Seq("week", "keyword", "mention_count",
+      "total_score"),
+    "fct_sales_monthly" -> Seq("sale_month", "category_name", "total_bottles",
+      "transaction_count", "store_count"),
+    // the two intermediates still keyed by the operator query that IS the
+    // model's shape (round 12 scheme; dbt_project.yml:19-26)
     "udf_sentiment" -> Seq("doc_id", "sentiment_label",
       "sentiment_category"), // int_hn__comment_sentiment
     "arr_build_filtered" -> Seq("part_id", "labels_str",

@@ -21,9 +21,10 @@ import graft.sources.Tables
   *  - library marts/stages used verbatim (fct_stock_prices, fct_oura_daily,
   *    fdaEvents, hnComments, the ModelAdapters staging frames, ...);
   *  - spec-level views for models whose graft coverage is an operator query
-  *    (e.g. fct_hn_domain_stats ≡ the GROUP BY week,domain HAVING >= 3 the
-  *    reference declares — rebuilt here at the reference grain from the
-  *    same adapted inputs);
+  *    (rebuilt here at the reference grain from the same adapted inputs —
+  *    since r17 only a handful of staging shapes remain in this class; the
+  *    nine once-proxied marts now bind to their RefMarts full-fidelity
+  *    implementations directly);
   *  - column RENAMES where the twin names a column differently
   *    (week → order_week) — mechanical, recorded in each twin's `cols` map.
   *
@@ -69,23 +70,6 @@ class DbtCensusSpec extends SparkTestBase {
     */
   private lazy val stories: DataFrame = TextMarts.hnStories(documents)
 
-  /** fct_hn_domain_stats: GROUP BY (week, domain) HAVING story_count >= 3 —
-    * the exact reference shape (fct_hn_domain_stats.sql).
-    */
-  private lazy val domainStats: DataFrame =
-    stories
-      .groupBy(date_trunc("week", col("posted_at")).as("week"), col("domain"))
-      .agg(count(lit(1)).as("story_count"))
-      .where(col("story_count") >= 3)
-
-  /** fct_hn_keyword_trends: weekly mention counts over the keyword battery
-    * (fct_hn_keyword_trends.sql:58-66 grain).
-    */
-  private lazy val keywordTrendsWeekly: DataFrame =
-    TextMarts.intHnKeywords(documents)
-      .groupBy(date_trunc("week", col("day")).as("week"), col("keyword"))
-      .agg(count(lit(1)).as("mention_count"))
-
   /** stg_fda__recalls-shaped adapter (same synthesis discipline as
     * TextMarts.fdaEvents): classification hits the reference's exact
     * Class I/II/III domain.
@@ -103,18 +87,6 @@ class DbtCensusSpec extends SparkTestBase {
       (pmod(col("recall_number"), lit(6)) + 1).cast("int")).as("topic"))
 
   private lazy val fdaEvents: DataFrame = TextMarts.fdaEvents(events)
-
-  /** fct_fda_events_by_product: industry rollup (fct_fda_events_by_product
-    * .sql grain; industry synthetic).
-    */
-  private lazy val fdaByProduct: DataFrame =
-    fdaEvents
-      .withColumn("industry_name", element_at(
-        typedLit(Seq("Bakery", "Beverage", "Dairy", "Produce", "Seafood",
-          "Snack", "Supplement", "Meat", "Frozen", "Canned", "Candy", "Spice")),
-        (pmod(col("report_number"), lit(12)) + 1).cast("int")))
-      .groupBy(col("industry_name"))
-      .agg(count(lit(1)).as("event_count"))
 
   /** The synthetic lineitem contains exact duplicate rows (no natural key
     * exists, unlike real TPC-H), so the source-assigned ids the reference
@@ -160,17 +132,6 @@ class DbtCensusSpec extends SparkTestBase {
   private lazy val salesStg: DataFrame =
     Marts.sales(lineitem, orders, customer, nation, part, supplier)
 
-  /** fct_sales_monthly: month × category rollup (fct_sales_monthly.sql
-    * grain) from the sales staging join's source tables.
-    */
-  private lazy val salesMonthly: DataFrame =
-    lineitem
-      .join(orders, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
-      .groupBy(date_trunc("month", col("o_orderdate")).as("sale_month"),
-        col("p_brand").as("category_name"))
-      .agg(count(lit(1)).as("transaction_count"))
-
   // ---- twin registry ------------------------------------------------------
 
   private case class Twin(
@@ -189,25 +150,28 @@ class DbtCensusSpec extends SparkTestBase {
     "int_fda__food_event_reactions" -> Twin(() => TextMarts.intFdaReactions(fdaEvents)),
     "stg_fda__food_events" -> Twin(() => fdaEvents),
     "stg_fda__recalls" -> Twin(() => recalls),
+    // r17: full-fidelity marts replace the spec-level shape twins
     "fct_fda_recalls_by_state" -> Twin(() =>
-      recalls.groupBy(col("state_code")).agg(count(lit(1)).as("recall_count"))),
+      graft.models.RefMarts.fctFdaRecallsByState(orders)),
     "fct_fda_recalls_by_topic" -> Twin(() =>
-      recallTopics.groupBy(col("topic")).agg(count(lit(1)).as("recall_count"))),
+      graft.models.RefMarts.fctFdaRecallsByTopic(orders)),
     "fct_fda_events_by_reaction" -> Twin(() => TextMarts.fctFdaEventsByReaction(fdaEvents)),
-    "fct_fda_events_by_product" -> Twin(() => fdaByProduct),
+    "fct_fda_events_by_product" -> Twin(() =>
+      graft.models.RefMarts.fctFdaEventsByProduct(events)),
     "fct_fda_events_monthly" -> Twin(() =>
-      events.groupBy(date_trunc("month", col("ts")).as("month"))
-        .agg(count(lit(1)).as("event_count"))),
+      graft.models.RefMarts.fctFdaEventsMonthly(events)),
     // hacker_news
     "int_hn__comment_keywords" -> Twin(() => TextMarts.intHnKeywords(documents)),
     "int_hn__comment_sentiment" -> Twin(() => TextMarts.stgCommentSentiment(documents)),
     "stg_hn__comments" -> Twin(() => TextMarts.stgCommentSentiment(documents),
       cols = Map("posted_at" -> col("day"))),
     "stg_hn__stories" -> Twin(() => stories),
-    "fct_hn_weekly_stats" -> Twin(() => Aggregates.aggWeeklyStats(orders),
-      cols = Map("week" -> col("order_week"), "story_count" -> col("order_count"))),
-    "fct_hn_domain_stats" -> Twin(() => domainStats),
-    "fct_hn_keyword_trends" -> Twin(() => keywordTrendsWeekly),
+    "fct_hn_weekly_stats" -> Twin(() =>
+      graft.models.RefMarts.fctHnWeeklyStats(documents)),
+    "fct_hn_domain_stats" -> Twin(() =>
+      graft.models.RefMarts.fctHnDomainStats(documents)),
+    "fct_hn_keyword_trends" -> Twin(() =>
+      graft.models.RefMarts.fctHnKeywordTrends(documents)),
     "fct_hn_keyword_sentiment" -> Twin(() => TextMarts.fctHnKeywordSentiment(documents)),
     // core / linear / github
     "dim_users" -> Twin(() => Marts.dimUsers(customer, supplier)),
@@ -244,7 +208,7 @@ class DbtCensusSpec extends SparkTestBase {
     // 6-way dim join preserves 1:1 (all dim keys unique), so uniqueness on
     // this frame is uniqueness on the staging join
     "stg_iowa_liquor__sales" -> Twin(() => lineitemWithId("sale_id")),
-    "fct_sales_monthly" -> Twin(() => salesMonthly),
+    "fct_sales_monthly" -> Twin(() => graft.models.RefMarts.fctSalesMonthly(salesStg)),
     "fct_sales_by_county" -> Twin(() => Marts.fctSalesByCounty(salesStg)),
     "fct_top_vendors" -> Twin(() => Marts.fctTopVendors(salesStg)),
     "stg_trends__interest_over_time" -> Twin(() => trends),
