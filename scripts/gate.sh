@@ -17,6 +17,12 @@ record=0
 [ "${1:-}" = "--record" ] && record=1
 
 status=0
+# standing semantics pin (r17): the oracle engine's integer-division
+# truncation and the win_cusum oracle on a negative-sum series must agree
+# with the Scala spec's constants — catches a silent engine/oracle
+# divergence in either direction before the full compare runs
+python3 scripts/oracle_div_check.py || status=1
+
 for sf in 0.01 0.1; do
   out="/tmp/graft_gate_sf$sf"
   rm -rf "$out"

@@ -68,6 +68,7 @@ FAMILY_OF_FILE = {
   "operators/SetOps.scala": "set op",
   "operators/Reshape.scala": "reshape",
   "models/Marts.scala": "reference mart",
+  "models/RefMarts.scala": "reference mart",
   "models/Models.scala": "reference mart",
   "models/ModelAdapters.scala": "reference mart",
   "models/TextMarts.scala": "reference mart",
