@@ -18,8 +18,12 @@ object TimeOne {
     args.foreach { name =>
       (1 to 3).foreach { i =>
         val t0 = System.nanoTime()
-        val n = SparkEntry.queries(name)(spark, sfDir).count()
-        println(f"[timeone] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        val t1 = System.nanoTime() // construction (incl. eager driver loops)
+        val n = df.count()
+        val t2 = System.nanoTime()
+        println(f"[timeone] $name run$i: ${(t2 - t0) / 1e9}%.2f s " +
+          f"(construct ${(t1 - t0) / 1e9}%.2f s, action ${(t2 - t1) / 1e9}%.2f s, $n rows)")
       }
     }
     spark.stop()

@@ -669,7 +669,17 @@ object TextMarts {
     * materialized leaf (a filter-count on `at_root`), so each round costs
     * exactly one self-join job.
     */
-  def hnThreadResolve(documents: DataFrame, maxIters: Int = 12): DataFrame = {
+  def hnThreadResolve(documents: DataFrame, maxIters: Int = 12): DataFrame =
+    // the session-conf set/restore window is not reentrant across driver
+    // threads (two concurrent resolves could capture each other's "4" as
+    // prev and leak it session-wide) — serialize the window; Dag's parallel
+    // construction builds the resolve ONCE and shares it, so the lock never
+    // contends there
+    confWindowLock.synchronized { hnThreadResolveLocked(documents, maxIters) }
+
+  private object confWindowLock
+
+  private def hnThreadResolveLocked(documents: DataFrame, maxIters: Int): DataFrame = {
     val spark = documents.sparkSession
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
@@ -724,7 +734,16 @@ object TextMarts {
     * after map-side combine.
     */
   def hnThreadStats(documents: DataFrame): DataFrame =
-    hnThreadResolve(documents)
+    hnThreadStatsFrom(hnThreadResolve(documents))
+
+  /** The rollup over an ALREADY-resolved forest — lets a one-program build
+    * (Dag.fullBuild) run the pointer-doubling loop once and feed both
+    * thread models from the same materialized resolve, instead of paying
+    * the eager loop twice (same intra-query staging discipline as the
+    * sales frame feeding two Iowa marts).
+    */
+  def hnThreadStatsFrom(resolved: DataFrame): DataFrame =
+    resolved
       .groupBy(col("root_comment_id"), col("story_id"))
       .agg(
         count(lit(1)).as("comment_count"),

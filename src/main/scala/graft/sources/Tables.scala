@@ -50,15 +50,48 @@ object Tables {
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
 
+  /** Widen a fact scan that is narrower than the session, keyed on the
+    * adapter's grouping columns so the downstream aggregate reuses the ONE
+    * explicit exchange (no second ENSURE_REQUIREMENTS shuffle).
+    *
+    * Rationale (r17, guide §2.2/§2.5 scan-parallelism floor): a validation-SF
+    * parquet file is a single row group, so the scan stage — and every
+    * partial aggregate pipelined into it — runs as ONE task while 31 cores
+    * idle (measured: win_volatility 1.38 s wall / 4.2 s cpu with the serial
+    * partial agg; the [[graft.models.Marts.sales]] branch is the same fix
+    * with its own measured sweep). Modest widening only (2× splits, floor 8,
+    * cap cores) for the same G1-churn reason as the sales sweep. At real
+    * scale a fact scan already has ≥ cores splits and this is a no-op, so
+    * the production plan keeps the standard partial+final aggregate.
+    * NOTE: plan SHAPE is environment-dependent (audits must not pin this
+    * family's exchange count); results are partition-invariant (keyed
+    * aggregation).
+    */
+  private def widenedByKey(spark: SparkSession, df: DataFrame,
+      keys: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    val cores = spark.sparkContext.defaultParallelism
+    val splits = df.rdd.getNumPartitions
+    if (splits >= cores) df
+    else df.repartition(math.min(cores, math.max(splits * 2, 8)), keys: _*)
+  }
+
   /** stocks.raw_prices-shaped daily series (reference sources/stocks.py:48-60):
     * one row per (ticker, trade_date), suppliers as tickers. Exact integer
     * cents per Num's cross-engine scheme. ~100 tickers × ~600 days at sf0.01.
+    *
+    * The grouping keys are projected BEFORE the widening exchange (they are
+    * what the exchange hashes on); the cents/volume arithmetic stays in the
+    * aggregate so it runs at the widened parallelism, not on the single
+    * scan task (guide §2.3: project early, shuffle narrow).
     */
   def prices(spark: SparkSession, sfDir: String): DataFrame =
-    lineitem(spark, sfDir)
-      .groupBy(
+    widenedByKey(spark,
+      lineitem(spark, sfDir).select(
         col("l_suppkey").as("ticker"),
-        to_date(col("l_shipdate")).as("trade_date"))
+        to_date(col("l_shipdate")).as("trade_date"),
+        col("l_extendedprice"), col("l_quantity")),
+      Seq(col("ticker"), col("trade_date")))
+      .groupBy(col("ticker"), col("trade_date"))
       .agg(
         sum(Num.cents(col("l_extendedprice"))).as("close_cents"),
         max(Num.cents(col("l_extendedprice"))).as("high_cents"),
@@ -81,8 +114,11 @@ object Tables {
     * keywords, daily event count as integer interest.
     */
   def trends(spark: SparkSession, sfDir: String): DataFrame =
-    events(spark, sfDir)
-      .groupBy(col("event_type").as("keyword"), to_date(col("ts")).as("date"))
+    widenedByKey(spark,
+      events(spark, sfDir).select(
+        col("event_type").as("keyword"), to_date(col("ts")).as("date")),
+      Seq(col("keyword"), col("date")))
+      .groupBy(col("keyword"), col("date"))
       .agg(count(lit(1)).as("interest"))
 
   /** Shared oracle CTE for [[trends]]. */
