@@ -479,7 +479,12 @@ object TextAnalysis {
   def domainClassifierPrf(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    val conf = domainClassifierConfusion(documents)
+    // stage the (≤|classes|²-row) confusion matrix: tp/fp/fn push DIFFERENT
+    // group-key filters below its aggregate, so the three subtrees stop
+    // canonicalizing equal and ReuseExchange cannot collapse them — without
+    // staging, the full classifier train+score pipeline runs three times
+    // (r17, guide §2.4; measured 1.38 s → the confusion query's own cost)
+    val conf = graft.operators.CacheScope.cached(domainClassifierConfusion(documents))
     val grid = ClfDomains.toDF("domain")
     val tp = conf.where(col("lang") === col("predicted_domain"))
       .select(col("lang").as("domain"), col("n_docs").as("tp"))

@@ -33,6 +33,14 @@ private[streaming] object StreamHarness {
     */
   def land(df: DataFrame, scratch: String, srcDir: String, name: String,
       order: Int = -1): Unit = {
+    val t0 = System.nanoTime()
+    landInner(df, scratch, srcDir, name, order)
+    if (sys.env.contains("GRAFT_STREAM_DEBUG"))
+      System.err.println(f"[stream] land $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
+  }
+
+  private def landInner(df: DataFrame, scratch: String, srcDir: String,
+      name: String, order: Int): Unit = {
     val tmp = s"$scratch/stage_$name"
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
     val part = new java.io.File(tmp).listFiles()
@@ -79,6 +87,13 @@ private[streaming] object StreamHarness {
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     val checksumKey = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
     val prevChecksum = spark.conf.getOption(checksumKey)
+    // NOTE (r17): disabling the engine's implicit no-data micro-batches
+    // (spark.sql.streaming.noDataMicroBatches.enabled=false) was tried for
+    // the lane's fixed cost and REVERTED: the windowed-aggregate twins
+    // rely on the final no-data batch to evaluate the last data batch's
+    // watermark (stream_late_data_endstate dropped 150 → 140 rows — the
+    // last window never flushed). The sentinel discipline covers
+    // mid-stream flushes, not the final one.
     spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
     spark.conf.set(checksumKey, "false")
     try body
