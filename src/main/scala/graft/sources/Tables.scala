@@ -69,6 +69,9 @@ object Tables {
     */
   private def widenedByKey(spark: SparkSession, df: DataFrame,
       keys: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    // spark.graft.scan.widen=false restores the historical plan — the
+    // same-JVM A/B toggle (Probe sweep) that validated this branch
+    if (spark.conf.getOption("spark.graft.scan.widen").contains("false")) return df
     val cores = spark.sparkContext.defaultParallelism
     val splits = df.rdd.getNumPartitions
     if (splits >= cores) df
@@ -114,11 +117,15 @@ object Tables {
     * keywords, daily event count as integer interest.
     */
   def trends(spark: SparkSession, sfDir: String): DataFrame =
-    widenedByKey(spark,
-      events(spark, sfDir).select(
-        col("event_type").as("keyword"), to_date(col("ts")).as("date")),
-      Seq(col("keyword"), col("date")))
-      .groupBy(col("keyword"), col("date"))
+    // NOT widened (r17): trends reduces ~100k events to ~150 (keyword, day)
+    // groups, so the map-side combine IS the operator — the same-JVM A/B
+    // (Probe sweep spark.graft.scan.widen) measured the widening exchange
+    // as a pure loss here (win_lag_n 0.19 → 0.25 s, win_centered likewise),
+    // while the prices adapter (2.5× combine ratio, arithmetic-heavy
+    // aggregates) keeps it a measured win. Aggregate-before-shuffle wins
+    // when the reduction is near-total (guide §2.3).
+    events(spark, sfDir)
+      .groupBy(col("event_type").as("keyword"), to_date(col("ts")).as("date"))
       .agg(count(lit(1)).as("interest"))
 
   /** Shared oracle CTE for [[trends]]. */
