@@ -405,7 +405,11 @@ object TextAnalysis {
     val aggs = ClfDomains.map(l =>
       sum(when(col("lang") === l, 1L).otherwise(0L)).as(s"c_$l")) :+
       count(lit(1)).as("tot")
-    val trained = trainCorpus.where(col("doc_id") % 5 =!= 0)
+    // the tokenize+hash explode is pipelined into the scan stage — widen a
+    // single-row-group train corpus first or ~400k md5 bucket hashes run
+    // on one task (Scans scaladoc; A/B'd via spark.graft.scan.widen)
+    val trained = Scans.widenIfNarrow(
+      trainCorpus.where(col("doc_id") % 5 =!= 0).select(col("lang"), col("text")))
       .select(col("lang"), explode(split(lower(col("text")), " ")).as("tok"))
       .select(clfBucket(col("tok")).as("bucket"), col("lang"))
       .groupBy("bucket")
