@@ -429,8 +429,7 @@ object IncrementalSync {
         land(drop2, "drop2")
         syncOnce(spark, drop1.schema, srcDir, target, ckpt, "event_id", "ts", nBuckets = 4)
       } else {
-        land(drop1, "drop1")
-        land(drop2, "drop2")
+        StreamHarness.landAll(() => land(drop1, "drop1"), () => land(drop2, "drop2"))
         syncOnce(spark, drop1.schema, srcDir, target, ckpt, "event_id", "ts",
           nBuckets = 4, maxFilesPerTrigger = Some(1))
       }
@@ -479,8 +478,7 @@ object IncrementalSync {
         order = name.stripPrefix("drop").toInt - 1)
 
     StreamHarness.withDemoStreamConfs(spark) {
-      land(drop1, "drop1")
-      land(drop2, "drop2")
+      StreamHarness.landAll(() => land(drop1, "drop1"), () => land(drop2, "drop2"))
       syncOnce(spark, drop1.schema, srcDir, target, ckpt, "event_id", "ts",
         nBuckets = 4, maxFilesPerTrigger = Some(1), saltedKeepLatest = true)
     }
@@ -522,8 +520,7 @@ object IncrementalSync {
         land(drop2, "drop2")
         syncOnceManifest(spark, drop1.schema, srcDir, target, ckpt, "event_id", "ts", nBuckets = 4)
       } else {
-        land(drop1, "drop1")
-        land(drop2, "drop2")
+        StreamHarness.landAll(() => land(drop1, "drop1"), () => land(drop2, "drop2"))
         syncOnceManifest(spark, drop1.schema, srcDir, target, ckpt, "event_id", "ts",
           nBuckets = 4, maxFilesPerTrigger = Some(1))
       }

@@ -117,8 +117,9 @@ object Scd2Sync {
         StreamHarness.land(drop2, scratch, srcDir, "drop2", order = 1)
         syncOnce(spark, events.schema, srcDir, target, ckpt)
       } else {
-        StreamHarness.land(drop1, scratch, srcDir, "drop1", order = 0)
-        StreamHarness.land(drop2, scratch, srcDir, "drop2", order = 1)
+        StreamHarness.landAll(
+          () => StreamHarness.land(drop1, scratch, srcDir, "drop1", order = 0),
+          () => StreamHarness.land(drop2, scratch, srcDir, "drop2", order = 1))
         syncOnce(spark, events.schema, srcDir, target, ckpt,
           maxFilesPerTrigger = Some(1))
       }

@@ -196,8 +196,9 @@ object Sessionize {
         land(sentinel, scratch, srcDir, "drop2", order = 1)
         runOnce()
       } else {
-        land(events, scratch, srcDir, "drop1", order = 0)
-        land(sentinel, scratch, srcDir, "drop2", order = 1)
+        StreamHarness.landAll(
+          () => land(events, scratch, srcDir, "drop1", order = 0),
+          () => land(sentinel, scratch, srcDir, "drop2", order = 1))
         runOnce()
       }
     }
@@ -259,8 +260,9 @@ object Sessionize {
         land(sentinel, scratch, srcDir, "drop2", order = 1)
         runOnce()
       } else {
-        land(events, scratch, srcDir, "drop1", order = 0)
-        land(sentinel, scratch, srcDir, "drop2", order = 1)
+        StreamHarness.landAll(
+          () => land(events, scratch, srcDir, "drop1", order = 0),
+          () => land(sentinel, scratch, srcDir, "drop2", order = 1))
         runOnce()
       }
     }
@@ -325,10 +327,11 @@ object Sessionize {
       lit("__sentinel").as("event_type"))
 
     StreamHarness.withDemoStreamConfs(spark) {
-      land(events.where(unix_micros(col("ts")) < midUs), scratch, srcDir, "drop1", order = 0)
-      land(events.where(unix_micros(col("ts")) >= midUs), scratch, srcDir, "drop2", order = 1)
-      land(late, scratch, srcDir, "drop3", order = 2)
-      land(sentinel, scratch, srcDir, "drop4", order = 3)
+      StreamHarness.landAll(
+        () => land(events.where(unix_micros(col("ts")) < midUs), scratch, srcDir, "drop1", order = 0),
+        () => land(events.where(unix_micros(col("ts")) >= midUs), scratch, srcDir, "drop2", order = 1),
+        () => land(late, scratch, srcDir, "drop3", order = 2),
+        () => land(sentinel, scratch, srcDir, "drop4", order = 3))
       val stream = spark.readStream.schema(events.schema)
         .option("maxFilesPerTrigger", "1").parquet(srcDir)
       val q = dailyTypeCounts(stream)

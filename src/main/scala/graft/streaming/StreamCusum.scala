@@ -74,11 +74,12 @@ object StreamCusum {
       lit("__sentinel").as("event_type"), lit(0L).as("cents"))
 
     StreamHarness.withDemoStreamConfs(spark) {
-      land(narrow.where(to_date(col("ts")) < mid), scratch, srcDir,
-        "drop1", order = 0)
-      land(narrow.where(to_date(col("ts")) >= mid), scratch, srcDir,
-        "drop2", order = 1)
-      land(sentinel, scratch, srcDir, "drop3", order = 2)
+      StreamHarness.landAll(
+        () => land(narrow.where(to_date(col("ts")) < mid), scratch, srcDir,
+          "drop1", order = 0),
+        () => land(narrow.where(to_date(col("ts")) >= mid), scratch, srcDir,
+          "drop2", order = 1),
+        () => land(sentinel, scratch, srcDir, "drop3", order = 2))
       runOnce()
     }
 

@@ -74,9 +74,10 @@ object StreamDedup {
         land(events, scratch, srcDir, "drop2", order = 1) // full replay + the odd half
         runOnce()
       } else {
-        land(events.where(pmod(col("event_id"), lit(2)) === 0), scratch, srcDir,
-          "drop1", order = 0)
-        land(events, scratch, srcDir, "drop2", order = 1) // full replay + the odd half
+        StreamHarness.landAll(
+          () => land(events.where(pmod(col("event_id"), lit(2)) === 0), scratch, srcDir,
+            "drop1", order = 0),
+          () => land(events, scratch, srcDir, "drop2", order = 1)) // full replay + the odd half
         runOnce()
       }
     }

@@ -85,11 +85,12 @@ object StreamDrift {
       lit("__sentinel").as("source"), lit(0L).as("bucket"))
 
     StreamHarness.withDemoStreamConfs(spark) {
-      land(stamped(documents.where(pmod(expr("doc_id div 20"), lit(2)) === 0), day1Us),
-        scratch, srcDir, "drop1", order = 0)
-      land(stamped(documents.where(pmod(expr("doc_id div 20"), lit(2)) === 1),
-        day1Us + dayUs), scratch, srcDir, "drop2", order = 1)
-      land(sentinel, scratch, srcDir, "drop3", order = 2)
+      StreamHarness.landAll(
+        () => land(stamped(documents.where(pmod(expr("doc_id div 20"), lit(2)) === 0), day1Us),
+          scratch, srcDir, "drop1", order = 0),
+        () => land(stamped(documents.where(pmod(expr("doc_id div 20"), lit(2)) === 1),
+          day1Us + dayUs), scratch, srcDir, "drop2", order = 1),
+        () => land(sentinel, scratch, srcDir, "drop3", order = 2))
       runOnce()
     }
 

@@ -73,10 +73,11 @@ object StreamEnrich {
           "drop2", order = 1)
         runOnce()
       } else {
-        land(events.where(pmod(col("event_id"), lit(2)) === 0), scratch, srcDir,
-          "drop1", order = 0)
-        land(events.where(pmod(col("event_id"), lit(2)) === 1), scratch, srcDir,
-          "drop2", order = 1)
+        StreamHarness.landAll(
+          () => land(events.where(pmod(col("event_id"), lit(2)) === 0), scratch, srcDir,
+            "drop1", order = 0),
+          () => land(events.where(pmod(col("event_id"), lit(2)) === 1), scratch, srcDir,
+            "drop2", order = 1))
         runOnce()
       }
     }

@@ -57,6 +57,27 @@ private[streaming] object StreamHarness {
     delete(new java.io.File(tmp))
   }
 
+  /** Run independent [[land]] drops concurrently (r17, guide §2.6 applied
+    * to the driver): each land is a single-task write job plus a commit
+    * protocol, ~0.1–0.25 s of mostly driver latency, and a twin's drops are
+    * landed back-to-back BEFORE one AvailableNow lifecycle — their order is
+    * carried by the pinned mtimes, not by call sequence, so overlapping
+    * them is semantics-free. Measured ~0.5–0.7 s of a 3.8 s twin spent in
+    * serial lands (GRAFT_STREAM_DEBUG timer).
+    *
+    * Only for drops that are all computable up front: a twin that lands,
+    * RUNS, then lands again (restart-per-drop form) stays sequential.
+    */
+  def landAll(lands: (() => Unit)*): Unit = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(4, lands.size)))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try Await.result(Future.sequence(lands.map(f => Future(f())).toSeq), Duration.Inf): Unit
+    finally pool.shutdown()
+  }
+
   def delete(f: java.io.File): Unit = {
     if (f.isDirectory) f.listFiles().foreach(delete)
     f.delete()

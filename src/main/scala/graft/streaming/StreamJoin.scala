@@ -126,12 +126,15 @@ object StreamJoin {
     // 2's batch evaluates it and flushes unmatched clicks) — the
     // pinned-mtime land order is the batch order
     StreamHarness.withDemoStreamConfs(spark) {
-      land(clicks, scratch, srcC, "c1", order = 0)
-      land(errors, scratch, srcE, "e1", order = 0)
-      land(sentinel(30), scratch, srcC, "c2", order = 1)
-      land(sentinel(30), scratch, srcE, "e2", order = 1)
-      land(sentinel(31), scratch, srcC, "c3", order = 2)
-      land(sentinel(31), scratch, srcE, "e3", order = 2)
+      // all six drops are computable up front (maxUs already collected);
+      // overlap their single-task writes — order rides the pinned mtimes
+      StreamHarness.landAll(
+        () => land(clicks, scratch, srcC, "c1", order = 0),
+        () => land(errors, scratch, srcE, "e1", order = 0),
+        () => land(sentinel(30), scratch, srcC, "c2", order = 1),
+        () => land(sentinel(30), scratch, srcE, "e2", order = 1),
+        () => land(sentinel(31), scratch, srcC, "c3", order = 2),
+        () => land(sentinel(31), scratch, srcE, "e3", order = 2))
       runOnce()
     }
 
@@ -196,10 +199,11 @@ object StreamJoin {
     // a batch-1 error within the hour — still come only from the buffered
     // join state, which is what the timeline split exercises
     StreamHarness.withDemoStreamConfs(spark) {
-      land(clicks.where(col("ts") < midTs), scratch, srcC, "c1", order = 0)
-      land(errors.where(col("ts") < midTs), scratch, srcE, "e1", order = 0)
-      land(clicks.where(col("ts") >= midTs), scratch, srcC, "c2", order = 1)
-      land(errors.where(col("ts") >= midTs), scratch, srcE, "e2", order = 1)
+      StreamHarness.landAll(
+        () => land(clicks.where(col("ts") < midTs), scratch, srcC, "c1", order = 0),
+        () => land(errors.where(col("ts") < midTs), scratch, srcE, "e1", order = 0),
+        () => land(clicks.where(col("ts") >= midTs), scratch, srcC, "c2", order = 1),
+        () => land(errors.where(col("ts") >= midTs), scratch, srcE, "e2", order = 1))
       runOnce()
     }
 

@@ -69,10 +69,11 @@ object StreamModelFilter {
           "drop2", order = 1)
         runOnce()
       } else {
-        land(documents.where(pmod(col("doc_id"), lit(2)) === 0), scratch, srcDir,
-          "drop1", order = 0)
-        land(documents.where(pmod(col("doc_id"), lit(2)) === 1), scratch, srcDir,
-          "drop2", order = 1)
+        StreamHarness.landAll(
+          () => land(documents.where(pmod(col("doc_id"), lit(2)) === 0), scratch, srcDir,
+            "drop1", order = 0),
+          () => land(documents.where(pmod(col("doc_id"), lit(2)) === 1), scratch, srcDir,
+            "drop2", order = 1))
         runOnce()
       }
     }
