@@ -703,8 +703,10 @@ object TextMarts {
             when(col("at_root"), col("depth"))
               .otherwise(col("depth") + col("pd")).as("depth"),
             (col("at_root") || col("p_at_root")).as("at_root"))
-        val updated = jumped.localCheckpoint(true)
-        val remaining = updated.where(!col("at_root")).count()
+        // convergence observed during the same materialization action
+        // (r17: one job per round — Iterate.materializeObserved scaladoc)
+        val (updated, remaining) = graft.operators.Iterate.materializeObserved(
+          jumped, sum(when(!col("at_root"), 1L).otherwise(0L)))
         state = updated
         converged = remaining == 0
         iter += 1

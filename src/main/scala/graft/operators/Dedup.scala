@@ -1274,9 +1274,10 @@ object Dedup {
             .select(col("node"), col("old_label"),
               least(col("cand"), coalesce(col("cand_label"), col("cand"))).as("label"))
         // materialize + truncate; old_label rides along so the convergence
-        // check is a filter-count on the SAME materialized leaf, not a join
-        val updated = Iterate.materialize(jumped)
-        val changes = updated.where(col("label") =!= col("old_label")).count()
+        // check is observed DURING the same materialization action (r17:
+        // one job per round, not two — Iterate.materializeObserved)
+        val (updated, changes) = Iterate.materializeObserved(jumped,
+          sum(when(col("label") =!= col("old_label"), 1L).otherwise(0L)))
         if (sys.env.contains("GRAFT_CLUSTERS_DEBUG"))
           System.err.println(s"[clusters] iter=$iter changes=$changes")
         labels = updated.select(col("node"), col("label"))

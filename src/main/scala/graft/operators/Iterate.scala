@@ -31,4 +31,26 @@ object Iterate {
         .contains("true"))
       df.checkpoint(eager = true)
     else df.localCheckpoint(eager = true)
+
+  /** [[materialize]] plus ONE observed aggregate evaluated by the SAME
+    * materialization action (r17, guide §1.2 — fewer passes): the
+    * iterative loops' convergence check (`changes == 0`) otherwise pays a
+    * second job per round over the just-checkpointed iterate. `observe`
+    * rides a CollectMetrics node through the eager checkpoint's
+    * `withAction`, so the metric is complete when this returns — no extra
+    * job, no extra pass. Aggregate must be retry-monotone for the caller's
+    * use: the loops test `== 0`, and a re-run task contributes 0 to an
+    * all-converged round and > 0 otherwise, so the boolean cannot flip.
+    */
+  def materializeObserved(df: DataFrame, metric: org.apache.spark.sql.Column)
+      : (DataFrame, Long) = {
+    val obs = org.apache.spark.sql.Observation()
+    val out = materialize(df.observe(obs, metric.as("m")))
+    val v = obs.get("m")
+    (out, v match {
+      case l: java.lang.Long => l.longValue()
+      case n: java.lang.Number => n.longValue()
+      case other => sys.error(s"materializeObserved: non-numeric metric $other")
+    })
+  }
 }
