@@ -12,12 +12,16 @@ import org.apache.spark.sql.execution.datasources.LogicalRelation
   * frame (minhash signatures, token/bigram explodes, the tf table) but
   * return a LAZY result.
   *
-  * Those operators cannot use the `try { ... } finally unpersist()`
-  * discipline of the eager Similarity builders: cache substitution happens
-  * when the caller finally runs an action, so unpersisting on the way out
-  * of the builder would drop the cache before it was ever used. Leaving the
-  * cache live forever is the opposite failure — executor storage grows
-  * linearly in the number of registered queries a session runs.
+  * Those operators cannot use a `try { ... } finally unpersist()`
+  * discipline (the historical shape of the eager Similarity builders):
+  * cache substitution happens when the caller finally runs an action, so
+  * unpersisting on the way out of the builder would drop the cache before
+  * it was ever used — and for the Similarity builders it meant the final
+  * probe/serve action re-scanned parquet after training had already paid
+  * for the materialization (r17 moved them onto this registry for exactly
+  * that reason). Leaving the cache live forever is the opposite failure —
+  * executor storage grows linearly in the number of registered queries a
+  * session runs.
   *
   * The registry keeps the last `keep` DISTINCT staged plans per session
   * (LRU; `spark.graft.staging.keep`, default 4) and drops evictions. No

@@ -31,11 +31,33 @@ object Similarity {
   private def prep(embeddings: DataFrame): DataFrame =
     Dedup.quantized(embeddings).withColumn("norm2", long_dot(col("q"), col("q")))
 
+  /** [[prep]] staged once per session via CacheScope (r17, guide §2.4 —
+    * remove redundant passes). Every ANN operator derives the same
+    * quantized+norm corpus, and the historical `cache()` +
+    * `finally unpersist()` discipline (right for bounding executor storage
+    * around the EAGER training collects) dropped the blocks before the
+    * caller's action ran — so each ARM of a composed query (the
+    * recall/MRR evals build 4-5 independent prep subtrees; their executed
+    * plan scanned the embeddings parquet 16 times) and each warm
+    * iteration re-scanned parquet and re-quantized. One CacheScope entry,
+    * keyed on the canonicalized plan, makes every subtree that
+    * canonicalizes to [[prep]] read the same materialized frame: the
+    * training collects fill it, the final action reuses it. CacheScope
+    * bounds the lifetime (LRU keep, session-scoped) and an external
+    * `clearCache()` (Bench/Verify per-query isolation) just re-arms it,
+    * so nothing persists across bench queries — every invocation still
+    * computes from the parquet inputs.
+    */
+  private def stagedCorpus(embeddings: DataFrame): DataFrame =
+    CacheScope.cached(prep(embeddings))
+
   /** `sim_search_bruteforce`: exact cosine top-5 neighbors for each query
     * vector (vec_id < 10) over the whole corpus.
     */
   def simSearchBruteforce(embeddings: DataFrame): DataFrame = {
-    val corpus = prep(embeddings)
+    // staged: the corpus and broadcast-query sides are two subtrees of the
+    // same prep — unstaged, each action quantized the corpus twice
+    val corpus = stagedCorpus(embeddings)
     val queries = corpus.where(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("q").as("qv"), col("norm2").as("qn"))
     val w = Window.partitionBy("query_id")
@@ -96,7 +118,7 @@ object Similarity {
     * most one probe per query (buckets are disjoint).
     */
   def simSearchLsh(embeddings: DataFrame, multiProbe: Boolean = true): DataFrame = {
-    val corpus = prep(embeddings).withColumn("bucket", bucketCol)
+    val corpus = stagedCorpus(embeddings).withColumn("bucket", bucketCol)
     val nProbes = if (multiProbe) 9 else 1
     val probeFlips = array((0 until nProbes).map(f =>
       lit(if (f == 0) 0L else 1L << (f - 1))): _*)
@@ -221,11 +243,9 @@ object Similarity {
     * partition.
     */
   def simSearchIvf(embeddings: DataFrame, k: Int = 16, iters: Int = 2): DataFrame = {
-    val corpus = prep(embeddings).cache()
-    try {
-      val cents = trainKmeans(corpus, k, iters)
-      ivfProbe(corpus, cents)
-    } finally corpus.unpersist()
+    val corpus = stagedCorpus(embeddings)
+    val cents = trainKmeans(corpus, k, iters)
+    ivfProbe(corpus, cents)
   }
 
   /** The probe stage of [[simSearchIvf]] over an already-trained coarse
@@ -260,14 +280,12 @@ object Similarity {
     * scanned twice (train iterations + final assign) and shuffled never.
     */
   def embedKmeans(embeddings: DataFrame, k: Int = 16, iters: Int = 2): DataFrame = {
-    val corpus = prep(embeddings).cache()
-    try {
-      val cents = trainKmeans(corpus, k, iters)
-      val assigned = corpus.withColumn("cluster", clusterCol(cents))
-      val sizes = assigned.groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
-      assigned.join(broadcast(sizes), Seq("cluster"))
-        .select(col("vec_id"), col("cluster"), col("cluster_size"))
-    } finally corpus.unpersist()
+    val corpus = stagedCorpus(embeddings)
+    val cents = trainKmeans(corpus, k, iters)
+    val assigned = corpus.withColumn("cluster", clusterCol(cents))
+    val sizes = assigned.groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
+    assigned.join(broadcast(sizes), Seq("cluster"))
+      .select(col("vec_id"), col("cluster"), col("cluster_size"))
   }
 
   /** `dedup_semantic`: SemDeDup-style semantic deduplication (Abbas et al.
@@ -283,26 +301,24 @@ object Similarity {
     * 100-TB shape as `dedup_keep_best`.
     */
   def dedupSemantic(embeddings: DataFrame, k: Int = 16, iters: Int = 2): DataFrame = {
-    val corpus = prep(embeddings).cache()
-    try {
-      val cents = trainKmeans(corpus, k, iters)
-      val centArr = typedLit(cents.map(_.toSeq))
-      val normArr = typedLit(cents.map(c => c.map(v => v * v).sum))
-      val assigned = corpus
-        .withColumn("cluster", clusterCol(cents))
-        .withColumn("dist",
-          element_at(normArr, (col("cluster") + 1).cast("int")) -
-            long_dot(col("q"), element_at(centArr, (col("cluster") + 1).cast("int"))) * 2)
-      val sizes = assigned.groupBy(col("cluster"))
-        .agg(count(lit(1)).as("cluster_size"))
-      val w = Window.partitionBy("cluster").orderBy(col("dist"), col("vec_id"))
-      assigned
-        .withColumn("rn", row_number().over(w))
-        .where(col("rn") === 1)
-        .join(broadcast(sizes), Seq("cluster"))
-        .select(col("cluster"), col("vec_id").as("keeper_vec_id"),
-          col("dist").as("keeper_dist"), col("cluster_size"))
-    } finally corpus.unpersist()
+    val corpus = stagedCorpus(embeddings)
+    val cents = trainKmeans(corpus, k, iters)
+    val centArr = typedLit(cents.map(_.toSeq))
+    val normArr = typedLit(cents.map(c => c.map(v => v * v).sum))
+    val assigned = corpus
+      .withColumn("cluster", clusterCol(cents))
+      .withColumn("dist",
+        element_at(normArr, (col("cluster") + 1).cast("int")) -
+          long_dot(col("q"), element_at(centArr, (col("cluster") + 1).cast("int"))) * 2)
+    val sizes = assigned.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("cluster_size"))
+    val w = Window.partitionBy("cluster").orderBy(col("dist"), col("vec_id"))
+    assigned
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .join(broadcast(sizes), Seq("cluster"))
+      .select(col("cluster"), col("vec_id").as("keeper_vec_id"),
+        col("dist").as("keeper_dist"), col("cluster_size"))
   }
 
   /** `embed_pq`: product quantization — the ANN compression standard (IVF
@@ -325,21 +341,22 @@ object Similarity {
     */
   def embedPq(embeddings: DataFrame, m: Int = 4, k: Int = 8, iters: Int = 2): DataFrame = {
     val sub = 64 / m
-    val corpus = prep(embeddings)
+    // the subspace slices are a projection over the SHARED staged corpus:
+    // slicing per read is 4 array copies, far cheaper than a second
+    // materialized stage (and the staged frame is what every other ANN
+    // operator in a composed plan reads)
+    val corpus = stagedCorpus(embeddings)
       .select(col("vec_id") +: (0 until m).map(si =>
         slice(col("q"), si * sub + 1, sub).as(s"qs_$si")): _*)
-      .cache()
-    try {
-      val codebooks =
-        trainKmeansMulti(corpus, k, iters, (0 until m).map(si => s"qs_$si"), sub)
-      val coded = (0 until m).foldLeft(corpus: DataFrame) { case (df, si) =>
-        df.withColumn(s"code_$si", clusterCol(codebooks(si), s"qs_$si"))
-      }
-      val codeCols = (0 until m).map(si => col(s"code_$si"))
-      coded.select(
-        (col("vec_id") +: codeCols :+
-          codeCols.reduce((a, b) => a * k + b).as("pq_code")): _*)
-    } finally corpus.unpersist()
+    val codebooks =
+      trainKmeansMulti(corpus, k, iters, (0 until m).map(si => s"qs_$si"), sub)
+    val coded = (0 until m).foldLeft(corpus: DataFrame) { case (df, si) =>
+      df.withColumn(s"code_$si", clusterCol(codebooks(si), s"qs_$si"))
+    }
+    val codeCols = (0 until m).map(si => col(s"code_$si"))
+    coded.select(
+      (col("vec_id") +: codeCols :+
+        codeCols.reduce((a, b) => a * k + b).as("pq_code")): _*)
   }
 
   /** `sim_search_pq`: asymmetric-distance (ADC) search over the
@@ -356,29 +373,28 @@ object Similarity {
   def simSearchPq(
       embeddings: DataFrame, m: Int = 4, k: Int = 8, topK: Int = 5): DataFrame = {
     val sub = 64 / m
-    val corpus = prep(embeddings)
+    // subspace slices as a projection over the shared staged corpus — see
+    // [[embedPq]]
+    val corpus = stagedCorpus(embeddings)
       .select(col("vec_id") +: (0 until m).map(si =>
         slice(col("q"), si * sub + 1, sub).as(s"qs_$si")): _*)
-      .cache()
-    try {
-      val codebooks =
-        trainKmeansMulti(corpus, k, 2, (0 until m).map(si => s"qs_$si"), sub)
-      val coded = (0 until m).foldLeft(corpus: DataFrame) { (df, si) =>
-        df.withColumn(s"code_$si", clusterCol(codebooks(si), s"qs_$si"))
-      }
-      val queries = pqQueryLuts(corpus, codebooks, m)
-      val adc = (0 until m).map(si =>
-        element_at(col(s"lut_$si"), (col(s"code_$si") + 1).cast("int")))
-        .reduce(_ + _)
-      val w = Window.partitionBy("query_id").orderBy(col("adc"), col("vec_id"))
-      coded.crossJoin(broadcast(queries))
-        .where(col("vec_id") =!= col("query_id"))
-        .withColumn("adc", adc)
-        .withColumn("rank", row_number().over(w))
-        .where(col("rank") <= topK)
-        .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          col("adc"), col("rank").cast("long").as("rank"))
-    } finally corpus.unpersist()
+    val codebooks =
+      trainKmeansMulti(corpus, k, 2, (0 until m).map(si => s"qs_$si"), sub)
+    val coded = (0 until m).foldLeft(corpus: DataFrame) { (df, si) =>
+      df.withColumn(s"code_$si", clusterCol(codebooks(si), s"qs_$si"))
+    }
+    val queries = pqQueryLuts(corpus, codebooks, m)
+    val adc = (0 until m).map(si =>
+      element_at(col(s"lut_$si"), (col(s"code_$si") + 1).cast("int")))
+      .reduce(_ + _)
+    val w = Window.partitionBy("query_id").orderBy(col("adc"), col("vec_id"))
+    coded.crossJoin(broadcast(queries))
+      .where(col("vec_id") =!= col("query_id"))
+      .withColumn("adc", adc)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("adc"), col("rank").cast("long").as("rank"))
   }
 
   /** Per-query ADC lookup tables, built DRIVER-side: ||q_si||² − 2·q_si·c
@@ -475,8 +491,8 @@ object Similarity {
       k: Int, prepped: Option[DataFrame] = None,
       coarse0: Option[Seq[Array[Long]]] = None): IvfPqModel = {
     val sub = 64 / m
-    val full = prepped.getOrElse(prep(embeddings).cache())
-    try {
+    val full = prepped.getOrElse(stagedCorpus(embeddings));
+    {
       val coarse = coarse0.getOrElse(trainKmeans(full, kClusters, 2))
       // residual coding: r = q − c(cluster(q)), exact integers (the coarse
       // model is a driver-resident typedLit). The zip_with subtraction is
@@ -497,7 +513,7 @@ object Similarity {
       val queryVecs = full.where(col("vec_id") < 10)
         .select(col("vec_id"), col("q")).collect()
       IvfPqModel(coarse, coded, codebooks, queryVecs, m)
-    } finally if (prepped.isEmpty) full.unpersist()
+    }
   }
 
   /** One probe arm over a trained [[IvfPqModel]]. Multi-probe (the FAISS
@@ -578,9 +594,12 @@ object Similarity {
     // the IVF and IVF-PQ arms share ONE prepped corpus and ONE coarse
     // k-means (r17): both train the identical deterministic k=16 model, so
     // the historical independent builds paid the 3 training round trips
-    // twice for bit-identical centroids
-    val corpus = prep(embeddings).cache()
-    val arms = try {
+    // twice for bit-identical centroids. The corpus is the CacheScope-
+    // staged [[stagedCorpus]] (not cache+unpersist), so the exact/LSH/PQ
+    // arms' prep subtrees — identical canonicalized plans — read the same
+    // materialized frame at action time instead of re-scanning parquet.
+    val corpus = stagedCorpus(embeddings)
+    val arms = {
       val coarse = trainKmeans(corpus, 16, 2)
       val model = ivfPqTrain(embeddings, 16, 4, 8,
         prepped = Some(corpus), coarse0 = Some(coarse))
@@ -589,7 +608,7 @@ object Similarity {
         "ivf" -> ivfProbe(corpus, coarse),
         "pq" -> simSearchPq(embeddings),
         "ivfpq" -> ivfPqProbe(spark, model, nprobe = 2, topK = 5))
-    } finally corpus.unpersist()
+    }
     val approx = arms
       .map { case (m, df) =>
         df.select(lit(m).as("method"), col("query_id"), col("neighbor_id"))
@@ -624,10 +643,10 @@ object Similarity {
     import spark.implicits._
     val exact = simSearchBruteforce(embeddings)
       .select(col("query_id"), col("neighbor_id"))
-    // shared prep + coarse model between the IVF and IVF-PQ arms — same
-    // r17 rationale as simSearchRecallEval
-    val corpus = prep(embeddings).cache()
-    val arms = try {
+    // shared STAGED prep + coarse model between the arms — same r17
+    // rationale as simSearchRecallEval
+    val corpus = stagedCorpus(embeddings)
+    val arms = {
       val coarse = trainKmeans(corpus, 16, 2)
       val model = ivfPqTrain(embeddings, 16, 4, 8,
         prepped = Some(corpus), coarse0 = Some(coarse))
@@ -636,7 +655,7 @@ object Similarity {
         "ivf" -> ivfProbe(corpus, coarse),
         "pq" -> simSearchPq(embeddings),
         "ivfpq" -> ivfPqProbe(spark, model, nprobe = 2, topK = 5))
-    } finally corpus.unpersist()
+    }
     val approx = arms
       .map { case (m, df) =>
         df.select(lit(m).as("method"), col("query_id"), col("neighbor_id"),
@@ -752,7 +771,12 @@ object Similarity {
           col("q").as("qv"), col("norm2").as("qn"), col("bucket")) ++ extra: _*)
         (bucketed, probes)
       case None =>
-        val bucketed = corpus.withColumn("bucket", bucketCol)
+        // staged WITH the bucket column (r17): the bucket join reads the
+        // corpus on both sides, and each side otherwise re-quantizes AND
+        // re-evaluates the 8-plane hyperplane signature over the full
+        // corpus — the per-row compute of this operator
+        val bucketed =
+          graft.operators.CacheScope.cached(corpus.withColumn("bucket", bucketCol))
         val probeFlips = array((0 until 9).map(f =>
           lit(if (f == 0) 0L else 1L << (f - 1))): _*)
         val probes = bucketed.select(Seq(col("vec_id").as("query_id"),
