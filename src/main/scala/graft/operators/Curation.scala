@@ -623,6 +623,15 @@ object Curation {
     * single-row broadcasts — identical to [[mixPlanTemperature]].
     */
   def mixAnnealSchedule(documents: DataFrame): DataFrame = {
+    // NOT staged (r17 negative result): the construction plan shows this
+    // aggregate 8 times (one per downstream 1-row-total crossJoin branch),
+    // but at runtime ReuseExchange collapses the canonically-equal
+    // subtrees — the measured uncached run is 2 corpus scans / 0.8 cpu-s.
+    // CacheScope-staging it was TRIED and read 0.31 → 0.44 s (cpu 0.8 →
+    // 2.9) in the same-JVM A/B: the cache materializes at the aggregate's
+    // 32 reduce partitions and cached-plan reads keep that partitioning
+    // (no AQE coalescing below InMemoryRelation), so every downstream
+    // stage became a 32-task scheduling wave over a ≤|sources|-row frame.
     val perSource = documents
       .select(col("source"),
         org.apache.spark.sql.functions.size(split(col("text"), " "))

@@ -621,12 +621,17 @@ object Dedup {
     val bitAggs = (0 until bits).map { bit =>
       sum(when(shiftrightunsigned(col("x"), bit) % 2 === 1, 1).otherwise(-1)).as(s"b_$bit")
     }
-    val sig = sh.groupBy(col("doc_id"), col("lang"))
+    // staged (r17, guide §2.4): the banded self-join evaluates BOTH legs,
+    // and unstaged each leg re-ran the whole signature pipeline — tokenize,
+    // shingle explode, per-shingle hash, 2×`bits` partial sums — over the
+    // corpus (the plan scanned documents twice). The staged frame is 3
+    // columns per doc; the explode it absorbs is shingle-count-sized.
+    val sig = CacheScope.cached(sh.groupBy(col("doc_id"), col("lang"))
       .agg(bitAggs.head, bitAggs.tail: _*)
       .withColumn("simhash",
         (0 until bits).map(bit =>
           when(col(s"b_$bit") >= 0, 1L << bit).otherwise(0L)).reduce(_ + _))
-      .select(col("doc_id"), col("lang"), col("simhash"))
+      .select(col("doc_id"), col("lang"), col("simhash")))
     val bandKeys: Seq[Column] =
       if (fastHash) {
         // 6 blocks of the 64-bit sig; a band per 3-block combination. Keys
@@ -728,9 +733,12 @@ object Dedup {
   private def recallFloorAudit(
       docs: DataFrame, truth: DataFrame, found: DataFrame,
       keys: Seq[String]): DataFrame = {
+    // truth is read twice (count + recovery semi-join); staged, the
+    // md5-digest self-join that derives it runs once per action, not twice
+    val truthS = CacheScope.cached(truth)
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    val nTrue = truth.agg(count(lit(1)).as("n_true_pairs"))
-    val nFound = truth.join(found, keys, "left_semi")
+    val nTrue = truthS.agg(count(lit(1)).as("n_true_pairs"))
+    val nFound = truthS.join(found, keys, "left_semi")
       .agg(count(lit(1)).as("n_true_found"))
     nDocs.crossJoin(nTrue).crossJoin(nFound)
   }

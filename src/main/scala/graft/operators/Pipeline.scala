@@ -213,12 +213,15 @@ object Pipeline {
     import org.apache.spark.sql.expressions.Window
     val sched = Curation.mixAnnealSchedule(documents)
       .select(col("source"), col("phase"), col("phase_tokens"))
-    val docs = documents.select(col("source"), col("doc_id"),
+    // staged (r17, guide §2.4): the bulk and anneal windows each re-ran the
+    // q_milli battery + hash over the corpus; the staged projection is 5
+    // narrow columns, no text
+    val docs = CacheScope.cached(documents.select(col("source"), col("doc_id"),
       org.apache.spark.sql.functions.size(split(col("text"), " "))
         .cast("long").as("toks"),
       Curation.qMilliCol.as("q_milli"),
       PortableHash.hash32(concat(lit("anneal:"), col("doc_id").cast("string")))
-        .as("pick"))
+        .as("pick")))
     val wBulk = Window.partitionBy("source").orderBy(col("pick"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAnneal = Window.partitionBy("source")
